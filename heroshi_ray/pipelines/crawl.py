@@ -1,0 +1,482 @@
+"""The crawl epoch loop — SURVEY.md §3.2, the flagship pipeline.
+
+Heroshi's manager hands out crawl-queue batches and merges fetch
+reports ([UPSTREAM-M], reference unavailable); here the same semantics
+run as a sequence of discrete epochs, each one a streaming Ray Data
+plan:
+
+    read_frontier  (partitioned by host_shard)
+      -> robots gate (J2: broadcast parsed-robots, no shuffle)
+      -> per-host top-budget (K1: ONE shuffle keyed hash(host)%P)
+      -> global order (K2: sort(priority desc, surt asc) + limit)
+      -> fetch (A-F actor pool)
+      -> extract links/captions (X1 actor pool) ; corpus rows (M8+M9)
+      -> canonicalize (fused M1-M3) -> exact dedup (D1, shuffle on
+         hash(surt)%B) -> seen-set gate (J1 actor RPCs)
+      -> new frontier = (pending - scheduled) ∪ admitted ∪ retries
+      -> atomic checkpoint (frontier, seen shards, politeness, captions,
+         manifest) — the resume point.
+
+Scale notes (10^10-URL frontier):
+- the frontier itself only ever streams: read_parquet -> map_batches
+  masks -> write_parquet; nothing frontier-sized is materialized.
+- the *epoch batch* (scheduled ∪ fetched) is bounded by the politeness
+  budget — that is the unit pinned in the object store
+  (``.materialize()``), never pulled to the driver with bodies.
+- driver-side state is O(hosts) (budgets) and O(images) (captions);
+  both documented as broadcast small-sides; at larger scale captions
+  become a hash-partitioned join on image url and budgets ride the
+  host_shard partitioning instead of a dict.
+- false positives of the seen filter (~1.2e-4) skip a URL, never
+  double-fetch it — bounded loss, crawl-safe.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+
+from ..functions.robots import ALLOW_ALL, crawl_delay, parse_robots
+from ..schemas import FRONTIER, STATE_FAILED, STATE_PENDING, STATE_ROBOTS_DENIED
+from ..sources.io import (
+    append_epoch_table,
+    commit_manifest,
+    empty_frontier,
+    epoch_dir,
+    latest_committed_epoch,
+    load_manifest,
+    read_epoch_tables,
+    read_frontier,
+    read_seeds,
+    write_frontier,
+)
+from ..stages.canonicalize import canonicalize_dataset
+from ..stages.dedup import dedup_first
+from ..stages.extract import ImageRowBuilder, LinkExtractor
+from ..stages.fetch import fetch_dataset, pages_index
+from ..stages.schedule import global_order, per_host_topk, split_robots
+from ..state.politeness import PolitenessPool
+from ..state.seen import SeenSet
+
+
+@dataclass
+class CrawlConfig:
+    epoch_budget: int = 96          # K2 global cap per epoch
+    epoch_seconds: float = 6.0      # simulated wall time per epoch
+    burst: float = 5.0              # token-bucket burst per host
+    max_epochs: int = 64
+    max_retries: int = 2
+    n_seen_shards: int = 4
+    seen_capacity: int = 1 << 18
+    n_pol_shards: int = 2
+    n_buckets: int = 16             # D1 dedup buckets (shuffle width)
+    n_host_shards: int = 8          # frontier partition key domain
+    fetch_concurrency: int = 2
+    fetch_batch_size: int = 64
+    ua: str = "heroshi-ray"
+    retry_priority_decay: float = 0.5
+    max_depth: int = 64
+
+
+@dataclass
+class CrawlReport:
+    epochs_run: int = 0
+    urls_scheduled: int = 0
+    urls_admitted: int = 0
+    fetch_ok: int = 0
+    fetch_err: int = 0
+    robots_denied: int = 0
+    wall_s: float = 0.0
+    metrics: list = field(default_factory=list)
+
+
+class Crawler:
+    """Driver-side orchestrator. All heavy state lives in actor pools
+    (seen shards, politeness shards) or parquet checkpoints — the driver
+    holds only broadcast handles and small dicts."""
+
+    def __init__(self, fixture_paths: dict, workdir: str, cfg: CrawlConfig | None = None):
+        self.cfg = cfg or CrawlConfig()
+        self.workdir = workdir
+        os.makedirs(workdir, exist_ok=True)
+        self.paths = fixture_paths
+
+        # broadcast small sides ONCE (ray.put; read per actor/task, never per batch)
+        pages_tbl = pq.read_table(fixture_paths["pages"])
+        self.pages_ref = ray.put(pages_index(pages_tbl))
+        robots_tbl = pq.read_table(fixture_paths["robots"])
+        self.robots: dict = {}
+        for h, b, s in zip(
+            robots_tbl.column("host").to_pylist(),
+            robots_tbl.column("robots_body").to_pylist(),
+            robots_tbl.column("status").to_pylist(),
+        ):
+            self.robots[h] = parse_robots(b, status=s, ua=self.cfg.ua)
+        self.robots_ref = ray.put(self.robots)
+
+        self.seen = SeenSet(self.cfg.n_seen_shards, self.cfg.seen_capacity)
+        self.pol = PolitenessPool(
+            self.cfg.n_pol_shards, self.cfg.epoch_seconds, self.cfg.burst
+        )
+        self.captions: dict[str, str] = {}
+
+    # ------------------------------------------------------------------
+    def _now_us(self, epoch: int) -> int:
+        return int(epoch * self.cfg.epoch_seconds * 1e6)
+
+    def seed(self) -> int:
+        """Bootstrap epoch 0 frontier from the seed list (SURVEY.md §3.1)."""
+        seeds = read_seeds(self.paths["seeds"])
+        cand = canonicalize_dataset(seeds, now_us=self._now_us(0), epoch=0)
+        cand = dedup_first(cand, n_buckets=self.cfg.n_buckets)
+        admitted = self.seen.filter_new(cand)
+        write_frontier(admitted, self.workdir, 0, self.cfg.n_host_shards)
+        n = read_frontier(self.workdir, 0).count()
+        self._save_state(0, {"pending": n, "phase": "seeded"})
+        return n
+
+    # ------------------------------------------------------------------
+    def _save_state(self, epoch: int, info: dict) -> None:
+        d = epoch_dir(self.workdir, epoch)
+        os.makedirs(d, exist_ok=True)
+        self.seen.save(d, epoch)
+        import json
+
+        with open(os.path.join(d, "politeness.json"), "w") as f:
+            json.dump(self.pol.state(), f)
+        cap_tbl = pa.table(
+            {
+                "url": pa.array(sorted(self.captions), pa.string()),
+                "caption": pa.array(
+                    [self.captions[k] for k in sorted(self.captions)], pa.string()
+                ),
+            }
+        )
+        pq.write_table(cap_tbl, os.path.join(d, "captions.parquet"))
+        commit_manifest(self.workdir, epoch, info)
+
+    def _load_state(self, epoch: int) -> None:
+        d = epoch_dir(self.workdir, epoch)
+        self.seen.load(d, epoch)
+        import json
+
+        with open(os.path.join(d, "politeness.json")) as f:
+            self.pol.load_state(json.load(f))
+        cap = pq.read_table(os.path.join(d, "captions.parquet"))
+        self.captions = dict(
+            zip(cap.column("url").to_pylist(), cap.column("caption").to_pylist())
+        )
+
+    # ------------------------------------------------------------------
+    def run_epoch(self, e: int, report: CrawlReport) -> int:
+        cfg = self.cfg
+        now_s = e * cfg.epoch_seconds
+        now_us = self._now_us(e)
+        t0 = time.time()
+
+        pending = read_frontier(self.workdir, e)
+
+        # crash-resume hygiene: epoch e re-runs only when manifest e+1 was
+        # never committed; clear any partial outputs from the dead attempt
+        import shutil
+
+        for sub in ("denied", "fetchlog", "corpus"):
+            d = os.path.join(self.workdir, sub, f"e{e}")
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+
+        # J2 robots gate — broadcast semi-join, no shuffle
+        allowed_ds, denied_ds = split_robots(pending, self.robots_ref)
+        denied_dir = os.path.join(self.workdir, "denied", f"e{e}")
+        denied_ds = denied_ds.map_batches(
+            lambda b: b.set_column(
+                b.column_names.index("state"),
+                "state",
+                pa.array(np.full(b.num_rows, STATE_ROBOTS_DENIED, dtype=np.uint8)),
+            ),
+            batch_format="pyarrow",
+        )
+        os.makedirs(denied_dir, exist_ok=True)
+        denied_ds.write_parquet(denied_dir)
+        n_denied = ray.data.read_parquet(denied_dir).count()
+
+        # politeness budgets (A-P): O(distinct hosts) driver<->actor exchange
+        hosts = [h for h in allowed_ds.unique("host")]
+        delays = {h: crawl_delay(self.robots.get(h, ALLOW_ALL)) for h in hosts}
+        budgets = self.pol.budgets(hosts, now_s, [delays[h] for h in hosts])
+        budgets_ref = ray.put(budgets)
+
+        # K1 + K2: budget cap then deterministic global order
+        k1 = per_host_topk(allowed_ds, budgets_ref, n_shards=cfg.n_buckets)
+        sched_ds = global_order(k1, cfg.epoch_budget)
+        blocks = ray.get(sched_ds.to_arrow_refs())
+        sched_tbl = (
+            pa.concat_tables([b for b in blocks if b.num_rows], promote_options="none")
+            if any(b.num_rows for b in blocks)
+            else FRONTIER.empty_table()
+        )
+        # driver-side stable re-sort: the order log must be bit-deterministic
+        if sched_tbl.num_rows:
+            order = pc.sort_indices(
+                sched_tbl,
+                sort_keys=[("priority", "descending"), ("surt", "ascending")],
+            )
+            sched_tbl = sched_tbl.take(order)
+        n_sched = sched_tbl.num_rows
+
+        if n_sched == 0:
+            # nothing schedulable this epoch (budgets exhausted) — frontier
+            # carries over unchanged except denied rows drop out
+            new_frontier = allowed_ds
+            self._finish_epoch(
+                e, new_frontier, sched_tbl, None, n_denied, 0, 0, 0, t0, report
+            )
+            return read_frontier(self.workdir, e + 1).count()
+
+        # consume politeness tokens for what was actually scheduled
+        counts = pd.Series(sched_tbl.column("host").to_pylist()).value_counts().to_dict()
+        self.pol.consume(counts, now_s, delays)
+
+        # A-F fetch — actor pool; epoch batch pinned in object store, not driver
+        sched_sel = sched_tbl.select(FRONTIER.names).cast(FRONTIER)
+        fetched = fetch_dataset(
+            ray.data.from_arrow(sched_sel),
+            self.pages_ref,
+            now_us=now_us,
+            concurrency=cfg.fetch_concurrency,
+            batch_size=cfg.fetch_batch_size,
+        ).materialize()
+
+        # fetch log without bodies (resumable, append-only)
+        log_dir = os.path.join(self.workdir, "fetchlog", f"e{e}")
+        os.makedirs(log_dir, exist_ok=True)
+        fetched.drop_columns(["content"]).write_parquet(log_dir)
+
+        # X1: links + captions
+        links = fetched.map_batches(
+            LinkExtractor, batch_format="pyarrow", concurrency=2, batch_size=256
+        ).materialize()
+        cap_df = (
+            links.map_batches(
+                lambda b: b.filter(pc.not_equal(b.column("caption"), "")).select(
+                    ["url", "caption"]
+                ),
+                batch_format="pyarrow",
+            )
+            .to_pandas()
+        )
+        if len(cap_df):
+            firsts = cap_df.groupby("url", sort=True)["caption"].min()
+            for u, c in firsts.items():
+                self.captions.setdefault(u, c)
+
+        # corpus rows from fetched images (captions broadcast — small side)
+        captions_ref = ray.put(dict(self.captions))
+        corpus_dir = os.path.join(self.workdir, "corpus", f"e{e}")
+        os.makedirs(corpus_dir, exist_ok=True)
+        fetched.map_batches(
+            ImageRowBuilder,
+            fn_constructor_kwargs={"captions_ref": captions_ref},
+            batch_format="pyarrow",
+            concurrency=2,
+            batch_size=64,
+        ).write_parquet(corpus_dir)
+
+        # candidates: canonicalize -> D1 exact dedup -> J1 seen gate
+        cand = canonicalize_dataset(
+            links.select_columns(["url", "depth", "parent_surt"]),
+            depth_col="depth",
+            parent_col="parent_surt",
+            now_us=self._now_us(e + 1),
+            epoch=e + 1,
+        )
+        cand = dedup_first(cand, n_buckets=cfg.n_buckets)
+        admitted = self.seen.filter_new(cand).materialize()
+        n_admitted = admitted.count()
+        if n_admitted:
+            # membership log: the exact set of surts ever admitted — the
+            # URL-seen golden value the oracle crawler is compared against
+            adm = admitted.select_columns(["surt"]).to_pandas()["surt"].tolist()
+            append_epoch_table(
+                pa.table({"surt": pa.array(sorted(adm), pa.string())}),
+                self.workdir,
+                "admitted_log",
+                e + 1,
+            )
+
+        # retries / permanent failures
+        fail_tbl = fetched.map_batches(
+            lambda b: b.filter(pc.invert(b.column("success"))),
+            batch_format="pyarrow",
+        ).drop_columns(["content"]).to_pandas()
+        retry_rows, n_failed_perm = self._build_retries(fail_tbl, e, now_us)
+        report.fetch_ok += n_sched - len(fail_tbl)
+        report.fetch_err += len(fail_tbl)
+
+        # new frontier = (allowed - scheduled) ∪ admitted ∪ retries
+        sched_surts = frozenset(sched_tbl.column("surt").to_pylist())
+        sched_ref = ray.put(sched_surts)
+
+        def minus_sched(batch: pa.Table) -> pa.Table:
+            ss = ray.get(sched_ref)
+            mask = [s not in ss for s in batch.column("surt").to_pylist()]
+            return batch.filter(pa.array(mask, pa.bool_()))
+
+        remaining = allowed_ds.map_batches(
+            minus_sched, batch_format="pyarrow", zero_copy_batch=True
+        )
+        new_frontier = remaining.union(admitted)
+        if retry_rows.num_rows:
+            new_frontier = new_frontier.union(ray.data.from_arrow(retry_rows))
+
+        self._finish_epoch(
+            e, new_frontier, sched_tbl, None, n_denied, n_sched, n_admitted,
+            n_failed_perm, t0, report,
+        )
+        return read_frontier(self.workdir, e + 1).count()
+
+    def _build_retries(self, fail_df: pd.DataFrame, e: int, now_us: int):
+        cfg = self.cfg
+        if len(fail_df) == 0:
+            return FRONTIER.empty_table(), 0
+        retryable = fail_df[
+            (fail_df["status_code"] >= 500) & (fail_df["retries"] < cfg.max_retries)
+        ]
+        n_perm = len(fail_df) - len(retryable)
+        perm = fail_df.drop(retryable.index)
+        if len(perm):
+            perm = perm.assign(state=STATE_FAILED)
+            append_epoch_table(
+                pa.Table.from_pandas(perm, preserve_index=False),
+                self.workdir,
+                "failed",
+                e,
+            )
+        if len(retryable) == 0:
+            return FRONTIER.empty_table(), n_perm
+        n = len(retryable)
+        return (
+            pa.table(
+                {
+                    "url": pa.array(retryable["url"].tolist(), pa.string()),
+                    "surt": pa.array(retryable["surt"].tolist(), pa.string()),
+                    "host": pa.array(retryable["host"].tolist(), pa.string()),
+                    "priority": pa.array(
+                        (retryable["priority"] * cfg.retry_priority_decay).tolist(),
+                        pa.float64(),
+                    ),
+                    "depth": pa.array(
+                        retryable["depth"].astype("int32").tolist(), pa.int32()
+                    ),
+                    "parent_surt": pa.array([""] * n, pa.string()),
+                    "discovered_at": pa.array(
+                        np.full(n, now_us, dtype=np.int64), pa.timestamp("us")
+                    ),
+                    "state": pa.array(
+                        np.full(n, STATE_PENDING, dtype=np.uint8), pa.uint8()
+                    ),
+                    "retries": pa.array(
+                        (retryable["retries"] + 1).astype("int32").tolist(), pa.int32()
+                    ),
+                    "epoch": pa.array(np.full(n, e + 1, dtype=np.int64), pa.int64()),
+                },
+                schema=FRONTIER,
+            ),
+            n_perm,
+        )
+
+    def _finish_epoch(
+        self, e, new_frontier, sched_tbl, _unused, n_denied, n_sched, n_admitted,
+        n_failed, t0, report,
+    ) -> None:
+        cfg = self.cfg
+        write_frontier(new_frontier, self.workdir, e + 1, cfg.n_host_shards)
+        # schedule-order log (rank column = deterministic within-epoch order)
+        if sched_tbl.num_rows:
+            log = sched_tbl.select(["url", "surt", "host", "priority"]).append_column(
+                "rank", pa.array(np.arange(sched_tbl.num_rows, dtype=np.int64))
+            ).append_column(
+                "sched_epoch", pa.array(np.full(sched_tbl.num_rows, e, dtype=np.int64))
+            )
+            append_epoch_table(log, self.workdir, "schedule_log", e)
+        wall_ms = (time.time() - t0) * 1000
+        report.epochs_run += 1
+        report.urls_scheduled += n_sched
+        report.urls_admitted += n_admitted
+        report.robots_denied += n_denied
+        report.metrics.append(
+            {
+                "epoch": e,
+                "stage": "epoch",
+                "urls_in": int(n_sched + n_admitted),
+                "urls_deduped": int(n_admitted),
+                "urls_scheduled": int(n_sched),
+                "fetch_ok": int(report.fetch_ok),
+                "fetch_err": int(report.fetch_err),
+                "wall_ms": wall_ms,
+            }
+        )
+        append_epoch_table(
+            pa.Table.from_pylist(report.metrics[-1:]), self.workdir, "metrics", e
+        )
+        self._save_state(
+            e + 1,
+            {"pending": "deferred", "scheduled": n_sched, "admitted": n_admitted},
+        )
+
+    # ------------------------------------------------------------------
+    def run(self, resume: bool = True) -> CrawlReport:
+        report = CrawlReport()
+        t0 = time.time()
+        start = latest_committed_epoch(self.workdir) if resume else None
+        if start is None:
+            n = self.seed()
+            start = 0
+        else:
+            self._load_state(start)
+            n = read_frontier(self.workdir, start).count()
+        e = start
+        while e < self.cfg.max_epochs and n > 0:
+            n = self.run_epoch(e, report)
+            e += 1
+        report.wall_s = time.time() - t0
+        return report
+
+    # ------------------------------------------------------------------
+    def schedule_order(self) -> pa.Table | None:
+        """Full deterministic crawl order: (sched_epoch, rank) over all epochs."""
+        return read_epoch_tables(self.workdir, "schedule_log")
+
+    def corpus(self) -> "ray.data.Dataset":
+        import glob
+
+        files = sorted(glob.glob(os.path.join(self.workdir, "corpus", "e*", "*.parquet")))
+        if not files:
+            return ray.data.from_arrow(
+                pa.schema(
+                    [
+                        ("image_id", pa.string()),
+                        ("bytes", pa.binary()),
+                        ("w", pa.int32()),
+                        ("h", pa.int32()),
+                        ("fmt", pa.string()),
+                        ("caption", pa.string()),
+                        ("phash", pa.int64()),
+                    ]
+                ).empty_table()
+            )
+        return ray.data.read_parquet(files)
+
+    def shutdown(self) -> None:
+        self.seen.shutdown()
+        self.pol.shutdown()

@@ -1,0 +1,155 @@
+"""Sources / sinks + checkpoint manifests (SURVEY.md §2.1 S1–S5, §4.3).
+
+Resume contract (BASELINE.json:6,14 "a killed job resumes without
+re-crawling"): every epoch commits
+
+    {workdir}/epoch={e}/frontier/*.parquet   (partitioned by host_shard)
+    {workdir}/epoch={e}/seen-e{e}-s{i}.npz   (cuckoo shard blobs)
+    {workdir}/epoch={e}/politeness.json
+    {workdir}/epoch={e}/captions.parquet
+    {workdir}/manifest-e{e}.json             (atomic rename = commit point)
+
+On restart: find the max committed manifest, reload frontier + seen
+shards + politeness state, continue from epoch e. An epoch directory
+without its manifest is garbage from a crash and is ignored/overwritten.
+
+The corpus / fetch-log / schedule-log sinks are append-only per-epoch
+parquet files under {workdir}/corpus/ etc. — partitioned output so a
+resumed run never rewrites a finished epoch's files (resumable output).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data
+
+from ..functions.hashing import hash64
+from ..schemas import FRONTIER
+
+
+def read_seeds(path: str) -> "ray.data.Dataset":
+    """S2: one URL per line -> 1-col table (heroshi io-worker stdin shape)."""
+    ds = ray.data.read_text(path)
+    return ds.map_batches(
+        lambda b: pa.table({"url": b.column("text")}),
+        batch_format="pyarrow",
+    )
+
+
+def read_corpus(path: str) -> "ray.data.Dataset":
+    """S1: the image+caption table. Parquet today; the Lance-format reader
+    slots in here when pylance is available (same schema — SURVEY.md §7.6)."""
+    return ray.data.read_parquet(path)
+
+
+def epoch_dir(workdir: str, epoch: int) -> str:
+    return os.path.join(workdir, f"epoch={epoch}")
+
+
+def manifest_path(workdir: str, epoch: int) -> str:
+    return os.path.join(workdir, f"manifest-e{epoch}.json")
+
+
+def write_frontier(
+    frontier: "ray.data.Dataset", workdir: str, epoch: int, n_host_shards: int = 16
+) -> str:
+    """S4: partitioned, atomic frontier write. Partition key = host_shard
+    (hash64(host) % P) — the same key every politeness/top-k stage uses,
+    so a future read is already co-partitioned for them."""
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "host_shard" in batch.column_names:
+            return batch
+        sh = (hash64(batch.column("host").to_pylist()) % np.uint64(n_host_shards)).astype(
+            np.int64
+        )
+        return batch.append_column("host_shard", pa.array(sh, pa.int64()))
+
+    out = os.path.join(epoch_dir(workdir, epoch), "frontier")
+    tmp = out + ".tmp"
+    if os.path.exists(tmp):
+        import shutil
+
+        shutil.rmtree(tmp)
+    os.makedirs(tmp, exist_ok=True)
+    ds = frontier.map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
+    ds.write_parquet(tmp)
+    if os.path.exists(out):
+        import shutil
+
+        shutil.rmtree(out)
+    os.replace(tmp, out)
+    return out
+
+
+def read_frontier(workdir: str, epoch: int) -> "ray.data.Dataset":
+    """S3: load a committed frontier checkpoint (empty dataset if the
+    epoch wrote no rows — write_parquet emits no files for empty input)."""
+    path = os.path.join(epoch_dir(workdir, epoch), "frontier")
+    if not os.path.isdir(path) or not any(
+        f.endswith(".parquet") for f in os.listdir(path)
+    ):
+        return empty_frontier()
+    return ray.data.read_parquet(path)
+
+
+def empty_frontier() -> "ray.data.Dataset":
+    return ray.data.from_arrow(FRONTIER.empty_table())
+
+
+def commit_manifest(workdir: str, epoch: int, info: dict) -> None:
+    p = manifest_path(workdir, epoch)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"epoch": epoch, **info}, f, indent=1, sort_keys=True)
+    os.replace(tmp, p)
+
+
+def latest_committed_epoch(workdir: str) -> int | None:
+    best = None
+    if not os.path.isdir(workdir):
+        return None
+    for name in os.listdir(workdir):
+        if name.startswith("manifest-e") and name.endswith(".json"):
+            try:
+                e = int(name[len("manifest-e") : -len(".json")])
+            except ValueError:
+                continue
+            best = e if best is None else max(best, e)
+    return best
+
+
+def load_manifest(workdir: str, epoch: int) -> dict:
+    with open(manifest_path(workdir, epoch)) as f:
+        return json.load(f)
+
+
+def append_epoch_table(table: pa.Table, workdir: str, sub: str, epoch: int) -> str | None:
+    """Append-only per-epoch sink: {workdir}/{sub}/e{epoch}.parquet."""
+    if table.num_rows == 0:
+        return None
+    d = os.path.join(workdir, sub)
+    os.makedirs(d, exist_ok=True)
+    p = os.path.join(d, f"e{epoch}.parquet")
+    tmp = p + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, p)
+    return p
+
+
+def read_epoch_tables(workdir: str, sub: str) -> pa.Table | None:
+    d = os.path.join(workdir, sub)
+    if not os.path.isdir(d):
+        return None
+    files = sorted(
+        os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+    )
+    if not files:
+        return None
+    return pa.concat_tables([pq.read_table(f) for f in files])

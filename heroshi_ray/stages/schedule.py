@@ -1,0 +1,103 @@
+"""Robots gate (J2) + politeness top-k (K1) + global schedule order (K2).
+
+This is the frontier's "hand out a crawl batch" path — heroshi's
+manager crawl-queue handout with a ``limit`` ([UPSTREAM-M], reference
+unavailable), re-expressed as Ray Data shuffles (BASELINE.json:6
+"priority frontier expressed as groupby(host)-aggregate-sort shuffles"):
+
+1. J2: robots semi-join — the parsed robots table is tiny relative to
+   the frontier, so it is broadcast once via ``ray.put`` and applied as
+   a vectorized mask inside ``map_batches`` (no shuffle).
+2. K1: per-host budget cap — ONE shuffle keyed on
+   ``host_shard = hash64(host) % P`` (coarse buckets, not per-host
+   groups), then a vectorized per-bucket "top budget_h per host".
+   Hot hosts can't flood an epoch: their emission is capped by budget,
+   which also contains Zipf host skew at the K2 sort.
+3. K2: deterministic global order — sort by (priority desc, surt asc)
+   + limit(epoch_budget). The ONLY global sort in the hot path; its
+   input is already budget-capped (≤ Σ budgets rows).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ..functions.hashing import hash64
+from ..functions.robots import allowed
+
+_SHARD_COL = "__host_shard"
+
+
+def _path_of(url: str, host: str) -> str:
+    # canonical urls are scheme://hostport/path[?query]
+    i = url.find(host) + len(host)
+    j = url.find("/", i)
+    return url[j:] if j != -1 else "/"
+
+
+def split_robots(ds: "ray.data.Dataset", robots_ref) -> tuple:
+    """Split pending rows into (allowed_ds, denied_ds) using the broadcast
+    parsed-robots dict {host: Rules}. Hosts absent from the dict are
+    allowed (no robots -> allow-all)."""
+
+    def gate(batch: pa.Table, keep_allowed: bool) -> pa.Table:
+        robots = ray.get(robots_ref)
+        urls = batch.column("url").to_pylist()
+        hosts = batch.column("host").to_pylist()
+        mask = np.empty(len(urls), dtype=bool)
+        for i, (u, h) in enumerate(zip(urls, hosts)):
+            rules = robots.get(h)
+            mask[i] = True if rules is None else allowed(rules, _path_of(u, h))
+        if not keep_allowed:
+            mask = ~mask
+        return batch.filter(pa.array(mask))
+
+    allowed_ds = ds.map_batches(
+        lambda b: gate(b, True), batch_format="pyarrow", zero_copy_batch=True
+    )
+    denied_ds = ds.map_batches(
+        lambda b: gate(b, False), batch_format="pyarrow", zero_copy_batch=True
+    )
+    return allowed_ds, denied_ds
+
+
+def per_host_topk(
+    ds: "ray.data.Dataset",
+    budgets_ref,
+    n_shards: int = 32,
+) -> "ray.data.Dataset":
+    """K1: within each host keep the ``budget[host]`` highest-priority rows
+    (priority desc, surt asc tie-break). One bucket-keyed shuffle; the
+    per-bucket body is vectorized pandas (sort + groupby.cumcount)."""
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        sh = (hash64(batch.column("host").to_pylist()) % np.uint64(n_shards)).astype(
+            np.int32
+        )
+        return batch.append_column(_SHARD_COL, pa.array(sh, pa.int32()))
+
+    def topk(group: pd.DataFrame) -> pd.DataFrame:
+        budgets = ray.get(budgets_ref)
+        g = group.sort_values(
+            ["host", "priority", "surt"], ascending=[True, False, True], kind="mergesort"
+        )
+        rank = g.groupby("host", sort=False).cumcount()
+        cap = g["host"].map(lambda h: budgets.get(h, 0)).to_numpy()
+        return g[rank.to_numpy() < cap]
+
+    return (
+        ds.map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(_SHARD_COL)
+        .map_groups(topk, batch_format="pandas")
+        .drop_columns([_SHARD_COL])
+    )
+
+
+def global_order(ds: "ray.data.Dataset", epoch_budget: int) -> "ray.data.Dataset":
+    """K2: deterministic cross-host schedule order."""
+    return ds.sort(["priority", "surt"], descending=[True, False]).limit(epoch_budget)
