@@ -50,6 +50,7 @@ from ..functions.robots import ALLOW_ALL, crawl_delay, parse_robots
 from ..schemas import FRONTIER, STATE_FAILED, STATE_PENDING, STATE_ROBOTS_DENIED
 from ..sources.io import (
     append_epoch_table,
+    frontier_row_count,
     commit_manifest,
     empty_frontier,
     epoch_dir,
@@ -141,7 +142,7 @@ class Crawler:
         cand = dedup_first(cand, n_buckets=self.cfg.n_buckets)
         admitted = self.seen.filter_new(cand)
         write_frontier(admitted, self.workdir, 0, self.cfg.n_host_shards)
-        n = read_frontier(self.workdir, 0).count()
+        n = frontier_row_count(self.workdir, 0)
         self._save_state(0, {"pending": n, "phase": "seeded"})
         return n
 
@@ -190,25 +191,29 @@ class Crawler:
         # never committed; clear any partial outputs from the dead attempt
         import shutil
 
-        for sub in ("denied", "fetchlog", "corpus"):
+        for sub in ("fetchlog", "corpus"):
             d = os.path.join(self.workdir, sub, f"e{e}")
             if os.path.isdir(d):
                 shutil.rmtree(d)
 
-        # J2 robots gate — broadcast semi-join, no shuffle
+        # J2 robots gate — broadcast semi-join, no shuffle. Denied rows are
+        # a trickle (robots rules hit few pending rows per epoch): pull the
+        # denied side to the driver for the log; the allowed side streams.
         allowed_ds, denied_ds = split_robots(pending, self.robots_ref)
-        denied_dir = os.path.join(self.workdir, "denied", f"e{e}")
-        denied_ds = denied_ds.map_batches(
-            lambda b: b.set_column(
-                b.column_names.index("state"),
-                "state",
-                pa.array(np.full(b.num_rows, STATE_ROBOTS_DENIED, dtype=np.uint8)),
-            ),
-            batch_format="pyarrow",
+        denied_blocks = [b for b in ray.get(denied_ds.to_arrow_refs()) if b.num_rows]
+        denied_tbl = (
+            pa.concat_tables(denied_blocks, promote_options="none")
+            if denied_blocks
+            else FRONTIER.empty_table()
         )
-        os.makedirs(denied_dir, exist_ok=True)
-        denied_ds.write_parquet(denied_dir)
-        n_denied = ray.data.read_parquet(denied_dir).count()
+        n_denied = denied_tbl.num_rows
+        if n_denied:
+            denied_tbl = denied_tbl.set_column(
+                denied_tbl.column_names.index("state"),
+                "state",
+                pa.array(np.full(n_denied, STATE_ROBOTS_DENIED, dtype=np.uint8)),
+            )
+            append_epoch_table(denied_tbl, self.workdir, "denied", e)
 
         # politeness budgets (A-P): O(distinct hosts) driver<->actor exchange
         hosts = [h for h in allowed_ds.unique("host")]
@@ -241,7 +246,7 @@ class Crawler:
             self._finish_epoch(
                 e, new_frontier, sched_tbl, None, n_denied, 0, 0, 0, t0, report
             )
-            return read_frontier(self.workdir, e + 1).count()
+            return frontier_row_count(self.workdir, e + 1)
 
         # consume politeness tokens for what was actually scheduled
         counts = pd.Series(sched_tbl.column("host").to_pylist()).value_counts().to_dict()
@@ -264,7 +269,7 @@ class Crawler:
 
         # X1: links + captions
         links = fetched.map_batches(
-            LinkExtractor, batch_format="pyarrow", concurrency=2, batch_size=256
+            LinkExtractor, batch_format="pyarrow", concurrency=(1, 2), batch_size=256, num_cpus=0.5
         ).materialize()
         cap_df = (
             links.map_batches(
@@ -288,8 +293,9 @@ class Crawler:
             ImageRowBuilder,
             fn_constructor_kwargs={"captions_ref": captions_ref},
             batch_format="pyarrow",
-            concurrency=2,
+            concurrency=(1, 2),
             batch_size=64,
+            num_cpus=0.5,
         ).write_parquet(corpus_dir)
 
         # candidates: canonicalize -> D1 exact dedup -> J1 seen gate
@@ -302,11 +308,12 @@ class Crawler:
         )
         cand = dedup_first(cand, n_buckets=cfg.n_buckets)
         admitted = self.seen.filter_new(cand).materialize()
-        n_admitted = admitted.count()
+        # membership log: the exact set of surts ever admitted — the
+        # URL-seen golden value the oracle crawler is compared against
+        adm_df = admitted.select_columns(["surt"]).to_pandas()
+        adm = adm_df["surt"].tolist() if "surt" in adm_df.columns else []
+        n_admitted = len(adm)
         if n_admitted:
-            # membership log: the exact set of surts ever admitted — the
-            # URL-seen golden value the oracle crawler is compared against
-            adm = admitted.select_columns(["surt"]).to_pandas()["surt"].tolist()
             append_epoch_table(
                 pa.table({"surt": pa.array(sorted(adm), pa.string())}),
                 self.workdir,
@@ -343,7 +350,7 @@ class Crawler:
             e, new_frontier, sched_tbl, None, n_denied, n_sched, n_admitted,
             n_failed_perm, t0, report,
         )
-        return read_frontier(self.workdir, e + 1).count()
+        return frontier_row_count(self.workdir, e + 1)
 
     def _build_retries(self, fail_df: pd.DataFrame, e: int, now_us: int):
         cfg = self.cfg
@@ -444,7 +451,7 @@ class Crawler:
             start = 0
         else:
             self._load_state(start)
-            n = read_frontier(self.workdir, start).count()
+            n = frontier_row_count(self.workdir, start)
         e = start
         while e < self.cfg.max_epochs and n > 0:
             n = self.run_epoch(e, report)

@@ -103,6 +103,18 @@ def empty_frontier() -> "ray.data.Dataset":
     return ray.data.from_arrow(FRONTIER.empty_table())
 
 
+def frontier_row_count(workdir: str, epoch: int) -> int:
+    """Row count from parquet footers — no Ray job, no data read."""
+    path = os.path.join(epoch_dir(workdir, epoch), "frontier")
+    if not os.path.isdir(path):
+        return 0
+    total = 0
+    for f in os.listdir(path):
+        if f.endswith(".parquet"):
+            total += pq.read_metadata(os.path.join(path, f)).num_rows
+    return total
+
+
 def commit_manifest(workdir: str, epoch: int, info: dict) -> None:
     p = manifest_path(workdir, epoch)
     tmp = p + ".tmp"

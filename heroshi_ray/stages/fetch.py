@@ -108,5 +108,5 @@ def fetch_dataset(
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
-        num_cpus=0.5,  # I/O-shaped stage: don't starve CPU stages
+        num_cpus=0.25,  # I/O-shaped stage: don't starve CPU stages
     )

@@ -17,7 +17,7 @@ from ..functions.hashing import hash64
 from .tokenbucket import TokenBuckets
 
 
-@ray.remote(num_cpus=0.25)
+@ray.remote(num_cpus=0.1)
 class PolitenessShard:
     def __init__(self, epoch_seconds: float, burst: float):
         self.tb = TokenBuckets(epoch_seconds, burst)

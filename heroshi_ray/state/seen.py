@@ -28,7 +28,7 @@ from ..functions.hashing import hash64
 from .cuckoo import CuckooFilter
 
 
-@ray.remote(num_cpus=0.25)
+@ray.remote(num_cpus=0.1)
 class SeenShard:
     """One cuckoo-filter shard. ~2 bytes/key: size capacity per shard so
     n_shards × capacity covers the frontier scale (64 shards × 160M keys
