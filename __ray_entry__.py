@@ -4,13 +4,10 @@ The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
 DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+CORRECTNESS_r{N}.json).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in heroshi_ray) calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -20,25 +17,154 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: the frontier schedule
+    path (canonicalize -> exact dedup -> cuckoo seen-filter -> per-host
+    politeness cap -> deterministic global order) over a URL frontier
+    synthesized deterministically from the sf tables."""
+    from heroshi_ray.pipelines.frontier import run_flagship
+
+    return run_flagship(
+        "/root/testdata/sf0.001",
+        per_host_budget=32,
+        epoch_budget=5000,
+        n_seen_shards=4,
+        seen_capacity=1 << 18,
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from heroshi_ray.pipelines import dataops as d
+    from heroshi_ray.pipelines import relational as r
+    from heroshi_ray.pipelines.frontier import run_flagship
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational core (SQL-oracled)
+        "q_groupby_host": r.q_groupby_host,
+        "q_topk_per_host": r.q_topk_per_host,
+        "q_global_topk": r.q_global_topk,
+        "q_dedup_first": r.q_dedup_first,
+        "q_join_enrich": r.q_join_enrich,
+        "q_anti_join": r.q_anti_join,
+        "q_union_distinct": r.q_union_distinct,
+        "q_string_norm": r.q_string_norm,
+        "q_json_extract": r.q_json_extract,
+        "q_window_count": r.q_window_count,
+        # training-data ops (SQL-oracled)
+        "q_token_count": d.q_token_count,
+        "q_dedup_exact": d.q_dedup_exact,
+        "q_lang_count": d.q_lang_count,
+        "q_ann_knn": d.q_ann_knn,
+        "q_embed_neardup": d.q_embed_neardup,
+        # training-data ops (rows-only: not SQL-expressible)
+        "q_minhash_neardup": d.q_minhash_neardup,
+        "q_simhash": d.q_simhash,
+        "q_text_stats": d.q_text_stats,
+        "q_fingerprint": d.q_fingerprint,
+        "q_ann_ivf": d.q_ann_ivf,
+        "q_image_decode": d.q_image_decode,
+        # crawler ops (rows-only: stateful / not SQL-expressible)
+        "q_canonicalize": d.q_canonicalize,
+        "q_frontier_schedule": lambda sf: run_flagship(
+            sf, per_host_budget=32, epoch_budget=50_000,
+            n_seen_shards=4, seen_capacity=1 << 20,
+        ),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q_groupby_host": """
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                   round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                         / 100.0 / count(*), 6) AS avg_value
+            FROM events GROUP BY user_id
+        """,
+        "q_topk_per_host": """
+            SELECT event_id, user_id, value FROM (
+                SELECT event_id, user_id, value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY value DESC, event_id) AS rn
+                FROM events
+            ) WHERE rn <= 3
+        """,
+        "q_global_topk": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+        """,
+        "q_dedup_first": """
+            SELECT l_orderkey, l_partkey, l_linenumber, l_quantity FROM (
+                SELECT l_orderkey, l_partkey, l_linenumber, l_quantity,
+                       row_number() OVER (PARTITION BY l_orderkey
+                                          ORDER BY l_linenumber, l_partkey,
+                                                   l_quantity) AS rn
+                FROM lineitem
+            ) WHERE rn = 1
+        """,
+        "q_join_enrich": """
+            SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        """,
+        "q_anti_join": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderstatus = 'F')
+        """,
+        "q_union_distinct": """
+            SELECT DISTINCT regionkey FROM (
+                SELECT n_regionkey AS regionkey FROM nation
+                UNION ALL
+                SELECT r_regionkey AS regionkey FROM region
+            )
+        """,
+        "q_string_norm": """
+            SELECT doc_id, lower(trim(text)) AS text_norm,
+                   CAST(length(lower(trim(text))) AS BIGINT) AS n_chars_norm
+            FROM documents
+        """,
+        "q_json_extract": """
+            SELECT event_id, json_extract_string(props, '$.k') AS k_val FROM events
+        """,
+        "q_window_count": """
+            SELECT date_trunc('hour', ts) AS hour, CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1
+        """,
+        "q_token_count": """
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                   END AS n_tokens
+            FROM documents
+        """,
+        "q_dedup_exact": """
+            SELECT doc_id, text FROM (
+                SELECT doc_id, text,
+                       row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+                FROM documents
+            ) WHERE rn = 1
+        """,
+        "q_lang_count": """
+            SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang
+        """,
+        "q_ann_knn": """
+            SELECT query_id, vec_id, cos_sim_e4 FROM (
+                SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+                       CAST(round(list_cosine_similarity(e.embedding, q.embedding) * 10000)
+                            AS BIGINT) AS cos_sim_e4,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC,
+                                    e.vec_id) AS rn
+                FROM embeddings q, embeddings e
+                WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id
+            ) WHERE rn <= 3
+        """,
+        "q_embed_neardup": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   CAST(round(list_cosine_similarity(a.embedding, b.embedding) * 10000)
+                        AS BIGINT) AS cos_sim_e4
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+        """,
+    }

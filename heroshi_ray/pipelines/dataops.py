@@ -1,0 +1,416 @@
+"""Training-data pipeline operators over the testdata tables: exact +
+near dedup (MinHash-LSH, SimHash, n-gram Jaccard, embedding cosine),
+similarity search (brute force + IVF), text analysis, multimodal decode.
+
+These are first-class engine components for a 100-TB corpus pipeline.
+Every stage follows the scale pattern it documents:
+- dedup: content-hash inside map_batches, ONE shuffle on the hash bucket;
+- MinHash-LSH: shingle→signature per batch (actor pool holds the
+  permutation table), explode to (band, band_hash) rows, groupby bucket
+  → candidate pairs → exact Jaccard verify;
+- ANN: per-batch matmul against a broadcast query matrix, partial top-k
+  merged at the end (the only driver-side object is k rows/query);
+- IVF: fit coarse centroids on a sample, assign = one map_batches pass,
+  queries probe nprobe buckets.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ..functions.ann import IVFIndex, as_matrix, cosine_topk_batch, l2_normalize, merge_topk
+from ..functions.text import (
+    MinHasher,
+    fingerprint64,
+    jaccard,
+    lang_id,
+    quality_features,
+    shingles,
+    simhash64,
+    token_count_bpe,
+    token_count_ws,
+)
+from ..stages.dedup import dedup_first
+
+
+def _pq(sf_dir: str, name: str, columns=None):
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, f"{name}.parquet"), columns=columns
+    )
+
+
+# ------------------------------------------------------------ exact dedup
+def q_dedup_exact(sf_dir: str):
+    """Exact dedup on text content: min doc_id per text. Shuffle keyed on
+    hash(text)%B — rows with equal text co-locate; the full text is the
+    key only inside a bucket (at 100 TB you'd key on fingerprint64 and
+    verify equality in-bucket; identical layout)."""
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup_first(ds, key="text", tie_cols=("doc_id",), n_buckets=32)
+
+
+def q_fingerprint(sf_dir: str):
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fp(batch: pa.Table) -> pa.Table:
+        f = fingerprint64(batch.column("text").to_pylist())
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "fingerprint": pa.array(f.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------------------------ minhash lsh
+class _MinHashStage:
+    """Actor-pool stage: permutation table built once per actor."""
+
+    def __init__(self, n_perm: int = 64, n_bands: int = 16, k_shingle: int = 3):
+        self.mh = MinHasher(n_perm)
+        self.n_bands = n_bands
+        self.k = k_shingle
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_id, out_band, out_key = [], [], []
+        for i, t in zip(ids, texts):
+            sig = self.mh.signature(shingles(t or "", self.k))
+            for b, key in enumerate(self.mh.bands(sig, self.n_bands)):
+                out_id.append(i)
+                out_band.append(b)
+                out_key.append(key)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "band": pa.array(out_band, pa.int32()),
+                "band_key": pa.array(out_key, pa.int64()),
+            }
+        )
+
+
+def q_minhash_neardup(sf_dir: str, threshold: float = 0.6):
+    """MinHash-LSH near-dup pairs: shingle→minhash→band rows →
+    groupby(band, band_key) buckets → in-bucket candidate pairs →
+    exact-Jaccard verify against broadcast shingle sets.
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, rounded 4dp.
+    The verify side broadcasts shingle sets because the testdata corpus
+    is small; at scale the verify is a self-join of candidates back to
+    the text table on doc_id (same bucket layout)."""
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    bands = ds.map_batches(
+        _MinHashStage, batch_format="pyarrow", concurrency=(1, 2), num_cpus=0.5
+    )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(g["doc_id"].tolist()))
+        rows = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
+        return pd.DataFrame(rows, columns=["doc_a", "doc_b"])
+
+    cand = (
+        bands.groupby(["band", "band_key"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    cand_df = cand.to_pandas().drop_duplicates()
+    if not len(cand_df):
+        return pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64()),
+            }
+        )
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"]).to_pandas()
+    sh = {r.doc_id: shingles(r.text or "") for r in docs.itertuples()}
+    out = []
+    for r in cand_df.itertuples():
+        j = jaccard(sh[r.doc_a], sh[r.doc_b])
+        if j >= threshold:
+            out.append((r.doc_a, r.doc_b, round(j, 4)))
+    out.sort()
+    return pa.table(
+        {
+            "doc_a": pa.array([o[0] for o in out], pa.int64()),
+            "doc_b": pa.array([o[1] for o in out], pa.int64()),
+            "jaccard": pa.array([o[2] for o in out], pa.float64()),
+        }
+    )
+
+
+def q_simhash(sf_dir: str):
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def sh(batch: pa.Table) -> pa.Table:
+        v = simhash64(batch.column("text").to_pylist())
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "simhash": pa.array(v, pa.int64())}
+        )
+
+    return ds.map_batches(sh, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --------------------------------------------------------------- text ---
+def q_token_count(sf_dir: str):
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tc(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array(token_count_ws(texts), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(tc, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_text_stats(sf_dir: str):
+    """Quality features + BPE-ish token count + heuristic lang id (the
+    non-SQL text analysis bundle; rows-only check)."""
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def feats(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        q = quality_features(texts)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_chars": pa.array(q["n_chars"], pa.int64()),
+                "punct_ratio": pa.array(np.round(q["punct_ratio"], 6), pa.float64()),
+                "stop_ratio": pa.array(np.round(q["stop_ratio"], 6), pa.float64()),
+                "quality_score": pa.array(np.round(q["quality_score"], 6), pa.float64()),
+                "n_bpe_tokens": pa.array(token_count_bpe(texts), pa.int64()),
+                "lang_pred": pa.array(lang_id(texts), pa.string()),
+            }
+        )
+
+    return ds.map_batches(feats, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_lang_count(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    ds = _pq(sf_dir, "documents", columns=["lang"])
+    return ds.groupby("lang").aggregate(Count(alias_name="n"))
+
+
+# ---------------------------------------------------------------- ANN ---
+def _query_matrix(sf_dir: str, n_queries: int):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    df = t.to_pandas().sort_values("vec_id").head(n_queries)
+    return df["vec_id"].to_numpy(), as_matrix(df["embedding"].tolist())
+
+
+def q_ann_knn(sf_dir: str, n_queries: int = 5, k: int = 3):
+    """Brute-force cosine top-k per query: per-batch matmul against the
+    broadcast query matrix, per-batch partial top-k, driver merge of
+    (n_queries × k) rows. Exact — the DuckDB twin cross-joins."""
+    qids, qmat = _query_matrix(sf_dir, n_queries)
+    q_ref = ray.put((qids, l2_normalize(qmat.astype(np.float64))))
+    ds = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qids_, qn = ray.get(q_ref)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        mat = l2_normalize(as_matrix(batch.column("embedding").to_pylist()).astype(np.float64))
+        sims = mat @ qn.T  # (n, nq)
+        out_q, out_v, out_s = [], [], []
+        for j, qid in enumerate(qids_):
+            s = sims[:, j]
+            mask = ids != qid
+            order = np.lexsort((ids[mask], -s[mask]))[:k]
+            sel_ids = ids[mask][order]
+            sel_s = s[mask][order]
+            out_q.extend([qid] * len(order))
+            out_v.extend(sel_ids.tolist())
+            out_s.extend(sel_s.tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "cos_sim_raw": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    rows = []
+    for qid, g in parts.groupby("query_id"):
+        g = g.sort_values(["cos_sim_raw", "vec_id"], ascending=[False, True],
+                          kind="mergesort").head(k)
+        for r in g.itertuples():
+            rows.append((qid, r.vec_id, int(round(r.cos_sim_raw * 10000))))
+    rows.sort()
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], pa.int64()),
+            "vec_id": pa.array([r[1] for r in rows], pa.int64()),
+            "cos_sim_e4": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
+def q_ann_ivf(sf_dir: str, n_queries: int = 5, k: int = 3, nprobe: int = 8):
+    """IVF-bucketed ANN (the scale path): centroids fit on a driver
+    sample, bucket assignment is one map_batches pass, each query scans
+    only its nprobe probed buckets. Approximate; rows-only check, with
+    recall vs q_ann_knn asserted in tests."""
+    qids, qmat = _query_matrix(sf_dir, n_queries)
+    ds = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    sample = as_matrix(
+        ds.limit(2048).to_pandas()["embedding"].tolist()
+    )
+    index = IVFIndex(n_centroids=16).fit(sample)
+    idx_ref = ray.put(index)
+    probes = {int(q): set(index.probe(qmat[i], nprobe).tolist()) for i, q in enumerate(qids)}
+    probes_ref = ray.put(probes)
+    q_ref = ray.put((qids, l2_normalize(qmat.astype(np.float64))))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ix = ray.get(idx_ref)
+        pr = ray.get(probes_ref)
+        qids_, qn = ray.get(q_ref)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        mat = as_matrix(batch.column("embedding").to_pylist())
+        buckets = ix.assign(mat)
+        nm = l2_normalize(mat.astype(np.float64))
+        sims = nm @ qn.T
+        out_q, out_v, out_s = [], [], []
+        for j, qid in enumerate(qids_):
+            keep = np.array([b in pr[int(qid)] for b in buckets]) & (ids != qid)
+            if not keep.any():
+                continue
+            s = sims[keep, j]
+            order = np.lexsort((ids[keep], -s))[:k]
+            out_q.extend([qid] * len(order))
+            out_v.extend(ids[keep][order].tolist())
+            out_s.extend(s[order].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "cos_sim_raw": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    rows = []
+    for qid, g in parts.groupby("query_id"):
+        g = g.sort_values(["cos_sim_raw", "vec_id"], ascending=[False, True],
+                          kind="mergesort").head(k)
+        for r in g.itertuples():
+            rows.append((qid, r.vec_id, int(round(r.cos_sim_raw * 10000))))
+    rows.sort()
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], pa.int64()),
+            "vec_id": pa.array([r[1] for r in rows], pa.int64()),
+            "cos_sim_e4": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
+def q_embed_neardup(sf_dir: str, threshold: float = 0.45):
+    """Embedding-cosine near-dup pairs, exact (block cross product per
+    batch against the broadcast normalized matrix — O(n·B) memory per
+    task). Returns (vec_a, vec_b, cos_sim 4dp), vec_a < vec_b."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    all_ids = t.column("vec_id").to_numpy()
+    all_mat = l2_normalize(as_matrix(t.column("embedding").to_pylist()).astype(np.float64))
+    ref = ray.put((all_ids, all_mat))
+    ds = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ids_b, mat_b = ray.get(ref)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        mat = l2_normalize(as_matrix(batch.column("embedding").to_pylist()).astype(np.float64))
+        sims = mat @ mat_b.T
+        out_a, out_b, out_s = [], [], []
+        ii, jj = np.nonzero(sims >= threshold)
+        for i, j in zip(ii, jj):
+            a, b = int(ids[i]), int(ids_b[j])
+            if a < b:
+                out_a.append(a)
+                out_b.append(b)
+                out_s.append(int(round(float(sims[i, j]) * 10000)))
+        return pa.table(
+            {
+                "vec_a": pa.array(out_a, pa.int64()),
+                "vec_b": pa.array(out_b, pa.int64()),
+                "cos_sim_e4": pa.array(out_s, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(pairs, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------- crawler ---
+def q_canonicalize(sf_dir: str):
+    """RFC 3986 + SURT canonicalization over URLs synthesized
+    deterministically from the events table (rows-only check: URL
+    normalization is not SQL-expressible)."""
+    from ..stages.canonicalize import canonicalize_dataset
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "user_id"]
+    )
+
+    def to_urls(batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        urls = [
+            f"HTTP://Host{u}.Example:80/e/{e}/x/../y?q=%7e{e % 3}#frag"
+            for e, u in zip(eid, uid)
+        ]
+        return pa.table({"url": pa.array(urls, pa.string())})
+
+    out = canonicalize_dataset(ds.map_batches(to_urls, batch_format="pyarrow"))
+    return out.select_columns(["url", "surt", "host"])
+
+
+def q_image_decode(sf_dir: str):
+    """Multimodal plumbing: deterministic synthetic image corpus (cached
+    under /tmp) -> ImageDecodeStage actor pool -> decoded metadata +
+    recomputed phash. Rows-only check; phash equality with the stored
+    column is asserted (a buggy decode changes it)."""
+    import pyarrow.parquet as pq
+
+    from ..fixtures import make_corpus
+    from ..stages.multimodal import ImageDecodeStage
+
+    cache = "/tmp/heroshi_ray_cache"
+    os.makedirs(cache, exist_ok=True)
+    path = os.path.join(cache, "corpus64.parquet")
+    if not os.path.exists(path):
+        tmp = path + ".tmp"
+        pq.write_table(make_corpus(64, seed=123), tmp)
+        os.replace(tmp, path)
+    ds = ray.data.read_parquet(path)
+    out = ds.map_batches(
+        ImageDecodeStage,
+        fn_constructor_kwargs={"thumb": None},
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=(1, 2),
+        num_cpus=0.5,
+    )
+    return out

@@ -1,0 +1,265 @@
+"""Relational operator pipelines over the driver testdata tables —
+the DuckDB-oracled twins (SURVEY.md §5.3).
+
+Each function takes ``sf_dir`` and returns a Dataset / Arrow table whose
+column NAMES match the oracle SQL exactly (the driver hashes values after
+sorting columns by name). Float aggregates are rounded on BOTH sides so
+summation order can't break the value hash.
+
+Patterns exercised (with their 100-TB rationale):
+- partial aggregation inside map_batches before the groupby shuffle
+  (q_groupby_host) — the combiner pattern;
+- bucketed vectorized per-group top-k (q_topk_per_host) and first-per-key
+  dedup (q_dedup_first) — O(buckets) Python calls, not O(groups);
+- broadcast hash join / semi / anti joins (q_join_enrich, q_anti_join) —
+  ``ray.put`` the small side once, probe per batch, no shuffle;
+- column pruning at the read for every query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from ..stages.dedup import dedup_first
+
+ROUND = 6
+
+
+def _pq(sf_dir: str, name: str, columns=None):
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, f"{name}.parquet"), columns=columns
+    )
+
+
+# ---------------------------------------------------------------- G2 ----
+def q_groupby_host(sf_dir: str):
+    """Per-key count + mean with PARTIAL aggregation before the shuffle:
+    each batch emits one (user_id, cnt, sm) row per key, the groupby then
+    moves only partials — the combiner pattern that keeps a 100-TB
+    groupby's shuffle proportional to #keys, not #rows."""
+    ds = _pq(sf_dir, "events", columns=["user_id", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        # exact integer partials (value has 2-decimal precision): summing
+        # int cents is order-independent, so the final avg is bit-identical
+        # across any shuffle order AND matches the SQL twin exactly
+        df["cents"] = (df["value"] * 100).round().astype("int64")
+        g = df.groupby("user_id", sort=False)["cents"].agg(["count", "sum"]).reset_index()
+        return pa.table(
+            {
+                "user_id": pa.array(g["user_id"], pa.int64()),
+                "cnt": pa.array(g["count"], pa.int64()),
+                "sm": pa.array(g["sum"], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("cnt", alias_name="n"), Sum("sm", alias_name="sm"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        # final rollup is one row per key — Python's correctly-rounded
+        # round() here (pc.round is not correctly rounded to decimal and
+        # diverges from SQL ROUND at representation boundaries)
+        sm = batch.column("sm").to_numpy(zero_copy_only=False).astype(np.float64)
+        n = batch.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        # SQL ROUND replica, bit-exact vs DuckDB: floor(x*1e6 + 0.5) / 1e6
+        x = sm / 100.0 / n
+        avg = pa.array(np.floor(x * 1e6 + 0.5) / 1e6, pa.float64())
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "n": batch.column("n"),
+                "avg_value": avg,
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- K1 ----
+def q_topk_per_host(sf_dir: str, k: int = 3):
+    """Per-key top-k, bucketed: shuffle on hash(user)%B, vectorized
+    sort+cumcount per bucket."""
+    ds = _pq(sf_dir, "events", columns=["event_id", "user_id", "value"])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = (
+            batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+            % np.uint64(16)
+        ).astype(np.int32)
+        return batch.append_column("__b", pa.array(b, pa.int32()))
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "value", "event_id"], ascending=[True, False, True],
+                          kind="mergesort")
+        return g[g.groupby("user_id", sort=False).cumcount() < k]
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(topk, batch_format="pandas")
+        .drop_columns(["__b"])
+    )
+
+
+# ---------------------------------------------------------------- K2 ----
+def q_global_topk(sf_dir: str, n: int = 100):
+    ds = _pq(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(n)
+
+
+# ---------------------------------------------------------------- D1 ----
+def q_dedup_first(sf_dir: str):
+    ds = _pq(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_partkey", "l_linenumber", "l_quantity"],
+    )
+    return dedup_first(
+        ds, key="l_orderkey",
+        tie_cols=("l_linenumber", "l_partkey", "l_quantity"), n_buckets=32,
+    )
+
+
+# ---------------------------------------------------------------- J3 ----
+def q_join_enrich(sf_dir: str):
+    """Broadcast hash join: customer (small dim) shipped once via ray.put,
+    probed per batch — no shuffle of the fact table."""
+    cust = (
+        _pq(sf_dir, "customer", columns=["c_custkey", "c_name", "c_mktsegment"])
+        .to_pandas()
+        .set_index("c_custkey")
+    )
+    cust_ref = ray.put(cust)
+    orders = _pq(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def probe(batch: pa.Table) -> pa.Table:
+        c = ray.get(cust_ref)
+        df = batch.to_pandas()
+        j = df.join(c, on="o_custkey", how="inner")
+        return pa.table(
+            {
+                "o_orderkey": pa.array(j["o_orderkey"], pa.int64()),
+                "o_totalprice": pa.array(j["o_totalprice"], pa.float64()),
+                "c_name": pa.array(j["c_name"], pa.string()),
+                "c_mktsegment": pa.array(j["c_mktsegment"], pa.string()),
+            }
+        )
+
+    return orders.map_batches(probe, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- J1 ----
+def q_anti_join(sf_dir: str):
+    """Anti join via broadcast key set (the exact twin of the seen-filter
+    shape): customers with no finished ('F') order."""
+    forders = _pq(sf_dir, "orders", columns=["o_custkey", "o_orderstatus"]).map_batches(
+        lambda b: b.filter(pc.equal(b.column("o_orderstatus"), "F")).select(
+            ["o_custkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    okeys = set(forders.unique("o_custkey"))
+    keys_ref = ray.put(frozenset(okeys))
+    cust = _pq(sf_dir, "customer", columns=["c_custkey", "c_name"])
+
+    def anti(batch: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        mask = [k not in ks for k in batch.column("c_custkey").to_pylist()]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    return cust.map_batches(anti, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------- D2 ----
+def q_union_distinct(sf_dir: str):
+    a = _pq(sf_dir, "nation", columns=["n_regionkey"]).map_batches(
+        lambda b: pa.table({"regionkey": b.column("n_regionkey")}),
+        batch_format="pyarrow",
+    )
+    b = _pq(sf_dir, "region", columns=["r_regionkey"]).map_batches(
+        lambda t: pa.table({"regionkey": t.column("r_regionkey")}),
+        batch_format="pyarrow",
+    )
+    vals = sorted(a.union(b).unique("regionkey"))
+    return pa.table({"regionkey": pa.array(vals, pa.int32())})
+
+
+# ---------------------------------------------------------------- M2 ----
+def q_string_norm(sf_dir: str):
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def norm(batch: pa.Table) -> pa.Table:
+        t = pc.utf8_lower(pc.utf8_trim_whitespace(batch.column("text")))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "text_norm": t,
+                "n_chars_norm": pc.cast(pc.utf8_length(t), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------------------------- scalar ---
+def q_json_extract(sf_dir: str):
+    ds = _pq(sf_dir, "events", columns=["event_id", "props"])
+
+    def ext(batch: pa.Table) -> pa.Table:
+        vals = []
+        for p in batch.column("props").to_pylist():
+            try:
+                v = json.loads(p).get("k")
+            except (TypeError, ValueError):
+                v = None
+            vals.append(None if v is None else str(v))
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "k_val": pa.array(vals, pa.string()),
+            }
+        )
+
+    return ds.map_batches(ext, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------- G3 ----
+def q_window_count(sf_dir: str):
+    """Hourly tumbling-window counts over the event stream (the epoch
+    rollup shape): floor ts to hour per batch, partial-count, tiny final
+    groupby."""
+    ds = _pq(sf_dir, "events", columns=["ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch.column("ts"), unit="hour")
+        df = pd.DataFrame({"hour": hour.to_pandas()})
+        g = df.groupby("hour", sort=False).size().reset_index(name="cnt")
+        return pa.table(
+            {
+                "hour": pa.array(g["hour"], pa.timestamp("us")),
+                "cnt": pa.array(g["cnt"], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("hour")
+        .aggregate(Sum("cnt", alias_name="n"))
+    )

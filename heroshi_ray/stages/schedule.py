@@ -70,6 +70,7 @@ def per_host_topk(
     ds: "ray.data.Dataset",
     budgets_ref,
     n_shards: int = 32,
+    default_budget: int = 0,
 ) -> "ray.data.Dataset":
     """K1: within each host keep the ``budget[host]`` highest-priority rows
     (priority desc, surt asc tie-break). One bucket-keyed shuffle; the
@@ -87,7 +88,7 @@ def per_host_topk(
             ["host", "priority", "surt"], ascending=[True, False, True], kind="mergesort"
         )
         rank = g.groupby("host", sort=False).cumcount()
-        cap = g["host"].map(lambda h: budgets.get(h, 0)).to_numpy()
+        cap = g["host"].map(lambda h: budgets.get(h, default_budget)).to_numpy()
         return g[rank.to_numpy() < cap]
 
     return (

@@ -1,0 +1,87 @@
+"""Replicates the driver's oracle check: for every queries() entry with
+an oracle_sql() twin, run both at sf0.001 and compare row count, column
+names and order-insensitive values exactly."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def to_df(result) -> pd.DataFrame:
+    if isinstance(result, pd.DataFrame):
+        return result
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result.to_pandas()  # ray Dataset
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def oracle_con():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    return con
+
+
+def sql_pairs():
+    import __ray_entry__ as entrymod
+
+    q = entrymod.queries()
+    o = entrymod.oracle_sql()
+    return [(name, q[name], sql) for name, sql in o.items()]
+
+
+@pytest.mark.parametrize("name,fn,sql", sql_pairs(), ids=[p[0] for p in sql_pairs()])
+def test_query_matches_oracle(ray_session, oracle_con, name, fn, sql):
+    ours = canon(to_df(fn(SF_DIR)))
+    theirs = canon(oracle_con.sql(sql).df())
+    assert list(ours.columns) == list(theirs.columns), (
+        f"{name}: columns {list(ours.columns)} vs {list(theirs.columns)}"
+    )
+    assert len(ours) == len(theirs), f"{name}: rows {len(ours)} vs {len(theirs)}"
+    pd.testing.assert_frame_equal(ours, theirs, check_dtype=False, check_exact=True)
+
+
+def test_rows_only_queries_run(ray_session):
+    import __ray_entry__ as entrymod
+
+    q = entrymod.queries()
+    o = entrymod.oracle_sql()
+    rows_only = [n for n in q if n not in o]
+    assert rows_only
+    for name in rows_only:
+        df = to_df(q[name](SF_DIR))
+        assert df is not None, name
+        # deterministic: run twice, same result
+        if name in ("q_simhash", "q_fingerprint", "q_canonicalize"):
+            df2 = to_df(q[name](SF_DIR))
+            pd.testing.assert_frame_equal(
+                canon(df), canon(df2), check_dtype=False, check_exact=True
+            )
+
+
+def test_entry_smoke(ray_session):
+    import __ray_entry__ as entrymod
+
+    res = entrymod.entry()
+    df = to_df(res)
+    assert len(df) >= 0
+    assert "surt" in df.columns
