@@ -25,14 +25,23 @@ from ..stages.schedule import global_order, per_host_topk
 from ..state.seen import SeenSet
 
 
-def synth_frontier_from_sf(sf_dir: str) -> "ray.data.Dataset":
+def synth_frontier_from_sf(
+    sf_dir: str, expand: int = 1, num_blocks: int | None = None
+) -> "ray.data.Dataset":
     """lineitem rows -> URL candidates. Hosts come from l_suppkey (skewed:
     supplier activity is not uniform), paths from order/line keys;
     duplicate URLs arise naturally when (suppkey, orderkey, linenumber)
-    repeats noise variants. Deterministic, derived only from sf tables."""
+    repeats noise variants. Deterministic, derived only from sf tables.
+
+    ``expand`` emits that many URL variants per row (scale model: the
+    bench needs enough rows that every worker has real work — at sf0.1
+    lineitem is only 600k rows / ~30 MB). ``num_blocks`` pins the block
+    count so shuffle fan-out stays proportional to workers, not to the
+    row count (the too-many-tiny-blocks pitfall)."""
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_orderkey", "l_suppkey", "l_linenumber", "l_partkey"],
+        override_num_blocks=num_blocks,
     )
 
     def to_urls(batch: pa.Table) -> pa.Table:
@@ -47,18 +56,177 @@ def synth_frontier_from_sf(sf_dir: str) -> "ray.data.Dataset":
             # noise variants exercise the canonicalizer (collapse to one URL)
             style = pk[i] % 4
             h = f"host{hostid[i]}.example"
-            path = f"/o/{ok[i]}/l/{ln[i]}"
-            if style == 0:
-                urls.append(f"http://{h}{path}")
-            elif style == 1:
-                urls.append(f"HTTP://{h.upper()}:80{path}")
-            elif style == 2:
-                urls.append(f"http://{h}/x/..{path}#frag")
-            else:
-                urls.append(f"http://{h}/.{path}")
+            for v in range(expand):
+                path = f"/o/{ok[i]}/l/{ln[i]}/v/{v}" if expand > 1 else f"/o/{ok[i]}/l/{ln[i]}"
+                if style == 0:
+                    urls.append(f"http://{h}{path}")
+                elif style == 1:
+                    urls.append(f"HTTP://{h.upper()}:80{path}")
+                elif style == 2:
+                    urls.append(f"http://{h}/x/..{path}#frag")
+                else:
+                    urls.append(f"http://{h}/.{path}")
         return pa.table({"url": pa.array(urls, pa.string())})
 
     return ds.map_batches(to_urls, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _local_topk(hh, prio, sh, budget):
+    """Indices of per-host top-``budget`` rows under
+    (host, priority desc, surt-hash asc) — pure numpy lexsort on ints."""
+    o = np.lexsort((sh, -prio, hh))
+    hs = hh[o]
+    start = np.empty(len(o), dtype=bool)
+    start[0] = True
+    np.not_equal(hs[1:], hs[:-1], out=start[1:])
+    idx_all = np.arange(len(o))
+    rank = idx_all - np.maximum.accumulate(np.where(start, idx_all, 0))
+    return o[rank < budget]
+
+
+class GateAndCap:
+    """Actor-pool combiner stage (A-SEEN router + K1 partial, SURVEY.md
+    §2.3): in-batch exact dedup by surt-hash -> cuckoo test-and-set RPC
+    against the resident shard pool (GLOBAL exact dedup: equal keys route
+    to one shard, exactly one caller wins) -> local per-host top-budget
+    cap. Runs as a BOUNDED actor pool, not tasks: a map task that blocks
+    in ray.get makes the raylet over-spawn worker processes (import
+    storm); a fixed pool at num_cpus=0.5 instead overlaps its RPC wait
+    with other actors' compute."""
+
+    def __init__(self, shards, n_buckets: int, per_host_budget: int):
+        self.shards = shards
+        self.n_shards = len(shards)
+        self.n_buckets = n_buckets
+        self.budget = per_host_budget
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.hashing import hash64
+
+        n = batch.num_rows
+        if n == 0:
+            return batch
+        sh = hash64(batch.column("surt").to_pylist())
+        hh = hash64(batch.column("host").to_pylist())
+        keep = np.sort(np.unique(sh, return_index=True)[1])  # in-batch dedup
+        keys = sh[keep]
+        shard_ids = keys % np.uint64(self.n_shards)
+        mask = np.zeros(len(keys), dtype=bool)
+        refs, idxs = [], []
+        for s in np.unique(shard_ids):
+            idx = np.flatnonzero(shard_ids == s)
+            refs.append(self.shards[int(s)].check_and_add.remote(keys[idx]))
+            idxs.append(idx)
+        # Non-blocking wait: a worker that blocks in ray.get releases its
+        # CPU slot and the raylet backfills it with a FRESH worker process
+        # (import storm, highly variable wall time). Polling with
+        # timeout=0 + a short sleep keeps the slot held — the wait is
+        # ~10ms of shard latency, far cheaper than a worker spawn.
+        import time as _time
+
+        pending_refs = list(refs)
+        while pending_refs:
+            _, pending_refs = ray.wait(
+                pending_refs, num_returns=len(pending_refs), timeout=0
+            )
+            if pending_refs:
+                _time.sleep(0.002)
+        for idx, res in zip(idxs, ray.get(refs)):
+            mask[idx] = res
+        keep = keep[mask]
+        if len(keep) == 0:
+            return batch.slice(0, 0)
+        prio = batch.column("priority").to_numpy(zero_copy_only=False)[keep]
+        sel = np.sort(keep[_local_topk(hh[keep], prio, sh[keep], self.budget)])
+        # budget-capped rows travel to the merge with only the columns the
+        # handout needs (heroshi's queue batch is url-level, not row-level)
+        out = batch.select(["url", "surt", "host", "priority", "depth"]).take(
+            pa.array(sel)
+        )
+        out = out.append_column("__sh", pa.array(sh[sel].view(np.int64), pa.int64()))
+        out = out.append_column("__hh", pa.array(hh[sel].view(np.int64), pa.int64()))
+        return out.append_column(
+            "__hs",
+            pa.array((hh[sel] % np.uint64(self.n_buckets)).astype(np.int32), pa.int32()),
+        )
+
+
+def fused_schedule_pipeline(
+    urls: "ray.data.Dataset",
+    *,
+    per_host_budget: int = 64,
+    epoch_budget: int = 100_000,
+    n_seen_shards: int = 8,
+    seen_capacity: int = 1 << 22,
+    n_buckets: int = 32,
+    seen: SeenSet | None = None,
+    gate_concurrency: tuple[int, int] | None = None,
+):
+    """Combiner-style schedule path — the full frontier NEVER shuffles:
+
+        canon (map, vectorized)
+          -> gate_and_cap (map): in-batch dedup by surt-hash
+             -> cuckoo test-and-set RPC (GLOBAL exact dedup: equal keys
+                route to one shard actor, exactly one caller wins)
+             -> local per-host top-budget cap        [combiner]
+          -> groupby(hash(host)%P) over SURVIVORS ONLY (<= hosts*budget
+             rows per input block) -> exact global per-host top-budget
+          -> global sort + limit (tiny)
+
+    vs the textbook plan (full-size dedup shuffle on surt + full-size
+    topk shuffle on host): the only all-to-all exchange here moves the
+    budget-capped stream, ~1000x smaller than the frontier. Correct
+    because global-top-k per host is a subset of the union of per-batch
+    top-ks, and the cuckoo test-and-set is itself an exact global dedup
+    (dedup tie-break = arrival order; the crawl engine proper uses
+    stages.dedup D1 when deterministic lineage matters — SURVEY.md §2.7).
+    All sorting is numpy lexsort on precomputed int64 hashes; no string
+    sorts anywhere in the hot path.
+    """
+    own_seen = seen is None
+    if seen is None:
+        seen = SeenSet(n_seen_shards, seen_capacity)
+    try:
+        cand = canonicalize_dataset(urls)
+
+        def final_topk(g: pa.Table) -> pa.Table:
+            """Exact global per-host top-budget over the capped stream."""
+            if g.num_rows == 0:
+                return g
+            hh = g.column("__hh").to_numpy(zero_copy_only=False).view(np.uint64)
+            sh = g.column("__sh").to_numpy(zero_copy_only=False).view(np.uint64)
+            prio = g.column("priority").to_numpy(zero_copy_only=False)
+            sel = np.sort(_local_topk(hh, prio, sh, per_host_budget))
+            return g.take(pa.array(sel))
+
+        # Task-based gate (one fused operator with the canonicalizer, no
+        # extra object-store hop). The mid-task shard ray.get makes the
+        # raylet backfill the blocked slot with a fresh worker; run under
+        # RAY_num_workers_soft_limit / RAY_idle_worker_killing_time_threshold_ms
+        # raised (bench.py sets them) so those backfill workers stay warm
+        # instead of respawning + re-importing for every block.
+        gate = GateAndCap(seen.shards, n_buckets, per_host_budget)
+        capped = cand.map_batches(
+            gate, batch_format="pyarrow", zero_copy_batch=True
+        )
+        # Final merge on the driver — this is heroshi's manager assembling
+        # one crawl-queue handout: the input here is the budget-capped
+        # stream (<= hosts x budget rows per block), NOT the frontier, and
+        # the epoch batch is bounded by design. An all-to-all shuffle for
+        # a bounded, driver-owned batch costs more than it buys.
+        blocks = [b for b in ray.get(capped.to_arrow_refs()) if b.num_rows]
+        if not blocks:
+            return capped.drop_columns(["__sh", "__hh", "__hs"]).materialize()
+        merged = pa.concat_tables(blocks, promote_options="none")
+        out = final_topk(merged)
+        prio = out.column("priority").to_numpy(zero_copy_only=False)
+        sh = out.column("__sh").to_numpy(zero_copy_only=False).view(np.uint64)
+        order = np.lexsort((sh, -prio))[:epoch_budget]  # K2: deterministic
+        out = out.take(pa.array(order)).drop_columns(["__sh", "__hh", "__hs"])
+        return ray.data.from_arrow(out)
+    finally:
+        if own_seen:
+            seen.shutdown()
 
 
 def schedule_pipeline(

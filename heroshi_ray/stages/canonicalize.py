@@ -75,8 +75,11 @@ def canonicalize_dataset(
     parent_col: str | None = None,
     now_us: int = 0,
     epoch: int = 0,
-    batch_size: int = 16384,
+    batch_size: int | None = None,
 ) -> "ray.data.Dataset":
+    # batch_size=None = one batch per block: parallelism stays equal to the
+    # input block count (an explicit batch_size bundles input blocks and
+    # can silently serialize a wide stage)
     return ds.map_batches(
         lambda b: canonicalize_candidates(
             b, depth_col=depth_col, parent_col=parent_col, now_us=now_us, epoch=epoch

@@ -88,7 +88,7 @@ def per_host_topk(
             ["host", "priority", "surt"], ascending=[True, False, True], kind="mergesort"
         )
         rank = g.groupby("host", sort=False).cumcount()
-        cap = g["host"].map(lambda h: budgets.get(h, default_budget)).to_numpy()
+        cap = g["host"].map(budgets).fillna(default_budget).to_numpy()
         return g[rank.to_numpy() < cap]
 
     return (

@@ -88,19 +88,45 @@ class CuckooFilter:
     def add_if_absent_many(self, keys: np.ndarray) -> np.ndarray:
         """Atomic test-and-set per key. Returns a bool mask: True where the
         key was NEW (now added), False where it was (probably) already
-        present. Duplicate keys within one call are admitted once."""
+        present. Duplicate keys within one call are admitted once.
+
+        Bulk fast path: new keys are first deduplicated on (i1, fp) —
+        same pair = same filter identity — then placed slot-by-slot with
+        vectorized scatter (4 passes over the two candidate buckets);
+        only keys whose buckets are full fall back to the eviction loop.
+        """
         keys = np.asarray(keys, dtype=np.uint64)
         fp, i1, i2 = self._fp_index(keys)
         present = self.contains_many(keys)
-        new_mask = ~present
-        seen_now: set[tuple[int, int]] = set()
-        out = new_mask.copy()
-        for j in np.flatnonzero(new_mask):
-            k = (int(i1[j]), int(fp[j]))
-            if k in seen_now:
-                out[j] = False
-                continue
-            seen_now.add(k)
+        out = ~present
+        if not out.any():
+            return out
+        idx = np.flatnonzero(out)
+        # in-call dedup on filter identity (i1, fp): keep first occurrence
+        ident = (i1[idx] << np.uint64(16)) | fp[idx].astype(np.uint64)
+        uniq, first = np.unique(ident, return_index=True)
+        dup_mask = np.ones(len(idx), dtype=bool)
+        dup_mask[first] = False
+        out[idx[dup_mask]] = False
+        pend = idx[first]  # rows to actually insert (unique identities)
+        pending = np.ones(len(pend), dtype=bool)
+        for bucket_arr in (i1, i2):
+            for slot in range(4):
+                if not pending.any():
+                    break
+                rows = bucket_arr[pend]
+                free = self.buckets[rows, slot] == 0
+                cand = pending & free
+                if not cand.any():
+                    continue
+                # one claimant per bucket: first occurrence of each row id
+                cidx = np.flatnonzero(cand)
+                _, keep = np.unique(rows[cidx], return_index=True)
+                win = cidx[keep]
+                self.buckets[rows[win], slot] = fp[pend[win]]
+                self.count += len(win)
+                pending[win] = False
+        for j in pend[pending]:  # rare: both buckets full -> eviction path
             self._insert_one(int(fp[j]), int(i1[j]), int(i2[j]))
         return out
 
