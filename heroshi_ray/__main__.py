@@ -1,0 +1,149 @@
+"""CLI entry points: `python -m heroshi_ray <cmd>`.
+
+Commands
+--------
+fixtures  --out DIR [--hosts N --pages N --images N --seeds N --seed S]
+crawl     --fixtures DIR --workdir DIR [--epochs N --budget N] [--no-resume]
+verify    --workdir DIR --fixtures DIR
+schedule  --sf-dir DIR [--budget N]
+
+These own a Ray session (ray.init / ray.shutdown); the library itself
+never initialises Ray (driver contract, __ray_entry__.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_up():
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="heroshi_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    f = sub.add_parser("fixtures")
+    f.add_argument("--out", required=True)
+    f.add_argument("--hosts", type=int, default=8)
+    f.add_argument("--pages", type=int, default=300)
+    f.add_argument("--images", type=int, default=60)
+    f.add_argument("--seeds", type=int, default=12)
+    f.add_argument("--seed", type=int, default=42)
+
+    c = sub.add_parser("crawl")
+    c.add_argument("--fixtures", required=True)
+    c.add_argument("--workdir", required=True)
+    c.add_argument("--epochs", type=int, default=32)
+    c.add_argument("--budget", type=int, default=96)
+    c.add_argument("--no-resume", action="store_true")
+
+    v = sub.add_parser("verify")
+    v.add_argument("--workdir", required=True)
+    v.add_argument("--fixtures", required=True)
+
+    s = sub.add_parser("schedule")
+    s.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    s.add_argument("--budget", type=int, default=64)
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "fixtures":
+        from .fixtures import write_fixture_dir
+
+        paths = write_fixture_dir(
+            args.out, n_hosts=args.hosts, n_pages=args.pages,
+            n_images=args.images, n_seeds=args.seeds, seed=args.seed,
+        )
+        print(json.dumps(paths))
+        return 0
+
+    ray = _ray_up()
+    try:
+        if args.cmd == "crawl":
+            import os
+
+            from .pipelines.crawl import Crawler, CrawlConfig
+
+            fx = args.fixtures
+            paths = {
+                "pages": os.path.join(fx, "pages.parquet"),
+                "corpus": os.path.join(fx, "corpus.parquet"),
+                "robots": os.path.join(fx, "robots.parquet"),
+                "seeds": os.path.join(fx, "seeds.txt"),
+            }
+            cfg = CrawlConfig(max_epochs=args.epochs, epoch_budget=args.budget)
+            cr = Crawler(paths, args.workdir, cfg)
+            rep = cr.run(resume=not args.no_resume)
+            print(
+                json.dumps(
+                    {
+                        "epochs": rep.epochs_run,
+                        "scheduled": rep.urls_scheduled,
+                        "admitted": rep.urls_admitted,
+                        "fetch_ok": rep.fetch_ok,
+                        "fetch_err": rep.fetch_err,
+                        "robots_denied": rep.robots_denied,
+                        "wall_s": round(rep.wall_s, 2),
+                    }
+                )
+            )
+            cr.shutdown()
+        elif args.cmd == "verify":
+            import os
+
+            import pyarrow.parquet as pq
+
+            from .pipelines.crawl import Crawler, CrawlConfig
+            from .pipelines.verify import verify_corpus
+
+            import glob
+
+            files = sorted(
+                glob.glob(os.path.join(args.workdir, "corpus", "e*", "*.parquet"))
+            )
+            import ray.data as rd
+
+            ours = rd.read_parquet(files)
+            ref = pq.read_table(os.path.join(args.fixtures, "corpus.parquet"))
+            verdicts = verify_corpus(ours, ref).to_pandas()
+            print(
+                json.dumps(
+                    {
+                        "rows": int(len(verdicts)),
+                        "passed": int(verdicts["passed"].sum()),
+                        "failed": int((~verdicts["passed"]).sum()),
+                    }
+                )
+            )
+            return 0 if verdicts["passed"].all() else 1
+        elif args.cmd == "schedule":
+            from .pipelines.frontier import run_flagship
+
+            out = run_flagship(args.sf_dir, per_host_budget=args.budget)
+            print(json.dumps({"scheduled": out.count()}))
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -113,13 +113,34 @@ def q_minhash_neardup(sf_dir: str, threshold: float = 0.6):
         _MinHashStage, batch_format="pyarrow", concurrency=(1, 2), num_cpus=0.5
     )
 
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        # coarse bucket over the LSH key: the groupby shuffles on ~512
+        # buckets, NOT on ~(n_bands x n_docs) singleton groups — one
+        # vectorized call per bucket instead of one Python call per group
+        b = (
+            batch.column("band_key").to_numpy(zero_copy_only=False).astype(np.int64)
+            % 512
+        ).astype(np.int32)
+        return batch.append_column("__bkt", pa.array(b, pa.int32()))
+
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(g["doc_id"].tolist()))
-        rows = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
-        return pd.DataFrame(rows, columns=["doc_a", "doc_b"])
+        g = g.sort_values(["band", "band_key", "doc_id"], kind="mergesort")
+        key = g["band"].to_numpy().astype(np.int64) * (1 << 33) + g[
+            "band_key"
+        ].to_numpy().astype(np.int64)
+        docs = g["doc_id"].to_numpy()
+        uniq, start, counts = np.unique(key, return_index=True, return_counts=True)
+        rows = []
+        for s, c in zip(start[counts > 1], counts[counts > 1]):
+            ids = np.unique(docs[s : s + c])
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    rows.append((ids[i], ids[j]))
+        return pd.DataFrame(rows, columns=["doc_a", "doc_b"], dtype=np.int64)
 
     cand = (
-        bands.groupby(["band", "band_key"])
+        bands.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bkt")
         .map_groups(bucket_pairs, batch_format="pandas")
     )
     cand_df = cand.to_pandas().drop_duplicates()

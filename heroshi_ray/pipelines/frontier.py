@@ -265,5 +265,6 @@ def schedule_pipeline(
 
 
 def run_flagship(sf_dir: str, **kwargs):
-    """entry()'s flagship: synth frontier from sf tables -> schedule."""
-    return schedule_pipeline(synth_frontier_from_sf(sf_dir), **kwargs)
+    """entry()'s flagship: synth frontier from sf tables -> fused schedule
+    (the zero-frontier-shuffle path benchmarked in BASELINE.md)."""
+    return fused_schedule_pipeline(synth_frontier_from_sf(sf_dir), **kwargs)

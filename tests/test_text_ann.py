@@ -1,0 +1,150 @@
+"""Unit tests: text analysis (tokens, quality, langid, fingerprints,
+MinHash, SimHash), ANN (brute force, IVF), multimodal stages."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from heroshi_ray.functions.ann import IVFIndex, as_matrix, cosine_topk_batch, l2_normalize
+from heroshi_ray.functions.text import (
+    MinHasher,
+    fingerprint64,
+    jaccard,
+    lang_id,
+    quality_features,
+    shingles,
+    simhash64,
+    token_count_bpe,
+    token_count_ws,
+)
+
+
+def test_token_counts():
+    assert token_count_ws(["a b  c", "", "  ", "one"]).tolist() == [3, 0, 0, 1]
+    assert token_count_bpe(["hello, world42!"]).tolist()[0] == 5  # hello , world 42 !
+
+
+def test_quality_features():
+    q = quality_features(["The cat and the dog sat on a mat for a while today."])
+    assert 0 < q["quality_score"][0] <= 1
+    assert q["stop_ratio"][0] > 0.2
+    q2 = quality_features(["!!! ??? ### $$$"])
+    assert q2["quality_score"][0] < q["quality_score"][0]
+    assert quality_features([""])["n_chars"][0] == 0
+
+
+def test_lang_id():
+    out = lang_id(
+        [
+            "the cat is on the mat and it is happy with the sun",
+            "der hund ist nicht mit der katze und das ist ein problem",
+            "le chat est dans la maison et il est pour les oiseaux",
+            "el perro es una mascota y no es para los gatos",
+            "一个关于分布式系统的文档，包含很多中文字符，覆盖率超过阈值",
+            "xyzzy plugh",
+        ]
+    )
+    assert out == ["en", "de", "fr", "es", "zh", "und"]
+
+
+def test_fingerprint_normalizes_whitespace():
+    a = fingerprint64(["Hello   world", "hello world", "other"])
+    assert a[0] == a[1]
+    assert a[0] != a[2]
+
+
+def test_minhash_jaccard_estimate():
+    mh = MinHasher(n_perm=128)
+    t1 = "the quick brown fox jumps over the lazy dog again and again today"
+    t2 = "the quick brown fox jumps over the lazy cat again and again today"
+    s1, s2 = shingles(t1), shingles(t2)
+    sig1, sig2 = mh.signature(s1), mh.signature(s2)
+    est = (sig1 == sig2).mean()
+    true = jaccard(s1, s2)
+    assert abs(est - true) < 0.2
+    # identical docs share every band key; disjoint docs share none
+    assert mh.bands(sig1) == mh.bands(mh.signature(shingles(t1)))
+    s3 = shingles("completely different content about databases and streams")
+    assert not set(mh.bands(sig1)) & set(mh.bands(mh.signature(s3)))
+
+
+def test_simhash_locality():
+    a, b, c = simhash64(
+        [
+            "the quick brown fox jumps over the lazy dog",
+            "the quick brown fox jumps over the lazy cat",
+            "unrelated text about completely different things entirely",
+        ]
+    )
+    from heroshi_ray.functions.image import hamming64
+
+    assert hamming64([a], [b])[0] < hamming64([a], [c])[0]
+    assert simhash64([""])[0] == 0
+
+
+def test_cosine_topk_exact():
+    rng = np.random.default_rng(0)
+    mat = rng.normal(size=(100, 16))
+    ids = np.arange(100, dtype=np.int64)
+    q = mat[7]
+    top_ids, sims = cosine_topk_batch(mat, ids, q, k=3)
+    assert top_ids[0] == 7 and sims[0] == pytest.approx(1.0)
+    # brute-force check of second neighbour
+    full = l2_normalize(mat) @ (q / np.linalg.norm(q))
+    assert top_ids[1] == np.argsort(-full)[1]
+
+
+def test_ivf_recall():
+    rng = np.random.default_rng(1)
+    centers = rng.normal(size=(8, 32)) * 4
+    pts = np.vstack([c + rng.normal(size=(50, 32)) for c in centers])
+    ids = np.arange(len(pts), dtype=np.int64)
+    idx = IVFIndex(n_centroids=8).fit(pts)
+    assign = idx.assign(pts)
+    assert len(np.unique(assign)) >= 4
+    # query near a known center: its probe buckets contain its neighbours
+    q = centers[3]
+    probes = set(idx.probe(q, nprobe=2).tolist())
+    true_top = np.argsort(-(l2_normalize(pts) @ (q / np.linalg.norm(q))))[:10]
+    in_probed = sum(assign[t] in probes for t in true_top)
+    assert in_probed >= 8  # high recall with 2 probes on well-separated clusters
+
+
+def test_multimodal_stages():
+    from heroshi_ray.fixtures import make_corpus
+    from heroshi_ray.stages.multimodal import (
+        AudioFeatureStage,
+        ImageDecodeStage,
+        VideoFrameSampleStage,
+        block_mean_resize,
+    )
+
+    corpus = make_corpus(6, seed=9)
+    out = ImageDecodeStage(thumb=8)(corpus)
+    assert out.num_rows == 6
+    # recomputed phash matches the stored column (decode is correct)
+    assert out.column("phash_recomputed").to_pylist() == corpus.column(
+        "phash"
+    ).to_pylist()
+    assert all(len(t) > 0 for t in out.column("thumb_png").to_pylist())
+    px = np.arange(16 * 16 * 3, dtype=np.uint8).reshape(16, 16, 3)
+    r = block_mean_resize(px, 4, 4)
+    assert r.shape == (4, 4, 3)
+
+    # stubs: strict raises; non-strict emits deterministic fakes
+    batch = pa.table({"id": pa.array([1, 2]), "bytes": pa.array([b"xx", b"yyy"])})
+    with pytest.raises(NotImplementedError):
+        AudioFeatureStage(strict=True)(batch)
+    feats = AudioFeatureStage(strict=False, n_mels=4)(batch)
+    assert feats.num_rows == 2 and len(feats.column("features")[0].as_py()) == 4
+    with pytest.raises(NotImplementedError):
+        VideoFrameSampleStage(strict=True)(batch)
+    frames = VideoFrameSampleStage(strict=False, n_frames=3)(batch)
+    assert frames.num_rows == 6
+
+
+def test_as_matrix_shapes():
+    m = as_matrix([[1.0, 2.0], [3.0, 4.0]])
+    assert m.shape == (2, 2) and m.dtype == np.float32
