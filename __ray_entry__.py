@@ -51,6 +51,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_window_count": r.q_window_count,
         # training-data ops (SQL-oracled)
         "q_token_count": d.q_token_count,
+        "q_sessionize": r.q_sessionize,
+        "q_count_distinct": r.q_count_distinct,
         "q_dedup_exact": d.q_dedup_exact,
         "q_lang_count": d.q_lang_count,
         "q_ann_knn": d.q_ann_knn,
@@ -62,6 +64,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_fingerprint": d.q_fingerprint,
         "q_ann_ivf": d.q_ann_ivf,
         "q_image_decode": d.q_image_decode,
+        "q_approx_distinct": d.q_approx_distinct,
+        "q_sample": d.q_sample,
+        "q_phash_neardup": d.q_phash_neardup,
         # crawler ops (rows-only: stateful / not SQL-expressible)
         "q_canonicalize": d.q_canonicalize,
         "q_frontier_schedule": lambda sf: run_flagship(
@@ -135,6 +140,20 @@ def oracle_sql() -> dict[str, str]:
                         ELSE CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
                    END AS n_tokens
             FROM documents
+        """,
+        "q_sessionize": """
+            SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions FROM (
+                SELECT user_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ) GROUP BY user_id
+        """,
+        "q_count_distinct": """
+            SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_distinct
+            FROM lineitem
         """,
         "q_dedup_exact": """
             SELECT doc_id, text FROM (

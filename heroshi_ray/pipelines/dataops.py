@@ -435,3 +435,139 @@ def q_image_decode(sf_dir: str):
         num_cpus=0.5,
     )
     return out
+
+
+# ------------------------------------------------------------- sketch ---
+def q_approx_distinct(sf_dir: str):
+    """HLL approximate distinct URLs (G5 scale-reporting path): one
+    serialized sketch per batch, merged in a tiny final step — the
+    shuffle moves kilobytes, not the key column. Rows-only check
+    (deterministic estimate; tests assert <2% error vs exact)."""
+    from ..functions.hashing import hash64
+    from ..functions.sketch import HyperLogLog
+
+    ds = _pq(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def sk(batch: pa.Table) -> pa.Table:
+        ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        keys = [f"{a}:{b}" for a, b in zip(ok, pk)]
+        h = HyperLogLog(p=14)
+        h.add_hashes(hash64(keys))
+        return pa.table({"sketch": pa.array([h.to_bytes()], pa.binary())})
+
+    from ..functions.sketch import HyperLogLog as _H
+
+    parts = ds.map_batches(sk, batch_format="pyarrow").to_pandas()
+    acc = None
+    for b in parts["sketch"]:
+        s = _H.from_bytes(b)
+        acc = s if acc is None else acc.merge(s)
+    est = int(round(acc.estimate())) if acc is not None else 0
+    return pa.table({"approx_distinct": pa.array([est], pa.int64())})
+
+
+def q_sample(sf_dir: str, fraction: float = 0.01):
+    """Seeded monitoring sample (K4). Rows-only: sampling is
+    engine-specific; determinism within this engine is what matters."""
+    ds = _pq(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey", "l_quantity"])
+
+    def sample(batch: pa.Table) -> pa.Table:
+        # deterministic per-row sampling: hash the key, keep h < f*2^64
+        from ..functions.hashing import hash64
+
+        ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        ln = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        keys = [f"s:{a}:{b}" for a, b in zip(ok, ln)]
+        h = hash64(keys)
+        mask = h < np.uint64(int(fraction * 2**64))
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(sample, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --------------------------------------------------------- image dedup --
+def q_phash_neardup(sf_dir: str, max_hamming: int = 6):
+    """Near-duplicate images by perceptual hash (D3): band-bucket on the
+    four 16-bit phash quadrants (a pair within hamming<=6 shares at least
+    one exact quadrant when distance is concentrated — standard
+    multi-index hashing), then verify hamming inside buckets.
+    Runs over the deterministic synthetic corpus (rows-only check)."""
+    import pyarrow.parquet as pq
+
+    from ..fixtures import make_corpus
+    from ..functions.image import hamming64
+
+    cache = "/tmp/heroshi_ray_cache"
+    os.makedirs(cache, exist_ok=True)
+    path = os.path.join(cache, "corpus_neardup.parquet")
+    if not os.path.exists(path):
+        base = make_corpus(48, seed=321)
+        # plant near-dups: re-encode a few images lossily (decode->qpng)
+        from ..functions.image import decode_image, encode_image, phash64
+
+        ids = base.column("image_id").to_pylist()
+        blobs = base.column("bytes").to_pylist()
+        fmts = base.column("fmt").to_pylist()
+        caps = base.column("caption").to_pylist()
+        rows = {c: base.column(c).to_pylist() for c in base.column_names}
+        for k in (0, 1, 2):
+            px = decode_image(blobs[k], fmts[k])
+            blob2 = encode_image(px, "qpng")
+            rows["image_id"].append(f"dup{k:04d}")
+            rows["bytes"].append(blob2)
+            rows["w"].append(px.shape[1])
+            rows["h"].append(px.shape[0])
+            rows["fmt"].append("qpng")
+            rows["caption"].append(caps[k])
+            rows["phash"].append(phash64(decode_image(blob2, "qpng")))
+        tbl = pa.table({k: rows[k] for k in base.column_names})
+        tmp = path + ".tmp"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, path)
+    ds = ray.data.read_parquet(path, columns=["image_id", "phash"])
+
+    def bands(batch: pa.Table) -> pa.Table:
+        ids = batch.column("image_id").to_pylist()
+        ph = batch.column("phash").to_numpy(zero_copy_only=False).view(np.uint64)
+        out_id, out_ph, out_band, out_key = [], [], [], []
+        for i, p in zip(ids, ph):
+            for b in range(4):
+                out_id.append(i)
+                out_ph.append(int(np.int64(p.astype(np.int64))))
+                out_band.append(b)
+                out_key.append(int((p >> np.uint64(16 * b)) & np.uint64(0xFFFF)))
+        return pa.table(
+            {
+                "image_id": pa.array(out_id, pa.string()),
+                "phash": pa.array(out_ph, pa.int64()),
+                "band": pa.array(out_band, pa.int32()),
+                "key": pa.array(out_key, pa.int32()),
+            }
+        )
+
+    exploded = ds.map_batches(bands, batch_format="pyarrow").to_pandas()
+    pairs: set[tuple[str, str]] = set()
+    rows_out = []
+    for (_, _), g in exploded.groupby(["band", "key"]):
+        if len(g) < 2:
+            continue
+        ids = g["image_id"].to_numpy()
+        phs = g["phash"].to_numpy()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a, b = sorted((ids[i], ids[j]))
+                if (a, b) in pairs:
+                    continue
+                d = int(hamming64([phs[i]], [phs[j]])[0])
+                if d <= max_hamming:
+                    pairs.add((a, b))
+                    rows_out.append((a, b, d))
+    rows_out.sort()
+    return pa.table(
+        {
+            "image_a": pa.array([r[0] for r in rows_out], pa.string()),
+            "image_b": pa.array([r[1] for r in rows_out], pa.string()),
+            "hamming": pa.array([r[2] for r in rows_out], pa.int64()),
+        }
+    )

@@ -263,3 +263,53 @@ def q_window_count(sf_dir: str):
         .groupby("hour")
         .aggregate(Sum("cnt", alias_name="n"))
     )
+
+
+# ------------------------------------------------------------ sessions --
+def q_sessionize(sf_dir: str, gap_minutes: int = 30):
+    """Session windows over the event stream (streaming-shaped workload,
+    ray_guide 'Streaming-shaped workloads'): partition by user, sort by
+    (ts, event_id) within partition, new session when gap > 30min.
+    One bucketed shuffle; per-bucket body is vectorized pandas."""
+    ds = _pq(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = (
+            batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+            % np.uint64(16)
+        ).astype(np.int32)
+        return batch.append_column("__b", pa.array(b, pa.int32()))
+
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        new_user = g["user_id"].ne(g["user_id"].shift())
+        gap_hit = g["ts"].diff() > gap
+        new_sess = (new_user | gap_hit)
+        out = (
+            pd.DataFrame({"user_id": g["user_id"], "new_s": new_sess.astype(np.int64)})
+            .groupby("user_id", sort=False)["new_s"].sum().reset_index()
+        )
+        return out.rename(columns={"new_s": "n_sessions"})
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(sessions, batch_format="pandas")
+    )
+
+
+# ------------------------------------------------------------ distinct --
+def q_count_distinct(sf_dir: str):
+    """Exact distinct count via per-batch partial distinct sets (combiner)
+    then a tiny driver-side union — the shuffle-free exact twin of G4."""
+    ds = _pq(sf_dir, "lineitem", columns=["l_orderkey"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        u = np.unique(batch.column("l_orderkey").to_numpy(zero_copy_only=False))
+        return pa.table({"l_orderkey": pa.array(u, pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    n = int(parts["l_orderkey"].nunique())
+    return pa.table({"n_distinct": pa.array([n], pa.int64())})
