@@ -87,6 +87,8 @@ class CrawlConfig:
     ua: str = "heroshi-ray"
     retry_priority_decay: float = 0.5
     max_depth: int = 64
+    robots_via_actors: bool = False  # A-R shard pool instead of driver broadcast
+    n_robots_shards: int = 2
 
 
 @dataclass
@@ -124,6 +126,22 @@ class Crawler:
         ):
             self.robots[h] = parse_robots(b, status=s, ua=self.cfg.ua)
         self.robots_ref = ray.put(self.robots)
+
+        self.robots_cache = None
+        if self.cfg.robots_via_actors:
+            from ..state.robotscache import RobotsCache
+
+            fetch_table = {
+                h: (b, s)
+                for h, b, s in zip(
+                    robots_tbl.column("host").to_pylist(),
+                    robots_tbl.column("robots_body").to_pylist(),
+                    robots_tbl.column("status").to_pylist(),
+                )
+            }
+            self.robots_cache = RobotsCache(
+                fetch_table, n_shards=self.cfg.n_robots_shards, ua=self.cfg.ua
+            )
 
         self.seen = SeenSet(self.cfg.n_seen_shards, self.cfg.seen_capacity)
         self.pol = PolitenessPool(
@@ -199,7 +217,17 @@ class Crawler:
         # J2 robots gate — broadcast semi-join, no shuffle. Denied rows are
         # a trickle (robots rules hit few pending rows per epoch): pull the
         # denied side to the driver for the log; the allowed side streams.
-        allowed_ds, denied_ds = split_robots(pending, self.robots_ref)
+        if self.robots_cache is not None:
+            # A-R actor-pool path (scale mode): rules for this epoch's
+            # hosts only, fetched/parsed on miss and cached in the shards
+            hosts_all = [h for h in pending.unique("host")]
+            epoch_rules = self.robots_cache.rules_for(hosts_all, epoch=e)
+            robots_ref = ray.put(epoch_rules)
+            rules_lookup = epoch_rules
+        else:
+            robots_ref = self.robots_ref
+            rules_lookup = self.robots
+        allowed_ds, denied_ds = split_robots(pending, robots_ref)
         denied_blocks = [b for b in ray.get(denied_ds.to_arrow_refs()) if b.num_rows]
         denied_tbl = (
             pa.concat_tables(denied_blocks, promote_options="none")
@@ -217,7 +245,7 @@ class Crawler:
 
         # politeness budgets (A-P): O(distinct hosts) driver<->actor exchange
         hosts = [h for h in allowed_ds.unique("host")]
-        delays = {h: crawl_delay(self.robots.get(h, ALLOW_ALL)) for h in hosts}
+        delays = {h: crawl_delay(rules_lookup.get(h, ALLOW_ALL)) for h in hosts}
         budgets = self.pol.budgets(hosts, now_s, [delays[h] for h in hosts])
         budgets_ref = ray.put(budgets)
 
@@ -487,3 +515,5 @@ class Crawler:
     def shutdown(self) -> None:
         self.seen.shutdown()
         self.pol.shutdown()
+        if self.robots_cache is not None:
+            self.robots_cache.shutdown()

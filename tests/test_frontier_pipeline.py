@@ -87,3 +87,33 @@ def test_minhash_finds_planted_neardups(ray_session, tmp_path):
     assert (2, 42) in pairs
     # no spurious random pairs at this threshold
     assert len(pairs) <= 5
+
+
+def test_robots_actor_path_equals_broadcast(ray_session, tmp_path):
+    """A-R actor-pool robots path schedules identically to the broadcast
+    path (same parse function, cached per shard)."""
+    from heroshi_ray.fixtures import write_fixture_dir
+    from heroshi_ray.pipelines.crawl import Crawler, CrawlConfig
+
+    paths = write_fixture_dir(
+        str(tmp_path / "fx"), n_hosts=3, n_pages=24, n_images=6, n_seeds=4, seed=11
+    )
+    outs = []
+    for robots_actors in (False, True):
+        cfg = CrawlConfig(
+            epoch_budget=32, max_epochs=4, robots_via_actors=robots_actors
+        )
+        c = Crawler(paths, str(tmp_path / f"wd{robots_actors}"), cfg)
+        c.run()
+        log = c.schedule_order()
+        df = (
+            log.to_pandas().sort_values(["sched_epoch", "rank"]).reset_index(drop=True)
+            if log is not None
+            else None
+        )
+        outs.append(df)
+        c.shutdown()
+    assert outs[0] is not None and outs[1] is not None
+    assert outs[0][["sched_epoch", "rank", "url"]].equals(
+        outs[1][["sched_epoch", "rank", "url"]]
+    )
