@@ -89,6 +89,9 @@ class CrawlConfig:
     max_depth: int = 64
     robots_via_actors: bool = False  # A-R shard pool instead of driver broadcast
     n_robots_shards: int = 2
+    # extension hooks (SURVEY.md §2.9) — batch-level, cloudpickle-shipped
+    url_filter: object = None       # fn(urls, hosts, depth) -> bool mask
+    priority_fn: object = None      # fn(depth array) -> float array
 
 
 @dataclass
@@ -147,6 +150,9 @@ class Crawler:
         self.pol = PolitenessPool(
             self.cfg.n_pol_shards, self.cfg.epoch_seconds, self.cfg.burst
         )
+        from ..state.counters import CountersActor
+
+        self.counters = CountersActor.remote()
         self.captions: dict[str, str] = {}
 
     # ------------------------------------------------------------------
@@ -156,7 +162,10 @@ class Crawler:
     def seed(self) -> int:
         """Bootstrap epoch 0 frontier from the seed list (SURVEY.md §3.1)."""
         seeds = read_seeds(self.paths["seeds"])
-        cand = canonicalize_dataset(seeds, now_us=self._now_us(0), epoch=0)
+        cand = canonicalize_dataset(
+            seeds, now_us=self._now_us(0), epoch=0,
+            url_filter=self.cfg.url_filter, priority_fn=self.cfg.priority_fn,
+        )
         cand = dedup_first(cand, n_buckets=self.cfg.n_buckets)
         admitted = self.seen.filter_new(cand)
         write_frontier(admitted, self.workdir, 0, self.cfg.n_host_shards)
@@ -288,6 +297,7 @@ class Crawler:
             now_us=now_us,
             concurrency=cfg.fetch_concurrency,
             batch_size=cfg.fetch_batch_size,
+            counters=self.counters,
         ).materialize()
 
         # fetch log without bodies (resumable, append-only)
@@ -333,6 +343,8 @@ class Crawler:
             parent_col="parent_surt",
             now_us=self._now_us(e + 1),
             epoch=e + 1,
+            url_filter=self.cfg.url_filter,
+            priority_fn=self.cfg.priority_fn,
         )
         cand = dedup_first(cand, n_buckets=cfg.n_buckets)
         admitted = self.seen.filter_new(cand).materialize()
@@ -512,8 +524,57 @@ class Crawler:
             )
         return ray.data.read_parquet(files)
 
+    def counters_totals(self) -> dict:
+        """A-C actor totals (fire-and-forget per-batch reports)."""
+        return ray.get(self.counters.peek.remote())
+
+    def recrawl_candidates(
+        self, before_epoch: int, at_epoch: int, priority: float = 0.1
+    ) -> "ray.data.Dataset":
+        """D4: revisit list — successfully fetched URLs from epochs <
+        ``before_epoch``, re-materialized as pending frontier rows for
+        ``at_epoch``. Re-admission bypasses the seen gate (they ARE seen),
+        exactly like retries; the caller unions this into the frontier."""
+        import glob
+
+        files = sorted(
+            f
+            for e_ in range(before_epoch)
+            for f in glob.glob(
+                os.path.join(self.workdir, "fetchlog", f"e{e_}", "*.parquet")
+            )
+        )
+        if not files:
+            return empty_frontier()
+        log = ray.data.read_parquet(files)
+        now_us = self._now_us(at_epoch)
+
+        def to_rows(batch: pa.Table) -> pa.Table:
+            b = batch.filter(pc.equal(batch.column("success"), True))
+            n = b.num_rows
+            return pa.table(
+                {
+                    "url": b.column("url"),
+                    "surt": b.column("surt"),
+                    "host": b.column("host"),
+                    "priority": pa.array(np.full(n, priority), pa.float64()),
+                    "depth": pc.cast(b.column("depth"), pa.int32()),
+                    "parent_surt": pa.array([""] * n, pa.string()),
+                    "discovered_at": pa.array(
+                        np.full(n, now_us, dtype=np.int64), pa.timestamp("us")
+                    ),
+                    "state": pa.array(np.zeros(n, dtype=np.uint8), pa.uint8()),
+                    "retries": pa.array(np.zeros(n, dtype=np.int32), pa.int32()),
+                    "epoch": pa.array(np.full(n, at_epoch, dtype=np.int64), pa.int64()),
+                },
+                schema=FRONTIER,
+            )
+
+        return log.map_batches(to_rows, batch_format="pyarrow")
+
     def shutdown(self) -> None:
         self.seen.shutdown()
         self.pol.shutdown()
+        ray.kill(self.counters)
         if self.robots_cache is not None:
             self.robots_cache.shutdown()

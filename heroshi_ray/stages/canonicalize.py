@@ -20,8 +20,24 @@ from ..schemas import FRONTIER, STATE_PENDING
 
 def priority_score(depth: np.ndarray) -> np.ndarray:
     """Deterministic priority: shallower pages first (M12). Pluggable via
-    PipelineConfig.priority_fn; the oracle crawler uses this same function."""
+    the ``priority_fn`` hook; the oracle crawler uses this same function."""
     return 1.0 / (1.0 + depth.astype(np.float64))
+
+
+def blocklist_filter(blocked_hosts: frozenset = frozenset(),
+                     blocked_substrings: tuple[str, ...] = ()):
+    """M7 factory: batch-level URL filter (blocklist). Returns a hook
+    compatible with ``canonicalize_candidates(url_filter=...)`` —
+    vectorized, closure-captured, cloudpickle-shippable."""
+
+    def fn(urls: list[str], hosts: list[str], depth: np.ndarray) -> np.ndarray:
+        mask = np.ones(len(urls), dtype=bool)
+        for i, (u, h) in enumerate(zip(urls, hosts)):
+            if h in blocked_hosts or any(s in u for s in blocked_substrings):
+                mask[i] = False
+        return mask
+
+    return fn
 
 
 def canonicalize_candidates(
@@ -32,9 +48,16 @@ def canonicalize_candidates(
     max_depth: int = 64,
     now_us: int = 0,
     epoch: int = 0,
+    url_filter=None,
+    priority_fn=None,
 ) -> pa.Table:
     """url[, depth, parent_surt] -> FRONTIER candidate rows (malformed and
-    non-http(s) rows dropped — canonicalize() rejects them)."""
+    non-http(s) rows dropped — canonicalize() rejects them).
+
+    Extension hooks (SURVEY.md §2.9): ``url_filter(urls, hosts, depth) ->
+    mask`` prunes candidates (blocklist / mime / custom policy);
+    ``priority_fn(depth) -> float array`` replaces the default scoring.
+    Both are batch-level (vectorized) so they compose with map_batches."""
     urls = batch.column("url").to_pylist()
     canon, surt, host, ok = canonicalize_batch(urls)
     depth = (
@@ -44,6 +67,8 @@ def canonicalize_candidates(
     )
     parents = batch.column(parent_col).to_pylist() if parent_col else [""] * len(urls)
     mask = np.array(ok) & (depth <= max_depth)
+    if url_filter is not None:
+        mask &= np.asarray(url_filter(canon, host, depth), dtype=bool)
     idx = np.flatnonzero(mask)
     n = len(idx)
     canon_a = [canon[i] for i in idx]
@@ -51,12 +76,13 @@ def canonicalize_candidates(
     host_a = [host[i] for i in idx]
     depth_a = depth[idx]
     parent_a = [parents[i] for i in idx]
+    score = (priority_fn or priority_score)(depth_a)
     return pa.table(
         {
             "url": pa.array(canon_a, pa.string()),
             "surt": pa.array(surt_a, pa.string()),
             "host": pa.array(host_a, pa.string()),
-            "priority": pa.array(priority_score(depth_a), pa.float64()),
+            "priority": pa.array(score, pa.float64()),
             "depth": pa.array(depth_a, pa.int32()),
             "parent_surt": pa.array(parent_a, pa.string()),
             "discovered_at": pa.array(np.full(n, now_us, dtype=np.int64), pa.timestamp("us")),
@@ -76,13 +102,16 @@ def canonicalize_dataset(
     now_us: int = 0,
     epoch: int = 0,
     batch_size: int | None = None,
+    url_filter=None,
+    priority_fn=None,
 ) -> "ray.data.Dataset":
     # batch_size=None = one batch per block: parallelism stays equal to the
     # input block count (an explicit batch_size bundles input blocks and
     # can silently serialize a wide stage)
     return ds.map_batches(
         lambda b: canonicalize_candidates(
-            b, depth_col=depth_col, parent_col=parent_col, now_us=now_us, epoch=epoch
+            b, depth_col=depth_col, parent_col=parent_col, now_us=now_us,
+            epoch=epoch, url_filter=url_filter, priority_fn=priority_fn,
         ),
         batch_format="pyarrow",
         batch_size=batch_size,

@@ -38,9 +38,10 @@ def pages_index(pages: pa.Table) -> dict:
 class SyntheticFetcher:
     """Deterministic in-sandbox stand-in for an HTTP fetcher actor."""
 
-    def __init__(self, pages_ref, now_us: int = 0):
+    def __init__(self, pages_ref, now_us: int = 0, counters=None):
         self.pages = ray.get(pages_ref)  # broadcast: one get per ACTOR, zero per batch
         self.now_us = now_us
+        self.counters = counters  # A-C actor handle; fire-and-forget reporting
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch.column("url").to_pylist()
@@ -70,6 +71,9 @@ class SyntheticFetcher:
                 bodies.append(b if s == 200 else None)
                 errs.append("" if s == 200 else f"http status {s}")
                 ms[i] = m
+        if self.counters is not None:
+            ok = int(success.sum())
+            self.counters.add.remote(fetch_ok=ok, fetch_err=n - ok)
         return pa.table(
             {
                 "url": pa.array(urls, pa.string()),
@@ -101,10 +105,13 @@ def fetch_dataset(
     now_us: int = 0,
     concurrency: int | tuple[int, int] = 4,
     batch_size: int = 256,
+    counters=None,
 ) -> "ray.data.Dataset":
     return scheduled.map_batches(
         SyntheticFetcher,
-        fn_constructor_kwargs={"pages_ref": pages_ref, "now_us": now_us},
+        fn_constructor_kwargs={
+            "pages_ref": pages_ref, "now_us": now_us, "counters": counters,
+        },
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -141,3 +141,19 @@ def test_robots_denied_never_fetched(crawl_setup):
     df = crawler.schedule_order().to_pandas()
     scheduled_surts = set(df["surt"])
     assert not (scheduled_surts & set(oracle.denied))
+
+
+def test_counters_actor_matches_report(crawl_setup):
+    paths, wd, crawler, report, oracle = crawl_setup
+    totals = crawler.counters_totals()
+    assert totals.get("fetch_ok", 0) == report.fetch_ok
+    assert totals.get("fetch_err", 0) == report.fetch_err
+
+
+def test_recrawl_candidates(crawl_setup):
+    paths, wd, crawler, report, oracle = crawl_setup
+    rc = crawler.recrawl_candidates(before_epoch=3, at_epoch=99).to_pandas()
+    assert len(rc) > 0
+    assert (rc["state"] == 0).all()
+    assert (rc["epoch"] == 99).all()
+    assert rc["surt"].is_unique  # fetched-once guarantee carries over

@@ -117,3 +117,32 @@ def test_robots_actor_path_equals_broadcast(ray_session, tmp_path):
     assert outs[0][["sched_epoch", "rank", "url"]].equals(
         outs[1][["sched_epoch", "rank", "url"]]
     )
+
+
+def test_url_filter_and_priority_hooks(ray_session):
+    import numpy as np
+    import ray
+
+    from heroshi_ray.stages.canonicalize import (
+        blocklist_filter,
+        canonicalize_candidates,
+    )
+
+    batch = pa.table(
+        {"url": pa.array([
+            "http://ok.example/a",
+            "http://blocked.example/b",
+            "http://ok.example/tracking/pixel",
+        ])}
+    )
+    flt = blocklist_filter(
+        blocked_hosts=frozenset({"blocked.example"}),
+        blocked_substrings=("/tracking/",),
+    )
+    out = canonicalize_candidates(batch, url_filter=flt)
+    assert out.column("url").to_pylist() == ["http://ok.example/a"]
+
+    out2 = canonicalize_candidates(
+        batch, priority_fn=lambda d: np.full(len(d), 0.42)
+    )
+    assert set(out2.column("priority").to_pylist()) == {0.42}
