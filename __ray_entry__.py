@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_token_count": d.q_token_count,
         "q_sessionize": r.q_sessionize,
         "q_count_distinct": r.q_count_distinct,
+        "q_pricing_summary": r.q_pricing_summary,
         "q_dedup_exact": d.q_dedup_exact,
         "q_lang_count": d.q_lang_count,
         "q_ann_knn": d.q_ann_knn,
@@ -154,6 +155,23 @@ def oracle_sql() -> dict[str, str]:
         "q_count_distinct": """
             SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_distinct
             FROM lineitem
+        """,
+        "q_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(sum(e2) AS BIGINT) AS sum_base_e2,
+                   CAST(sum(e2 * (100 - d2)) AS BIGINT) AS sum_disc_e4,
+                   CAST(sum(e2 * (100 - d2) * (100 + t2)) AS BIGINT) AS sum_charge_e6,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM (
+                SELECT l_returnflag, l_linestatus, l_quantity,
+                       CAST(round(l_extendedprice * 100) AS BIGINT) AS e2,
+                       CAST(round(l_discount * 100) AS BIGINT) AS d2,
+                       CAST(round(l_tax * 100) AS BIGINT) AS t2
+                FROM lineitem
+                WHERE l_shipdate <= DATE '1998-09-01'
+            )
+            GROUP BY l_returnflag, l_linestatus
         """,
         "q_dedup_exact": """
             SELECT doc_id, text FROM (

@@ -313,3 +313,67 @@ def q_count_distinct(sf_dir: str):
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     n = int(parts["l_orderkey"].nunique())
     return pa.table({"n_distinct": pa.array([n], pa.int64())})
+
+
+# ------------------------------------------------------ pricing summary --
+def q_pricing_summary(sf_dir: str):
+    """TPC-H-Q1-shaped multi-aggregate with a ship-date predicate:
+    filter + per-batch partial aggregation (combiner) + tiny final
+    groupby. All money math in scaled int64 (cents / e4 / e6), so the
+    result is bit-exact under any summation order AND matches the SQL
+    twin exactly — the engineering rule for oracle-checked aggregates."""
+    ds = _pq(
+        sf_dir, "lineitem",
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+            "l_discount", "l_tax", "l_shipdate",
+        ],
+    )
+    cutoff = pd.Timestamp("1998-09-01")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df["l_shipdate"] <= cutoff]
+        if not len(df):
+            return pa.table(
+                {
+                    "l_returnflag": pa.array([], pa.string()),
+                    "l_linestatus": pa.array([], pa.string()),
+                    "sum_qty": pa.array([], pa.int64()),
+                    "sum_base_e2": pa.array([], pa.int64()),
+                    "sum_disc_e4": pa.array([], pa.int64()),
+                    "sum_charge_e6": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        qty = df["l_quantity"].round().astype("int64")
+        base = (df["l_extendedprice"] * 100).round().astype("int64")
+        disc = (df["l_discount"] * 100).round().astype("int64")
+        tax = (df["l_tax"] * 100).round().astype("int64")
+        df2 = pd.DataFrame(
+            {
+                "l_returnflag": df["l_returnflag"],
+                "l_linestatus": df["l_linestatus"],
+                "sum_qty": qty,
+                "sum_base_e2": base,
+                "sum_disc_e4": base * (100 - disc),
+                "sum_charge_e6": base * (100 - disc) * (100 + tax),
+                "cnt": 1,
+            }
+        )
+        g = df2.groupby(["l_returnflag", "l_linestatus"], sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_e2", alias_name="sum_base_e2"),
+            Sum("sum_disc_e4", alias_name="sum_disc_e4"),
+            Sum("sum_charge_e6", alias_name="sum_charge_e6"),
+            Sum("cnt", alias_name="n"),
+        )
+    )
