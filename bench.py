@@ -63,7 +63,7 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
     from heroshi_ray.state.seen import SeenSet
 
     expand = int(os.environ.get("GRAFT_BENCH_EXPAND", "48"))
-    num_blocks = 64  # fixed input shape at every parallelism level
+    num_blocks = 192  # fixed input shape; ~300k-row blocks keep per-task transient memory small (large blocks amplify host memory-pressure phases)
 
     # frontier input cached on disk (untimed, deterministic): the timed
     # section reads a partitioned parquet frontier exactly like a crawl
