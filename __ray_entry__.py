@@ -54,6 +54,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_sessionize": r.q_sessionize,
         "q_count_distinct": r.q_count_distinct,
         "q_pricing_summary": r.q_pricing_summary,
+        "q_asof_join": r.q_asof_join,
+        "q_hash_join": r.q_hash_join,
         "q_dedup_exact": d.q_dedup_exact,
         "q_lang_count": d.q_lang_count,
         "q_ann_knn": d.q_ann_knn,
@@ -172,6 +174,17 @@ def oracle_sql() -> dict[str, str]:
                 WHERE l_shipdate <= DATE '1998-09-01'
             )
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "q_asof_join": """
+            SELECT l.event_id, l.user_id, r.value AS view_value
+            FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+            ASOF LEFT JOIN
+                 (SELECT user_id, ts, value FROM events WHERE event_type = 'view') r
+            ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "q_hash_join": """
+            SELECT l_orderkey, l_linenumber, l_quantity, o_totalprice
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         """,
         "q_dedup_exact": """
             SELECT doc_id, text FROM (

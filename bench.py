@@ -9,11 +9,13 @@ prints ONE JSON line:
      "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
      "frontier_urls": N, "frontier_urls_per_s": N, ...}
 
---scaling: runs the headline pipeline twice in FRESH processes at
-num_cpus=8 and num_cpus=32 on the same input (cluster-size proxy: the
-sandbox is one node, so N->4N Ray *nodes* is evidenced as N->4N worker
-slots) and prints throughput at both plus the scaling efficiency
-(thr_32/thr_8)/4. Results are recorded in BASELINE.md.
+--scaling: runs the headline pipeline in FRESH processes at num_cpus=4
+and num_cpus=16 on the same (larger) input — the N->4N cluster-size
+proxy; the sandbox is one node, so N->4N Ray *nodes* is evidenced as
+N->4N worker slots, with the seen-shard pool scaled alongside. Levels
+are interleaved best-of-N to ride out host-noise phases. Prints
+throughput at both levels plus the scaling efficiency
+(thr_hi/thr_lo)/4. Results are recorded in BASELINE.md.
 """
 
 from __future__ import annotations

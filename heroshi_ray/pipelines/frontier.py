@@ -89,10 +89,12 @@ class GateAndCap:
     §2.3): in-batch exact dedup by surt-hash -> cuckoo test-and-set RPC
     against the resident shard pool (GLOBAL exact dedup: equal keys route
     to one shard, exactly one caller wins) -> local per-host top-budget
-    cap. Runs as a BOUNDED actor pool, not tasks: a map task that blocks
-    in ray.get makes the raylet over-spawn worker processes (import
-    storm); a fixed pool at num_cpus=0.5 instead overlaps its RPC wait
-    with other actors' compute."""
+    cap. Runs fused with the canonicalizer as plain tasks; the shard
+    RPC wait uses non-blocking ray.wait polling (see __call__) because a
+    task that blocks in ray.get releases its CPU slot and the raylet
+    backfills it with a fresh worker process — an import storm with 2-6x
+    wall-time variance. bench.py additionally raises the raylet
+    worker-pool keepalive env knobs."""
 
     def __init__(self, shards, n_buckets: int, per_host_budget: int):
         self.shards = shards

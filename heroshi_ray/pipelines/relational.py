@@ -377,3 +377,65 @@ def q_pricing_summary(sf_dir: str):
             Sum("cnt", alias_name="n"),
         )
     )
+
+
+# ------------------------------------------------------------ asof join --
+def q_asof_join(sf_dir: str):
+    """As-of join (SURVEY.md 'As-of / range join' pattern): for every
+    'click' event, the most recent 'view' value by the same user at or
+    before it. One bucketed shuffle on hash(user)%B; per bucket a
+    vectorized ``pd.merge_asof`` over the sorted group."""
+    ds = _pq(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type", "value"])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            batch.column("event_type"), value_set=pa.array(["click", "view"])
+        )
+        b = batch.filter(keep)
+        bk = (
+            b.column("user_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+            % np.uint64(16)
+        ).astype(np.int32)
+        return b.append_column("__b", pa.array(bk, pa.int32()))
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["event_type"] == "click"][["event_id", "user_id", "ts"]]
+        right = g[g["event_type"] == "view"][["user_id", "ts", "value"]]
+        if not len(left):
+            return pd.DataFrame(
+                {"event_id": pd.Series(dtype="int64"),
+                 "user_id": pd.Series(dtype="int64"),
+                 "view_value": pd.Series(dtype="float64")}
+            )
+        left = left.sort_values("ts", kind="mergesort")
+        right = right.sort_values("ts", kind="mergesort")
+        j = pd.merge_asof(left, right, on="ts", by="user_id", direction="backward")
+        return pd.DataFrame(
+            {"event_id": j["event_id"], "user_id": j["user_id"],
+             "view_value": j["value"]}
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(asof, batch_format="pandas")
+    )
+
+
+# ------------------------------------------------------------ hash join --
+def q_hash_join(sf_dir: str):
+    """Both-sides-large join via Ray Data's native hash join
+    (``Dataset.join``, Ray >= 2.46): lineitem ⋈ orders on orderkey —
+    the J3 scale path when neither side is broadcastable."""
+    li = _pq(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity", "l_linenumber"])
+    o = _pq(sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_totalprice"])
+    joined = li.join(
+        o, join_type="inner", num_partitions=16,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+    return joined.map_batches(
+        lambda b: b.select(
+            ["l_orderkey", "l_linenumber", "l_quantity", "o_totalprice"]
+        ),
+        batch_format="pyarrow",
+    )
