@@ -55,7 +55,6 @@ from ..sources.io import (
     empty_frontier,
     epoch_dir,
     latest_committed_epoch,
-    load_manifest,
     read_epoch_tables,
     read_frontier,
     read_seeds,

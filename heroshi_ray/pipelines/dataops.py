@@ -25,7 +25,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from ..functions.ann import IVFIndex, as_matrix, cosine_topk_batch, l2_normalize, merge_topk
+from ..functions.ann import IVFIndex, as_matrix, l2_normalize
 from ..functions.text import (
     MinHasher,
     fingerprint64,

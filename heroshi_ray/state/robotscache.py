@@ -21,7 +21,7 @@ import numpy as np
 import ray
 
 from ..functions.hashing import hash64
-from ..functions.robots import ALLOW_ALL, Rules, parse_robots
+from ..functions.robots import Rules, parse_robots
 
 
 @ray.remote(num_cpus=0.1)
