@@ -523,6 +523,64 @@ class Crawler:
             )
         return ray.data.read_parquet(files)
 
+    def host_stats(self) -> "ray.data.Dataset":
+        """G2: per-host crawl stats over the fetch log — fetch count,
+        success rate, mean fetch_ms. Partial-aggregated per batch, tiny
+        final groupby (the combiner pattern; SURVEY.md §2.5)."""
+        import glob
+
+        files = sorted(
+            glob.glob(os.path.join(self.workdir, "fetchlog", "e*", "*.parquet"))
+        )
+        if not files:
+            return ray.data.from_arrow(
+                pa.table({"host": pa.array([], pa.string())})
+            )
+        log = ray.data.read_parquet(files)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            g = df.groupby("host", sort=False).agg(
+                n=("host", "size"),
+                ok=("success", "sum"),
+                ms=("fetch_ms", "sum"),
+            ).reset_index()
+            return pa.table(
+                {
+                    "host": pa.array(g["host"], pa.string()),
+                    "n": pa.array(g["n"], pa.int64()),
+                    "ok": pa.array(g["ok"].astype("int64"), pa.int64()),
+                    "ms": pa.array(g["ms"], pa.float64()),
+                }
+            )
+
+        from ray.data.aggregate import Sum
+
+        agg = (
+            log.map_batches(partial, batch_format="pyarrow")
+            .groupby("host")
+            .aggregate(
+                Sum("n", alias_name="n_fetches"),
+                Sum("ok", alias_name="n_ok"),
+                Sum("ms", alias_name="sum_ms"),
+            )
+        )
+
+        def finish(batch: pa.Table) -> pa.Table:
+            n = batch.column("n_fetches").to_numpy(zero_copy_only=False)
+            ok = batch.column("n_ok").to_numpy(zero_copy_only=False)
+            ms = batch.column("sum_ms").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "host": batch.column("host"),
+                    "n_fetches": batch.column("n_fetches"),
+                    "success_rate": pa.array(ok / np.maximum(n, 1), pa.float64()),
+                    "mean_fetch_ms": pa.array(ms / np.maximum(n, 1), pa.float64()),
+                }
+            )
+
+        return agg.map_batches(finish, batch_format="pyarrow")
+
     def counters_totals(self) -> dict:
         """A-C actor totals (fire-and-forget per-batch reports)."""
         return ray.get(self.counters.peek.remote())

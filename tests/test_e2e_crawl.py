@@ -157,3 +157,11 @@ def test_recrawl_candidates(crawl_setup):
     assert (rc["state"] == 0).all()
     assert (rc["epoch"] == 99).all()
     assert rc["surt"].is_unique  # fetched-once guarantee carries over
+
+
+def test_host_stats(crawl_setup):
+    paths, wd, crawler, report, oracle = crawl_setup
+    stats = crawler.host_stats().to_pandas()
+    assert len(stats) > 0
+    assert int(stats["n_fetches"].sum()) == report.fetch_ok + report.fetch_err
+    assert ((stats["success_rate"] >= 0) & (stats["success_rate"] <= 1)).all()
