@@ -80,6 +80,15 @@ class IVFIndex:
         x = l2_normalize(mat.astype(np.float64))
         return np.argmax(x @ self.centroids.T, axis=1).astype(np.int32)
 
+    def assign_topn(self, mat: np.ndarray, n: int) -> np.ndarray:
+        """(rows, n) best cells per vector — multi-assignment for
+        bucketed near-dup: two vectors within a tight cosine radius share
+        at least one of their top-n cells with high probability."""
+        x = l2_normalize(mat.astype(np.float64))
+        sims = x @ self.centroids.T
+        n = min(n, sims.shape[1])
+        return np.argsort(-sims, axis=1, kind="stable")[:, :n].astype(np.int32)
+
     def probe(self, query: np.ndarray, nprobe: int = 4) -> np.ndarray:
         q = query.astype(np.float64) / (np.linalg.norm(query) or 1.0)
         sims = self.centroids @ q

@@ -87,7 +87,10 @@ def parse_robots(body: str | None, status: int = 200, ua: str = "heroshi-ray") -
             if g == "*":
                 if best_len < 0:
                     best, best_len = (rules, delay), 0
-            elif g in ua or ua.startswith(g):
+            elif ua.startswith(g):
+                # RFC 9309 matches the product token: the group token must
+                # equal the UA product token or be a prefix of it — NOT an
+                # arbitrary substring (a group "a" must not grab "heroshi-ray")
                 if len(g) > best_len:
                     best, best_len = (rules, delay), len(g)
     if best is None:

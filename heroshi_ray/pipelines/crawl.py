@@ -370,13 +370,14 @@ class Crawler:
         report.fetch_err += len(fail_tbl)
 
         # new frontier = (allowed - scheduled) ∪ admitted ∪ retries
-        sched_surts = frozenset(sched_tbl.column("surt").to_pylist())
-        sched_ref = ray.put(sched_surts)
+        # (broadcast anti-join: the scheduled set is bounded by the epoch
+        # budget, shipped once as an Arrow array, probed with pc.is_in)
+        sched_ref = ray.put(sched_tbl.column("surt").combine_chunks())
 
         def minus_sched(batch: pa.Table) -> pa.Table:
             ss = ray.get(sched_ref)
-            mask = [s not in ss for s in batch.column("surt").to_pylist()]
-            return batch.filter(pa.array(mask, pa.bool_()))
+            mask = pc.invert(pc.is_in(batch.column("surt"), value_set=ss))
+            return batch.filter(mask)
 
         remaining = allowed_ds.map_batches(
             minus_sched, batch_format="pyarrow", zero_copy_batch=True

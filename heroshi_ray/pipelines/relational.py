@@ -119,8 +119,24 @@ def q_topk_per_host(sf_dir: str, k: int = 3):
 
 # ---------------------------------------------------------------- K2 ----
 def q_global_topk(sf_dir: str, n: int = 100):
+    """Global top-n WITHOUT a whole-table sort: per-block partial top-n
+    inside map_batches (each block keeps at most n rows), then one tiny
+    driver-side merge of <= n*blocks rows — the shuffle-free pattern a
+    100-TB top-100 needs (a range-shuffle sort to keep 100 rows is the
+    anti-pattern)."""
     ds = _pq(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
-    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(n)
+    keys = [("o_totalprice", "descending"), ("o_orderkey", "ascending")]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(batch, sort_keys=keys)[:n]
+        return batch.take(idx)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    blocks = [b for b in ray.get(parts.to_arrow_refs()) if b.num_rows]
+    if not blocks:
+        return parts
+    merged = pa.concat_tables(blocks, promote_options="none")
+    return merged.take(pc.sort_indices(merged, sort_keys=keys)[:n])
 
 
 # ---------------------------------------------------------------- D1 ----
@@ -173,14 +189,14 @@ def q_anti_join(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    okeys = set(forders.unique("o_custkey"))
-    keys_ref = ray.put(frozenset(okeys))
+    okeys = sorted(forders.unique("o_custkey"))
+    keys_ref = ray.put(pa.array(okeys, pa.int64()))
     cust = _pq(sf_dir, "customer", columns=["c_custkey", "c_name"])
 
     def anti(batch: pa.Table) -> pa.Table:
-        ks = ray.get(keys_ref)
-        mask = [k not in ks for k in batch.column("c_custkey").to_pylist()]
-        return batch.filter(pa.array(mask, pa.bool_()))
+        ks = ray.get(keys_ref)  # broadcast pa.Array of keys
+        mask = pc.invert(pc.is_in(batch.column("c_custkey"), value_set=ks))
+        return batch.filter(mask)
 
     return cust.map_batches(anti, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -301,18 +317,32 @@ def q_sessionize(sf_dir: str, gap_minutes: int = 30):
 
 
 # ------------------------------------------------------------ distinct --
-def q_count_distinct(sf_dir: str):
-    """Exact distinct count via per-batch partial distinct sets (combiner)
-    then a tiny driver-side union — the shuffle-free exact twin of G4."""
+def q_count_distinct(sf_dir: str, n_buckets: int = 64):
+    """Exact distinct count, two-level: per-batch partial unique
+    (combiner) -> bucketed groupby on hash(key)%B with a per-bucket
+    unique count -> Sum of per-bucket counts. Buckets hold disjoint key
+    ranges, so the sum is exact; the only thing that ever reaches the
+    driver is <= B count rows — never the distinct key set itself (at
+    100 TB the distinct set is itself huge)."""
     ds = _pq(sf_dir, "lineitem", columns=["l_orderkey"])
 
     def partial(batch: pa.Table) -> pa.Table:
         u = np.unique(batch.column("l_orderkey").to_numpy(zero_copy_only=False))
-        return pa.table({"l_orderkey": pa.array(u, pa.int64())})
+        b = (u.astype(np.uint64) % np.uint64(n_buckets)).astype(np.int32)
+        return pa.table(
+            {"l_orderkey": pa.array(u, pa.int64()), "__b": pa.array(b, pa.int32())}
+        )
 
-    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    n = int(parts["l_orderkey"].nunique())
-    return pa.table({"n_distinct": pa.array([n], pa.int64())})
+    def bucket_count(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n": [g["l_orderkey"].nunique()]})
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(bucket_count, batch_format="pandas")
+        .to_pandas()
+    )
+    return pa.table({"n_distinct": pa.array([int(counts["n"].sum())], pa.int64())})
 
 
 # ------------------------------------------------------ pricing summary --

@@ -34,36 +34,58 @@ _SHARD_COL = "__host_shard"
 
 
 def _path_of(url: str, host: str) -> str:
-    # canonical urls are scheme://hostport/path[?query]
-    i = url.find(host) + len(host)
-    j = url.find("/", i)
+    # canonical urls are scheme://hostport/path[?query]; locate the path
+    # from the authority separator, NOT by searching for the host string
+    # (a short host like "t" would match inside "http://")
+    i = url.find("://")
+    j = url.find("/", i + 3 if i != -1 else 0)
     return url[j:] if j != -1 else "/"
 
+_ALLOWED_COL = "__allowed"
 
-def split_robots(ds: "ray.data.Dataset", robots_ref) -> tuple:
-    """Split pending rows into (allowed_ds, denied_ds) using the broadcast
-    parsed-robots dict {host: Rules}. Hosts absent from the dict are
-    allowed (no robots -> allow-all)."""
 
-    def gate(batch: pa.Table, keep_allowed: bool) -> pa.Table:
+def mark_robots(ds: "ray.data.Dataset", robots_ref) -> "ray.data.Dataset":
+    """ONE robots pass: append a boolean ``__allowed`` column using the
+    broadcast parsed-robots dict {host: Rules}. Hosts absent from the
+    dict are allowed (no robots -> allow-all). Hosts with no rules (the
+    common case) short-circuit to an all-True slice per host run."""
+
+    def gate(batch: pa.Table) -> pa.Table:
         robots = ray.get(robots_ref)
         urls = batch.column("url").to_pylist()
         hosts = batch.column("host").to_pylist()
-        mask = np.empty(len(urls), dtype=bool)
+        mask = np.ones(len(urls), dtype=bool)
+        # per-batch host->rules cache: one dict lookup per distinct host
+        cache: dict = {}
         for i, (u, h) in enumerate(zip(urls, hosts)):
-            rules = robots.get(h)
-            mask[i] = True if rules is None else allowed(rules, _path_of(u, h))
-        if not keep_allowed:
-            mask = ~mask
-        return batch.filter(pa.array(mask))
+            try:
+                rules = cache[h]
+            except KeyError:
+                rules = cache[h] = robots.get(h)
+            if rules is not None and rules[0]:
+                mask[i] = allowed(rules, _path_of(u, h))
+        return batch.append_column(_ALLOWED_COL, pa.array(mask))
 
-    allowed_ds = ds.map_batches(
-        lambda b: gate(b, True), batch_format="pyarrow", zero_copy_batch=True
-    )
-    denied_ds = ds.map_batches(
-        lambda b: gate(b, False), batch_format="pyarrow", zero_copy_batch=True
-    )
-    return allowed_ds, denied_ds
+    return ds.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def split_robots(ds: "ray.data.Dataset", robots_ref) -> tuple:
+    """Split pending rows into (allowed_ds, denied_ds) with ONE robots
+    evaluation pass: mark_robots appends ``__allowed``, the marked set is
+    pinned in the object store (spills at scale), and both sides are
+    cheap column filters over it."""
+    gated = mark_robots(ds, robots_ref).materialize()
+
+    def side(keep: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            m = batch.column(_ALLOWED_COL)
+            if not keep:
+                m = pa.compute.invert(m)
+            return batch.filter(m).drop_columns([_ALLOWED_COL])
+
+        return gated.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+    return side(True), side(False)
 
 
 def per_host_topk(

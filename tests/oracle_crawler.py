@@ -100,8 +100,8 @@ class OracleCrawler:
 
     @staticmethod
     def _path_of(url: str, host: str) -> str:
-        i = url.find(host) + len(host)
-        j = url.find("/", i)
+        i = url.find("://")
+        j = url.find("/", i + 3 if i != -1 else 0)
         return url[j:] if j != -1 else "/"
 
     def _admit(self, cands: list[tuple]) -> None:

@@ -1,0 +1,113 @@
+"""The distributed near-dup verify tails (round-2 rework) pinned against
+independent single-process ground truth.
+
+Each of q_minhash_neardup / q_phash_neardup / q_embed_neardup used to
+collapse its verify/merge step onto the driver; they now run as
+map_groups + pair-dedup shuffles. These tests recompute the expected
+pair sets with plain Python/numpy (same candidate-generation semantics,
+no Ray) and assert exact equality — rows AND values — so the rework is
+behaviour-preserving and the IVF-bucketed embedding path has recall 1.0
+on the driver data.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_minhash_neardup_matches_single_process(ray_session):
+    from heroshi_ray.functions.text import MinHasher, jaccard, shingles
+    from heroshi_ray.pipelines.dataops import q_minhash_neardup
+
+    got = q_minhash_neardup(SF_DIR).to_pandas()
+
+    docs = pq.read_table(
+        os.path.join(SF_DIR, "documents.parquet"), columns=["doc_id", "text"]
+    ).to_pandas()
+    mh = MinHasher(64)
+    buckets: dict[tuple[int, int], list[int]] = {}
+    sh = {}
+    for r in docs.itertuples():
+        s = shingles(r.text or "", 3)
+        sh[r.doc_id] = s
+        for b, key in enumerate(mh.bands(mh.signature(s), 16)):
+            buckets.setdefault((b, key), []).append(r.doc_id)
+    pairs = set()
+    for ids in buckets.values():
+        ids = sorted(set(ids))
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                pairs.add((ids[i], ids[j]))
+    expect = sorted(
+        (a, b, round(jaccard(sh[a], sh[b]), 4))
+        for a, b in pairs
+        if jaccard(sh[a], sh[b]) >= 0.6
+    )
+    assert list(map(tuple, got.itertuples(index=False))) == expect
+
+
+def test_phash_neardup_matches_single_process(ray_session):
+    from heroshi_ray.functions.image import hamming64
+    from heroshi_ray.pipelines.dataops import q_phash_neardup
+
+    got = q_phash_neardup(SF_DIR).to_pandas()
+    # the query builds/caches its own synthetic corpus; recompute truth
+    # from the same cached file with plain loops
+    t = pq.read_table(
+        "/tmp/heroshi_ray_cache/corpus_neardup.parquet", columns=["image_id", "phash"]
+    )
+    ids = t.column("image_id").to_pylist()
+    phs = np.array(t.column("phash").to_pylist(), dtype=np.int64)
+    # multi-index candidate rule: pairs sharing >= 1 of 4 16-bit quadrants
+    expect = []
+    up = phs.view(np.uint64)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            share = any(
+                int((up[i] >> np.uint64(16 * b)) & np.uint64(0xFFFF))
+                == int((up[j] >> np.uint64(16 * b)) & np.uint64(0xFFFF))
+                for b in range(4)
+            )
+            if not share:
+                continue
+            d = int(hamming64([phs[i]], [phs[j]])[0])
+            if d <= 6:
+                a, b = sorted((ids[i], ids[j]))
+                expect.append((a, b, d))
+    expect.sort()
+    assert list(map(tuple, got.itertuples(index=False))) == expect
+    assert len(expect) >= 3  # the fixture plants 3 near-dups
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_embed_neardup_ivf_recall_exact(ray_session, sf_dir):
+    """IVF-bucketed near-dup == brute-force all-pairs (recall 1.0) on the
+    driver data, including the e4-rounded similarity values."""
+    from heroshi_ray.functions.ann import as_matrix, l2_normalize
+    from heroshi_ray.pipelines.dataops import q_embed_neardup
+
+    got = q_embed_neardup(sf_dir).to_pandas()
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ids = np.array(t.column("vec_id").to_pylist(), dtype=np.int64)
+    mat = l2_normalize(as_matrix(t.column("embedding").to_pylist()).astype(np.float64))
+    sims = mat @ mat.T
+    iu, ju = np.triu_indices(len(ids), k=1)
+    cand = sims[iu, ju] >= 0.45 - 1e-9
+    ci, cj = iu[cand], ju[cand]
+    s = np.einsum("ij,ij->i", mat[ci], mat[cj])
+    keep = s >= 0.45
+    expect = sorted(
+        (int(min(ids[a], ids[b])), int(max(ids[a], ids[b])), int(round(float(x) * 10000)))
+        for a, b, x in zip(ci[keep], cj[keep], s[keep])
+    )
+    assert list(map(tuple, got.itertuples(index=False))) == expect
+    assert len(expect) > 0
