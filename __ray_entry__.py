@@ -60,6 +60,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_lang_count": d.q_lang_count,
         "q_ann_knn": d.q_ann_knn,
         "q_embed_neardup": d.q_embed_neardup,
+        "q_sample": d.q_sample,
+        # q_canonicalize is oracled because its INPUT urls are built by a
+        # fixed template over events rows, so the SQL twin can construct
+        # the expected canonical/surt forms directly
+        "q_canonicalize": d.q_canonicalize,
         # training-data ops (rows-only: not SQL-expressible)
         "q_minhash_neardup": d.q_minhash_neardup,
         "q_simhash": d.q_simhash,
@@ -68,10 +73,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ann_ivf": d.q_ann_ivf,
         "q_image_decode": d.q_image_decode,
         "q_approx_distinct": d.q_approx_distinct,
-        "q_sample": d.q_sample,
         "q_phash_neardup": d.q_phash_neardup,
         # crawler ops (rows-only: stateful / not SQL-expressible)
-        "q_canonicalize": d.q_canonicalize,
         "q_frontier_schedule": lambda sf: run_flagship(
             sf, per_host_budget=32, epoch_budget=50_000,
             n_seen_shards=4, seen_capacity=1 << 20,
@@ -216,5 +219,19 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a, embeddings b
             WHERE a.vec_id < b.vec_id
               AND list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+        """,
+        "q_sample": """
+            SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
+            WHERE ((l_orderkey % 1000003) * 31 + l_partkey) % 97 = 0
+        """,
+        "q_canonicalize": """
+            SELECT 'http://host' || CAST(user_id AS VARCHAR) || '.example/e/'
+                     || CAST(event_id AS VARCHAR) || '/y?q=~'
+                     || CAST(event_id % 3 AS VARCHAR) AS url,
+                   'http://(example,host' || CAST(user_id AS VARCHAR) || ',)/e/'
+                     || CAST(event_id AS VARCHAR) || '/y?q=~'
+                     || CAST(event_id % 3 AS VARCHAR) AS surt,
+                   'host' || CAST(user_id AS VARCHAR) || '.example' AS host
+            FROM events
         """,
     }

@@ -133,6 +133,31 @@ def make_web(
         paths += [f"/p/private/{j}" for j in range(n_priv)]
         page_paths[host] = paths
 
+    # 3xx alias pages: /r/{j} redirects to a real page (Location relative
+    # or absolute, same- or cross-host); host0 additionally carries a
+    # 2-hop chain (/r/chain -> /r/0 -> page) and a redirect loop pair
+    alias_paths: dict[str, list[str]] = {h: [] for h in hosts}
+    redirect_of: dict[str, tuple[int, str]] = {}  # url -> (status, location)
+    for k, host in enumerate(hosts):
+        n_alias = max(1, int(counts[k]) // 8)
+        for j in range(n_alias):
+            tgt_host = host if rng.random() < 0.7 else hosts[int(rng.integers(0, n_hosts))]
+            tgt = page_paths[tgt_host][int(rng.integers(0, len(page_paths[tgt_host])))]
+            loc = (
+                tgt
+                if (tgt_host == host and rng.random() < 0.5)
+                else f"http://{tgt_host}{tgt}"
+            )
+            st = int(rng.choice([301, 302, 307], p=[0.6, 0.3, 0.1]))
+            path = f"/r/{j}"
+            alias_paths[host].append(path)
+            redirect_of[f"http://{host}{path}"] = (st, loc)
+    h0 = hosts[0]
+    redirect_of[f"http://{h0}/r/chain"] = (301, "/r/0")  # 2-hop chain via /r/0
+    redirect_of[f"http://{h0}/r/loopa"] = (302, "/r/loopb")
+    redirect_of[f"http://{h0}/r/loopb"] = (302, "/r/loopa")
+    alias_paths[h0] += ["/r/chain", "/r/loopa"]
+
     # assign images to hosts round-robin; image url path /img/{image_id}.{fmt}
     img_urls: list[tuple[str, int]] = []  # (url, corpus_row_idx)
     img_host_of: dict[str, list[tuple[str, int]]] = {h: [] for h in hosts}
@@ -147,7 +172,9 @@ def make_web(
     captions = corpus.column("caption").to_pylist()
     blobs = corpus.column("bytes").to_pylist()
 
-    urls, hostcol, status, ctype, body, outlinks, fetch_ms = [], [], [], [], [], [], []
+    urls, hostcol, status, ctype, body, outlinks, fetch_ms, location = (
+        [], [], [], [], [], [], [], [],
+    )
 
     all_pages = [(h, p) for h in hosts for p in page_paths[h]]
     for host, path in all_pages:
@@ -161,7 +188,15 @@ def make_web(
                 tgt_host = host
             else:
                 tgt_host = hosts[int(rng.integers(0, n_hosts))]
-            tgt_path = page_paths[tgt_host][int(rng.integers(0, len(page_paths[tgt_host])))]
+            # ~12% of links point at a 3xx alias — the crawl must chase it
+            if alias_paths[tgt_host] and rng.random() < 0.12:
+                tgt_path = alias_paths[tgt_host][
+                    int(rng.integers(0, len(alias_paths[tgt_host])))
+                ]
+            else:
+                tgt_path = page_paths[tgt_host][
+                    int(rng.integers(0, len(page_paths[tgt_host])))
+                ]
             href = _href_variants(rng, tgt_host, tgt_path)
             links_html.append(f'<a href="{href}">go</a>')
             truth.append(f"http://{tgt_host}{tgt_path}")
@@ -181,6 +216,7 @@ def make_web(
         ctype.append("text/html")
         body.append(html.encode() if st == 200 else b"")
         outlinks.append(truth if st == 200 else [])
+        location.append("")
         # host0 slower (straggler test)
         mu = 3.5 if host == hosts[0] else 2.5
         fetch_ms.append(float(np.exp(rng.normal(mu, 0.4))))
@@ -192,7 +228,18 @@ def make_web(
         ctype.append("image/png")
         body.append(blobs[irow])
         outlinks.append([])
+        location.append("")
         fetch_ms.append(float(np.exp(rng.normal(2.0, 0.3))))
+
+    for alias_url, (st, loc) in sorted(redirect_of.items()):
+        urls.append(alias_url)
+        hostcol.append(alias_url.split("/")[2])
+        status.append(st)
+        ctype.append("")
+        body.append(b"")
+        outlinks.append([])
+        location.append(loc)
+        fetch_ms.append(float(np.exp(rng.normal(1.0, 0.2))))
 
     pages = pa.table(
         {
@@ -203,6 +250,7 @@ def make_web(
             "body": pa.array(body, pa.binary()),
             "out_links": pa.array(outlinks, pa.list_(pa.string())),
             "fetch_ms": pa.array(fetch_ms, pa.float64()),
+            "location": pa.array(location, pa.string()),
         }
     )
     return pages, corpus
@@ -262,6 +310,9 @@ def make_seeds(pages: pa.Table, k: int = 12, seed: int = 42) -> list[str]:
             out.append(u)  # literal duplicate
     out.append("not a url at all")
     out.append("ftp://host0.example/skip-me")
+    # a 3xx alias seed: the very first fetch exercises the redirect chase
+    host0 = urls[0].split("/")[2] if urls else "host0.example"
+    out.append(f"http://{host0}/r/0")
     return out
 
 

@@ -23,10 +23,17 @@ Scale notes (10^10-URL frontier):
 - the *epoch batch* (scheduled ∪ fetched) is bounded by the politeness
   budget — that is the unit pinned in the object store
   (``.materialize()``), never pulled to the driver with bodies.
-- driver-side state is O(hosts) (budgets) and O(images) (captions);
-  both documented as broadcast small-sides; at larger scale captions
-  become a hash-partitioned join on image url and budgets ride the
-  host_shard partitioning instead of a dict.
+- driver-side state is O(hosts-this-epoch) (budgets) and
+  O(epoch batch) (captions/redirects discovered this epoch): nothing
+  cumulative. The caption store and admitted log are append-only
+  parquet sinks written by datasets; captions attach to corpus rows by
+  a distributed hash join, never a driver dict.
+- redirects: the fetcher chases 3xx chains itself (bounded hops); the
+  discovered URLs run through canonicalize and are MARKED seen so they
+  are never re-fetched as links, but are not enqueued (their content
+  arrived under the scheduled URL) — heroshi io-worker semantics.
+- seen-gate admission and counters increments are idempotent under Ray
+  task retries (content-digest replay tokens; see state/seen.py).
 - false positives of the seen filter (~1.2e-4) skip a URL, never
   double-fetch it — bounded loss, crawl-safe.
 """
@@ -58,6 +65,7 @@ from ..sources.io import (
     read_epoch_tables,
     read_frontier,
     read_seeds,
+    write_epoch_dataset,
     write_frontier,
 )
 from ..stages.canonicalize import canonicalize_dataset
@@ -152,7 +160,6 @@ class Crawler:
         from ..state.counters import CountersActor
 
         self.counters = CountersActor.remote()
-        self.captions: dict[str, str] = {}
 
     # ------------------------------------------------------------------
     def _now_us(self, epoch: int) -> int:
@@ -181,15 +188,10 @@ class Crawler:
 
         with open(os.path.join(d, "politeness.json"), "w") as f:
             json.dump(self.pol.state(), f)
-        cap_tbl = pa.table(
-            {
-                "url": pa.array(sorted(self.captions), pa.string()),
-                "caption": pa.array(
-                    [self.captions[k] for k in sorted(self.captions)], pa.string()
-                ),
-            }
-        )
-        pq.write_table(cap_tbl, os.path.join(d, "captions.parquet"))
+        # counters are part of the commit: a resumed run's totals must be
+        # indistinguishable from an uninterrupted one
+        with open(os.path.join(d, "counters.json"), "w") as f:
+            json.dump(ray.get(self.counters.snapshot.remote()), f)
         commit_manifest(self.workdir, epoch, info)
 
     def _load_state(self, epoch: int) -> None:
@@ -199,10 +201,10 @@ class Crawler:
 
         with open(os.path.join(d, "politeness.json")) as f:
             self.pol.load_state(json.load(f))
-        cap = pq.read_table(os.path.join(d, "captions.parquet"))
-        self.captions = dict(
-            zip(cap.column("url").to_pylist(), cap.column("caption").to_pylist())
-        )
+        cpath = os.path.join(d, "counters.json")
+        if os.path.exists(cpath):
+            with open(cpath) as f:
+                ray.get(self.counters.restore.remote(json.load(f)))
 
     # ------------------------------------------------------------------
     def run_epoch(self, e: int, report: CrawlReport) -> int:
@@ -212,13 +214,16 @@ class Crawler:
         t0 = time.time()
 
         pending = read_frontier(self.workdir, e)
+        ok0, err0 = report.fetch_ok, report.fetch_err  # per-epoch metric deltas
 
         # crash-resume hygiene: epoch e re-runs only when manifest e+1 was
         # never committed; clear any partial outputs from the dead attempt
         import shutil
 
-        for sub in ("fetchlog", "corpus"):
-            d = os.path.join(self.workdir, sub, f"e{e}")
+        for sub, ep in (
+            ("fetchlog", e), ("corpus", e), ("admitted_log", e + 1),
+        ):
+            d = os.path.join(self.workdir, sub, f"e{ep}")
             if os.path.isdir(d):
                 shutil.rmtree(d)
 
@@ -304,10 +309,38 @@ class Crawler:
         os.makedirs(log_dir, exist_ok=True)
         fetched.drop_columns(["content"]).write_parquet(log_dir)
 
+        # redirect-discovered URLs (3xx chase targets) flow through
+        # canonicalize -> seen: marked as crawled so they are never
+        # re-fetched as links, but NOT admitted as pending (their content
+        # arrived under the original URL). Bounded by epoch batch x hops.
+        red_df = fetched.map_batches(
+            lambda b: b.filter(pc.greater(b.column("n_redirects"), 0)).select(
+                ["final_url", "redirect_chain"]
+            ),
+            batch_format="pyarrow",
+        ).to_pandas()
+        if len(red_df):
+            from ..functions.urlnorm import canonicalize
+
+            disc: set = set()
+            for fu, ch in zip(red_df["final_url"], red_df["redirect_chain"]):
+                disc.update(ch)
+                disc.add(fu)
+            surts = []
+            for u in sorted(disc):
+                c = canonicalize(u)
+                if c is not None:
+                    surts.append(c[1])
+            if surts:
+                self.seen.check_and_add(surts)
+
         # X1: links + captions
         links = fetched.map_batches(
             LinkExtractor, batch_format="pyarrow", concurrency=(1, 2), batch_size=256, num_cpus=0.5
         ).materialize()
+        # captions discovered THIS epoch (min per url) -> append-only
+        # epoch sink; the cumulative caption store lives in parquet, not
+        # in a driver dict (at 10^10 URLs a dict is driver-OOM)
         cap_df = (
             links.map_batches(
                 lambda b: b.filter(pc.not_equal(b.column("caption"), "")).select(
@@ -318,22 +351,40 @@ class Crawler:
             .to_pandas()
         )
         if len(cap_df):
-            firsts = cap_df.groupby("url", sort=True)["caption"].min()
-            for u, c in firsts.items():
-                self.captions.setdefault(u, c)
+            firsts = cap_df.groupby("url", sort=True)["caption"].min().reset_index()
+            append_epoch_table(
+                pa.table(
+                    {
+                        "url": pa.array(firsts["url"], pa.string()),
+                        "caption": pa.array(firsts["caption"], pa.string()),
+                        "epoch": pa.array(
+                            np.full(len(firsts), e, dtype=np.int64), pa.int64()
+                        ),
+                    }
+                ),
+                self.workdir,
+                "captions",
+                e,
+            )
 
-        # corpus rows from fetched images (captions broadcast — small side)
-        captions_ref = ray.put(dict(self.captions))
+        # corpus rows from fetched images; caption attached by JOINING
+        # the captions sink on url (first-wins across epochs = min epoch)
         corpus_dir = os.path.join(self.workdir, "corpus", f"e{e}")
         os.makedirs(corpus_dir, exist_ok=True)
-        fetched.map_batches(
+        img_rows = fetched.map_batches(
             ImageRowBuilder,
-            fn_constructor_kwargs={"captions_ref": captions_ref},
             batch_format="pyarrow",
             concurrency=(1, 2),
             batch_size=64,
             num_cpus=0.5,
-        ).write_parquet(corpus_dir)
+        ).materialize()  # bounded by the epoch batch; pinned for count+join
+        n_img = img_rows.count()
+        if n_img:
+            # repartition squeezes out zero-row blocks first: Ray's hash
+            # join (2.49) loses the left schema on aggregator partitions
+            # that receive only empty blocks and aborts with ArrowInvalid
+            img_rows = img_rows.repartition(max(1, min(4, n_img // 64)))
+            self._attach_captions(img_rows, e).write_parquet(corpus_dir)
 
         # candidates: canonicalize -> D1 exact dedup -> J1 seen gate
         cand = canonicalize_dataset(
@@ -348,23 +399,20 @@ class Crawler:
         cand = dedup_first(cand, n_buckets=cfg.n_buckets)
         admitted = self.seen.filter_new(cand).materialize()
         # membership log: the exact set of surts ever admitted — the
-        # URL-seen golden value the oracle crawler is compared against
-        adm_df = admitted.select_columns(["surt"]).to_pandas()
-        adm = adm_df["surt"].tolist() if "surt" in adm_df.columns else []
-        n_admitted = len(adm)
+        # URL-seen golden value the oracle crawler is compared against.
+        # Written BY THE DATASET (distributed sink), never via the driver.
+        n_admitted = admitted.count()
         if n_admitted:
-            append_epoch_table(
-                pa.table({"surt": pa.array(sorted(adm), pa.string())}),
-                self.workdir,
-                "admitted_log",
-                e + 1,
+            write_epoch_dataset(
+                admitted.select_columns(["surt"]), self.workdir, "admitted_log", e + 1
             )
 
-        # retries / permanent failures
+        # retries / permanent failures (nested cols dropped: pandas is
+        # only a carrier for the scalar retry fields)
         fail_tbl = fetched.map_batches(
             lambda b: b.filter(pc.invert(b.column("success"))),
             batch_format="pyarrow",
-        ).drop_columns(["content"]).to_pandas()
+        ).drop_columns(["content", "headers", "redirect_chain"]).to_pandas()
         retry_rows, n_failed_perm = self._build_retries(fail_tbl, e, now_us)
         report.fetch_ok += n_sched - len(fail_tbl)
         report.fetch_err += len(fail_tbl)
@@ -387,10 +435,59 @@ class Crawler:
             new_frontier = new_frontier.union(ray.data.from_arrow(retry_rows))
 
         self._finish_epoch(
-            e, new_frontier, sched_tbl, None, n_denied, n_sched, n_admitted,
-            n_failed_perm, t0, report,
+            e, new_frontier, sched_tbl,
+            (report.fetch_ok - ok0, report.fetch_err - err0),
+            n_denied, n_sched, n_admitted, n_failed_perm, t0, report,
         )
         return frontier_row_count(self.workdir, e + 1)
+
+    def _attach_captions(self, img_rows: "ray.data.Dataset", e: int) -> "ray.data.Dataset":
+        """CORPUS rows (+url) ⋈ captions sink on url, first-wins across
+        epochs (min epoch). Distributed hash join: the caption store
+        grows with the corpus and never touches the driver."""
+        import glob
+
+        from ..runtime import tune_join_resources
+
+        files = sorted(glob.glob(os.path.join(self.workdir, "captions", "e*.parquet")))
+        if not files:
+            return img_rows.drop_columns(["url"])
+        tune_join_resources()
+        caps = ray.data.read_parquet(files)
+        caps = dedup_first(caps, key="url", tie_cols=("epoch",), n_buckets=self.cfg.n_buckets)
+        caps = caps.map_batches(
+            lambda b: pa.table(
+                {"__cap_url": b.column("url"), "__cap": b.column("caption")}
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        # squeeze out the zero-row blocks the bucketed dedup leaves
+        # behind (Ray's hash join aborts on empty-block-only partitions)
+        n_caps = caps.count()
+        caps = caps.repartition(max(1, min(8, n_caps // 4096)))
+        joined = img_rows.drop_columns(["caption"]).join(
+            caps,
+            join_type="left_outer",
+            num_partitions=4,
+            on=("url",),
+            right_on=("__cap_url",),
+        )
+
+        def finish(batch: pa.Table) -> pa.Table:
+            cap = pc.fill_null(batch.column("__cap"), "")
+            return pa.table(
+                {
+                    "image_id": batch.column("image_id"),
+                    "bytes": batch.column("bytes"),
+                    "w": batch.column("w"),
+                    "h": batch.column("h"),
+                    "fmt": batch.column("fmt"),
+                    "caption": cap,
+                    "phash": batch.column("phash"),
+                }
+            )
+
+        return joined.map_batches(finish, batch_format="pyarrow")
 
     def _build_retries(self, fail_df: pd.DataFrame, e: int, now_us: int):
         cfg = self.cfg
@@ -443,7 +540,7 @@ class Crawler:
         )
 
     def _finish_epoch(
-        self, e, new_frontier, sched_tbl, _unused, n_denied, n_sched, n_admitted,
+        self, e, new_frontier, sched_tbl, fetch_deltas, n_denied, n_sched, n_admitted,
         n_failed, t0, report,
     ) -> None:
         cfg = self.cfg
@@ -461,6 +558,7 @@ class Crawler:
         report.urls_scheduled += n_sched
         report.urls_admitted += n_admitted
         report.robots_denied += n_denied
+        ok_d, err_d = fetch_deltas if fetch_deltas is not None else (0, 0)
         report.metrics.append(
             {
                 "epoch": e,
@@ -468,8 +566,10 @@ class Crawler:
                 "urls_in": int(n_sched + n_admitted),
                 "urls_deduped": int(n_admitted),
                 "urls_scheduled": int(n_sched),
-                "fetch_ok": int(report.fetch_ok),
-                "fetch_err": int(report.fetch_err),
+                # per-EPOCH deltas, not cumulative totals: rows must mean
+                # the same thing in a resumed run as in an unbroken one
+                "fetch_ok": int(ok_d),
+                "fetch_err": int(err_d),
                 "wall_ms": wall_ms,
             }
         )

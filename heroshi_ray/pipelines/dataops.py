@@ -37,6 +37,7 @@ from ..functions.text import (
     token_count_bpe,
     token_count_ws,
 )
+from ..runtime import default_buckets, join_partitions, tune_join_resources
 from ..stages.dedup import dedup_first
 
 
@@ -53,7 +54,7 @@ def q_dedup_exact(sf_dir: str):
     key only inside a bucket (at 100 TB you'd key on fingerprint64 and
     verify equality in-bucket; identical layout)."""
     ds = _pq(sf_dir, "documents", columns=["doc_id", "text"])
-    return dedup_first(ds, key="text", tie_cols=("doc_id",), n_buckets=32)
+    return dedup_first(ds, key="text", tie_cols=("doc_id",), n_buckets=default_buckets())
 
 
 def q_fingerprint(sf_dir: str):
@@ -100,11 +101,13 @@ class _MinHashStage:
 
 
 def _dedup_pairs(cand: "ray.data.Dataset", a_col: str, b_col: str,
-                 n_buckets: int = 64) -> "ray.data.Dataset":
+                 n_buckets: int | None = None) -> "ray.data.Dataset":
     """Distributed (a, b) pair dedup: one shuffle keyed on hash(pair)%B,
     per-bucket vectorized drop_duplicates — equal pairs co-locate, so no
     pair set ever reaches the driver."""
     from ..functions.hashing import hash64
+
+    n_buckets = n_buckets or default_buckets()
 
     def add_pk(batch: pa.Table) -> pa.Table:
         keys = [
@@ -147,7 +150,7 @@ def q_minhash_neardup(sf_dir: str, threshold: float = 0.6):
         # vectorized call per bucket instead of one Python call per group
         b = (
             batch.column("band_key").to_numpy(zero_copy_only=False).astype(np.int64)
-            % 512
+            % (default_buckets(per_cpu=8, hi=1024))
         ).astype(np.int32)
         return batch.append_column("__bkt", pa.array(b, pa.int32()))
 
@@ -179,8 +182,13 @@ def q_minhash_neardup(sf_dir: str, threshold: float = 0.6):
             "jaccard": pa.array([], pa.float64()),
         }
     )
-    if cand.count() == 0:
+    n_cand = cand.count()
+    if n_cand == 0:
         return empty
+    tune_join_resources()
+    # squeeze out zero-row blocks (sparse pair buckets): Ray's hash join
+    # aborts on aggregator partitions that receive only empty blocks
+    cand = cand.repartition(max(1, min(8, n_cand // 1000)))
 
     # verify: join candidates back to the text table on doc_id (hash
     # join — both sides stay distributed; at 100 TB this is the only
@@ -194,11 +202,11 @@ def q_minhash_neardup(sf_dir: str, threshold: float = 0.6):
         )
 
     joined = cand.join(
-        _renamed("doc_a", "__text_a"), join_type="inner", num_partitions=8,
-        on=("doc_a",),
+        _renamed("doc_a", "__text_a"), join_type="inner",
+        num_partitions=join_partitions(8), on=("doc_a",),
     ).join(
-        _renamed("doc_b", "__text_b"), join_type="inner", num_partitions=8,
-        on=("doc_b",),
+        _renamed("doc_b", "__text_b"), join_type="inner",
+        num_partitions=join_partitions(8), on=("doc_b",),
     )
 
     def verify(batch: pa.Table) -> pa.Table:
@@ -523,8 +531,9 @@ def q_embed_neardup(
 # ------------------------------------------------------------- crawler ---
 def q_canonicalize(sf_dir: str):
     """RFC 3986 + SURT canonicalization over URLs synthesized
-    deterministically from the events table (rows-only check: URL
-    normalization is not SQL-expressible)."""
+    deterministically from the events table. Oracle-checked: the input
+    template is fixed, so the DuckDB twin constructs the expected
+    canonical url / surt / host with plain string concatenation."""
     from ..stages.canonicalize import canonicalize_dataset
 
     ds = ray.data.read_parquet(
@@ -603,20 +612,17 @@ def q_approx_distinct(sf_dir: str):
     return pa.table({"approx_distinct": pa.array([est], pa.int64())})
 
 
-def q_sample(sf_dir: str, fraction: float = 0.01):
-    """Seeded monitoring sample (K4). Rows-only: sampling is
-    engine-specific; determinism within this engine is what matters."""
+def q_sample(sf_dir: str, mod: int = 97):
+    """Deterministic ~1% monitoring sample (K4): multiplicative hash-mod
+    of the row key, fully vectorized — and expressible in ANSI SQL, so
+    the driver hash-checks it against a DuckDB twin (keep rows where
+    ((l_orderkey % 1000003) * 31 + l_partkey) % 97 == 0)."""
     ds = _pq(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey", "l_quantity"])
 
     def sample(batch: pa.Table) -> pa.Table:
-        # deterministic per-row sampling: hash the key, keep h < f*2^64
-        from ..functions.hashing import hash64
-
-        ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
-        ln = batch.column("l_partkey").to_numpy(zero_copy_only=False)
-        keys = [f"s:{a}:{b}" for a, b in zip(ok, ln)]
-        h = hash64(keys)
-        mask = h < np.uint64(int(fraction * 2**64))
+        ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        mask = ((ok % 1000003) * 31 + pk) % mod == 0
         return batch.filter(pa.array(mask))
 
     return ds.map_batches(sample, batch_format="pyarrow", zero_copy_batch=True)
@@ -721,7 +727,7 @@ def q_phash_neardup(sf_dir: str, max_hamming: int = 6):
                 * (1 << 17)
                 + batch.column("key").to_numpy(zero_copy_only=False).astype(np.int64)
             )
-            % 32
+            % default_buckets()
         ).astype(np.int32)
         return batch.append_column("__g", pa.array(g, pa.int32()))
 

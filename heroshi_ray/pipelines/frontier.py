@@ -115,9 +115,16 @@ class GateAndCap:
         shard_ids = keys % np.uint64(self.n_shards)
         mask = np.zeros(len(keys), dtype=bool)
         refs, idxs = [], []
+        import hashlib
+
         for s in np.unique(shard_ids):
             idx = np.flatnonzero(shard_ids == s)
-            refs.append(self.shards[int(s)].check_and_add.remote(keys[idx]))
+            # content-digest token: a Ray-retried task re-asks with the
+            # same token and gets the SAME admission answer replayed —
+            # without it the retry finds its keys inserted and silently
+            # drops the whole block (see SeenShard docstring)
+            tok = hashlib.blake2b(keys[idx].tobytes(), digest_size=16).digest()
+            refs.append(self.shards[int(s)].check_and_add.remote(keys[idx], tok))
             idxs.append(idx)
         # Non-blocking wait: a worker that blocks in ray.get releases its
         # CPU slot and the raylet backfills it with a FRESH worker process
@@ -163,6 +170,7 @@ def fused_schedule_pipeline(
     n_buckets: int = 32,
     seen: SeenSet | None = None,
     gate_concurrency: tuple[int, int] | None = None,
+    driver_merge_max: int = 4_000_000,
 ):
     """Combiner-style schedule path — the full frontier NEVER shuffles:
 
@@ -208,17 +216,34 @@ def fused_schedule_pipeline(
         # raised (bench.py sets them) so those backfill workers stay warm
         # instead of respawning + re-importing for every block.
         gate = GateAndCap(seen.shards, n_buckets, per_host_budget)
+        # materialize = the gate's side effects (cuckoo inserts) execute
+        # EXACTLY once; every downstream consumer reads the pinned blocks
         capped = cand.map_batches(
             gate, batch_format="pyarrow", zero_copy_batch=True
-        )
+        ).materialize()
+        total = capped.count()
+        if total > driver_merge_max:
+            # Spill path: the capped stream outgrew the driver's handout
+            # bound (many hosts x large budget) — same exact semantics as
+            # the driver merge, as Ray shuffles: groupby(__hs) co-locates
+            # every row of a host for the exact per-host top-budget, then
+            # one (bounded-input) sort + limit for the global order.
+            topped = capped.groupby("__hs").map_groups(
+                final_topk, batch_format="pyarrow"
+            )
+            ordered = topped.sort(["priority", "__sh"], descending=[True, False]).limit(
+                epoch_budget
+            )
+            return ordered.drop_columns(["__sh", "__hh", "__hs"])
         # Final merge on the driver — this is heroshi's manager assembling
         # one crawl-queue handout: the input here is the budget-capped
         # stream (<= hosts x budget rows per block), NOT the frontier, and
-        # the epoch batch is bounded by design. An all-to-all shuffle for
-        # a bounded, driver-owned batch costs more than it buys.
+        # the epoch batch is bounded by design (and checked above). An
+        # all-to-all shuffle for a bounded, driver-owned batch costs more
+        # than it buys.
         blocks = [b for b in ray.get(capped.to_arrow_refs()) if b.num_rows]
         if not blocks:
-            return capped.drop_columns(["__sh", "__hh", "__hs"]).materialize()
+            return capped.drop_columns(["__sh", "__hh", "__hs"])
         merged = pa.concat_tables(blocks, promote_options="none")
         out = final_topk(merged)
         prio = out.column("priority").to_numpy(zero_copy_only=False)

@@ -29,6 +29,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from ..runtime import default_buckets, join_partitions, tune_join_resources
 from ..stages.dedup import dedup_first
 
 ROUND = 6
@@ -92,15 +93,16 @@ def q_groupby_host(sf_dir: str):
 
 
 # ---------------------------------------------------------------- K1 ----
-def q_topk_per_host(sf_dir: str, k: int = 3):
+def q_topk_per_host(sf_dir: str, k: int = 3, n_buckets: int | None = None):
     """Per-key top-k, bucketed: shuffle on hash(user)%B, vectorized
-    sort+cumcount per bucket."""
+    sort+cumcount per bucket. B scales with the cluster (runtime.py)."""
+    B = n_buckets or default_buckets()
     ds = _pq(sf_dir, "events", columns=["event_id", "user_id", "value"])
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         b = (
             batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.uint64)
-            % np.uint64(16)
+            % np.uint64(B)
         ).astype(np.int32)
         return batch.append_column("__b", pa.array(b, pa.int32()))
 
@@ -147,7 +149,8 @@ def q_dedup_first(sf_dir: str):
     )
     return dedup_first(
         ds, key="l_orderkey",
-        tie_cols=("l_linenumber", "l_partkey", "l_quantity"), n_buckets=32,
+        tie_cols=("l_linenumber", "l_partkey", "l_quantity"),
+        n_buckets=default_buckets(),
     )
 
 
@@ -287,12 +290,13 @@ def q_sessionize(sf_dir: str, gap_minutes: int = 30):
     ray_guide 'Streaming-shaped workloads'): partition by user, sort by
     (ts, event_id) within partition, new session when gap > 30min.
     One bucketed shuffle; per-bucket body is vectorized pandas."""
+    B = default_buckets()
     ds = _pq(sf_dir, "events", columns=["event_id", "user_id", "ts"])
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         b = (
             batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.uint64)
-            % np.uint64(16)
+            % np.uint64(B)
         ).astype(np.int32)
         return batch.append_column("__b", pa.array(b, pa.int32()))
 
@@ -317,18 +321,19 @@ def q_sessionize(sf_dir: str, gap_minutes: int = 30):
 
 
 # ------------------------------------------------------------ distinct --
-def q_count_distinct(sf_dir: str, n_buckets: int = 64):
+def q_count_distinct(sf_dir: str, n_buckets: int | None = None):
     """Exact distinct count, two-level: per-batch partial unique
     (combiner) -> bucketed groupby on hash(key)%B with a per-bucket
     unique count -> Sum of per-bucket counts. Buckets hold disjoint key
     ranges, so the sum is exact; the only thing that ever reaches the
     driver is <= B count rows — never the distinct key set itself (at
     100 TB the distinct set is itself huge)."""
+    B = n_buckets or default_buckets()
     ds = _pq(sf_dir, "lineitem", columns=["l_orderkey"])
 
     def partial(batch: pa.Table) -> pa.Table:
         u = np.unique(batch.column("l_orderkey").to_numpy(zero_copy_only=False))
-        b = (u.astype(np.uint64) % np.uint64(n_buckets)).astype(np.int32)
+        b = (u.astype(np.uint64) % np.uint64(B)).astype(np.int32)
         return pa.table(
             {"l_orderkey": pa.array(u, pa.int64()), "__b": pa.array(b, pa.int32())}
         )
@@ -424,7 +429,7 @@ def q_asof_join(sf_dir: str):
         b = batch.filter(keep)
         bk = (
             b.column("user_id").to_numpy(zero_copy_only=False).astype(np.uint64)
-            % np.uint64(16)
+            % np.uint64(default_buckets())
         ).astype(np.int32)
         return b.append_column("__b", pa.array(bk, pa.int32()))
 
@@ -457,10 +462,11 @@ def q_hash_join(sf_dir: str):
     """Both-sides-large join via Ray Data's native hash join
     (``Dataset.join``, Ray >= 2.46): lineitem ⋈ orders on orderkey —
     the J3 scale path when neither side is broadcastable."""
+    tune_join_resources()
     li = _pq(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity", "l_linenumber"])
     o = _pq(sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_totalprice"])
     joined = li.join(
-        o, join_type="inner", num_partitions=16,
+        o, join_type="inner", num_partitions=join_partitions(),
         on=("l_orderkey",), right_on=("o_orderkey",),
     )
     return joined.map_batches(

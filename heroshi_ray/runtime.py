@@ -1,0 +1,55 @@
+"""Cluster-aware sizing knobs.
+
+Shuffle bucket counts must scale with the cluster, not be frozen
+literals: a fixed 16-bucket groupby caps parallelism on a 256-node
+cluster, and 512 buckets on a laptop is pure overhead. Every pipeline
+takes an explicit ``n_buckets`` override; ``default_buckets()`` is the
+resolved default (2 buckets per CPU, clamped).
+"""
+
+from __future__ import annotations
+
+
+def cluster_cpus(fallback: int = 8) -> int:
+    try:
+        import ray
+
+        if ray.is_initialized():
+            return int(ray.cluster_resources().get("CPU", fallback)) or fallback
+    except Exception:
+        pass
+    return fallback
+
+
+def default_buckets(per_cpu: int = 2, lo: int = 8, hi: int = 256) -> int:
+    """Shuffle width for bucketed groupby stages: proportional to the
+    cluster's CPU count, clamped to [lo, hi]. Bucket count only affects
+    partitioning (never results), so scaling it is always safe."""
+    return max(lo, min(hi, cluster_cpus() * per_cpu))
+
+
+def tune_join_resources(num_cpus_per_partition: float = 0.05) -> None:
+    """Cap the CPU reservation of Ray's hash-join aggregator actors.
+
+    By default each aggregator reserves min(1, (CPU/2)/partitions) CPUs,
+    so two chained joins at 8 partitions on a 4-CPU node reserve EVERY
+    core and the map stages feeding them can never schedule — a
+    real observed deadlock (minhash verify after the schedule pipeline).
+    The engine's join aggregators are lightweight concat+hash stages;
+    a nominal reservation lets maps and aggregators share cores. Call
+    before building any Dataset.join plan (idempotent)."""
+    try:
+        from ray.data import DataContext
+
+        ctx = DataContext.get_current()
+        ctx.join_operator_actor_num_cpus_per_partition_override = (
+            num_cpus_per_partition
+        )
+    except Exception:
+        pass
+
+
+def join_partitions(hi: int = 16) -> int:
+    """Hash-join partition count proportional to the cluster (each
+    partition is an aggregator actor — more than ~1 per core is waste)."""
+    return max(2, min(hi, cluster_cpus()))

@@ -44,8 +44,9 @@ STATE_FAILED = 3
 STATE_ROBOTS_DENIED = 4
 
 # T3 — fetch results (relationalized heroshi io-worker stdout record).
-# Headers are a JSON string rather than pa.map_ to keep pandas/DuckDB
-# round-trips painless (SURVEY.md §1.3).
+# Headers are a typed map (SURVEY.md §1.1 T3); the fetcher follows 3xx
+# chains itself (heroshi's Go http.Client does the same), recording the
+# terminal URL, hop count, and every URL the chase discovered.
 FETCH = pa.schema(
     [
         ("url", pa.string()),
@@ -53,12 +54,15 @@ FETCH = pa.schema(
         ("host", pa.string()),
         ("status_code", pa.int32()),
         ("success", pa.bool_()),
-        ("headers", pa.string()),
+        ("headers", pa.map_(pa.string(), pa.string())),
         ("content", pa.binary()),
         ("content_type", pa.string()),
         ("fetch_ms", pa.float64()),
         ("fetched_at", pa.timestamp("us")),
         ("error", pa.string()),
+        ("final_url", pa.string()),      # terminal URL of the redirect chase (== url when direct)
+        ("n_redirects", pa.int32()),
+        ("redirect_chain", pa.list_(pa.string())),  # URLs discovered by the chase, in hop order
     ]
 )
 

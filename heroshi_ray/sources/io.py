@@ -155,13 +155,35 @@ def append_epoch_table(table: pa.Table, workdir: str, sub: str, epoch: int) -> s
     return p
 
 
+def write_epoch_dataset(ds: "ray.data.Dataset", workdir: str, sub: str, epoch: int) -> str:
+    """Distributed append-only per-epoch sink: {workdir}/{sub}/e{epoch}/
+    written by the DATASET (never pulled to the driver). The directory is
+    cleared first so a crashed epoch's re-run can't double its rows."""
+    d = os.path.join(workdir, sub, f"e{epoch}")
+    if os.path.isdir(d):
+        import shutil
+
+        shutil.rmtree(d)
+    os.makedirs(d, exist_ok=True)
+    ds.write_parquet(d)
+    return d
+
+
 def read_epoch_tables(workdir: str, sub: str) -> pa.Table | None:
+    """Read every epoch sink under {workdir}/{sub}: both single-file
+    epochs (e{N}.parquet) and distributed-write epochs (e{N}/*.parquet)."""
     d = os.path.join(workdir, sub)
     if not os.path.isdir(d):
         return None
-    files = sorted(
-        os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
-    )
+    files = []
+    for name in sorted(os.listdir(d)):
+        p = os.path.join(d, name)
+        if name.endswith(".parquet"):
+            files.append(p)
+        elif os.path.isdir(p):
+            files.extend(
+                os.path.join(p, f) for f in sorted(os.listdir(p)) if f.endswith(".parquet")
+            )
     if not files:
         return None
     return pa.concat_tables([pq.read_table(f) for f in files])

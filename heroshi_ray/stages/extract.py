@@ -52,7 +52,13 @@ class LinkExtractor:
         self.img_re = _IMG_RE
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        urls = batch.column("url").to_pylist()
+        # relative hrefs resolve against the URL that actually served the
+        # content — the redirect-terminal final_url (browser semantics)
+        urls = (
+            batch.column("final_url").to_pylist()
+            if "final_url" in batch.column_names
+            else batch.column("url").to_pylist()
+        )
         surts = batch.column("surt").to_pylist()
         depths = (
             batch.column("depth").to_pylist()
@@ -101,17 +107,27 @@ _IMG_EXT_RE = re.compile(r"/([^/]+)\.(png|qpng)$")
 
 
 class ImageRowBuilder:
-    """Actor-pool stage: FETCH rows (image/*) -> CORPUS rows."""
+    """Actor-pool stage: FETCH rows (image/*) -> CORPUS rows (+ a ``url``
+    join key). Captions are attached DOWNSTREAM by joining against the
+    append-only captions sink on url (pipelines/crawl.py) — the caption
+    store grows with the corpus and must never live on the driver or be
+    re-broadcast per epoch. ``captions_ref`` remains as an optional
+    broadcast fast path for bounded runs/tests."""
 
-    def __init__(self, captions_ref):
-        self.captions = ray.get(captions_ref)  # {canonical image url: caption}
+    def __init__(self, captions_ref=None):
+        self.captions = ray.get(captions_ref) if captions_ref is not None else {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        urls = batch.column("url").to_pylist()
+        urls = (
+            batch.column("final_url").to_pylist()
+            if "final_url" in batch.column_names
+            else batch.column("url").to_pylist()
+        )
         ok = batch.column("success").to_pylist()
         ctypes = batch.column("content_type").to_pylist()
         contents = batch.column("content").to_pylist()
         ids, blobs, ws, hs, fmts, caps, phs = [], [], [], [], [], [], []
+        img_urls: list[str] = []
         for url, succ, ct, content in zip(urls, ok, ctypes, contents):
             if not succ or content is None or not ct.startswith("image/"):
                 continue
@@ -130,6 +146,7 @@ class ImageRowBuilder:
             fmts.append(fmt)
             caps.append(self.captions.get(url, ""))
             phs.append(phash64(px))
+            img_urls.append(url)
         return pa.table(
             {
                 "image_id": pa.array(ids, pa.string()),
@@ -139,5 +156,6 @@ class ImageRowBuilder:
                 "fmt": pa.array(fmts, pa.string()),
                 "caption": pa.array(caps, pa.string()),
                 "phash": pa.array(np.array(phs, dtype=np.int64), pa.int64()),
+                "url": pa.array(img_urls, pa.string()),
             }
         )

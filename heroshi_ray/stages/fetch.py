@@ -25,23 +25,68 @@ import ray.data
 from ..schemas import FETCH
 
 
+REDIRECT_STATUSES = (301, 302, 303, 307, 308)
+MAX_REDIRECTS = 4
+
+
 def pages_index(pages: pa.Table) -> dict:
-    """url -> (status, content_type, body, fetch_ms) lookup dict."""
+    """url -> (status, content_type, body, fetch_ms, location) lookup."""
     urls = pages.column("url").to_pylist()
     st = pages.column("status_code").to_pylist()
     ct = pages.column("content_type").to_pylist()
     body = pages.column("body").to_pylist()
     ms = pages.column("fetch_ms").to_pylist()
-    return {u: (s, c, b, m) for u, s, c, b, m in zip(urls, st, ct, body, ms)}
+    loc = (
+        pages.column("location").to_pylist()
+        if "location" in pages.column_names
+        else [""] * len(urls)
+    )
+    return {
+        u: (s, c, b, m, lo) for u, s, c, b, m, lo in zip(urls, st, ct, body, ms, loc)
+    }
 
 
 class SyntheticFetcher:
-    """Deterministic in-sandbox stand-in for an HTTP fetcher actor."""
+    """Deterministic in-sandbox stand-in for an HTTP fetcher actor.
+
+    Follows 3xx redirect chains itself (bounded at MAX_REDIRECTS hops,
+    like heroshi's Go http.Client): the terminal page's status/body is
+    the result, ``final_url`` / ``redirect_chain`` record the chase so
+    the crawl loop can mark the discovered URLs seen (they flow through
+    canonicalize like links). A loop or over-long chain fails the fetch
+    with the last 3xx status (non-retryable)."""
 
     def __init__(self, pages_ref, now_us: int = 0, counters=None):
+        from ..functions.urlnorm import resolve
+
         self.pages = ray.get(pages_ref)  # broadcast: one get per ACTOR, zero per batch
         self.now_us = now_us
         self.counters = counters  # A-C actor handle; fire-and-forget reporting
+        self.resolve = resolve
+
+    def _fetch_one(self, url: str):
+        """-> (status, ctype, body, ms, error, final_url, chain)."""
+        cur = url
+        chain: list[str] = []
+        total_ms = 0.0
+        while True:
+            rec = self.pages.get(cur)
+            if rec is None:
+                return -1, "", None, total_ms + 1.0, "connect: host unreachable", cur, chain
+            s, c, b, m, loc = rec
+            total_ms += m
+            if s in REDIRECT_STATUSES and loc:
+                nxt = self.resolve(cur, loc)
+                if nxt is None:
+                    return s, c, None, total_ms, f"bad Location {loc!r}", cur, chain
+                if len(chain) >= MAX_REDIRECTS or nxt in chain or nxt == url:
+                    return s, c, None, total_ms, "too many redirects", nxt, chain
+                chain.append(nxt)
+                cur = nxt
+                continue
+            if s == 200:
+                return s, c, b, total_ms, "", cur, chain
+            return s, c, None, total_ms, f"http status {s}", cur, chain
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch.column("url").to_pylist()
@@ -53,27 +98,34 @@ class SyntheticFetcher:
         ctypes: list[str] = []
         bodies: list[bytes | None] = []
         errs: list[str] = []
+        finals: list[str] = []
+        chains: list[list[str]] = []
+        headers: list[list[tuple[str, str]]] = []
         ms = np.empty(n, dtype=np.float64)
         for i, u in enumerate(urls):
-            rec = self.pages.get(u)
-            if rec is None:
-                status[i] = -1
-                success[i] = False
-                ctypes.append("")
-                bodies.append(None)
-                errs.append("connect: host unreachable")
-                ms[i] = 1.0
-            else:
-                s, c, b, m = rec
-                status[i] = s
-                success[i] = s == 200
-                ctypes.append(c)
-                bodies.append(b if s == 200 else None)
-                errs.append("" if s == 200 else f"http status {s}")
-                ms[i] = m
+            s, c, b, m, err, fin, chain = self._fetch_one(u)
+            status[i] = s
+            success[i] = s == 200 and not err
+            ctypes.append(c)
+            bodies.append(b)
+            errs.append(err)
+            finals.append(fin)
+            chains.append(chain)
+            ms[i] = m
+            hdr = [("content-type", c)] if c else []
+            if chain:
+                hdr.append(("location", chain[0]))
+            headers.append(hdr)
         if self.counters is not None:
+            import hashlib
+
             ok = int(success.sum())
-            self.counters.add.remote(fetch_ok=ok, fetch_err=n - ok)
+            # content-digest token: a Ray-retried task re-reports with the
+            # same token and the counters actor drops the duplicate
+            tok = hashlib.blake2b(
+                "\n".join(urls).encode(), digest_size=16
+            ).digest()
+            self.counters.add.remote(_token=tok, fetch_ok=ok, fetch_err=n - ok)
         return pa.table(
             {
                 "url": pa.array(urls, pa.string()),
@@ -81,7 +133,7 @@ class SyntheticFetcher:
                 "host": pa.array(hosts, pa.string()),
                 "status_code": pa.array(status, pa.int32()),
                 "success": pa.array(success, pa.bool_()),
-                "headers": pa.array(["{}"] * n, pa.string()),
+                "headers": pa.array(headers, pa.map_(pa.string(), pa.string())),
                 "content": pa.array(bodies, pa.binary()),
                 "content_type": pa.array(ctypes, pa.string()),
                 "fetch_ms": pa.array(ms, pa.float64()),
@@ -89,6 +141,11 @@ class SyntheticFetcher:
                     np.full(n, self.now_us, dtype=np.int64), pa.timestamp("us")
                 ),
                 "error": pa.array(errs, pa.string()),
+                "final_url": pa.array(finals, pa.string()),
+                "n_redirects": pa.array(
+                    np.array([len(c) for c in chains], dtype=np.int32), pa.int32()
+                ),
+                "redirect_chain": pa.array(chains, pa.list_(pa.string())),
             },
             schema=FETCH,
         ).append_column(

@@ -14,10 +14,25 @@ import ray
 
 @ray.remote(num_cpus=0.05)
 class CountersActor:
-    def __init__(self):
-        self.counts: dict[str, int] = defaultdict(int)
+    """Increments are idempotent when the reporter passes a content
+    token: a Ray-retried fetch task re-reports with the same token and
+    the duplicate is dropped (bounded LRU — retries arrive promptly)."""
 
-    def add(self, **kv: int) -> None:
+    REPLAY_MAX = 8192
+
+    def __init__(self):
+        from collections import OrderedDict
+
+        self.counts: dict[str, int] = defaultdict(int)
+        self._seen: "OrderedDict[bytes, None]" = OrderedDict()
+
+    def add(self, _token: bytes | None = None, **kv: int) -> None:
+        if _token is not None:
+            if _token in self._seen:
+                return
+            self._seen[_token] = None
+            if len(self._seen) > self.REPLAY_MAX:
+                self._seen.popitem(last=False)
         for k, v in kv.items():
             self.counts[k] += int(v)
 
@@ -25,6 +40,12 @@ class CountersActor:
         out = dict(self.counts)
         self.counts = defaultdict(int)
         return out
+
+    def snapshot(self) -> dict[str, int]:
+        return dict(self.counts)
+
+    def restore(self, counts: dict) -> None:
+        self.counts = defaultdict(int, {k: int(v) for k, v in counts.items()})
 
     def peek(self) -> dict[str, int]:
         return dict(self.counts)

@@ -156,19 +156,37 @@ class CuckooFilter:
 
     # -- persistence (checkpoint blobs) ------------------------------------
     def to_bytes(self) -> bytes:
+        import json
+
         buf = io.BytesIO()
-        np.savez_compressed(buf, buckets=self.buckets, count=np.int64(self.count))
+        # the eviction RNG state rides along so a restore replays the
+        # exact kick sequence an uninterrupted run would have produced
+        # (deterministic-replay guarantee under load)
+        rng_state = json.dumps(self._rng.bit_generator.state).encode()
+        np.savez_compressed(
+            buf,
+            buckets=self.buckets,
+            count=np.int64(self.count),
+            rng=np.frombuffer(rng_state, dtype=np.uint8),
+        )
         return buf.getvalue()
 
     @classmethod
     def from_bytes(cls, data: bytes) -> "CuckooFilter":
+        import json
+
         with np.load(io.BytesIO(data)) as z:
             buckets = z["buckets"]
             count = int(z["count"])
+            rng_state = (
+                json.loads(z["rng"].tobytes().decode()) if "rng" in z.files else None
+            )
         obj = cls.__new__(cls)
         obj.m = buckets.shape[0]
         obj.mask = np.uint64(obj.m - 1)
         obj.buckets = buckets.copy()
         obj.count = count
         obj._rng = np.random.default_rng(0x9E3779B9)
+        if rng_state is not None:
+            obj._rng.bit_generator.state = rng_state
         return obj

@@ -32,13 +32,35 @@ from .cuckoo import CuckooFilter
 class SeenShard:
     """One cuckoo-filter shard. ~2 bytes/key: size capacity per shard so
     n_shards × capacity covers the frontier scale (64 shards × 160M keys
-    ≈ 10^10 URLs at ~320 MiB/shard)."""
+    ≈ 10^10 URLs at ~320 MiB/shard).
+
+    Admission is IDEMPOTENT under Ray task retries: callers pass a
+    content-derived ``token`` per (batch, shard) call; the shard records
+    the answer and replays it if the same token asks again (a retried
+    map task would otherwise find its keys already inserted and silently
+    drop every row). The replay log is an LRU (retries arrive within
+    seconds of the original) and is cleared at every checkpoint save —
+    after a commit, intra-epoch retries are covered by epoch resume."""
+
+    REPLAY_MAX = 4096
 
     def __init__(self, capacity: int):
-        self.cf = CuckooFilter(capacity)
+        from collections import OrderedDict
 
-    def check_and_add(self, keys: np.ndarray) -> np.ndarray:
-        return self.cf.add_if_absent_many(keys)
+        self.cf = CuckooFilter(capacity)
+        self._replay: "OrderedDict[bytes, np.ndarray]" = OrderedDict()
+
+    def check_and_add(self, keys: np.ndarray, token: bytes | None = None) -> np.ndarray:
+        if token is not None:
+            hit = self._replay.get(token)
+            if hit is not None:
+                return hit
+        res = self.cf.add_if_absent_many(keys)
+        if token is not None:
+            self._replay[token] = res
+            if len(self._replay) > self.REPLAY_MAX:
+                self._replay.popitem(last=False)
+        return res
 
     def contains(self, keys: np.ndarray) -> np.ndarray:
         return self.cf.contains_many(keys)
@@ -51,6 +73,7 @@ class SeenShard:
         with open(tmp, "wb") as f:
             f.write(self.cf.to_bytes())
         os.replace(tmp, path)
+        self._replay.clear()  # commit point: epoch resume now covers retries
         return self.cf.count
 
     def load(self, path: str) -> int:
@@ -80,7 +103,11 @@ class SeenSet:
     def check_and_add_routed(shards, surts) -> np.ndarray:
         """Test-and-set a list of surts across the pool; returns bool mask
         (True = new). One RPC per shard actually touched, issued in
-        parallel, results scattered back to input order."""
+        parallel, results scattered back to input order. Each RPC carries
+        a content digest token so shard admission is idempotent when Ray
+        retries the calling task (see SeenShard)."""
+        import hashlib
+
         if len(surts) == 0:
             return np.zeros(0, dtype=bool)
         keys, shard_ids = SeenSet._route(shards, surts)
@@ -88,7 +115,8 @@ class SeenSet:
         refs, idxs = [], []
         for s in np.unique(shard_ids):
             idx = np.flatnonzero(shard_ids == s)
-            refs.append(shards[int(s)].check_and_add.remote(keys[idx]))
+            tok = hashlib.blake2b(keys[idx].tobytes(), digest_size=16).digest()
+            refs.append(shards[int(s)].check_and_add.remote(keys[idx], tok))
             idxs.append(idx)
         for idx, res in zip(idxs, ray.get(refs)):
             out[idx] = res

@@ -60,13 +60,19 @@ class OracleCrawler:
         self.retry_priority_decay = retry_priority_decay
 
         pages = pq.read_table(paths["pages"])
+        locs = (
+            pages.column("location").to_pylist()
+            if "location" in pages.column_names
+            else [""] * pages.num_rows
+        )
         self.pages = {
-            u: (s, c, b)
-            for u, s, c, b in zip(
+            u: (s, c, b, lo)
+            for u, s, c, b, lo in zip(
                 pages.column("url").to_pylist(),
                 pages.column("status_code").to_pylist(),
                 pages.column("content_type").to_pylist(),
                 pages.column("body").to_pylist(),
+                locs,
             )
         }
         robots = pq.read_table(paths["robots"])
@@ -161,12 +167,42 @@ class OracleCrawler:
             url, host, prio, depth, parent, retries = self.pending.pop(surt)
             counts[host] = counts.get(host, 0) + 1
             self.schedule_log.append((e, rank, host, url, surt))
-            rec = self.pages.get(url)
-            if rec is None:
-                self.fetch_err += 1
-                continue  # unreachable host: permanent failure (status -1)
-            status, ctype, body = rec
-            if status != 200:
+            # fetch with a bounded 3xx chase (mirrors SyntheticFetcher):
+            # terminal page's status/body is the result; every URL the
+            # chase discovered is canonicalized and marked seen (never
+            # re-fetched as a link), but NOT enqueued as pending
+            from heroshi_ray.stages.fetch import MAX_REDIRECTS, REDIRECT_STATUSES
+
+            cur, chain, err = url, [], ""
+            status, ctype, body = -1, "", None
+            while True:
+                rec = self.pages.get(cur)
+                if rec is None:
+                    status, ctype, body, err = -1, "", None, "connect"
+                    break
+                s, c, b, loc = rec
+                if s in REDIRECT_STATUSES and loc:
+                    nxt = resolve(cur, loc)
+                    if nxt is None:
+                        status, ctype, body, err = s, c, None, "bad location"
+                        break
+                    if len(chain) >= MAX_REDIRECTS or nxt in chain or nxt == url:
+                        status, ctype, body, err = s, c, None, "too many redirects"
+                        cur = nxt
+                        break
+                    chain.append(nxt)
+                    cur = nxt
+                    continue
+                status, ctype, body = s, c, (b if s == 200 else None)
+                err = "" if s == 200 else f"http status {s}"
+                break
+            final_url = cur
+            if chain or final_url != url:
+                for u in set(chain) | {final_url}:
+                    cc = canonicalize(u)
+                    if cc is not None:
+                        self.seen.check_and_add(cc[1])
+            if status != 200 or err:
                 self.fetch_err += 1
                 if status >= 500 and retries < self.max_retries:
                     retry_rows.append(
@@ -178,16 +214,16 @@ class OracleCrawler:
             if ctype.startswith("text/html"):
                 html = body.decode("utf-8", "replace")
                 for href in _HREF_RE.findall(html):
-                    r = resolve(url, href)
+                    r = resolve(final_url, href)
                     if r is not None:
                         cands.append((r, depth + 1, surt))
                 for src, alt in _IMG_RE.findall(html):
-                    r = resolve(url, src)
+                    r = resolve(final_url, src)
                     if r is not None:
                         cands.append((r, depth + 1, surt))
                         cap_pairs.append((r, alt or ""))
             elif ctype.startswith("image/"):
-                fetched_images.append((url, body))
+                fetched_images.append((final_url, body))
         # politeness consume
         for h, c in counts.items():
             self.tb.consume(h, now_s, delays[h], c)

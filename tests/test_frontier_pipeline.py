@@ -146,3 +146,30 @@ def test_url_filter_and_priority_hooks(ray_session):
         batch, priority_fn=lambda d: np.full(len(d), 0.42)
     )
     assert set(out2.column("priority").to_pylist()) == {0.42}
+
+
+def test_fused_schedule_spill_path_equals_driver_merge(ray_session):
+    """driver_merge_max=0 forces the distributed (groupby + sort) final
+    merge; the scheduled set and ordering semantics must be identical to
+    the driver-merge branch."""
+    import ray
+
+    from heroshi_ray.pipelines.frontier import fused_schedule_pipeline
+
+    urls = [f"http://h{i % 7}.example/p/{i}" for i in range(200)]
+
+    def run(**kw):
+        return fused_schedule_pipeline(
+            ray.data.from_arrow(pa.table({"url": pa.array(urls)})),
+            per_host_budget=5, epoch_budget=20, n_seen_shards=2,
+            seen_capacity=1 << 12, n_buckets=4, **kw,
+        ).to_pandas()
+
+    a = run()
+    b = run(driver_merge_max=0)
+    key = ["url", "surt", "host", "priority"]
+    pd.testing.assert_frame_equal(
+        a[key].sort_values("surt").reset_index(drop=True),
+        b[key].sort_values("surt").reset_index(drop=True),
+    )
+    assert len(b) == 20
