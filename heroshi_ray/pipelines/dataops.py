@@ -21,6 +21,7 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -129,7 +130,9 @@ def _dedup_pairs(cand: "ray.data.Dataset", a_col: str, b_col: str,
     )
 
 
-def q_minhash_neardup(sf_dir: str, threshold: float = 0.6):
+def q_minhash_neardup(
+    sf_dir: str, threshold: float = 0.6, broadcast_limit: int = 100_000
+):
     """MinHash-LSH near-dup pairs, distributed end-to-end:
     shingle→minhash→band rows → groupby(band, band_key) buckets →
     in-bucket candidate pairs → distributed pair dedup (shuffle on
@@ -185,29 +188,68 @@ def q_minhash_neardup(sf_dir: str, threshold: float = 0.6):
     n_cand = cand.count()
     if n_cand == 0:
         return empty
-    tune_join_resources()
-    # squeeze out zero-row blocks (sparse pair buckets): Ray's hash join
-    # aborts on aggregator partitions that receive only empty blocks
-    cand = cand.repartition(max(1, min(8, n_cand // 1000)))
 
-    # verify: join candidates back to the text table on doc_id (hash
-    # join — both sides stay distributed; at 100 TB this is the only
-    # sound layout because neither the pair set nor the corpus broadcast)
-    def _renamed(col_id: str, col_text: str):
-        return ds.map_batches(
-            lambda b, ci=col_id, ct=col_text: pa.table(
-                {ci: b.column("doc_id"), ct: b.column("text")}
-            ),
-            batch_format="pyarrow",
+    # verify: attach both texts to each candidate pair, then exact
+    # Jaccard inside map_batches. Two layouts, picked by candidate-set
+    # size (the corpus itself is NEVER pulled to the driver in either):
+    # - small candidate set (the common case — LSH prunes hard): filter
+    #   documents to candidate doc_ids with a broadcast id set (one
+    #   streaming pass, no shuffle) and broadcast the O(|candidates|)
+    #   text lookup into the verify stage;
+    # - large candidate set: two distributed hash joins back to the
+    #   documents table (no broadcast of anything candidate-sized).
+    if n_cand <= broadcast_limit:
+        cd = cand.to_pandas()  # O(candidates) — the output's own scale
+        ids = pa.array(
+            sorted(set(cd["doc_a"]) | set(cd["doc_b"])), pa.int64()
         )
+        ids_ref = ray.put(ids)
+        texts_df = ds.map_batches(
+            lambda b: b.filter(pc.is_in(b.column("doc_id"), value_set=ray.get(ids_ref))),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).to_pandas()  # O(candidates) rows, not the corpus
+        texts_ref = ray.put(dict(zip(texts_df["doc_id"], texts_df["text"])))
 
-    joined = cand.join(
-        _renamed("doc_a", "__text_a"), join_type="inner",
-        num_partitions=join_partitions(8), on=("doc_a",),
-    ).join(
-        _renamed("doc_b", "__text_b"), join_type="inner",
-        num_partitions=join_partitions(8), on=("doc_b",),
-    )
+        def attach(batch: pa.Table) -> pa.Table:
+            lookup = ray.get(texts_ref)
+            return pa.table(
+                {
+                    "doc_a": batch.column("doc_a"),
+                    "doc_b": batch.column("doc_b"),
+                    "__text_a": pa.array(
+                        [lookup.get(a) for a in batch.column("doc_a").to_pylist()],
+                        pa.string(),
+                    ),
+                    "__text_b": pa.array(
+                        [lookup.get(b) for b in batch.column("doc_b").to_pylist()],
+                        pa.string(),
+                    ),
+                }
+            )
+
+        joined = cand.map_batches(attach, batch_format="pyarrow")
+    else:
+        tune_join_resources()
+        # squeeze out zero-row blocks (sparse pair buckets): Ray's hash
+        # join aborts on partitions that receive only empty blocks
+        cand = cand.repartition(max(1, min(8, n_cand // 1000)))
+
+        def _renamed(col_id: str, col_text: str):
+            return ds.map_batches(
+                lambda b, ci=col_id, ct=col_text: pa.table(
+                    {ci: b.column("doc_id"), ct: b.column("text")}
+                ),
+                batch_format="pyarrow",
+            )
+
+        joined = cand.join(
+            _renamed("doc_a", "__text_a"), join_type="inner",
+            num_partitions=join_partitions(8), on=("doc_a",),
+        ).join(
+            _renamed("doc_b", "__text_b"), join_type="inner",
+            num_partitions=join_partitions(8), on=("doc_b",),
+        )
 
     def verify(batch: pa.Table) -> pa.Table:
         da = batch.column("doc_a").to_pylist()
@@ -239,7 +281,6 @@ def q_minhash_neardup(sf_dir: str, threshold: float = 0.6):
     if not blocks:
         return empty
     merged = pa.concat_tables(blocks, promote_options="none")
-    import pyarrow.compute as pc
 
     return merged.take(
         pc.sort_indices(merged, sort_keys=[("doc_a", "ascending"), ("doc_b", "ascending")])
@@ -516,7 +557,6 @@ def q_embed_neardup(
     )
     if not blocks:
         return empty
-    import pyarrow.compute as pc
 
     merged = pa.concat_tables(blocks, promote_options="none").select(
         ["vec_a", "vec_b", "cos_sim_e4"]
@@ -749,7 +789,6 @@ def q_phash_neardup(sf_dir: str, max_hamming: int = 6):
                 "hamming": pa.array([], pa.int64()),
             }
         )
-    import pyarrow.compute as pc
 
     merged = pa.concat_tables(blocks, promote_options="none")
     merged = merged.select(["image_a", "image_b", "hamming"]).cast(

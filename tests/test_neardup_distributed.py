@@ -111,3 +111,13 @@ def test_embed_neardup_ivf_recall_exact(ray_session, sf_dir):
     )
     assert list(map(tuple, got.itertuples(index=False))) == expect
     assert len(expect) > 0
+
+
+def test_minhash_join_path_equals_broadcast_path(ray_session):
+    """broadcast_limit=0 forces the distributed hash-join verify; both
+    layouts must return identical pairs+values."""
+    from heroshi_ray.pipelines.dataops import q_minhash_neardup
+
+    a = q_minhash_neardup(SF_DIR).to_pandas()
+    b = q_minhash_neardup(SF_DIR, broadcast_limit=0).to_pandas()
+    assert a.equals(b)
