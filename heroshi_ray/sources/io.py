@@ -6,7 +6,7 @@ re-crawling"): every epoch commits
     {workdir}/epoch={e}/frontier/*.parquet   (partitioned by host_shard)
     {workdir}/epoch={e}/seen-e{e}-s{i}.npz   (cuckoo shard blobs)
     {workdir}/epoch={e}/politeness.json
-    {workdir}/epoch={e}/captions.parquet
+    {workdir}/epoch={e}/counters.json
     {workdir}/manifest-e{e}.json             (atomic rename = commit point)
 
 On restart: find the max committed manifest, reload frontier + seen
