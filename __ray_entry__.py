@@ -60,6 +60,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_lang_count": d.q_lang_count,
         "q_ann_knn": d.q_ann_knn,
         "q_embed_neardup": d.q_embed_neardup,
+        "q_embed_dedup": d.q_embed_dedup,
+        "q_sliding_window": r.q_sliding_window,
         "q_sample": d.q_sample,
         # q_canonicalize is oracled because its INPUT urls are built by a
         # fixed template over events rows, so the SQL twin can construct
@@ -68,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data ops (rows-only: not SQL-expressible)
         "q_minhash_neardup": d.q_minhash_neardup,
         "q_simhash": d.q_simhash,
+        "q_simhash_neardup": d.q_simhash_neardup,
         "q_text_stats": d.q_text_stats,
         "q_fingerprint": d.q_fingerprint,
         "q_ann_ivf": d.q_ann_ivf,
@@ -219,6 +222,21 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a, embeddings b
             WHERE a.vec_id < b.vec_id
               AND list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+        """,
+        "q_embed_dedup": """
+            SELECT e.vec_id FROM embeddings e WHERE e.vec_id NOT IN (
+                SELECT b.vec_id FROM embeddings a, embeddings b
+                WHERE a.vec_id < b.vec_id
+                  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.45)
+        """,
+        "q_sliding_window": """
+            SELECT win_start, CAST(count(*) AS BIGINT) AS n FROM (
+                SELECT make_timestamp((epoch_us(ts) // 1800000000) * 1800000000)
+                       AS win_start FROM events
+                UNION ALL
+                SELECT make_timestamp(((epoch_us(ts) // 1800000000) - 1) * 1800000000)
+                       AS win_start FROM events
+            ) GROUP BY win_start
         """,
         "q_sample": """
             SELECT l_orderkey, l_partkey, l_quantity FROM lineitem

@@ -568,6 +568,26 @@ def q_embed_neardup(
     )
 
 
+def q_embed_dedup(sf_dir: str, threshold: float = 0.45):
+    """Near-dup DEDUP keep-list (the materialized form of
+    q_embed_neardup): drop every vector that has a near-duplicate with a
+    smaller vec_id; keep the rest. The drop set is the pair list's
+    right column — O(|pairs|), broadcast into a streaming is_in filter
+    over the table (no shuffle). Oracled via a NOT IN cross-join twin."""
+    pairs = q_embed_neardup(sf_dir, threshold)
+    drop = pa.array(sorted(set(pairs.column("vec_b").to_pylist())), pa.int64())
+    drop_ref = ray.put(drop)
+    ds = _pq(sf_dir, "embeddings", columns=["vec_id"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        mask = pc.invert(
+            pc.is_in(batch.column("vec_id"), value_set=ray.get(drop_ref))
+        )
+        return batch.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # ------------------------------------------------------------- crawler ---
 def q_canonicalize(sf_dir: str):
     """RFC 3986 + SURT canonicalization over URLs synthesized
@@ -668,6 +688,133 @@ def q_sample(sf_dir: str, mod: int = 97):
     return ds.map_batches(sample, batch_format="pyarrow", zero_copy_batch=True)
 
 
+# ------------------------------------------- hamming multi-index dedup --
+def hamming_band_pairs(
+    ds: "ray.data.Dataset",
+    *,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int,
+    a_col: str,
+    b_col: str,
+    id_arrow_type,
+) -> pa.Table:
+    """Near-dup pairs over a 64-bit hash column by multi-index banding:
+    explode each row into its four 16-bit quadrant keys (a pair within
+    hamming <= 3 is GUARANTEED to share one exact quadrant — pigeonhole
+    over 4 bands; larger thresholds are high-recall heuristics), group
+    by (band, key) bucket, generate pairs with vectorized hamming INSIDE
+    map_groups, dedup cross-band duplicates with one hash(pair) shuffle.
+    Only the final verified pair list reaches the driver."""
+    from ..functions.image import hamming64
+
+    def bands(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col)
+        h = batch.column(hash_col).to_numpy(zero_copy_only=False).view(np.uint64)
+        n = len(h)
+        rep = np.repeat(np.arange(n), 4)
+        band = np.tile(np.arange(4, dtype=np.int32), n)
+        key = ((h[rep] >> (band.astype(np.uint64) * np.uint64(16))) & np.uint64(0xFFFF)).astype(np.int32)
+        return pa.table(
+            {
+                id_col: ids.take(pa.array(rep)),
+                hash_col: batch.column(hash_col).take(pa.array(rep)),
+                "band": pa.array(band, pa.int32()),
+                "key": pa.array(key, pa.int32()),
+            }
+        )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["band", "key", id_col], kind="mergesort")
+        run_key = g["band"].to_numpy().astype(np.int64) * (1 << 17) + g[
+            "key"
+        ].to_numpy().astype(np.int64)
+        ids = g[id_col].to_numpy()
+        hs = g[hash_col].to_numpy()
+        _, start, counts = np.unique(run_key, return_index=True, return_counts=True)
+        out_a, out_b, out_d = [], [], []
+        for s, c in zip(start[counts > 1], counts[counts > 1]):
+            rid = ids[s : s + c]
+            rh = hs[s : s + c]
+            iu, ju = np.triu_indices(c, k=1)
+            d = hamming64(rh[iu], rh[ju])
+            keep = d <= max_hamming
+            if not keep.any():
+                continue
+            a = np.minimum(rid[iu[keep]], rid[ju[keep]])
+            b = np.maximum(rid[iu[keep]], rid[ju[keep]])
+            same = a != b
+            out_a.extend(a[same].tolist())
+            out_b.extend(b[same].tolist())
+            out_d.extend(d[keep][same].astype(np.int64).tolist())
+        dtype = object if id_arrow_type == pa.string() else np.int64
+        return pd.DataFrame(
+            {a_col: pd.Series(out_a, dtype=dtype),
+             b_col: pd.Series(out_b, dtype=dtype),
+             "hamming": pd.Series(out_d, dtype=np.int64)}
+        )
+
+    def add_group(batch: pa.Table) -> pa.Table:
+        g = (
+            (
+                batch.column("band").to_numpy(zero_copy_only=False).astype(np.int64)
+                * (1 << 17)
+                + batch.column("key").to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            % default_buckets()
+        ).astype(np.int32)
+        return batch.append_column("__g", pa.array(g, pa.int32()))
+
+    pairs_ds = (
+        ds.map_batches(bands, batch_format="pyarrow")
+        .map_batches(add_group, batch_format="pyarrow")
+        .groupby("__g")
+        .map_groups(
+            lambda g: bucket_pairs(g.drop(columns=["__g"])), batch_format="pandas"
+        )
+    )
+    pairs_ds = _dedup_pairs(pairs_ds, a_col, b_col)
+    schema = pa.schema(
+        [(a_col, id_arrow_type), (b_col, id_arrow_type), ("hamming", pa.int64())]
+    )
+    blocks = [b for b in ray.get(pairs_ds.to_arrow_refs()) if b.num_rows]
+    if not blocks:
+        return schema.empty_table()
+    merged = pa.concat_tables(blocks, promote_options="none")
+    merged = merged.select([a_col, b_col, "hamming"]).cast(schema)
+    return merged.take(
+        pc.sort_indices(
+            merged, sort_keys=[(a_col, "ascending"), (b_col, "ascending")]
+        )
+    )
+
+
+def q_simhash_neardup(sf_dir: str, max_hamming: int = 3):
+    """SimHash near-dup document pairs: 64-bit simhash per doc (pure
+    map), then multi-index banding pair generation. With 4 bands and
+    hamming <= 3 recall is EXACT (pigeonhole: 3 differing bits cannot
+    touch all 4 of the 16-bit quadrants). Rows-only driver check; exact
+    equality vs single-process brute force asserted in tests."""
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def sh(batch: pa.Table) -> pa.Table:
+        v = simhash64(batch.column("text").to_pylist())
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "simhash": pa.array(v, pa.int64())}
+        )
+
+    hashed = ds.map_batches(sh, batch_format="pyarrow", zero_copy_batch=True)
+    return hamming_band_pairs(
+        hashed,
+        id_col="doc_id",
+        hash_col="simhash",
+        max_hamming=max_hamming,
+        a_col="doc_a",
+        b_col="doc_b",
+        id_arrow_type=pa.int64(),
+    )
+
+
 # --------------------------------------------------------- image dedup --
 def q_phash_neardup(sf_dir: str, max_hamming: int = 6):
     """Near-duplicate images by perceptual hash (D3): band-bucket on the
@@ -708,96 +855,12 @@ def q_phash_neardup(sf_dir: str, max_hamming: int = 6):
         pq.write_table(tbl, tmp)
         os.replace(tmp, path)
     ds = ray.data.read_parquet(path, columns=["image_id", "phash"])
-
-    def bands(batch: pa.Table) -> pa.Table:
-        ids = batch.column("image_id").to_pylist()
-        ph = batch.column("phash").to_numpy(zero_copy_only=False).view(np.uint64)
-        out_id, out_ph, out_band, out_key = [], [], [], []
-        for i, p in zip(ids, ph):
-            for b in range(4):
-                out_id.append(i)
-                out_ph.append(int(np.int64(p.astype(np.int64))))
-                out_band.append(b)
-                out_key.append(int((p >> np.uint64(16 * b)) & np.uint64(0xFFFF)))
-        return pa.table(
-            {
-                "image_id": pa.array(out_id, pa.string()),
-                "phash": pa.array(out_ph, pa.int64()),
-                "band": pa.array(out_band, pa.int32()),
-                "key": pa.array(out_key, pa.int32()),
-            }
-        )
-
-    # pair generation runs INSIDE per-(band,key)-bucket map_groups with
-    # vectorized hamming — the exploded table never reaches the driver;
-    # cross-band duplicate pairs are removed by one shuffle on hash(pair)
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["band", "key", "image_id"], kind="mergesort")
-        run_key = g["band"].to_numpy().astype(np.int64) * (1 << 17) + g[
-            "key"
-        ].to_numpy().astype(np.int64)
-        ids = g["image_id"].to_numpy()
-        phs = g["phash"].to_numpy()
-        _, start, counts = np.unique(run_key, return_index=True, return_counts=True)
-        out_a, out_b, out_d = [], [], []
-        for s, c in zip(start[counts > 1], counts[counts > 1]):
-            rid = ids[s : s + c]
-            rph = phs[s : s + c]
-            iu, ju = np.triu_indices(c, k=1)
-            d = hamming64(rph[iu], rph[ju])
-            keep = d <= max_hamming
-            if not keep.any():
-                continue
-            a = np.minimum(rid[iu[keep]], rid[ju[keep]])
-            b = np.maximum(rid[iu[keep]], rid[ju[keep]])
-            same = a != b  # a band can hold one id twice only if planted ids repeat
-            out_a.extend(a[same].tolist())
-            out_b.extend(b[same].tolist())
-            out_d.extend(d[keep][same].astype(np.int64).tolist())
-        return pd.DataFrame(
-            {"image_a": pd.Series(out_a, dtype=object),
-             "image_b": pd.Series(out_b, dtype=object),
-             "hamming": pd.Series(out_d, dtype=np.int64)}
-        )
-
-    def add_group(batch: pa.Table) -> pa.Table:
-        g = (
-            (
-                batch.column("band").to_numpy(zero_copy_only=False).astype(np.int64)
-                * (1 << 17)
-                + batch.column("key").to_numpy(zero_copy_only=False).astype(np.int64)
-            )
-            % default_buckets()
-        ).astype(np.int32)
-        return batch.append_column("__g", pa.array(g, pa.int32()))
-
-    pairs_ds = (
-        ds.map_batches(bands, batch_format="pyarrow")
-        .map_batches(add_group, batch_format="pyarrow")
-        .groupby("__g")
-        .map_groups(
-            lambda g: bucket_pairs(g.drop(columns=["__g"])), batch_format="pandas"
-        )
-    )
-    pairs_ds = _dedup_pairs(pairs_ds, "image_a", "image_b")
-    blocks = [b for b in ray.get(pairs_ds.to_arrow_refs()) if b.num_rows]
-    if not blocks:
-        return pa.table(
-            {
-                "image_a": pa.array([], pa.string()),
-                "image_b": pa.array([], pa.string()),
-                "hamming": pa.array([], pa.int64()),
-            }
-        )
-
-    merged = pa.concat_tables(blocks, promote_options="none")
-    merged = merged.select(["image_a", "image_b", "hamming"]).cast(
-        pa.schema(
-            [("image_a", pa.string()), ("image_b", pa.string()), ("hamming", pa.int64())]
-        )
-    )
-    return merged.take(
-        pc.sort_indices(
-            merged, sort_keys=[("image_a", "ascending"), ("image_b", "ascending")]
-        )
+    return hamming_band_pairs(
+        ds,
+        id_col="image_id",
+        hash_col="phash",
+        max_hamming=max_hamming,
+        a_col="image_a",
+        b_col="image_b",
+        id_arrow_type=pa.string(),
     )

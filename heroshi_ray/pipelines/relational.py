@@ -284,6 +284,37 @@ def q_window_count(sf_dir: str):
     )
 
 
+# ------------------------------------------------------ sliding window --
+def q_sliding_window(sf_dir: str):
+    """1-hour windows sliding every 30 minutes over the event stream:
+    each event lands in exactly the two half-hour-grid windows covering
+    it, emitted and partial-counted inside map_batches (combiner), then
+    one tiny groupby over window starts. The streaming-window shape with
+    overlap — no self-join, no range shuffle."""
+    ds = _pq(sf_dir, "events", columns=["ts"])
+    W = 1_800_000_000  # 30 min in us
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        w0 = (us // W) * W
+        wins = np.concatenate([w0, w0 - W])
+        u, c = np.unique(wins, return_counts=True)
+        return pa.table(
+            {
+                "win_start": pa.array(u, pa.timestamp("us")),
+                "cnt": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("win_start")
+        .aggregate(Sum("cnt", alias_name="n"))
+    )
+
+
 # ------------------------------------------------------------ sessions --
 def q_sessionize(sf_dir: str, gap_minutes: int = 30):
     """Session windows over the event stream (streaming-shaped workload,

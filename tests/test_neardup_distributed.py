@@ -121,3 +121,29 @@ def test_minhash_join_path_equals_broadcast_path(ray_session):
     a = q_minhash_neardup(SF_DIR).to_pandas()
     b = q_minhash_neardup(SF_DIR, broadcast_limit=0).to_pandas()
     assert a.equals(b)
+
+
+def test_simhash_neardup_matches_single_process(ray_session):
+    """4-band multi-index with hamming<=3 is EXACT (pigeonhole): result
+    must equal brute-force all-pairs."""
+    from heroshi_ray.functions.image import hamming64
+    from heroshi_ray.functions.text import simhash64
+    from heroshi_ray.pipelines.dataops import q_simhash_neardup
+
+    got = q_simhash_neardup("/root/testdata/sf0.01").to_pandas()
+
+    t = pq.read_table(
+        os.path.join("/root/testdata/sf0.01", "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    ids = np.array(t.column("doc_id").to_pylist(), dtype=np.int64)
+    v = np.array(simhash64(t.column("text").to_pylist()), dtype=np.int64)
+    iu, ju = np.triu_indices(len(ids), 1)
+    d = hamming64(v[iu], v[ju])
+    keep = d <= 3
+    expect = sorted(
+        (int(min(ids[a], ids[b])), int(max(ids[a], ids[b])), int(x))
+        for a, b, x in zip(iu[keep], ju[keep], d[keep])
+    )
+    assert list(map(tuple, got.itertuples(index=False))) == expect
+    assert len(expect) > 0
