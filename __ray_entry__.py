@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_count_distinct": r.q_count_distinct,
         "q_pricing_summary": r.q_pricing_summary,
         "q_asof_join": r.q_asof_join,
+        "q_range_join": r.q_range_join,
         "q_hash_join": r.q_hash_join,
         "q_dedup_exact": d.q_dedup_exact,
         "q_lang_count": d.q_lang_count,
@@ -191,6 +192,17 @@ def oracle_sql() -> dict[str, str]:
         "q_hash_join": """
             SELECT l_orderkey, l_linenumber, l_quantity, o_totalprice
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        """,
+        "q_range_join": """
+            SELECT o.o_orderkey, o.o_totalprice, b.band_id FROM orders o JOIN (
+                SELECT CAST(0 AS BIGINT) AS band_id, 0.0 AS lo, 1000.0 AS hi
+                UNION ALL SELECT 1, 1000.0, 5000.0
+                UNION ALL SELECT 2, 5000.0, 20000.0
+                UNION ALL SELECT 3, 20000.0, 75000.0
+                UNION ALL SELECT 4, 75000.0, 150000.0
+                UNION ALL SELECT 5, 150000.0, 300000.0
+                UNION ALL SELECT 6, 300000.0, 1e18
+            ) b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
         """,
         "q_dedup_exact": """
             SELECT doc_id, text FROM (

@@ -167,6 +167,10 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         "q_window_count",
         "q_dedup_exact",
         "q_minhash_neardup",
+        "q_simhash_neardup",
+        "q_embed_neardup",
+        "q_sliding_window",
+        "q_range_join",
         "q_ann_knn",
         "q_text_stats",
         "q_canonicalize",

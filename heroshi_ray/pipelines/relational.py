@@ -488,6 +488,37 @@ def q_asof_join(sf_dir: str):
     )
 
 
+# ----------------------------------------------------------- range join --
+RANGE_BANDS = [0.0, 1000.0, 5000.0, 20000.0, 75000.0, 150000.0, 300000.0]
+
+
+def q_range_join(sf_dir: str):
+    """Range (interval) join: each order matched to the price band whose
+    [lo, hi) interval contains its total price. The band table is tiny —
+    broadcast the sorted boundaries once and resolve the interval with a
+    vectorized searchsorted per batch; the fact table never shuffles.
+    This is the general small-interval-table range-join layout (the
+    other named variant, as-of, is q_asof_join)."""
+    bounds = np.array(RANGE_BANDS, dtype=np.float64)
+    bounds_ref = ray.put(bounds)
+    ds = _pq(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def band(batch: pa.Table) -> pa.Table:
+        b = ray.get(bounds_ref)
+        price = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(b, price, side="right") - 1
+        keep = idx >= 0  # price below the first band has no match (inner join)
+        return pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey").filter(pa.array(keep)),
+                "o_totalprice": batch.column("o_totalprice").filter(pa.array(keep)),
+                "band_id": pa.array(idx[keep].astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(band, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # ------------------------------------------------------------ hash join --
 def q_hash_join(sf_dir: str):
     """Both-sides-large join via Ray Data's native hash join
