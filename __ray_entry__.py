@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pricing_summary": r.q_pricing_summary,
         "q_asof_join": r.q_asof_join,
         "q_range_join": r.q_range_join,
+        "q_shipping_priority": r.q_shipping_priority,
         "q_hash_join": r.q_hash_join,
         "q_dedup_exact": d.q_dedup_exact,
         "q_lang_count": d.q_lang_count,
@@ -192,6 +193,22 @@ def oracle_sql() -> dict[str, str]:
         "q_hash_join": """
             SELECT l_orderkey, l_linenumber, l_quantity, o_totalprice
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        """,
+        "q_shipping_priority": """
+            SELECT l_orderkey,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                        AS BIGINT) AS revenue_e4,
+                   o_orderdate, o_orderpriority
+            FROM customer, orders, lineitem
+            WHERE c_mktsegment = 'BUILDING'
+              AND c_custkey = o_custkey
+              AND l_orderkey = o_orderkey
+              AND o_orderdate < TIMESTAMP '1995-03-15'
+              AND l_shipdate > TIMESTAMP '1995-03-15'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue_e4 DESC, l_orderkey
+            LIMIT 10
         """,
         "q_range_join": """
             SELECT o.o_orderkey, o.o_totalprice, b.band_id FROM orders o JOIN (

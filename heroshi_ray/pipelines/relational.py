@@ -488,6 +488,107 @@ def q_asof_join(sf_dir: str):
     )
 
 
+# ---------------------------------------------------- shipping priority --
+def q_shipping_priority(sf_dir: str, segment: str = "BUILDING", n: int = 10):
+    """TPC-H-Q3-shaped composite: segment-filtered customers ⋈ date-
+    filtered orders ⋈ shipdate-filtered lineitem → revenue per order →
+    global top-10. Pattern: selective dimension filters FIRST, filtered
+    dims broadcast (ray.put) and probed inside map_batches — the fact
+    table streams with zero shuffles except the tiny keyed groupby of
+    integer-exact partial revenues; top-n via per-block partials + a
+    driver merge of <= n*blocks rows. (When the filtered orders side is
+    too big to broadcast, swap the probe for Dataset.join — q_hash_join
+    shows that path.)"""
+    cutoff = pd.Timestamp("1995-03-15")
+    cust = (
+        _pq(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+        .map_batches(
+            lambda b: b.filter(pc.equal(b.column("c_mktsegment"), segment)).select(
+                ["c_custkey"]
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    ckeys = pa.array(sorted(cust.unique("c_custkey")), pa.int64())
+    ckeys_ref = ray.put(ckeys)
+
+    orders_f = (
+        _pq(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate",
+                                       "o_orderpriority"])
+        .map_batches(
+            lambda b: b.filter(
+                pc.and_(
+                    pc.less(b.column("o_orderdate"), pa.scalar(cutoff)),
+                    pc.is_in(b.column("o_custkey"), value_set=ray.get(ckeys_ref)),
+                )
+            ).select(["o_orderkey", "o_orderdate", "o_orderpriority"]),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .set_index("o_orderkey")
+    )
+    orders_ref = ray.put(orders_f)
+
+    li = _pq(sf_dir, "lineitem",
+             columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        od = ray.get(orders_ref)
+        df = batch.to_pandas()
+        df = df[df["l_shipdate"] > cutoff]
+        df = df[df["l_orderkey"].isin(od.index)]
+        if not len(df):
+            return pa.table(
+                {"l_orderkey": pa.array([], pa.int64()),
+                 "rev": pa.array([], pa.int64())}
+            )
+        e2 = (df["l_extendedprice"] * 100).round().astype("int64")
+        d2 = (df["l_discount"] * 100).round().astype("int64")
+        df2 = pd.DataFrame({"l_orderkey": df["l_orderkey"], "rev": e2 * (100 - d2)})
+        g = df2.groupby("l_orderkey", sort=False)["rev"].sum().reset_index()
+        return pa.table(
+            {"l_orderkey": pa.array(g["l_orderkey"], pa.int64()),
+             "rev": pa.array(g["rev"], pa.int64())}
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev", alias_name="revenue_e4"))
+    )
+    keys = [("revenue_e4", "descending"), ("l_orderkey", "ascending")]
+
+    def attach_topn(batch: pa.Table) -> pa.Table:
+        od = ray.get(orders_ref)
+        idx = pc.sort_indices(batch, sort_keys=keys)[:n]
+        b = batch.take(idx)
+        ok = b.column("l_orderkey").to_pylist()
+        return pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey"),
+                "revenue_e4": b.column("revenue_e4"),
+                "o_orderdate": pa.array(
+                    [od.loc[k, "o_orderdate"] for k in ok], pa.timestamp("us")
+                ),
+                "o_orderpriority": pa.array(
+                    [od.loc[k, "o_orderpriority"] for k in ok], pa.string()
+                ),
+            }
+        )
+
+    parts = agg.map_batches(attach_topn, batch_format="pyarrow")
+    blocks = [b for b in ray.get(parts.to_arrow_refs()) if b.num_rows]
+    if not blocks:
+        return pa.schema(
+            [("l_orderkey", pa.int64()), ("revenue_e4", pa.int64()),
+             ("o_orderdate", pa.timestamp("us")), ("o_orderpriority", pa.string())]
+        ).empty_table()
+    merged = pa.concat_tables(blocks, promote_options="none")
+    return merged.take(pc.sort_indices(merged, sort_keys=keys)[:n])
+
+
 # ----------------------------------------------------------- range join --
 RANGE_BANDS = [0.0, 1000.0, 5000.0, 20000.0, 75000.0, 150000.0, 300000.0]
 
