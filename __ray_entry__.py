@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_window_count": r.q_window_count,
         # training-data ops (SQL-oracled)
         "q_token_count": d.q_token_count,
+        "q_token_histogram": d.q_token_histogram,
         "q_sessionize": r.q_sessionize,
         "q_count_distinct": r.q_count_distinct,
         "q_pricing_summary": r.q_pricing_summary,
@@ -151,6 +152,17 @@ def oracle_sql() -> dict[str, str]:
                         ELSE CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
                    END AS n_tokens
             FROM documents
+        """,
+        "q_token_histogram": """
+            SELECT (nt // 10) * 10 AS token_bucket,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM (
+                SELECT CASE WHEN trim(text) = '' THEN 0
+                            ELSE CAST(len(string_split_regex(trim(text), '\\s+'))
+                                 AS BIGINT)
+                       END AS nt
+                FROM documents
+            ) GROUP BY 1
         """,
         "q_sessionize": """
             SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions FROM (

@@ -338,6 +338,33 @@ def q_text_stats(sf_dir: str):
     return ds.map_batches(feats, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_token_histogram(sf_dir: str, bucket: int = 10):
+    """Token-length distribution: whitespace token count per doc,
+    bucketed to width-10 bins, counted — partial histogram per batch
+    (combiner), tiny final groupby. The corpus-statistics shape every
+    training-data pipeline reports."""
+    ds = _pq(sf_dir, "documents", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = token_count_ws(batch.column("text").to_pylist())
+        b = (n // bucket) * bucket
+        u, c = np.unique(b, return_counts=True)
+        return pa.table(
+            {
+                "token_bucket": pa.array(u.astype(np.int64), pa.int64()),
+                "cnt": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token_bucket")
+        .aggregate(Sum("cnt", alias_name="n_docs"))
+    )
+
+
 def q_lang_count(sf_dir: str):
     from ray.data.aggregate import Count
 
