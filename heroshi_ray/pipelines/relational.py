@@ -489,54 +489,40 @@ def q_asof_join(sf_dir: str):
 
 
 # ---------------------------------------------------- shipping priority --
-def q_shipping_priority(sf_dir: str, segment: str = "BUILDING", n: int = 10):
+def q_shipping_priority(
+    sf_dir: str,
+    segment: str = "BUILDING",
+    n: int = 10,
+    broadcast_limit: int = 500_000,
+):
     """TPC-H-Q3-shaped composite: segment-filtered customers ⋈ date-
-    filtered orders ⋈ shipdate-filtered lineitem → revenue per order →
-    global top-10. Pattern: selective dimension filters FIRST, filtered
-    dims broadcast (ray.put) and probed inside map_batches — the fact
-    table streams with zero shuffles except the tiny keyed groupby of
-    integer-exact partial revenues; top-n via per-block partials + a
-    driver merge of <= n*blocks rows. (When the filtered orders side is
-    too big to broadcast, swap the probe for Dataset.join — q_hash_join
-    shows that path.)"""
-    cutoff = pd.Timestamp("1995-03-15")
-    cust = (
-        _pq(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-        .map_batches(
-            lambda b: b.filter(pc.equal(b.column("c_mktsegment"), segment)).select(
-                ["c_custkey"]
-            ),
-            batch_format="pyarrow",
-        )
-    )
-    ckeys = pa.array(sorted(cust.unique("c_custkey")), pa.int64())
-    ckeys_ref = ray.put(ckeys)
+    filtered orders ⋈ shipdate-filtered lineitem → integer-exact revenue
+    per order → global top-10 (per-block partial top-n + tiny merge).
 
-    orders_f = (
-        _pq(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate",
-                                       "o_orderpriority"])
-        .map_batches(
-            lambda b: b.filter(
-                pc.and_(
-                    pc.less(b.column("o_orderdate"), pa.scalar(cutoff)),
-                    pc.is_in(b.column("o_custkey"), value_set=ray.get(ckeys_ref)),
-                )
-            ).select(["o_orderkey", "o_orderdate", "o_orderpriority"]),
-            batch_format="pyarrow",
-        )
-        .to_pandas()
-        .set_index("o_orderkey")
+    Two layouts by the size of the filtered orders side:
+    - small (fits a broadcast): probe a ray.put lookup inside
+      map_batches — the fact table streams with zero extra shuffles;
+    - large: the true 100-TB plan — customer⋈orders and
+      (pre-aggregated lineitem)⋈orders as distributed hash joins, with
+      the lineitem side COMBINED to one row per orderkey before the
+      join so the join moves partials, not line items.
+    Both paths are equivalence-tested."""
+    cutoff = pd.Timestamp("1995-03-15")
+    q3_schema = pa.schema(
+        [("l_orderkey", pa.int64()), ("revenue_e4", pa.int64()),
+         ("o_orderdate", pa.timestamp("us")), ("o_orderpriority", pa.string())]
     )
-    orders_ref = ray.put(orders_f)
+    keys = [("revenue_e4", "descending"), ("l_orderkey", "ascending")]
+    from ray.data.aggregate import Sum
 
     li = _pq(sf_dir, "lineitem",
              columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
 
-    def partial(batch: pa.Table) -> pa.Table:
-        od = ray.get(orders_ref)
+    def li_partial(batch: pa.Table, order_keys=None) -> pa.Table:
         df = batch.to_pandas()
         df = df[df["l_shipdate"] > cutoff]
-        df = df[df["l_orderkey"].isin(od.index)]
+        if order_keys is not None:
+            df = df[df["l_orderkey"].isin(order_keys)]
         if not len(df):
             return pa.table(
                 {"l_orderkey": pa.array([], pa.int64()),
@@ -551,42 +537,97 @@ def q_shipping_priority(sf_dir: str, segment: str = "BUILDING", n: int = 10):
              "rev": pa.array(g["rev"], pa.int64())}
         )
 
-    from ray.data.aggregate import Sum
+    def topn_merge(parts) -> pa.Table:
+        blocks = [b for b in ray.get(parts.to_arrow_refs()) if b.num_rows]
+        if not blocks:
+            return q3_schema.empty_table()
+        merged = pa.concat_tables(blocks, promote_options="none").cast(q3_schema)
+        return merged.take(pc.sort_indices(merged, sort_keys=keys)[:n])
 
-    agg = (
-        li.map_batches(partial, batch_format="pyarrow")
-        .groupby("l_orderkey")
-        .aggregate(Sum("rev", alias_name="revenue_e4"))
+    cust = _pq(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).map_batches(
+        lambda b: b.filter(pc.equal(b.column("c_mktsegment"), segment)).select(
+            ["c_custkey"]
+        ),
+        batch_format="pyarrow",
     )
-    keys = [("revenue_e4", "descending"), ("l_orderkey", "ascending")]
+    orders_cols = ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
+    orders_dated = _pq(sf_dir, "orders", columns=orders_cols).map_batches(
+        lambda b: b.filter(pc.less(b.column("o_orderdate"), pa.scalar(cutoff))),
+        batch_format="pyarrow",
+    )
 
-    def attach_topn(batch: pa.Table) -> pa.Table:
-        od = ray.get(orders_ref)
-        idx = pc.sort_indices(batch, sort_keys=keys)[:n]
-        b = batch.take(idx)
-        ok = b.column("l_orderkey").to_pylist()
-        return pa.table(
-            {
-                "l_orderkey": b.column("l_orderkey"),
-                "revenue_e4": b.column("revenue_e4"),
-                "o_orderdate": pa.array(
-                    [od.loc[k, "o_orderdate"] for k in ok], pa.timestamp("us")
-                ),
-                "o_orderpriority": pa.array(
-                    [od.loc[k, "o_orderpriority"] for k in ok], pa.string()
-                ),
-            }
+    ckeys = pa.array(sorted(cust.unique("c_custkey")), pa.int64())
+    ckeys_ref = ray.put(ckeys)
+    orders_f_ds = orders_dated.map_batches(
+        lambda b: b.filter(
+            pc.is_in(b.column("o_custkey"), value_set=ray.get(ckeys_ref))
+        ).select(["o_orderkey", "o_orderdate", "o_orderpriority"]),
+        batch_format="pyarrow",
+    ).materialize()
+    n_orders = orders_f_ds.count()
+
+    if n_orders <= broadcast_limit:
+        # ---- broadcast path: filtered orders probe inside map_batches
+        od = orders_f_ds.to_pandas().set_index("o_orderkey")
+        orders_ref = ray.put(od)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            return li_partial(batch, order_keys=ray.get(orders_ref).index)
+
+        agg = (
+            li.map_batches(partial, batch_format="pyarrow")
+            .groupby("l_orderkey")
+            .aggregate(Sum("rev", alias_name="revenue_e4"))
         )
 
-    parts = agg.map_batches(attach_topn, batch_format="pyarrow")
-    blocks = [b for b in ray.get(parts.to_arrow_refs()) if b.num_rows]
-    if not blocks:
-        return pa.schema(
-            [("l_orderkey", pa.int64()), ("revenue_e4", pa.int64()),
-             ("o_orderdate", pa.timestamp("us")), ("o_orderpriority", pa.string())]
-        ).empty_table()
-    merged = pa.concat_tables(blocks, promote_options="none")
-    return merged.take(pc.sort_indices(merged, sort_keys=keys)[:n])
+        def attach_topn(batch: pa.Table) -> pa.Table:
+            odx = ray.get(orders_ref)
+            idx = pc.sort_indices(batch, sort_keys=keys)[:n]
+            b = batch.take(idx)
+            ok = b.column("l_orderkey").to_pylist()
+            return pa.table(
+                {
+                    "l_orderkey": b.column("l_orderkey"),
+                    "revenue_e4": b.column("revenue_e4"),
+                    "o_orderdate": pa.array(
+                        [odx.loc[k, "o_orderdate"] for k in ok], pa.timestamp("us")
+                    ),
+                    "o_orderpriority": pa.array(
+                        [odx.loc[k, "o_orderpriority"] for k in ok], pa.string()
+                    ),
+                }
+            )
+
+        return topn_merge(agg.map_batches(attach_topn, batch_format="pyarrow"))
+
+    # ---- hash-join path: nothing broadcast, everything partitioned
+    tune_join_resources()
+    agg = (
+        li.map_batches(li_partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev", alias_name="revenue_e4"))
+        .materialize()
+    )
+    n_agg = agg.count()
+    if n_agg == 0:
+        return q3_schema.empty_table()
+    # squeeze out empty blocks before joining (Ray 2.49 hash-join abort)
+    agg = agg.repartition(max(1, min(join_partitions(), n_agg // 4096)))
+    orders_f_ds = orders_f_ds.repartition(
+        max(1, min(join_partitions(), n_orders // 4096))
+    )
+    joined = agg.join(
+        orders_f_ds, join_type="inner", num_partitions=join_partitions(),
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def topn(batch: pa.Table) -> pa.Table:
+        b = batch.select(
+            ["l_orderkey", "revenue_e4", "o_orderdate", "o_orderpriority"]
+        )
+        return b.take(pc.sort_indices(b, sort_keys=keys)[:n])
+
+    return topn_merge(joined.map_batches(topn, batch_format="pyarrow"))
 
 
 # ----------------------------------------------------------- range join --

@@ -147,3 +147,16 @@ def test_simhash_neardup_matches_single_process(ray_session):
     )
     assert list(map(tuple, got.itertuples(index=False))) == expect
     assert len(expect) > 0
+
+
+def test_shipping_priority_join_path_equals_broadcast(ray_session):
+    """broadcast_limit=0 forces the two-hash-join Q3 plan; results must
+    equal the broadcast-probe plan."""
+    import pandas as pd
+
+    from heroshi_ray.pipelines.relational import q_shipping_priority
+
+    a = q_shipping_priority(SF_DIR).to_pandas()
+    b = q_shipping_priority(SF_DIR, broadcast_limit=0).to_pandas()
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+    assert len(a) == 10
