@@ -12,6 +12,16 @@ Every stage follows the scale pattern it documents:
   merged at the end (the only driver-side object is k rows/query);
 - IVF: fit coarse centroids on a sample, assign = one map_batches pass,
   queries probe nprobe buckets.
+
+Public designs implemented here (no reference code exists — SURVEY.md
+§0): MinHash resemblance (Broder, "On the resemblance and containment
+of documents", 1997) with LSH banding (Leskovec/Rajaraman/Ullman, MMDS
+ch.3); SimHash (Charikar, "Similarity estimation techniques from
+rounding algorithms", STOC'02) with multi-index hamming banding
+(Norouzi et al., "Fast search in Hamming space with multi-index
+hashing", CVPR'12); IVF coarse quantization (Jégou et al., "Product
+quantization for nearest neighbor search", PAMI'11 — coarse stage
+only); HyperLogLog (Flajolet et al., 2007).
 """
 
 from __future__ import annotations

@@ -51,7 +51,20 @@ def test_resume_identical(ray_session, tmp_path):
     rep_b = c2.run(resume=True)
     order_b = c2.schedule_order()
     corpus_b = c2.corpus().to_pandas().sort_values("image_id").reset_index(drop=True)
+    totals_b = c2.counters_totals()
     c2.shutdown()
+
+    # counters are checkpointed+restored: a resumed run's actor totals are
+    # indistinguishable from the uninterrupted run's
+    assert totals_b.get("fetch_ok", 0) == rep_a.fetch_ok
+    assert totals_b.get("fetch_err", 0) == rep_a.fetch_err
+
+    # metrics rows are per-epoch DELTAS: summing them reproduces totals
+    from heroshi_ray.sources.io import read_epoch_tables
+
+    m = read_epoch_tables(wd, "metrics").to_pandas()
+    assert int(m["fetch_ok"].sum()) == rep_a.fetch_ok
+    assert int(m["fetch_err"].sum()) == rep_a.fetch_err
 
     # identical schedule order
     da = order_a.to_pandas().sort_values(["sched_epoch", "rank"]).reset_index(drop=True)
