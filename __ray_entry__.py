@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_fingerprint": d.q_fingerprint,
         "q_ann_ivf": d.q_ann_ivf,
         "q_image_decode": d.q_image_decode,
+        "q_image_features": d.q_image_features,
         "q_approx_distinct": d.q_approx_distinct,
         "q_phash_neardup": d.q_phash_neardup,
         # crawler ops (rows-only: stateful / not SQL-expressible)

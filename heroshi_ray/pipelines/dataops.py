@@ -650,15 +650,11 @@ def q_canonicalize(sf_dir: str):
     return out.select_columns(["url", "surt", "host"])
 
 
-def q_image_decode(sf_dir: str):
-    """Multimodal plumbing: deterministic synthetic image corpus (cached
-    under /tmp) -> ImageDecodeStage actor pool -> decoded metadata +
-    recomputed phash. Rows-only check; phash equality with the stored
-    column is asserted (a buggy decode changes it)."""
+def _ensure_corpus64() -> str:
+    """Deterministic synthetic CORPUS-schema table cached under /tmp."""
     import pyarrow.parquet as pq
 
     from ..fixtures import make_corpus
-    from ..stages.multimodal import ImageDecodeStage
 
     cache = "/tmp/heroshi_ray_cache"
     os.makedirs(cache, exist_ok=True)
@@ -667,7 +663,17 @@ def q_image_decode(sf_dir: str):
         tmp = path + ".tmp"
         pq.write_table(make_corpus(64, seed=123), tmp)
         os.replace(tmp, path)
-    ds = ray.data.read_parquet(path)
+    return path
+
+
+def q_image_decode(sf_dir: str):
+    """Multimodal plumbing: deterministic synthetic image corpus (cached
+    under /tmp) -> ImageDecodeStage actor pool -> decoded metadata +
+    recomputed phash. Rows-only check; phash equality with the stored
+    column is asserted (a buggy decode changes it)."""
+    from ..stages.multimodal import ImageDecodeStage
+
+    ds = ray.data.read_parquet(_ensure_corpus64())
     out = ds.map_batches(
         ImageDecodeStage,
         fn_constructor_kwargs={"thumb": None},
@@ -677,6 +683,23 @@ def q_image_decode(sf_dir: str):
         num_cpus=0.5,
     )
     return out
+
+
+def q_image_features(sf_dir: str):
+    """Image feature extraction (multimodal embedding shape): actor-pool
+    map_batches computing real histogram/mean/std features per image
+    over the deterministic synthetic corpus. Rows-only check; the
+    feature vector layout is asserted in tests."""
+    from ..stages.multimodal import ImageFeatureStage
+
+    ds = ray.data.read_parquet(_ensure_corpus64())
+    return ds.map_batches(
+        ImageFeatureStage,
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=(1, 2),
+        num_cpus=0.5,
+    )
 
 
 # ------------------------------------------------------------- sketch ---

@@ -78,6 +78,48 @@ class ImageDecodeStage:
         return pa.table(cols)
 
 
+class ImageFeatureStage:
+    """bytes+fmt -> compact image feature vector (REAL, pure numpy):
+    per-channel 8-bin histograms (normalized) + per-channel mean/std,
+    30 floats total. The embedding-extraction shape of the pipeline —
+    a batched model would slot in behind the same actor-pool interface
+    (weights loaded once in ``__init__``)."""
+
+    N_BINS = 8
+
+    def __init__(self, strict: bool = False):
+        self.strict = strict
+        self.edges = np.linspace(0, 256, self.N_BINS + 1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch.column("bytes").to_pylist()
+        fmts = batch.column("fmt").to_pylist()
+        ws = batch.column("w").to_pylist()
+        hs = batch.column("h").to_pylist()
+        feats: list[list[float]] = []
+        for i, (b, f) in enumerate(zip(blobs, fmts)):
+            try:
+                px = decode_image(b, f)
+            except NotImplementedError:
+                if self.strict:
+                    raise
+                px = np.full((hs[i], ws[i], 3), 128, np.uint8)
+            v = []
+            npx = px.shape[0] * px.shape[1]
+            for c in range(3):
+                hist, _ = np.histogram(px[:, :, c], bins=self.edges)
+                v.extend((hist / npx).astype(np.float32).tolist())
+                v.append(float(px[:, :, c].mean() / 255.0))
+                v.append(float(px[:, :, c].std() / 255.0))
+            feats.append(v)
+        return pa.table(
+            {
+                "image_id": batch.column("image_id"),
+                "features": pa.array(feats, pa.list_(pa.float32())),
+            }
+        )
+
+
 class AudioFeatureStage:
     """STUB: audio bytes -> frame-level features. No audio codec is
     available in this container; cite the interface so the actor-pool

@@ -148,3 +148,22 @@ def test_multimodal_stages():
 def test_as_matrix_shapes():
     m = as_matrix([[1.0, 2.0], [3.0, 4.0]])
     assert m.shape == (2, 2) and m.dtype == np.float32
+
+
+def test_image_feature_stage():
+    from heroshi_ray.fixtures import make_corpus
+    from heroshi_ray.stages.multimodal import ImageFeatureStage
+
+    corpus = make_corpus(4, seed=11)
+    out = ImageFeatureStage()(corpus)
+    assert out.num_rows == 4
+    feats = out.column("features").to_pylist()
+    assert all(len(f) == 30 for f in feats)  # 3 x (8 hist + mean + std)
+    # histograms normalized: each channel's 8 bins sum to ~1
+    for f in feats:
+        for c in range(3):
+            assert abs(sum(f[c * 10 : c * 10 + 8]) - 1.0) < 1e-5
+            assert 0.0 <= f[c * 10 + 8] <= 1.0  # mean scaled
+    # deterministic
+    out2 = ImageFeatureStage()(corpus)
+    assert out.column("features").to_pylist() == out2.column("features").to_pylist()
