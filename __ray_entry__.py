@@ -66,6 +66,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_embed_dedup": d.q_embed_dedup,
         "q_sliding_window": r.q_sliding_window,
         "q_sample": d.q_sample,
+        "q_revenue_by_nation": r.q_revenue_by_nation,
+        "q_percentiles": r.q_percentiles,
+        "q_stratified_sample": r.q_stratified_sample,
+        "q_rollup": r.q_rollup,
+        "q_ngram_jaccard": d.q_ngram_jaccard,
         # q_canonicalize is oracled because its INPUT urls are built by a
         # fixed template over events rows, so the SQL twin can construct
         # the expected canonical/surt forms directly
@@ -283,6 +288,69 @@ def oracle_sql() -> dict[str, str]:
         "q_sample": """
             SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
             WHERE ((l_orderkey % 1000003) * 31 + l_partkey) % 97 = 0
+        """,
+        "q_revenue_by_nation": """
+            SELECT n_name,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                        AS BIGINT) AS revenue_e4
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= DATE '1996-01-01'
+              AND o_orderdate < DATE '1997-01-01'
+            GROUP BY n_name
+        """,
+        "q_percentiles": """
+            WITH s AS (
+                SELECT user_id, CAST(round(value * 100) AS BIGINT) AS v,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY value, event_id) AS rn,
+                       count(*) OVER (PARTITION BY user_id) AS n
+                FROM events)
+            SELECT user_id,
+                   max(CASE WHEN rn = (n-1)*50//100 + 1 THEN v END) AS p50_e2,
+                   max(CASE WHEN rn = (n-1)*90//100 + 1 THEN v END) AS p90_e2,
+                   max(CASE WHEN rn = (n-1)*99//100 + 1 THEN v END) AS p99_e2
+            FROM s GROUP BY user_id
+        """,
+        "q_stratified_sample": """
+            SELECT c_custkey, c_mktsegment, c_acctbal FROM (
+                SELECT c_custkey, c_mktsegment, c_acctbal,
+                       row_number() OVER (PARTITION BY c_mktsegment
+                                          ORDER BY (c_custkey * 2654435761) % 1000003,
+                                                   c_custkey) AS rn
+                FROM customer) t WHERE rn <= 20
+        """,
+        "q_rollup": """
+            SELECT coalesce(r_name, 'ALL') AS region_name,
+                   coalesce(n_name, 'ALL') AS nation_name,
+                   CAST(count(*) AS BIGINT) AS n_cust,
+                   CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                       AS acctbal_e2
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+                          JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP(r_name, n_name)
+        """,
+        "q_ngram_jaccard": """
+            WITH grams AS (
+              SELECT DISTINCT doc_id, substring(text, CAST(i AS INT), 12) AS g
+              FROM documents CROSS JOIN generate_series(1, 8192) AS t(i)
+              WHERE i <= length(text) - 11
+            ), sizes AS (
+              SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+            ), inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+              FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   CAST(ni * 10000 // (sa.n + sb.n - ni) AS BIGINT) AS jac_e4
+            FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+                       JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE ni * 10000 >= 6000 * (sa.n + sb.n - ni)
         """,
         "q_canonicalize": """
             SELECT 'http://host' || CAST(user_id AS VARCHAR) || '.example/e/'

