@@ -939,7 +939,7 @@ def q_ngram_jaccard(
     sf_dir: str,
     threshold_e4: int = 6000,
     n: int = 12,
-    broadcast_limit: int = 100_000,
+    broadcast_limit: int = 2_000_000,
 ):
     """EXACT character-n-gram Jaccard similarity self-join (vs
     q_minhash_neardup's probabilistic LSH): all document pairs with
@@ -953,9 +953,10 @@ def q_ngram_jaccard(
     global gram order (here: order by 64-bit gram hash). Only prefix
     grams are exploded and grouped, cutting candidate generation by
     ~(1-t) squared versus a full inverted index, with zero recall loss
-    (up to the ~2^-64 chance of a gram-hash collision at a prefix
-    boundary; the verify stage recomputes on true string grams, so
-    collisions can only add a spurious candidate, never a wrong pair).
+    (candidates and verify both operate on 64-bit gram hashes; a hash
+    collision — ~|grams|²·2⁻⁶⁴ ≈ 10⁻¹⁴ per doc — could merge two
+    distinct grams and shift a count by one; accepted and documented,
+    the same trade every hash-fingerprint dedup in this module makes).
 
     The global gram order is ASCENDING DOCUMENT FREQUENCY (AllPairs'
     key trick): prefixes then hold each document's RAREST grams, so two
@@ -982,16 +983,27 @@ def q_ngram_jaccard(
 
     Stages: explode distinct grams → DF groupby → per-doc DF-sorted
     prefix rows (map_batches) → groupby(gram bucket) in-bucket pair
-    generation → distributed pair dedup → size-adaptive text attach
-    (_attach_pair_texts) → exact integer verify: keep iff
-    |A∩B|*10^4 >= t_e4*|A∪B|. Integer floor division on both sides
-    makes the DuckDB twin hash-exact.
+    generation → distributed pair dedup → verify. The verify is
+    size-adaptive: when the candidate set is bounded, the candidate
+    docs' SORTED GRAM-HASH ARRAYS (8 bytes/gram — corpus text never
+    moves) are broadcast and each pair intersects two sorted int64
+    arrays via one vectorized searchsorted; past the bound it falls
+    back to the distributed text hash-join (_attach_pair_texts) with a
+    per-doc gram-array cache. Keep iff |A∩B|*10^4 >= t_e4*|A∪B| —
+    integer floor division on both sides makes the DuckDB twin
+    hash-exact.
     Returns (doc_a, doc_b, jac_e4), doc_a < doc_b, sorted."""
     from ray.data.aggregate import Sum
 
     from ..functions.hashing import hash64
 
-    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    # a single parquet file arrives as ~1 block; the gram passes are
+    # CPU-bound per doc, so split the read across the cluster
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        override_num_blocks=default_buckets(),
+    )
     empty = pa.table(
         {
             "doc_a": pa.array([], pa.int64()),
@@ -1105,31 +1117,23 @@ def q_ngram_jaccard(
     if n_cand == 0:
         return empty
 
-    joined = _attach_pair_texts(cand, ds, n_cand, broadcast_limit)
+    def _intersect_count(A: np.ndarray, B: np.ndarray) -> int:
+        # |A ∩ B| for two SORTED int64 arrays: one vectorized
+        # searchsorted — O(|A| log |B|), no Python-level set ops
+        if len(A) > len(B):
+            A, B = B, A
+        pos = np.searchsorted(B, A)
+        mask = pos < len(B)
+        return int((B[pos[mask]] == A[mask]).sum())
 
-    def verify(batch: pa.Table) -> pa.Table:
-        da = batch.column("doc_a").to_pylist()
-        db = batch.column("doc_b").to_pylist()
-        ta = batch.column("__text_a").to_pylist()
-        tb = batch.column("__text_b").to_pylist()
-        # gram sets built once per doc per batch, not once per pair
-        cache: dict[int, frozenset] = {}
-
-        def gset(did: int, t) -> frozenset:
-            s = cache.get(did)
-            if s is None:
-                t = t or ""
-                s = frozenset(t[i : i + n] for i in range(len(t) - n + 1))
-                cache[did] = s
-            return s
-
+    def _emit_pairs(da, db, arr_of) -> pa.Table:
         out_a, out_b, out_j = [], [], []
-        for a, b, x, y in zip(da, db, ta, tb):
-            A = gset(a, x)
-            B = gset(b, y)
-            if not A or not B:
+        for a, b in zip(da, db):
+            A = arr_of(a)
+            B = arr_of(b)
+            if A is None or B is None or not len(A) or not len(B):
                 continue
-            ni = len(A & B)
+            ni = _intersect_count(A, B)
             un = len(A) + len(B) - ni
             if ni * 10000 >= threshold_e4 * un:
                 out_a.append(a)
@@ -1143,12 +1147,73 @@ def q_ngram_jaccard(
             }
         )
 
-    blocks = [
-        b
-        for b in ray.get(
-            joined.map_batches(verify, batch_format="pyarrow").to_arrow_refs()
+    if n_cand <= broadcast_limit:
+        # gram-ARRAY broadcast verify: candidate docs' sorted gram
+        # hashes (8 bytes/gram) are gathered in one streaming pass and
+        # broadcast; pairs never carry text at all
+        cd = cand.to_pandas()  # O(candidates) — the output's own scale
+        ids = pa.array(sorted(set(cd["doc_a"]) | set(cd["doc_b"])), pa.int64())
+        ids_ref = ray.put(ids)
+
+        def doc_arrays(batch: pa.Table) -> pa.Table:
+            b = batch.filter(
+                pc.is_in(batch.column("doc_id"), value_set=ray.get(ids_ref))
+            )
+            arrs = [
+                np.sort(_gram_hashes(t or "")) for t in b.column("text").to_pylist()
+            ]
+            return pa.table(
+                {
+                    "doc_id": b.column("doc_id"),
+                    "grams": pa.array([a.tolist() for a in arrs], pa.list_(pa.int64())),
+                }
+            )
+
+        gdf = ds.map_batches(doc_arrays, batch_format="pyarrow").to_pandas()
+        gmap_ref = ray.put(
+            {int(i): np.asarray(g, dtype=np.int64) for i, g in
+             zip(gdf["doc_id"], gdf["grams"])}
         )
-        if b.num_rows
+
+        def verify(batch: pa.Table) -> pa.Table:
+            gm = ray.get(gmap_ref)
+            return _emit_pairs(
+                batch.column("doc_a").to_pylist(),
+                batch.column("doc_b").to_pylist(),
+                gm.get,
+            )
+
+        verified = cand.map_batches(verify, batch_format="pyarrow")
+    else:
+        # corpus-scale fallback: distributed text attach, per-doc
+        # gram-array cache inside the verify batch
+        joined = _attach_pair_texts(cand, ds, n_cand, 0)
+
+        def verify(batch: pa.Table) -> pa.Table:
+            da = batch.column("doc_a").to_pylist()
+            db = batch.column("doc_b").to_pylist()
+            ta = batch.column("__text_a").to_pylist()
+            tb = batch.column("__text_b").to_pylist()
+            texts = {}
+            for i, a in enumerate(da):
+                texts.setdefault(a, ta[i])
+            for i, b in enumerate(db):
+                texts.setdefault(b, tb[i])
+            cache: dict[int, np.ndarray] = {}
+
+            def arr_of(did: int):
+                a = cache.get(did)
+                if a is None:
+                    a = np.sort(_gram_hashes(texts.get(did) or ""))
+                    cache[did] = a
+                return a
+
+            return _emit_pairs(da, db, arr_of)
+
+        verified = joined.map_batches(verify, batch_format="pyarrow")
+
+    blocks = [
+        b for b in ray.get(verified.to_arrow_refs()) if b.num_rows
     ]
     if not blocks:
         return empty

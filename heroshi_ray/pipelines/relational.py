@@ -686,6 +686,7 @@ def q_revenue_by_nation(
     region: str = "ASIA",
     date_lo: str = "1996-01-01",
     date_hi: str = "1997-01-01",
+    broadcast_limit: int = 500_000,
 ):
     """TPC-H-Q5-shaped six-table composite: revenue per nation for
     orders where the customer and the line's supplier share a nation
@@ -693,34 +694,46 @@ def q_revenue_by_nation(
 
     Physical plan (the 100-TB layout):
     - region ⋈ nation collapses to a broadcast {nationkey → name} dict
-      (≤ 25 rows at any scale);
-    - supplier and customer collapse to broadcast {key → nationkey}
-      int64 lookups probed inside map_batches (supplier is always
-      small; customer's lookup is 8 bytes/row — ~1 GiB per 10^8
-      customers, still broadcastable; past that, swap the probe for
-      the same distributed hash join used below);
-    - the two FACT tables meet in a distributed hash join, with the
-      lineitem side pre-aggregated to one (orderkey, supp_nation)
-      partial per key pair BEFORE the join, so the shuffle moves
-      partials, not line items;
-    - final groupby is over ≤ |nations| rows.
+      (≤ 25 rows at any scale); supplier and customer to broadcast
+      {key → nationkey} int64 lookups probed inside map_batches
+      (supplier is always small; customer's lookup is 8 bytes/row —
+      ~1 GiB per 10^8 customers, still broadcastable; past that, swap
+      the probe for the hash join below). Dimension parquet is read
+      driver-side with pyarrow — kilobytes, no Dataset launch;
+    - orders filtered by date + region in one streaming pass. Then
+      adaptively, by the filtered-orders size:
+      * small (the common case — a 1-year window prunes hard): the
+        {orderkey → cust_nation} map is broadcast and BOTH the order
+        semi-join and the cust-nation = supp-nation equality are
+        pushed into the lineitem combiner, which then partial-sums
+        straight to per-NATION rows — the fact table never shuffles
+        at all, the groupby moves ≤|nations| rows per block;
+      * large: the lineitem side is pre-aggregated to one (orderkey,
+        supp_nation) partial per key pair, then meets orders in a
+        distributed hash join — the shuffle moves partials, not line
+        items.
     Revenue in scaled int64 (e4) — bit-exact under any shuffle order."""
+    import pyarrow.parquet as _pqt
+
     from ray.data.aggregate import Sum
 
     lo, hi = pd.Timestamp(date_lo), pd.Timestamp(date_hi)
 
-    nr = (
-        _pq(sf_dir, "nation").to_pandas()
-        .merge(_pq(sf_dir, "region").to_pandas(),
-               left_on="n_regionkey", right_on="r_regionkey")
+    def _dim(name: str, columns=None) -> pd.DataFrame:
+        return _pqt.read_table(
+            os.path.join(sf_dir, f"{name}.parquet"), columns=columns
+        ).to_pandas()
+
+    nr = _dim("nation").merge(
+        _dim("region"), left_on="n_regionkey", right_on="r_regionkey"
     )
     nr = nr[nr["r_name"] == region]
     nat_name = dict(zip(nr["n_nationkey"].astype(int), nr["n_name"]))
-    sup = _pq(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    sup = _dim("supplier", columns=["s_suppkey", "s_nationkey"])
     sup_map_ref = ray.put(
         dict(zip(sup["s_suppkey"].astype(int), sup["s_nationkey"].astype(int)))
     )
-    cust = _pq(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    cust = _dim("customer", columns=["c_custkey", "c_nationkey"])
     cust_map_ref = ray.put(
         dict(zip(cust["c_custkey"].astype(int), cust["c_nationkey"].astype(int)))
     )
@@ -744,8 +757,73 @@ def q_revenue_by_nation(
 
     orders_f = _pq(
         sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
-    ).map_batches(orders_probe, batch_format="pyarrow")
+    ).map_batches(orders_probe, batch_format="pyarrow").materialize()
+    n_ord = orders_f.count()
+    out_schema = pa.schema(
+        [("n_name", pa.string()), ("revenue_e4", pa.int64())]
+    )
+    li = _pq(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
 
+    def finish(agg: pd.DataFrame) -> pa.Table:
+        agg["n_name"] = agg["s_nat"].astype(int).map(nat_name)
+        agg = agg.sort_values(["revenue_e4", "n_name"], ascending=[False, True],
+                              kind="mergesort")
+        return pa.table(
+            {
+                "n_name": pa.array(agg["n_name"], pa.string()),
+                "revenue_e4": pa.array(agg["revenue_e4"], pa.int64()),
+            }
+        )
+
+    if n_ord == 0:
+        return out_schema.empty_table()
+
+    if n_ord <= broadcast_limit:
+        # ---- broadcast path: the order semi-join AND the
+        # cust-nation = supp-nation equality run inside the lineitem
+        # combiner; partials are per NATION, so nothing fact-sized
+        # ever shuffles (c_nat keys are region-filtered already, so
+        # the equality implies the region test too)
+        om = orders_f.to_pandas()
+        ord_map_ref = ray.put(
+            dict(zip(om["o_orderkey"].astype(int), om["c_nat"].astype(int)))
+        )
+
+        def li_nation_partial(batch: pa.Table) -> pa.Table:
+            sm = ray.get(sup_map_ref)
+            omap = ray.get(ord_map_ref)
+            df = batch.to_pandas()
+            c_nat = df["l_orderkey"].map(omap)
+            s_nat = df["l_suppkey"].map(sm)
+            df = df[c_nat.notna() & (c_nat == s_nat)]
+            if not len(df):
+                return pa.table(
+                    {"s_nat": pa.array([], pa.int64()),
+                     "rev": pa.array([], pa.int64())}
+                )
+            e2 = (df["l_extendedprice"] * 100).round().astype("int64")
+            d2 = (df["l_discount"] * 100).round().astype("int64")
+            df2 = pd.DataFrame(
+                {"s_nat": df["l_suppkey"].map(sm).astype("int64"),
+                 "rev": e2 * (100 - d2)}
+            )
+            g = df2.groupby("s_nat", sort=False)["rev"].sum().reset_index()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        agg = (
+            li.map_batches(li_nation_partial, batch_format="pyarrow")
+            .groupby("s_nat")
+            .aggregate(Sum("rev", alias_name="revenue_e4"))
+            .to_pandas()  # ≤ |nations| rows
+        )
+        if not len(agg):
+            return out_schema.empty_table()
+        return finish(agg)
+
+    # ---- hash-join path: nothing broadcast beyond the dims
     def li_partial(batch: pa.Table) -> pa.Table:
         sm = ray.get(sup_map_ref)
         ok_nat = ray.get(asia_ref)
@@ -769,20 +847,13 @@ def q_revenue_by_nation(
         return pa.Table.from_pandas(g, preserve_index=False)
 
     li_agg = (
-        _pq(sf_dir, "lineitem",
-            columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
-        .map_batches(li_partial, batch_format="pyarrow")
+        li.map_batches(li_partial, batch_format="pyarrow")
         .groupby(["l_orderkey", "s_nat"])
         .aggregate(Sum("rev", alias_name="rev"))
         .materialize()
     )
-    out_schema = pa.schema(
-        [("n_name", pa.string()), ("revenue_e4", pa.int64())]
-    )
     n_li = li_agg.count()
-    orders_f = orders_f.materialize()
-    n_ord = orders_f.count()
-    if n_li == 0 or n_ord == 0:
+    if n_li == 0:
         return out_schema.empty_table()
     tune_join_resources()
     # squeeze empty blocks (Ray 2.49 hash join aborts on all-empty partitions)
@@ -804,15 +875,9 @@ def q_revenue_by_nation(
         .aggregate(Sum("rev", alias_name="revenue_e4"))
         .to_pandas()  # ≤ |nations| rows
     )
-    agg["n_name"] = agg["s_nat"].astype(int).map(nat_name)
-    agg = agg.sort_values(["revenue_e4", "n_name"], ascending=[False, True],
-                          kind="mergesort")
-    return pa.table(
-        {
-            "n_name": pa.array(agg["n_name"], pa.string()),
-            "revenue_e4": pa.array(agg["revenue_e4"], pa.int64()),
-        }
-    )
+    if not len(agg):
+        return out_schema.empty_table()
+    return finish(agg)
 
 
 # ----------------------------------------------------------- percentiles --
