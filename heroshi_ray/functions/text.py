@@ -190,7 +190,8 @@ def simhash64(texts: list[str], k: int = 2) -> np.ndarray:
     """64-bit SimHash over word k-grams (Charikar '02): sum signed bit
     votes of feature hashes, sign -> bit."""
     out = np.empty(len(texts), np.int64)
-    weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+    shifts = np.arange(64, dtype=np.uint64)
+    weights = np.uint64(1) << shifts
     for i, t in enumerate(texts):
         words = t.lower().split() if t else []
         feats = (
@@ -201,13 +202,17 @@ def simhash64(texts: list[str], k: int = 2) -> np.ndarray:
         if not feats:
             out[i] = 0
             continue
-        votes = np.zeros(64, np.int64)
-        for f in feats:
-            h = np.uint64(zlib.crc32(f.encode()) | (zlib.crc32(f[::-1].encode()) << 32))
-            bits = (h & weights) != 0
-            votes += np.where(bits, 1, -1)
-        val = np.uint64(0)
-        for bit in np.flatnonzero(votes > 0):
-            val |= weights[bit]
-        out[i] = int(val.astype(np.int64))
+        hs = np.fromiter(
+            (
+                zlib.crc32(f.encode()) | (zlib.crc32(f[::-1].encode()) << 32)
+                for f in feats
+            ),
+            np.uint64,
+            len(feats),
+        )
+        # one (F, 64) bit matrix per doc: votes_j = #set - #unset on bit j
+        nset = ((hs[:, None] >> shifts) & np.uint64(1)).sum(axis=0)
+        out[i] = int(
+            weights[2 * nset > len(feats)].sum(dtype=np.uint64).astype(np.int64)
+        )
     return out

@@ -52,9 +52,15 @@ from ..runtime import default_buckets, join_partitions, tune_join_resources
 from ..stages.dedup import dedup_first
 
 
-def _pq(sf_dir: str, name: str, columns=None):
+def _pq(sf_dir: str, name: str, columns=None, split: bool = False):
+    """Pruned parquet read. ``split=True`` forces the read across
+    ~2x-cpus blocks: a single parquet file otherwise arrives as one
+    block, which serializes every downstream per-doc compute stage
+    (signatures, shingling, embedding matmuls) onto one task — the
+    single-node analogue of a hot input partition."""
+    kw = {"override_num_blocks": default_buckets()} if split else {}
     return ray.data.read_parquet(
-        os.path.join(sf_dir, f"{name}.parquet"), columns=columns
+        os.path.join(sf_dir, f"{name}.parquet"), columns=columns, **kw
     )
 
 
@@ -221,9 +227,9 @@ def q_minhash_neardup(
     final verified pair list (inherently small) is.
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, rounded 4dp."""
-    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"], split=True)
     bands = ds.map_batches(
-        _MinHashStage, batch_format="pyarrow", concurrency=(1, 2), num_cpus=0.5
+        _MinHashStage, batch_format="pyarrow", concurrency=(1, 8), num_cpus=0.5
     )
 
     def add_bucket(batch: pa.Table) -> pa.Table:
@@ -529,7 +535,7 @@ def q_embed_neardup(
     against the brute-force all-pairs result (and the DuckDB oracle
     cross-join is the driver's check). Returns (vec_a, vec_b,
     cos_sim_e4), vec_a < vec_b."""
-    ds = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ds = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"], split=True)
     sample = as_matrix(ds.limit(2048).to_pandas()["embedding"].tolist())
     index = IVFIndex(n_centroids=n_centroids).fit(sample)
     idx_ref = ray.put(index)
@@ -841,20 +847,25 @@ def hamming_band_pairs(
             lambda g: bucket_pairs(g.drop(columns=["__g"])), batch_format="pandas"
         )
     )
-    pairs_ds = _dedup_pairs(pairs_ds, a_col, b_col)
     schema = pa.schema(
         [(a_col, id_arrow_type), (b_col, id_arrow_type), ("hamming", pa.int64())]
     )
     blocks = [b for b in ray.get(pairs_ds.to_arrow_refs()) if b.num_rows]
     if not blocks:
         return schema.empty_table()
-    merged = pa.concat_tables(blocks, promote_options="none")
-    merged = merged.select([a_col, b_col, "hamming"]).cast(schema)
-    return merged.take(
-        pc.sort_indices(
-            merged, sort_keys=[(a_col, "ascending"), (b_col, "ascending")]
-        )
+    # pairs here are already hamming-VERIFIED, so what reaches the
+    # driver is the final answer duplicated at most 4x (once per shared
+    # band) — same order as the returned table itself; deduping it
+    # in pandas replaces a full hash(pair) shuffle
+    merged = (
+        pa.concat_tables(blocks, promote_options="none")
+        .select([a_col, b_col, "hamming"])
+        .cast(schema)
+        .to_pandas()
+        .drop_duplicates([a_col, b_col])
+        .sort_values([a_col, b_col], kind="mergesort")
     )
+    return pa.Table.from_pandas(merged, preserve_index=False).cast(schema)
 
 
 def q_simhash_neardup(sf_dir: str, max_hamming: int = 3):
@@ -863,7 +874,7 @@ def q_simhash_neardup(sf_dir: str, max_hamming: int = 3):
     hamming <= 3 recall is EXACT (pigeonhole: 3 differing bits cannot
     touch all 4 of the 16-bit quadrants). Rows-only driver check; exact
     equality vs single-process brute force asserted in tests."""
-    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"], split=True)
 
     def sh(batch: pa.Table) -> pa.Table:
         v = simhash64(batch.column("text").to_pylist())
