@@ -71,6 +71,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_stratified_sample": r.q_stratified_sample,
         "q_rollup": r.q_rollup,
         "q_ngram_jaccard": d.q_ngram_jaccard,
+        "q_pivot": r.q_pivot,
+        "q_frequent_items": d.q_frequent_items,
         # q_canonicalize is oracled because its INPUT urls are built by a
         # fixed template over events rows, so the SQL twin can construct
         # the expected canonical/surt forms directly
@@ -333,6 +335,20 @@ def oracle_sql() -> dict[str, str]:
             FROM customer JOIN nation ON c_nationkey = n_nationkey
                           JOIN region ON n_regionkey = r_regionkey
             GROUP BY ROLLUP(r_name, n_name)
+        """,
+        "q_pivot": """
+            SELECT user_id,
+                   CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+                   CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+                   CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+                   CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+                   CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
+            FROM events GROUP BY user_id
+        """,
+        "q_frequent_items": """
+            SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+            FROM events GROUP BY user_id
+            HAVING count(*) * 10000 >= 75 * (SELECT count(*) FROM events)
         """,
         "q_ngram_jaccard": """
             WITH grams AS (

@@ -1234,3 +1234,74 @@ def q_ngram_jaccard(
             merged, sort_keys=[("doc_a", "ascending"), ("doc_b", "ascending")]
         )
     )
+
+
+# ------------------------------------------------------ frequent items --
+def q_frequent_items(sf_dir: str, phi_e4: int = 75, k: int = 134):
+    """EXACT φ-frequent-items (keys with count >= φ·N) in two passes —
+    the Misra-Gries / SpaceSaving layout (Misra & Gries '82; merged
+    summaries per Agarwal et al., "Mergeability of summaries", PODS'12):
+
+    Pass 1 (candidate generation, one streaming map + tiny union): each
+    block emits the keys whose IN-BLOCK count exceeds n_block/k, plus
+    its row count. A key with global count > N/k must exceed n_b/k in
+    at least one block (else its total would be ≤ Σ n_b/k = N/k), so
+    the union of block summaries is a GUARANTEED superset of every
+    global φ-heavy key whenever φ >= 1/k — the per-block summary is
+    ≤ k entries regardless of block cardinality, exactly a merged MG
+    sketch's state, but fully vectorized (value_counts) instead of a
+    per-row counter loop.
+
+    Pass 2 (exact verify): broadcast the candidate set, one combiner
+    count pass restricted to candidates, keep count*10^4 >= φ_e4·N —
+    integer math, so the DuckDB HAVING twin hash-matches exactly.
+
+    Scale shape: pass-1 output is ≤ k·|blocks| rows; pass 2 moves only
+    candidate partials. Nothing key-cardinality-sized shuffles."""
+    from ray.data.aggregate import Sum
+
+    assert phi_e4 * k >= 10_000, "superset guarantee needs phi >= 1/k"
+    ds = _pq(sf_dir, "events", columns=["user_id"])
+
+    def block_summary(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        keys, counts = np.unique(u, return_counts=True)
+        keep = counts * k > len(u)
+        return pa.table({"user_id": pa.array(keys[keep], pa.int64())})
+
+    summaries = ds.map_batches(block_summary, batch_format="pyarrow").to_pandas()
+    n_total = ds.count()
+    cand = pa.array(sorted(set(summaries["user_id"].astype(int))), pa.int64())
+    if len(cand) == 0:
+        return pa.table(
+            {"user_id": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())}
+        )
+    cand_ref = ray.put(cand)
+
+    def count_cands(batch: pa.Table) -> pa.Table:
+        b = batch.filter(
+            pc.is_in(batch.column("user_id"), value_set=ray.get(cand_ref))
+        )
+        keys, counts = np.unique(
+            b.column("user_id").to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(keys, pa.int64()),
+                "cnt": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(count_cands, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()  # ≤ |candidates| rows
+    )
+    agg = agg[agg["cnt"] * 10_000 >= phi_e4 * n_total].sort_values("user_id")
+    return pa.table(
+        {
+            "user_id": pa.array(agg["user_id"].astype("int64"), pa.int64()),
+            "cnt": pa.array(agg["cnt"].astype("int64"), pa.int64()),
+        }
+    )

@@ -1013,3 +1013,37 @@ def q_rollup(sf_dir: str):
             "acctbal_e2": pa.array(out["acctbal_e2"].astype("int64"), pa.int64()),
         }
     )
+
+
+# ----------------------------------------------------------------- pivot --
+def q_pivot(sf_dir: str):
+    """Pivot (long → wide) aggregate: one row per user with per-
+    event-type counts as columns. Combiner layout: each batch emits at
+    most one row per (user) with the counts already pivoted, the
+    groupby then Sums fixed int64 columns — the shuffle moves
+    |users| x |types| integers, never event rows, and adding a type is
+    adding a column, not a shuffle."""
+    from ray.data.aggregate import Sum
+
+    types = ["click", "error", "purchase", "signup", "view"]
+    ds = _pq(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = (
+            df.groupby(["user_id", "event_type"], sort=False)
+            .size()
+            .unstack(fill_value=0)
+            .reindex(columns=types, fill_value=0)
+            .reset_index()
+        )
+        return pa.table(
+            {"user_id": pa.array(g["user_id"], pa.int64())}
+            | {f"n_{t}": pa.array(g[t].astype("int64"), pa.int64()) for t in types}
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(*[Sum(f"n_{t}", alias_name=f"n_{t}") for t in types])
+    )
