@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_image_decode": d.q_image_decode,
         "q_image_features": d.q_image_features,
         "q_approx_distinct": d.q_approx_distinct,
+        "q_tdigest_quantiles": d.q_tdigest_quantiles,
         "q_phash_neardup": d.q_phash_neardup,
         # crawler ops (rows-only: stateful / not SQL-expressible)
         "q_frontier_schedule": lambda sf: run_flagship(

@@ -61,3 +61,98 @@ class HyperLogLog:
         h = cls(b[0])
         h.registers = np.frombuffer(b[1:], dtype=np.uint8).copy()
         return h
+
+
+class TDigest:
+    """Mergeable quantile sketch (Dunning & Ertl, "Computing extremely
+    accurate quantiles using t-digests", 2019 — k1 scale function):
+    values collapse into <= O(delta) weighted centroids whose allowed
+    width shrinks toward the tails, so p99/p999 stay sharp while the
+    sketch is kilobytes. Deterministic: build sorts the input, merge
+    concatenates centroid lists in (mean, weight) order and re-runs the
+    same greedy compression — no RNG anywhere, so a distributed merge
+    tree gives the same digest for the same multiset regardless of
+    block boundaries ONLY up to centroid layout; the estimate is what
+    must be stable, and tests pin rank error vs exact."""
+
+    __slots__ = ("delta", "means", "weights")
+
+    def __init__(self, delta: int = 200,
+                 means: np.ndarray | None = None,
+                 weights: np.ndarray | None = None):
+        self.delta = delta
+        self.means = means if means is not None else np.empty(0, np.float64)
+        self.weights = weights if weights is not None else np.empty(0, np.float64)
+
+    # k1 scale: k(q) = delta/(2*pi) * asin(2q - 1)
+    def _k(self, q: np.ndarray) -> np.ndarray:
+        return self.delta / (2 * np.pi) * np.arcsin(np.clip(2 * q - 1, -1, 1))
+
+    def _compress(self, means: np.ndarray, weights: np.ndarray) -> None:
+        order = np.lexsort((weights, means))
+        means, weights = means[order], weights[order]
+        total = weights.sum()
+        out_m: list[float] = []
+        out_w: list[float] = []
+        acc_w = 0.0
+        cur_m, cur_w = means[0], weights[0]
+        q_left = 0.0
+        k_left = float(self._k(np.array([q_left]))[0])
+        for m, w in zip(means[1:], weights[1:]):
+            q_right = (acc_w + cur_w + w) / total
+            if float(self._k(np.array([q_right]))[0]) - k_left <= 1.0:
+                cur_m = (cur_m * cur_w + m * w) / (cur_w + w)
+                cur_w += w
+            else:
+                out_m.append(cur_m)
+                out_w.append(cur_w)
+                acc_w += cur_w
+                q_left = acc_w / total
+                k_left = float(self._k(np.array([q_left]))[0])
+                cur_m, cur_w = m, w
+        out_m.append(cur_m)
+        out_w.append(cur_w)
+        self.means = np.asarray(out_m, np.float64)
+        self.weights = np.asarray(out_w, np.float64)
+
+    @classmethod
+    def from_values(cls, values: np.ndarray, delta: int = 200) -> "TDigest":
+        d = cls(delta)
+        v = np.asarray(values, np.float64)
+        if len(v):
+            d._compress(v, np.ones(len(v), np.float64))
+        return d
+
+    def merge(self, other: "TDigest") -> "TDigest":
+        if not len(other.means):
+            return self
+        if not len(self.means):
+            self.means, self.weights = other.means, other.weights
+            return self
+        self._compress(
+            np.concatenate([self.means, other.means]),
+            np.concatenate([self.weights, other.weights]),
+        )
+        return self
+
+    def quantile(self, q: float) -> float:
+        """Midpoint-interpolated quantile estimate."""
+        if not len(self.means):
+            return float("nan")
+        if len(self.means) == 1:
+            return float(self.means[0])
+        w = self.weights
+        total = w.sum()
+        # cumulative weight at centroid midpoints
+        cum = np.cumsum(w) - w / 2
+        target = q * total
+        if target <= cum[0]:
+            return float(self.means[0])
+        if target >= cum[-1]:
+            return float(self.means[-1])
+        i = int(np.searchsorted(cum, target)) - 1
+        frac = (target - cum[i]) / (cum[i + 1] - cum[i])
+        return float(self.means[i] + frac * (self.means[i + 1] - self.means[i]))
+
+    def to_arrays(self) -> tuple[np.ndarray, np.ndarray]:
+        return self.means, self.weights

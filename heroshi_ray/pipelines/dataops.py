@@ -1305,3 +1305,44 @@ def q_frequent_items(sf_dir: str, phi_e4: int = 75, k: int = 134):
             "cnt": pa.array(agg["cnt"].astype("int64"), pa.int64()),
         }
     )
+
+
+def q_tdigest_quantiles(sf_dir: str, qs: tuple = (50, 90, 99)):
+    """Approximate global quantiles via t-digest (the sketch-family
+    counterpart of q_percentiles' exact per-group path): each block
+    emits ONE digest (<= ~200 centroids, kilobytes), the driver merges
+    the digests — the classic mergeable-summary layout where the
+    shuffle moves sketches, not the value column. Rank error is
+    O(1/delta) and sharpest in the tails (k1 scale function).
+    Rows-only driver check; tests pin rank error vs the exact sort."""
+    from ..functions.sketch import TDigest
+
+    ds = _pq(sf_dir, "events", columns=["value"], split=True)
+
+    def sk(batch: pa.Table) -> pa.Table:
+        d = TDigest.from_values(
+            batch.column("value").to_numpy(zero_copy_only=False)
+        )
+        m, w = d.to_arrays()
+        return pa.table(
+            {
+                "means": pa.array([m.tolist()], pa.list_(pa.float64())),
+                "weights": pa.array([w.tolist()], pa.list_(pa.float64())),
+            }
+        )
+
+    parts = ds.map_batches(sk, batch_format="pyarrow").to_pandas()
+    acc = TDigest()
+    for m, w in zip(parts["means"], parts["weights"]):
+        acc = acc.merge(
+            TDigest(means=np.asarray(m, np.float64),
+                    weights=np.asarray(w, np.float64))
+        )
+    return pa.table(
+        {
+            "q": pa.array([q for q in qs], pa.int64()),
+            "value_approx": pa.array(
+                [round(acc.quantile(q / 100.0), 4) for q in qs], pa.float64()
+            ),
+        }
+    )

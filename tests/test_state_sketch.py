@@ -88,3 +88,44 @@ def test_sample_deterministic(ray_session):
     b = q_sample(sf).to_pandas()
     assert len(a) == len(b)
     assert 0 < len(a) < 6000 * 0.05
+
+
+def test_tdigest_rank_error_and_mergeability():
+    import numpy as np
+
+    from heroshi_ray.functions.sketch import TDigest
+
+    rng = np.random.default_rng(11)
+    v = rng.lognormal(3.0, 1.5, 100_000)
+    sv = np.sort(v)
+
+    def rank_of(x):
+        return np.searchsorted(sv, x) / len(sv)
+
+    # two different block splits must both land within the error bound
+    for n_blocks in (16, 64):
+        acc = TDigest()
+        for b in np.array_split(v, n_blocks):
+            acc = acc.merge(TDigest.from_values(b))
+        for q in (0.5, 0.9, 0.99, 0.999):
+            est = acc.quantile(q)
+            assert abs(rank_of(est) - q) < 0.005, (n_blocks, q)
+        # sketch stays small regardless of input size
+        assert len(acc.means) < 400
+
+
+def test_tdigest_quantiles_query(ray_session):
+    import duckdb
+    import numpy as np
+
+    from heroshi_ray.pipelines.dataops import q_tdigest_quantiles
+
+    sf = "/root/testdata/sf0.001"
+    out = q_tdigest_quantiles(sf).to_pandas().set_index("q")["value_approx"]
+    vals = np.sort(
+        duckdb.sql(f"SELECT value FROM '{sf}/events.parquet'").df()["value"].to_numpy()
+    )
+    for q in (50, 90, 99):
+        est = out[q]
+        rank = np.searchsorted(vals, est) / len(vals)
+        assert abs(rank - q / 100.0) < 0.02, q
