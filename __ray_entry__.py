@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_rollup": r.q_rollup,
         "q_ngram_jaccard": d.q_ngram_jaccard,
         "q_pivot": r.q_pivot,
+        "q_left_join": r.q_left_join,
         "q_frequent_items": d.q_frequent_items,
         # q_canonicalize is oracled because its INPUT urls are built by a
         # fixed template over events rows, so the SQL twin can construct
@@ -336,6 +337,14 @@ def oracle_sql() -> dict[str, str]:
             FROM customer JOIN nation ON c_nationkey = n_nationkey
                           JOIN region ON n_regionkey = r_regionkey
             GROUP BY ROLLUP(r_name, n_name)
+        """,
+        "q_left_join": """
+            SELECT c_custkey, c_name,
+                   CAST(count(o_custkey) AS BIGINT) AS n_orders,
+                   CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT)), 0)
+                        AS BIGINT) AS total_spent_e2
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey, c_name
         """,
         "q_pivot": """
             SELECT user_id,

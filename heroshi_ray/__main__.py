@@ -20,13 +20,17 @@ import sys
 
 def _ray_up():
     import logging
+    import os
 
     logging.getLogger("ray.data").setLevel(logging.ERROR)
     import ray
 
     if not ray.is_initialized():
+        # honors RAY_ADDRESS so `ray job submit -- python -m heroshi_ray
+        # crawl ...` attaches to the submitting cluster (north_rule's
+        # deployment surface); standalone runs default to a local session
         ray.init(
-            address="local",
+            address=os.environ.get("RAY_ADDRESS", "local"),
             include_dashboard=False,
             ignore_reinit_error=True,
             logging_level="ERROR",

@@ -1047,3 +1047,64 @@ def q_pivot(sf_dir: str):
         .groupby("user_id")
         .aggregate(*[Sum(f"n_{t}", alias_name=f"n_{t}") for t in types])
     )
+
+
+# ------------------------------------------------------- left outer join --
+def q_left_join(sf_dir: str):
+    """LEFT OUTER join with aggregation: every customer row survives,
+    order count/revenue default to zero when no order matches. Layout:
+    the orders side collapses to per-custkey partials BEFORE any join
+    (combiner), then the partial map — |customers|-bounded, 16 bytes a
+    row — broadcasts and probes inside the customer scan, so the outer
+    side streams with no shuffle and null-extension is a vectorized
+    fillna. At a scale where the partial map outgrows a broadcast, the
+    same two inputs go through the distributed hash join with
+    join_type='left_outer' (q_hash_join's path) — layout documented,
+    broadcast chosen here because the aggregated side is key-bounded."""
+    from ray.data.aggregate import Sum
+
+    orders = _pq(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def o_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["cents"] = (df["o_totalprice"] * 100).round().astype("int64")
+        g = df.groupby("o_custkey", sort=False).agg(
+            n=("cents", "size"), cents=("cents", "sum")
+        ).reset_index()
+        return pa.table(
+            {
+                "o_custkey": pa.array(g["o_custkey"], pa.int64()),
+                "n": pa.array(g["n"].astype("int64"), pa.int64()),
+                "cents": pa.array(g["cents"], pa.int64()),
+            }
+        )
+
+    agg = (
+        orders.map_batches(o_partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("n", alias_name="n"), Sum("cents", alias_name="cents"))
+        .to_pandas()  # one row per customer WITH orders — key-bounded
+        .set_index("o_custkey")
+    )
+    agg_ref = ray.put(agg)
+
+    cust = _pq(sf_dir, "customer", columns=["c_custkey", "c_name"])
+
+    def probe(batch: pa.Table) -> pa.Table:
+        a = ray.get(agg_ref)
+        df = batch.to_pandas()
+        j = df.join(a, on="c_custkey", how="left")
+        return pa.table(
+            {
+                "c_custkey": pa.array(df["c_custkey"], pa.int64()),
+                "c_name": pa.array(df["c_name"], pa.string()),
+                "n_orders": pa.array(
+                    j["n"].fillna(0).astype("int64"), pa.int64()
+                ),
+                "total_spent_e2": pa.array(
+                    j["cents"].fillna(0).astype("int64"), pa.int64()
+                ),
+            }
+        )
+
+    return cust.map_batches(probe, batch_format="pyarrow")
