@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pivot": r.q_pivot,
         "q_left_join": r.q_left_join,
         "q_frequent_items": d.q_frequent_items,
+        "q_curate": d.q_curate,
         # q_canonicalize is oracled because its INPUT urls are built by a
         # fixed template over events rows, so the SQL twin can construct
         # the expected canonical/surt forms directly
@@ -90,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_approx_distinct": d.q_approx_distinct,
         "q_tdigest_quantiles": d.q_tdigest_quantiles,
         "q_phash_neardup": d.q_phash_neardup,
+        "q_image_dedup": d.q_image_dedup,
         # crawler ops (rows-only: stateful / not SQL-expressible)
         "q_frontier_schedule": lambda sf: run_flagship(
             sf, per_host_budget=32, epoch_budget=50_000,
@@ -354,6 +356,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
                    CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
             FROM events GROUP BY user_id
+        """,
+        "q_curate": """
+            SELECT doc_id,
+                   CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                       AS n_tokens
+            FROM (
+                SELECT doc_id, text,
+                       row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+                FROM documents
+                WHERE n_chars >= 100
+                  AND CASE WHEN trim(text) = '' THEN 0
+                           ELSE len(string_split_regex(trim(text), '\\s+'))
+                      END >= 20
+            ) t WHERE rn = 1
         """,
         "q_frequent_items": """
             SELECT user_id, CAST(count(*) AS BIGINT) AS cnt

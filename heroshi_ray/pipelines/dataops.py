@@ -895,26 +895,20 @@ def q_simhash_neardup(sf_dir: str, max_hamming: int = 3):
 
 
 # --------------------------------------------------------- image dedup --
-def q_phash_neardup(sf_dir: str, max_hamming: int = 6):
-    """Near-duplicate images by perceptual hash (D3): band-bucket on the
-    four 16-bit phash quadrants (a pair within hamming<=6 shares at least
-    one exact quadrant when distance is concentrated — standard
-    multi-index hashing), then verify hamming inside buckets.
-    Runs over the deterministic synthetic corpus (rows-only check)."""
+def _ensure_neardup_corpus() -> str:
+    """Deterministic synthetic image corpus with three PLANTED lossy
+    near-duplicates (decode -> qpng re-encode), cached as parquet."""
     import pyarrow.parquet as pq
 
     from ..fixtures import make_corpus
-    from ..functions.image import hamming64
 
     cache = "/tmp/heroshi_ray_cache"
     os.makedirs(cache, exist_ok=True)
     path = os.path.join(cache, "corpus_neardup.parquet")
     if not os.path.exists(path):
         base = make_corpus(48, seed=321)
-        # plant near-dups: re-encode a few images lossily (decode->qpng)
         from ..functions.image import decode_image, encode_image, phash64
 
-        ids = base.column("image_id").to_pylist()
         blobs = base.column("bytes").to_pylist()
         fmts = base.column("fmt").to_pylist()
         caps = base.column("caption").to_pylist()
@@ -933,7 +927,18 @@ def q_phash_neardup(sf_dir: str, max_hamming: int = 6):
         tmp = path + ".tmp"
         pq.write_table(tbl, tmp)
         os.replace(tmp, path)
-    ds = ray.data.read_parquet(path, columns=["image_id", "phash"])
+    return path
+
+
+def q_phash_neardup(sf_dir: str, max_hamming: int = 6):
+    """Near-duplicate images by perceptual hash (D3): band-bucket on the
+    four 16-bit phash quadrants (a pair within hamming<=6 shares at least
+    one exact quadrant when distance is concentrated — standard
+    multi-index hashing), then verify hamming inside buckets.
+    Runs over the deterministic synthetic corpus (rows-only check)."""
+    ds = ray.data.read_parquet(
+        _ensure_neardup_corpus(), columns=["image_id", "phash"]
+    )
     return hamming_band_pairs(
         ds,
         id_col="image_id",
@@ -1346,3 +1351,59 @@ def q_tdigest_quantiles(sf_dir: str, qs: tuple = (50, 90, 99)):
             ),
         }
     )
+
+
+# -------------------------------------------------- curation composite --
+def q_curate(sf_dir: str, min_chars: int = 100, min_tokens: int = 20):
+    """End-to-end curation composite — the everyday training-data
+    pipeline as ONE chained Dataset: quality gate (length + token
+    floor, vectorized per batch) → exact text dedup (first doc per
+    distinct surviving text, one bucketed shuffle) → per-doc token
+    count carried through. Demonstrates operator composition: each
+    stage is the same streaming building block the standalone queries
+    use, fused by Ray's pipelining with no materialization between
+    stages. Fully SQL-expressible, so the whole CHAIN is hash-checked
+    against one DuckDB twin."""
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+
+    def gate(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["n_tokens"] = token_count_ws(df["text"].tolist())
+        df = df[(df["n_chars"] >= min_chars) & (df["n_tokens"] >= min_tokens)]
+        return pa.table(
+            {
+                "doc_id": pa.array(df["doc_id"], pa.int64()),
+                "text": pa.array(df["text"], pa.string()),
+                "n_tokens": pa.array(df["n_tokens"].astype("int64"), pa.int64()),
+            }
+        )
+
+    kept = dedup_first(
+        ds.map_batches(gate, batch_format="pyarrow"),
+        key="text", tie_cols=("doc_id",), n_buckets=default_buckets(),
+    )
+    return kept.map_batches(
+        lambda b: b.select(["doc_id", "n_tokens"]), batch_format="pyarrow"
+    )
+
+
+# ------------------------------------------------- image dedup keep-list --
+def q_image_dedup(sf_dir: str, max_hamming: int = 6):
+    """Image near-dup DEDUP keep-list (the materialized form of
+    q_phash_neardup, mirroring q_embed_dedup for the image payload):
+    drop every image whose perceptual hash has a near-duplicate with a
+    lexicographically smaller image_id; keep the rest. The drop set is
+    the verified pair list's right column — O(|pairs|), broadcast into
+    a streaming filter over the corpus (no shuffle)."""
+    pairs = q_phash_neardup(sf_dir, max_hamming)
+    drop = pa.array(sorted(set(pairs.column("image_b").to_pylist())), pa.string())
+    drop_ref = ray.put(drop)
+    ds = ray.data.read_parquet(_ensure_neardup_corpus(), columns=["image_id"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        mask = pc.invert(
+            pc.is_in(batch.column("image_id"), value_set=ray.get(drop_ref))
+        )
+        return batch.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
