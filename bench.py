@@ -121,7 +121,7 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
     # FRESH seen pool (the pipeline is a stateful admission pass — a
     # reused pool would filter everything the second time).
     n_shards = max(4, num_cpus // 2)
-    reps = int(os.environ.get("GRAFT_BENCH_REPS", "3"))
+    reps = int(os.environ.get("GRAFT_BENCH_REPS", "4"))
     n_urls = make_input().count()
     headline_sec = float("inf")
     n_sched = 0
