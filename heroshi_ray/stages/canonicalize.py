@@ -14,7 +14,7 @@ import pyarrow as pa
 
 import ray.data
 
-from ..functions.urlnorm import canonicalize_batch
+from ..functions.urlnorm import canonicalize_batch_arrow
 from ..schemas import FRONTIER, STATE_PENDING
 
 
@@ -58,33 +58,44 @@ def canonicalize_candidates(
     mask`` prunes candidates (blocklist / mime / custom policy);
     ``priority_fn(depth) -> float array`` replaces the default scoring.
     Both are batch-level (vectorized) so they compose with map_batches."""
-    urls = batch.column("url").to_pylist()
-    canon, surt, host, ok = canonicalize_batch(urls)
+    n_in = batch.num_rows
+    # vectorized canonicalize: Arrow/RE2 kernels for the common shapes,
+    # scalar Python fallback rows stitched in (bit-identical — see
+    # functions/urlnorm.canonicalize_batch_arrow)
+    canon_arr, surt_arr, host_arr, ok_arr = canonicalize_batch_arrow(
+        batch.column("url")
+    )
     depth = (
         batch.column(depth_col).to_numpy(zero_copy_only=False).astype(np.int32)
         if depth_col
-        else np.zeros(len(urls), dtype=np.int32)
+        else np.zeros(n_in, dtype=np.int32)
     )
-    parents = batch.column(parent_col).to_pylist() if parent_col else [""] * len(urls)
-    mask = np.array(ok) & (depth <= max_depth)
+    ok_np = np.asarray(ok_arr.to_numpy(zero_copy_only=False), dtype=bool)
+    mask = ok_np & (depth <= max_depth)
     if url_filter is not None:
-        mask &= np.asarray(url_filter(canon, host, depth), dtype=bool)
+        # hook API is list-based (SURVEY §2.9); materialize only when used
+        mask &= np.asarray(
+            url_filter(canon_arr.to_pylist(), host_arr.to_pylist(), depth),
+            dtype=bool,
+        )
     idx = np.flatnonzero(mask)
     n = len(idx)
-    canon_a = [canon[i] for i in idx]
-    surt_a = [surt[i] for i in idx]
-    host_a = [host[i] for i in idx]
+    take = pa.array(idx)
     depth_a = depth[idx]
-    parent_a = [parents[i] for i in idx]
+    parent_a = (
+        batch.column(parent_col).take(take)
+        if parent_col
+        else pa.array([""] * n, pa.string())
+    )
     score = (priority_fn or priority_score)(depth_a)
     return pa.table(
         {
-            "url": pa.array(canon_a, pa.string()),
-            "surt": pa.array(surt_a, pa.string()),
-            "host": pa.array(host_a, pa.string()),
+            "url": canon_arr.take(take),
+            "surt": surt_arr.take(take),
+            "host": host_arr.take(take),
             "priority": pa.array(score, pa.float64()),
             "depth": pa.array(depth_a, pa.int32()),
-            "parent_surt": pa.array(parent_a, pa.string()),
+            "parent_surt": parent_a,
             "discovered_at": pa.array(np.full(n, now_us, dtype=np.int64), pa.timestamp("us")),
             "state": pa.array(np.full(n, STATE_PENDING, dtype=np.uint8), pa.uint8()),
             "retries": pa.array(np.zeros(n, dtype=np.int32), pa.int32()),

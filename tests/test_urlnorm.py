@@ -129,3 +129,60 @@ def test_idempotent(host, path):
     assert c2[0] == c1[0]
     assert c2[1] == c1[1]
     assert c2[2] == c1[2]
+
+
+def test_arrow_canonicalizer_matches_scalar():
+    """canonicalize_batch_arrow must be value-identical to the scalar
+    path on adversarial inputs: dot segments (incl. empty-segment
+    interplay), ports, userinfo, IPv6, percent-escapes, control chars,
+    unicode, and random garbage."""
+    import random
+
+    import pyarrow as pa
+
+    from heroshi_ray.functions.urlnorm import (
+        canonicalize_batch,
+        canonicalize_batch_arrow,
+    )
+
+    cases = [
+        "http://host1.example/o/1/l/2",
+        "HTTP://HOST2.EXAMPLE:80/x/../y#frag",
+        "http://h/./a/b/../c", "https://H.E:443/p?q=1",
+        "https://h.e:8443/p?q=%7E1", "http://h/%7Euser/%41/%2F",
+        "http://user:pass@h/p", "http://[::1]:8080/p",
+        "http://h:/p", "http://h:0/p", "http://h:080/p",
+        "ftp://h:21/f", "mailto:x@y", "not a url", "",
+        "http://h", "http://h?", "http://h#f", "http://h/?#",
+        "http://h/a//b///c", "http://h/a/../../..", "http://h/..",
+        "http://h/...", "http://h/.hidden/./x", "http://h/a/.//b",
+        "http://h/p?a=1&b=%2", "http://h/p%", "http://h/p#f?x",
+        "http://h.example/a/b/../../../c", "http://h/./../a",
+        "http://h/a/../bb/../../.x", "http://h/a/a/../.../../..",
+        "http://h/p q", " http://h/p ", "\thttp://h/p\n", "http://h\x1c/p",
+        "http://h/a/b/..", "http://h/a/b/.", "http://h/a/./", "http://h//",
+        "HtTpS://MiXeD.CaSe/P/Q", "http://h/a%2Fb", None,
+    ]
+    rng = random.Random(11)
+    segs = ["", ".", "..", "a", "bb", "...", ".x", "x.", "a.b", "..c"]
+    for _ in range(4000):
+        cases.append(
+            "http://h.e/" + "/".join(rng.choice(segs) for _ in range(rng.randrange(0, 10)))
+        )
+    alph = "abcXYZ019.-_~%/?#:@[]\\ é\t"
+    for _ in range(2000):
+        cases.append("http://" + "".join(rng.choice(alph) for _ in range(rng.randrange(1, 30))))
+    for _ in range(1000):
+        cases.append("".join(rng.choice(alph + "htp:/") for _ in range(rng.randrange(0, 25))))
+
+    c1, s1, h1, o1 = canonicalize_batch(cases)
+    c2, s2, h2, o2 = canonicalize_batch_arrow(pa.array(cases, pa.string()))
+    c2l, s2l, h2l, o2l = (
+        c2.to_pylist(), s2.to_pylist(), h2.to_pylist(), o2.to_pylist()
+    )
+    for i, u in enumerate(cases):
+        assert o1[i] == bool(o2l[i]), (u, o1[i], o2l[i])
+        if o1[i]:
+            assert (c1[i], s1[i], h1[i]) == (c2l[i], s2l[i], h2l[i]), (
+                u, (c1[i], s1[i], h1[i]), (c2l[i], s2l[i], h2l[i])
+            )
