@@ -108,8 +108,8 @@ class GateAndCap:
         n = batch.num_rows
         if n == 0:
             return batch
-        sh = hash64(batch.column("surt").to_pylist())
-        hh = hash64(batch.column("host").to_pylist())
+        sh = hash64(batch.column("surt"))
+        hh = hash64(batch.column("host"))
         keep = np.sort(np.unique(sh, return_index=True)[1])  # in-batch dedup
         keys = sh[keep]
         shard_ids = keys % np.uint64(self.n_shards)

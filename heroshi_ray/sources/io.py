@@ -66,7 +66,7 @@ def write_frontier(
     def add_shard(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0 or "host_shard" in batch.column_names:
             return batch
-        sh = (hash64(batch.column("host").to_pylist()) % np.uint64(n_host_shards)).astype(
+        sh = (hash64(batch.column("host")) % np.uint64(n_host_shards)).astype(
             np.int64
         )
         return batch.append_column("host_shard", pa.array(sh, pa.int64()))

@@ -26,7 +26,7 @@ _BUCKET_COL = "__bucket"
 
 
 def _add_bucket(batch: pa.Table, key: str, n_buckets: int) -> pa.Table:
-    b = (hash64(batch.column(key).to_pylist()) % np.uint64(n_buckets)).astype(np.int32)
+    b = (hash64(batch.column(key)) % np.uint64(n_buckets)).astype(np.int32)
     return batch.append_column(_BUCKET_COL, pa.array(b, pa.int32()))
 
 

@@ -99,7 +99,7 @@ def per_host_topk(
     per-bucket body is vectorized pandas (sort + groupby.cumcount)."""
 
     def add_shard(batch: pa.Table) -> pa.Table:
-        sh = (hash64(batch.column("host").to_pylist()) % np.uint64(n_shards)).astype(
+        sh = (hash64(batch.column("host")) % np.uint64(n_shards)).astype(
             np.int32
         )
         return batch.append_column(_SHARD_COL, pa.array(sh, pa.int32()))
