@@ -999,7 +999,8 @@ def q_ngram_jaccard(
 
     Stages: explode distinct grams → DF groupby → per-doc DF-sorted
     prefix rows (map_batches) → groupby(gram bucket) in-bucket pair
-    generation → distributed pair dedup → verify. The verify is
+    generation (bucket-local dedup only — cross-bucket duplicates are
+    cheaper to re-verify than to shuffle away) → verify. The verify is
     size-adaptive: when the candidate set is bounded, the candidate
     docs' SORTED GRAM-HASH ARRAYS (8 bytes/gram — corpus text never
     moves) are broadcast and each pair intersects two sorted int64
@@ -1126,9 +1127,15 @@ def q_ngram_jaccard(
     cand = (
         pref.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("__bkt")
-        .map_groups(bucket_pairs, batch_format="pandas")
-    )
-    cand = _dedup_pairs(cand, "doc_a", "doc_b").materialize()
+        .map_groups(
+            lambda g: bucket_pairs(g).drop_duplicates(["doc_a", "doc_b"]),
+            batch_format="pandas",
+        )
+    ).materialize()
+    # cross-bucket duplicate candidates are NOT shuffled away: verifying a
+    # pair twice costs one vectorized searchsorted, far less than a full
+    # hash(pair) shuffle; the duplicate rows die in the final (output-
+    # sized) drop_duplicates below
     n_cand = cand.count()
     if n_cand == 0:
         return empty
@@ -1233,11 +1240,18 @@ def q_ngram_jaccard(
     ]
     if not blocks:
         return empty
-    merged = pa.concat_tables(blocks, promote_options="none")
-    return merged.take(
-        pc.sort_indices(
-            merged, sort_keys=[("doc_a", "ascending"), ("doc_b", "ascending")]
-        )
+    merged = (
+        pa.concat_tables(blocks, promote_options="none")
+        .to_pandas()
+        .drop_duplicates(["doc_a", "doc_b"])
+        .sort_values(["doc_a", "doc_b"], kind="mergesort")
+    )
+    return pa.table(
+        {
+            "doc_a": pa.array(merged["doc_a"], pa.int64()),
+            "doc_b": pa.array(merged["doc_b"], pa.int64()),
+            "jac_e4": pa.array(merged["jac_e4"], pa.int64()),
+        }
     )
 
 
