@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_left_join": r.q_left_join,
         "q_frequent_items": d.q_frequent_items,
         "q_curate": d.q_curate,
+        "q_quality_stats": d.q_quality_stats,
         # q_canonicalize is oracled because its INPUT urls are built by a
         # fixed template over events rows, so the SQL twin can construct
         # the expected canonical/surt forms directly
@@ -393,6 +394,18 @@ def oracle_sql() -> dict[str, str]:
             FROM inter JOIN sizes sa ON sa.doc_id = doc_a
                        JOIN sizes sb ON sb.doc_id = doc_b
             WHERE ni * 10000 >= 6000 * (sa.n + sb.n - ni)
+        """,
+        "q_quality_stats": """
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE CAST(len(string_split_regex(trim(text), '\\s+'))
+                             AS BIGINT) END AS n_words,
+                   CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                        AS BIGINT) AS n_punct,
+                   CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))
+                        AS BIGINT) AS n_upper
+            FROM documents
         """,
         "q_canonicalize": """
             SELECT 'http://host' || CAST(user_id AS VARCHAR) || '.example/e/'

@@ -362,6 +362,39 @@ def q_text_stats(sf_dir: str):
     return ds.map_batches(feats, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_quality_stats(sf_dir: str):
+    """Integer-exact quality counters per document (the SQL-expressible
+    half of the quality-scoring bundle, split out so it is hash-checked
+    against the DuckDB oracle): char count, whitespace-token count,
+    punctuation count (neither alnum nor whitespace) and uppercase
+    count. Fully vectorized — polars count_matches over an Arrow column,
+    zero Python per-row work. The corpus is printable-ASCII, so the RE2
+    classes in the SQL twin and the Rust-regex classes here agree."""
+    import polars as pl
+
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def counters(batch: pa.Table) -> pa.Table:
+        s = pl.from_arrow(batch.column("text")).rename("t")
+        d = pl.select(
+            n_chars=s.str.len_chars().cast(pl.Int64),
+            n_words=s.str.count_matches(r"\S+").cast(pl.Int64),
+            n_punct=s.str.count_matches(r"[^A-Za-z0-9\s]").cast(pl.Int64),
+            n_upper=s.str.count_matches(r"[A-Z]").cast(pl.Int64),
+        ).to_arrow()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_chars": d.column("n_chars"),
+                "n_words": d.column("n_words"),
+                "n_punct": d.column("n_punct"),
+                "n_upper": d.column("n_upper"),
+            }
+        )
+
+    return ds.map_batches(counters, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_token_histogram(sf_dir: str, bucket: int = 10):
     """Token-length distribution: whitespace token count per doc,
     bucketed to width-10 bins, counted — partial histogram per batch
