@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_rollup": r.q_rollup,
         "q_ngram_jaccard": d.q_ngram_jaccard,
         "q_pivot": r.q_pivot,
+        "q_order_count_dist": r.q_order_count_dist,
         "q_left_join": r.q_left_join,
         "q_frequent_items": d.q_frequent_items,
         "q_curate": d.q_curate,
@@ -394,6 +395,13 @@ def oracle_sql() -> dict[str, str]:
             FROM inter JOIN sizes sa ON sa.doc_id = doc_a
                        JOIN sizes sb ON sb.doc_id = doc_b
             WHERE ni * 10000 >= 6000 * (sa.n + sb.n - ni)
+        """,
+        "q_order_count_dist": """
+            SELECT c_count, CAST(count(*) AS BIGINT) AS n_cust FROM (
+                SELECT c_custkey, CAST(count(o_custkey) AS BIGINT) AS c_count
+                FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+                GROUP BY c_custkey
+            ) GROUP BY c_count
         """,
         "q_quality_stats": """
             SELECT doc_id,

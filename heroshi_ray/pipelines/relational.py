@@ -1050,6 +1050,72 @@ def q_pivot(sf_dir: str):
 
 
 # ------------------------------------------------------- left outer join --
+def q_order_count_dist(sf_dir: str):
+    """TPC-H-Q13-shaped distribution of per-customer order counts,
+    INCLUDING the zero-order customers — without the left join Q13 is
+    usually written with. Layout: level 1 = per-batch partial counts on
+    the single pruned o_custkey column → groupby sum (the only
+    shuffle, key-bounded at |customers|); level 2 = per-batch histogram
+    partials over the counts → tiny groupby (|distinct counts| rows).
+    The zero bucket is arithmetic: |customer| − |customers with
+    orders| — two scalar counts, no join, no second shuffle. The
+    driver only ever holds the final histogram."""
+    from ray.data.aggregate import Sum
+
+    orders = _pq(sf_dir, "orders", columns=["o_custkey"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        u, c = np.unique(
+            batch.column("o_custkey").to_numpy(zero_copy_only=False),
+            return_counts=True,
+        )
+        return pa.table(
+            {
+                "o_custkey": pa.array(u.astype(np.int64), pa.int64()),
+                "n": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    per_cust = (
+        orders.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_custkey")
+        .aggregate(Sum("n", alias_name="c_count"))
+    )
+
+    def hist(batch: pa.Table) -> pa.Table:
+        u, c = np.unique(
+            batch.column("c_count").to_numpy(zero_copy_only=False),
+            return_counts=True,
+        )
+        return pa.table(
+            {
+                "c_count": pa.array(u.astype(np.int64), pa.int64()),
+                "n_cust": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    hdf = (
+        per_cust.map_batches(hist, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("c_count")
+        .aggregate(Sum("n_cust", alias_name="n_cust"))
+        .to_pandas()  # |distinct order counts| rows — tiny
+    )
+    n_customers = _pq(sf_dir, "customer", columns=["c_custkey"]).count()
+    zero = n_customers - int(hdf["n_cust"].sum())
+    if zero > 0:
+        hdf = pd.concat(
+            [hdf, pd.DataFrame({"c_count": [0], "n_cust": [zero]})],
+            ignore_index=True,
+        )
+    hdf = hdf.sort_values("c_count").reset_index(drop=True)
+    return pa.table(
+        {
+            "c_count": pa.array(hdf["c_count"].astype("int64"), pa.int64()),
+            "n_cust": pa.array(hdf["n_cust"].astype("int64"), pa.int64()),
+        }
+    )
+
+
 def q_left_join(sf_dir: str):
     """LEFT OUTER join with aggregation: every customer row survives,
     order count/revenue default to zero when no order matches. Layout:
