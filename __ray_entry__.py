@@ -73,6 +73,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ngram_jaccard": d.q_ngram_jaccard,
         "q_pivot": r.q_pivot,
         "q_order_count_dist": r.q_order_count_dist,
+        "q_running_sum": r.q_running_sum,
+        "q_small_qty_revenue": r.q_small_qty_revenue,
         "q_left_join": r.q_left_join,
         "q_frequent_items": d.q_frequent_items,
         "q_curate": d.q_curate,
@@ -395,6 +397,25 @@ def oracle_sql() -> dict[str, str]:
             FROM inter JOIN sizes sa ON sa.doc_id = doc_a
                        JOIN sizes sb ON sb.doc_id = doc_b
             WHERE ni * 10000 >= 6000 * (sa.n + sb.n - ni)
+        """,
+        "q_running_sum": """
+            SELECT event_id, user_id,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        AS BIGINT) AS run_sum_e2
+            FROM events
+        """,
+        "q_small_qty_revenue": """
+            SELECT CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS revenue_e2,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM lineitem l JOIN (
+                SELECT l_partkey,
+                       sum(CAST(round(l_quantity) AS BIGINT)) AS s,
+                       count(*) AS cnt
+                FROM lineitem GROUP BY l_partkey
+            ) p ON l.l_partkey = p.l_partkey
+            WHERE 5 * CAST(round(l.l_quantity) AS BIGINT) * p.cnt < p.s
         """,
         "q_order_count_dist": """
             SELECT c_count, CAST(count(*) AS BIGINT) AS n_cust FROM (

@@ -351,6 +351,106 @@ def q_sessionize(sf_dir: str, gap_minutes: int = 30):
     )
 
 
+def q_running_sum(sf_dir: str):
+    """Ordered window prefix aggregate: cumulative per-user spend over
+    the event stream (SUM OVER PARTITION BY ... ORDER BY). Same layout
+    as sessionize — ONE bucketed shuffle on hash(user)%B, per-bucket
+    body is a vectorized sort + groupby cumsum; no global sort, no
+    driver-side state. Money in cents (int64) so the prefix sums are
+    bit-exact under any execution order."""
+    B = default_buckets()
+    ds = _pq(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = (
+            batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+            % np.uint64(B)
+        ).astype(np.int32)
+        return batch.append_column("__b", pa.array(b, pa.int32()))
+
+    def cumsum(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        cents = (g["value"] * 100).round().astype("int64")
+        run = cents.groupby(g["user_id"]).cumsum()
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].astype("int64"),
+                "user_id": g["user_id"].astype("int64"),
+                "run_sum_e2": run.astype("int64"),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(cumsum, batch_format="pandas")
+    )
+
+
+def q_small_qty_revenue(sf_dir: str):
+    """TPC-H-Q17-shaped correlated aggregate filter: revenue from
+    lineitems whose quantity is below 20% of their part's average
+    quantity. Two passes over ONE pruned table: pass 1 = per-part
+    (sum_qty, cnt) combiner groupby (key-bounded, |parts| rows); pass 2
+    = stream lineitem again, probe the broadcast partials and keep rows
+    with 5*qty*cnt < sum_qty — the integer-exact form of
+    qty < 0.2*avg, immune to float-division order — then global sum
+    partials. The driver holds one output row. At a scale where the
+    per-part map outgrows a broadcast, pass 2 becomes a distributed
+    hash join on l_partkey (q_hash_join's path) with the same
+    predicate."""
+    from ray.data.aggregate import Sum
+
+    li = _pq(sf_dir, "lineitem", columns=["l_partkey", "l_quantity"])
+
+    def p_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["q"] = df["l_quantity"].round().astype("int64")
+        g = df.groupby("l_partkey", sort=False).agg(
+            s=("q", "sum"), n=("q", "size")
+        ).reset_index()
+        return pa.table(
+            {
+                "l_partkey": pa.array(g["l_partkey"], pa.int64()),
+                "s": pa.array(g["s"].astype("int64"), pa.int64()),
+                "n": pa.array(g["n"].astype("int64"), pa.int64()),
+            }
+        )
+
+    per_part = (
+        li.map_batches(p_partial, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+        .to_pandas()  # |parts| rows, 24 bytes each — key-bounded
+        .set_index("l_partkey")
+    )
+    pp_ref = ray.put(per_part)
+
+    li2 = _pq(sf_dir, "lineitem", columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def probe(batch: pa.Table) -> pa.Table:
+        p = ray.get(pp_ref)
+        df = batch.to_pandas()
+        q = df["l_quantity"].round().astype("int64")
+        j = df[["l_partkey"]].join(p, on="l_partkey")
+        keep = (5 * q * j["n"].to_numpy()) < j["s"].to_numpy()
+        cents = (df.loc[keep, "l_extendedprice"] * 100).round().astype("int64")
+        return pa.table(
+            {
+                "revenue_e2": pa.array([int(cents.sum())], pa.int64()),
+                "n": pa.array([int(keep.sum())], pa.int64()),
+            }
+        )
+
+    parts = li2.map_batches(probe, batch_format="pyarrow").to_pandas()
+    return pa.table(
+        {
+            "revenue_e2": pa.array([int(parts["revenue_e2"].sum())], pa.int64()),
+            "n": pa.array([int(parts["n"].sum())], pa.int64()),
+        }
+    )
+
+
 # ------------------------------------------------------------ distinct --
 def q_count_distinct(sf_dir: str, n_buckets: int | None = None):
     """Exact distinct count, two-level: per-batch partial unique
