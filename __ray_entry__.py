@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_order_count_dist": r.q_order_count_dist,
         "q_running_sum": r.q_running_sum,
         "q_small_qty_revenue": r.q_small_qty_revenue,
+        "q_mode_per_key": r.q_mode_per_key,
         "q_left_join": r.q_left_join,
         "q_frequent_items": d.q_frequent_items,
         "q_curate": d.q_curate,
@@ -404,6 +405,14 @@ def oracle_sql() -> dict[str, str]:
                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
                         AS BIGINT) AS run_sum_e2
             FROM events
+        """,
+        "q_mode_per_key": """
+            SELECT user_id, event_type AS top_type, n FROM (
+                SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY count(*) DESC, event_type) AS rn
+                FROM events GROUP BY user_id, event_type
+            ) WHERE rn = 1
         """,
         "q_small_qty_revenue": """
             SELECT CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))

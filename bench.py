@@ -176,6 +176,8 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         "q_canonicalize",
         "q_revenue_by_nation",
         "q_ngram_jaccard",
+        "q_running_sum",
+        "q_quality_stats",
     ]
     # per-query best-of-2 with the same rationale as the headline reps
     q_reps = int(os.environ.get("GRAFT_BENCH_QUERY_REPS", "2"))

@@ -387,6 +387,56 @@ def q_running_sum(sf_dir: str):
     )
 
 
+def q_mode_per_key(sf_dir: str):
+    """Mode / argmax-per-group: each user's most frequent event type
+    (ties broken by type name, deterministic). Layout: per-batch partial
+    (user, type, n) counts (combiner) → multi-key groupby sum — the
+    only shuffle, key-bounded at |users|·|types| — → per-user argmax in
+    a second map_groups whose input is already the aggregated table, so
+    the argmax pass moves |users|·|types| tiny rows, never events."""
+    from ray.data.aggregate import Sum
+
+    ds = _pq(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = (
+            df.groupby(["user_id", "event_type"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(g["user_id"], pa.int64()),
+                "event_type": pa.array(g["event_type"], pa.string()),
+                "n": pa.array(g["n"].astype("int64"), pa.int64()),
+            }
+        )
+
+    def argmax(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["user_id", "n", "event_type"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        top = g.drop_duplicates("user_id", keep="first")
+        return pd.DataFrame(
+            {
+                "user_id": top["user_id"].astype("int64"),
+                "top_type": top["event_type"],
+                "n": top["n"].astype("int64"),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["user_id", "event_type"])
+        .aggregate(Sum("n", alias_name="n"))
+        .groupby("user_id")
+        .map_groups(argmax, batch_format="pandas")
+    )
+
+
 def q_small_qty_revenue(sf_dir: str):
     """TPC-H-Q17-shaped correlated aggregate filter: revenue from
     lineitems whose quantity is below 20% of their part's average
