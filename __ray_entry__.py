@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_running_sum": r.q_running_sum,
         "q_small_qty_revenue": r.q_small_qty_revenue,
         "q_mode_per_key": r.q_mode_per_key,
+        "q_grouped_count_distinct": r.q_grouped_count_distinct,
         "q_left_join": r.q_left_join,
         "q_frequent_items": d.q_frequent_items,
         "q_curate": d.q_curate,
@@ -405,6 +406,10 @@ def oracle_sql() -> dict[str, str]:
                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
                         AS BIGINT) AS run_sum_e2
             FROM events
+        """,
+        "q_grouped_count_distinct": """
+            SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY event_type
         """,
         "q_mode_per_key": """
             SELECT user_id, event_type AS top_type, n FROM (

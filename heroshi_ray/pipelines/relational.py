@@ -387,6 +387,42 @@ def q_running_sum(sf_dir: str):
     )
 
 
+def q_grouped_count_distinct(sf_dir: str):
+    """Grouped COUNT(DISTINCT): distinct users per event type. Layout:
+    per-batch unique (type, user) pairs (combiner — the shuffle moves
+    deduped pairs, bounded by |types|·|users|, never raw events) → ONE
+    groupby(event_type) whose per-group body is a vectorized nunique.
+    The skew note: groups are per event TYPE (a handful), so per-group
+    fan-in is wide — at 100 TB the same query salts the pair shuffle
+    with hash(user)%B and sums per-salt distinct counts (disjoint user
+    ranges per salt keep it exact), exactly q_count_distinct's layout."""
+    ds = _pq(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        u = df.drop_duplicates(["event_type", "user_id"])
+        return pa.table(
+            {
+                "event_type": pa.array(u["event_type"], pa.string()),
+                "user_id": pa.array(u["user_id"], pa.int64()),
+            }
+        )
+
+    def nunique(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "n_users": np.array([g["user_id"].nunique()], np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(nunique, batch_format="pandas")
+    )
+
+
 def q_mode_per_key(sf_dir: str):
     """Mode / argmax-per-group: each user's most frequent event type
     (ties broken by type name, deterministic). Layout: per-batch partial
