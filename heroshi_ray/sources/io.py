@@ -42,6 +42,60 @@ def read_seeds(path: str) -> "ray.data.Dataset":
     )
 
 
+def write_fetch_jsonl(ds: "ray.data.Dataset", path: str) -> None:
+    """S1+: fetch-log sink in heroshi's io-worker stdout protocol shape
+    [UPSTREAM-H]: one JSON object per line, binary ``content`` base64-
+    encoded (JSON carries no bytes). Encoding is a per-batch vectorized
+    map; the write is Ray's partitioned JSON sink (one file per block —
+    resumable output, never one giant file)."""
+    import base64
+
+    def enc(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for name in batch.column_names:
+            col = batch.column(name)
+            if pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type):
+                cols[name + "_b64"] = pa.array(
+                    [
+                        base64.b64encode(v).decode("ascii") if v is not None else None
+                        for v in col.to_pylist()
+                    ],
+                    pa.string(),
+                )
+            else:
+                cols[name] = col
+        return pa.table(cols)
+
+    ds.map_batches(enc, batch_format="pyarrow").write_json(path)
+
+
+def read_fetch_jsonl(path: str) -> "ray.data.Dataset":
+    """S1+: fetch-log source for the io-worker JSONL protocol — inverse
+    of :func:`write_fetch_jsonl` (``*_b64`` columns decode back to
+    binary)."""
+    import base64
+
+    ds = ray.data.read_json(path)
+
+    def dec(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for name in batch.column_names:
+            col = batch.column(name)
+            if name.endswith("_b64"):
+                cols[name[:-4]] = pa.array(
+                    [
+                        base64.b64decode(v) if v is not None else None
+                        for v in col.to_pylist()
+                    ],
+                    pa.binary(),
+                )
+            else:
+                cols[name] = col
+        return pa.table(cols)
+
+    return ds.map_batches(dec, batch_format="pyarrow")
+
+
 def read_corpus(path: str) -> "ray.data.Dataset":
     """S1: the image+caption table. Parquet today; the Lance-format reader
     slots in here when pylance is available (same schema — SURVEY.md §7.6)."""

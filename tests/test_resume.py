@@ -81,3 +81,28 @@ def test_resume_identical(ray_session, tmp_path):
     fdf = pa.concat_tables([pq.read_table(f) for f in files]).to_pandas()
     ok = fdf[fdf["success"]]
     assert ok["surt"].is_unique
+
+
+def test_fetch_jsonl_round_trip(ray_session, tmp_path):
+    """io-worker JSONL protocol sink/source: binary content base64s
+    through JSON and round-trips byte-identically."""
+    import ray.data
+
+    from heroshi_ray.sources.io import read_fetch_jsonl, write_fetch_jsonl
+
+    rows = pa.table(
+        {
+            "url": pa.array([f"http://h{i}.example/p{i}" for i in range(64)]),
+            "status_code": pa.array([200 + (i % 3) for i in range(64)], pa.int32()),
+            "content": pa.array(
+                [bytes([i % 256]) * (i + 1) for i in range(64)], pa.binary()
+            ),
+        }
+    )
+    out = str(tmp_path / "fetchlog")
+    write_fetch_jsonl(ray.data.from_arrow(rows), out)
+    back = read_fetch_jsonl(out).to_pandas().sort_values("url").reset_index(drop=True)
+    orig = rows.to_pandas().sort_values("url").reset_index(drop=True)
+    assert list(back["url"]) == list(orig["url"])
+    assert list(back["status_code"]) == list(orig["status_code"])
+    assert list(back["content"]) == list(orig["content"])
