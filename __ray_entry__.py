@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ann_knn": d.q_ann_knn,
         "q_embed_neardup": d.q_embed_neardup,
         "q_embed_dedup": d.q_embed_dedup,
+        "q_dedup_clusters": d.q_dedup_clusters,
         "q_sliding_window": r.q_sliding_window,
         "q_sample": d.q_sample,
         "q_revenue_by_nation": r.q_revenue_by_nation,
@@ -287,6 +288,20 @@ def oracle_sql() -> dict[str, str]:
                 SELECT b.vec_id FROM embeddings a, embeddings b
                 WHERE a.vec_id < b.vec_id
                   AND list_cosine_similarity(a.embedding, b.embedding) >= 0.45)
+        """,
+        "q_dedup_clusters": """
+            WITH RECURSIVE e AS (
+                SELECT a.vec_id AS u, b.vec_id AS v
+                FROM embeddings a, embeddings b
+                WHERE a.vec_id <> b.vec_id
+                  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+            ), r(u, v) AS (
+                SELECT vec_id, vec_id FROM embeddings
+                UNION
+                SELECT r.u, e.v FROM r JOIN e ON e.u = r.v
+            )
+            SELECT u AS vec_id, CAST(min(v) AS BIGINT) AS cluster_id
+            FROM r GROUP BY u
         """,
         "q_sliding_window": """
             SELECT win_start, CAST(count(*) AS BIGINT) AS n FROM (

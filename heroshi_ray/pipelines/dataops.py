@@ -672,6 +672,96 @@ def q_embed_dedup(sf_dir: str, threshold: float = 0.45):
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_dedup_clusters(sf_dir: str, threshold: float = 0.45, max_iters: int = 64):
+    """Near-dup CLUSTERS: connected components over the embedding
+    near-dup graph — the transitive-closure form of dedup (a~b and b~c
+    put a and c in one cluster even when a,c are not directly similar),
+    which keep-lists like q_embed_dedup cannot express. The iterative-
+    algorithm class of the engine.
+
+    Layout: hash-min label propagation. The edge list (symmetrized
+    near-dup pairs — OUTPUT-scale, the same bound q_embed_dedup already
+    broadcasts) lives in a Dataset; each iteration is one distributed
+    pass: map_batches folds src labels onto dst nodes, a per-node
+    groupby-Min merges messages, and the driver holds only the
+    edge-subgraph label table (≤ 2·|pairs| rows) to detect the
+    fixpoint. Isolated nodes never enter the loop — they get their own
+    id in a final streaming attach pass over the full table.
+    Iterations = graph diameter (similarity graphs: small; at scale add
+    pointer-doubling to make it log n). Oracled by a DuckDB RECURSIVE
+    CTE computing min-reachable-id — edge sets agree exactly because
+    q_embed_neardup itself is oracle-green under the same predicate."""
+    from ray.data.aggregate import Min
+
+    pairs = q_embed_neardup(sf_dir, threshold)
+    ds = _pq(sf_dir, "embeddings", columns=["vec_id"])
+    if pairs.num_rows == 0:
+        return ds.map_batches(
+            lambda b: pa.table(
+                {"vec_id": b.column("vec_id"), "cluster_id": b.column("vec_id")}
+            ),
+            batch_format="pyarrow",
+        )
+
+    a = pairs.column("vec_a").to_numpy()
+    b = pairs.column("vec_b").to_numpy()
+    edges_ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b]), pa.int64()),
+                "dst": pa.array(np.concatenate([b, a]), pa.int64()),
+            }
+        )
+    )
+    nodes = np.unique(np.concatenate([a, b]))  # edge-subgraph only
+    labels = nodes.copy()
+
+    for _ in range(max_iters):
+        lbl_ref = ray.put((nodes, labels))
+
+        def msgs(batch: pa.Table) -> pa.Table:
+            ns, ls = ray.get(lbl_ref)
+            s = batch.column("src").to_numpy(zero_copy_only=False)
+            d = batch.column("dst").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "node": pa.array(d, pa.int64()),
+                    "lbl": pa.array(ls[np.searchsorted(ns, s)], pa.int64()),
+                }
+            )
+
+        agg = (
+            edges_ds.map_batches(msgs, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Min("lbl", alias_name="lbl"))
+            .to_pandas()  # ≤ |edge-subgraph nodes| rows — output-scale
+        )
+        new = labels.copy()
+        idx = np.searchsorted(nodes, agg["node"].to_numpy())
+        np.minimum.at(new, idx, agg["lbl"].to_numpy())
+        if np.array_equal(new, labels):
+            break
+        labels = new
+
+    final_ref = ray.put((nodes, labels))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        ns, ls = ray.get(final_ref)
+        v = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        out = v.copy()  # isolated nodes: own id
+        pos = np.clip(np.searchsorted(ns, v), 0, len(ns) - 1)
+        hit = ns[pos] == v
+        out[hit] = ls[pos[hit]]
+        return pa.table(
+            {
+                "vec_id": pa.array(v, pa.int64()),
+                "cluster_id": pa.array(out, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(attach, batch_format="pyarrow")
+
+
 # ------------------------------------------------------------- crawler ---
 def q_canonicalize(sf_dir: str):
     """RFC 3986 + SURT canonicalization over URLs synthesized

@@ -160,3 +160,37 @@ def test_shipping_priority_join_path_equals_broadcast(ray_session):
     b = q_shipping_priority(SF_DIR, broadcast_limit=0).to_pandas()
     pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
     assert len(a) == 10
+
+
+def test_dedup_clusters_transitive_chain(ray_session, tmp_path):
+    """Label propagation must close transitively: v0~v1 and v1~v2 put
+    v0,v2 in ONE cluster even though cos(v0,v2) < threshold; v3 is
+    isolated and keeps its own id."""
+    import pyarrow as pa
+
+    from heroshi_ray.pipelines.dataops import q_dedup_clusters
+
+    def rot(deg):
+        r = np.deg2rad(deg)
+        v = np.zeros(8, np.float32)
+        v[0], v[1] = np.cos(r), np.sin(r)
+        return v.tolist()
+
+    # cos(v0,v1)=cos(60°)=0.5 ≥ 0.45; cos(v1,v2)=0.5; cos(v0,v2)=cos(120°)=-0.5
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([10, 20, 30, 99], pa.int64()),
+            "embedding": pa.array(
+                [rot(0), rot(60), rot(120), [0.0] * 7 + [1.0]],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    out = (
+        q_dedup_clusters(str(tmp_path), threshold=0.45)
+        .to_pandas()
+        .set_index("vec_id")["cluster_id"]
+    )
+    assert out[10] == out[20] == out[30] == 10  # one transitive cluster, min id
+    assert out[99] == 99  # isolated: own id
