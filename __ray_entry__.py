@@ -398,9 +398,17 @@ def oracle_sql() -> dict[str, str]:
             HAVING count(*) * 10000 >= 75 * (SELECT count(*) FROM events)
         """,
         "q_ngram_jaccard": """
-            WITH grams AS (
+            WITH nums AS (
+              -- gram positions 1..max(length(text)), derived from the
+              -- data (generate_series can't take a subquery bound):
+              -- row numbers over lineitem, the largest table, whose row
+              -- count exceeds any document length at every sf. No fixed
+              -- cap, so long documents can't silently lose grams.
+              SELECT CAST(row_number() OVER () AS BIGINT) AS i FROM lineitem
+              QUALIFY i <= (SELECT max(length(text)) FROM documents)
+            ), grams AS (
               SELECT DISTINCT doc_id, substring(text, CAST(i AS INT), 12) AS g
-              FROM documents CROSS JOIN generate_series(1, 8192) AS t(i)
+              FROM documents CROSS JOIN nums
               WHERE i <= length(text) - 11
             ), sizes AS (
               SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id

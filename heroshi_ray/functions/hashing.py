@@ -41,3 +41,56 @@ def hash64_one(value: str) -> int:
 def shard_of(values, n_shards: int) -> np.ndarray:
     """Routing key for seen-set shards / host partitions."""
     return (hash64(values) % np.uint64(n_shards)).astype(np.int64)
+
+
+def hash_sentinel() -> tuple[int, str]:
+    """Probe value for cross-node hash agreement: (hash64 of a fixed
+    string, polars version)."""
+    return int(hash64(["heroshi-hash-probe"])[0]), pl.__version__
+
+
+_UNIFORM_CHECKED = False
+
+
+def assert_uniform_hashing() -> None:
+    """Verify every alive node computes the same ``hash64`` for a fixed
+    sentinel. polars' xxhash is only deterministic within a polars
+    version — a cluster with heterogeneous worker versions would
+    silently split seen-set shard routing and dedup bucket ids within a
+    single run. One num_cpus=0 probe task per node, run once at
+    pipeline setup (cost: one tiny RPC per node)."""
+    global _UNIFORM_CHECKED
+    if _UNIFORM_CHECKED:
+        return
+    import ray
+    from ray.util.scheduling_strategies import NodeAffinitySchedulingStrategy
+
+    if not ray.is_initialized():
+        return  # standalone import context; checked again under Ray
+    expected = hash_sentinel()
+
+    @ray.remote(num_cpus=0)
+    def _probe():
+        from heroshi_ray.functions.hashing import hash_sentinel as _hs
+
+        return _hs()
+
+    refs = [
+        _probe.options(
+            scheduling_strategy=NodeAffinitySchedulingStrategy(
+                node_id=n["NodeID"], soft=True
+            )
+        ).remote()
+        for n in ray.nodes()
+        if n.get("Alive")
+    ]
+    got = ray.get(refs)
+    bad = sorted({tuple(g) for g in got if tuple(g) != expected})
+    _UNIFORM_CHECKED = True
+    if bad:
+        raise RuntimeError(
+            f"hash64 disagrees across nodes: driver={expected}, "
+            f"divergent workers={bad} — pin polars to ONE version "
+            "cluster-wide before running (shard routing and dedup "
+            "buckets would silently split)."
+        )

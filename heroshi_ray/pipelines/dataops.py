@@ -232,13 +232,17 @@ def q_minhash_neardup(
         _MinHashStage, batch_format="pyarrow", concurrency=(1, 8), num_cpus=0.5
     )
 
+    # hoisted: all map tasks must share ONE modulus even if cluster
+    # CPU count changes mid-run (else a band key can split buckets)
+    n_bkt = default_buckets(per_cpu=8, hi=1024)
+
     def add_bucket(batch: pa.Table) -> pa.Table:
         # coarse bucket over the LSH key: the groupby shuffles on ~512
         # buckets, NOT on ~(n_bands x n_docs) singleton groups — one
         # vectorized call per bucket instead of one Python call per group
         b = (
             batch.column("band_key").to_numpy(zero_copy_only=False).astype(np.int64)
-            % (default_buckets(per_cpu=8, hi=1024))
+            % n_bkt
         ).astype(np.int32)
         return batch.append_column("__bkt", pa.array(b, pa.int32()))
 
@@ -431,12 +435,23 @@ def q_lang_count(sf_dir: str):
 
 # ---------------------------------------------------------------- ANN ---
 def _query_matrix(sf_dir: str, n_queries: int):
-    import pyarrow.parquet as pq
+    """First ``n_queries`` vectors by vec_id, selected with a distributed
+    per-block partial min-n + tiny driver merge (the q_global_topk
+    pattern). Each block contributes at most n_queries rows to the
+    driver, so this never materializes the embeddings table — at 100 TB
+    the driver sees O(blocks * n_queries) rows, not the corpus."""
+    ds = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"], split=True)
 
-    t = pq.read_table(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    def partial_min(batch: pa.Table) -> pa.Table:
+        order = pc.sort_indices(batch, sort_keys=[("vec_id", "ascending")])
+        return batch.take(order[:n_queries])
+
+    df = (
+        ds.map_batches(partial_min, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("vec_id")
+        .head(n_queries)
     )
-    df = t.to_pandas().sort_values("vec_id").head(n_queries)
     return df["vec_id"].to_numpy(), as_matrix(df["embedding"].tolist())
 
 
@@ -951,6 +966,10 @@ def hamming_band_pairs(
              "hamming": pd.Series(out_d, dtype=np.int64)}
         )
 
+    # hoisted: one modulus for every task regardless of mid-run cluster
+    # resizes (default_buckets reads live CPU state)
+    n_grp = default_buckets()
+
     def add_group(batch: pa.Table) -> pa.Table:
         g = (
             (
@@ -958,7 +977,7 @@ def hamming_band_pairs(
                 * (1 << 17)
                 + batch.column("key").to_numpy(zero_copy_only=False).astype(np.int64)
             )
-            % default_buckets()
+            % n_grp
         ).astype(np.int32)
         return batch.append_column("__g", pa.array(g, pa.int32()))
 
@@ -1217,12 +1236,19 @@ def q_ngram_jaccard(
 
     pref = ds.map_batches(prefix_rows, batch_format="pyarrow")
 
+    # Hoisted to the driver so every map task closes over the SAME
+    # modulus: default_buckets() reads live cluster CPU state, and a
+    # mid-run cluster resize would otherwise give different tasks
+    # different moduli, splitting a shared gram across __bkt groups and
+    # silently dropping candidate pairs (recall loss in an EXACT op).
+    n_bkt = np.uint64(default_buckets(per_cpu=8, hi=1024))
+
     def add_bucket(batch: pa.Table) -> pa.Table:
         # coarse bucket over the gram id: shuffle on ~B buckets, not on
         # millions of singleton gram groups
         b = (
             batch.column("gram").to_numpy(zero_copy_only=False).astype(np.uint64)
-            % np.uint64(default_buckets(per_cpu=8, hi=1024))
+            % n_bkt
         ).astype(np.int32)
         return batch.append_column("__bkt", pa.array(b, pa.int32()))
 
@@ -1408,7 +1434,10 @@ def q_frequent_items(sf_dir: str, phi_e4: int = 75, k: int = 134):
     def block_summary(batch: pa.Table) -> pa.Table:
         u = batch.column("user_id").to_numpy(zero_copy_only=False)
         keys, counts = np.unique(u, return_counts=True)
-        keep = counts * k > len(u)
+        # >= (not >) so the superset guarantee holds at the phi == 1/k
+        # boundary: a key with global count exactly N/k must reach
+        # n_b/k in some block, which this inclusive filter admits.
+        keep = counts * k >= len(u)
         return pa.table({"user_id": pa.array(keys[keep], pa.int64())})
 
     summaries = ds.map_batches(block_summary, batch_format="pyarrow").to_pandas()

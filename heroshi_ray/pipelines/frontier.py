@@ -19,6 +19,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from ..functions.hashing import assert_uniform_hashing
 from ..stages.canonicalize import canonicalize_dataset
 from ..stages.dedup import dedup_first
 from ..stages.schedule import global_order, per_host_topk
@@ -193,6 +194,9 @@ def fused_schedule_pipeline(
     All sorting is numpy lexsort on precomputed int64 hashes; no string
     sorts anywhere in the hot path.
     """
+    # Fail fast if worker polars versions diverge (hash64 routing would
+    # silently split seen-set shards). Cached after the first pass.
+    assert_uniform_hashing()
     own_seen = seen is None
     if seen is None:
         seen = SeenSet(n_seen_shards, seen_capacity)

@@ -639,6 +639,10 @@ def q_asof_join(sf_dir: str):
     vectorized ``pd.merge_asof`` over the sorted group."""
     ds = _pq(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type", "value"])
 
+    # hoisted: one modulus for every task regardless of mid-run cluster
+    # resizes (default_buckets reads live CPU state)
+    n_bkt = np.uint64(default_buckets())
+
     def add_bucket(batch: pa.Table) -> pa.Table:
         keep = pc.is_in(
             batch.column("event_type"), value_set=pa.array(["click", "view"])
@@ -646,7 +650,7 @@ def q_asof_join(sf_dir: str):
         b = batch.filter(keep)
         bk = (
             b.column("user_id").to_numpy(zero_copy_only=False).astype(np.uint64)
-            % np.uint64(default_buckets())
+            % n_bkt
         ).astype(np.int32)
         return b.append_column("__b", pa.array(bk, pa.int32()))
 
