@@ -1098,6 +1098,7 @@ def q_ngram_jaccard(
     threshold_e4: int = 6000,
     n: int = 12,
     broadcast_limit: int = 2_000_000,
+    df_broadcast_limit: int = 5_000_000,
 ):
     """EXACT character-n-gram Jaccard similarity self-join (vs
     q_minhash_neardup's probabilistic LSH): all document pairs with
@@ -1122,11 +1123,14 @@ def q_ngram_jaccard(
     — on a template-heavy corpus (where every pair shares hundreds of
     common grams) this cuts candidates by orders of magnitude versus a
     hash-ordered prefix, with zero recall loss (the lemma holds for ANY
-    fixed total order). DF is one extra explode+groupby pass; the DF
-    map is broadcast here (|distinct grams| is corpus-bounded and
-    kilobyte-scale per million docs for char trigrams); for an
-    unbounded gram space swap the broadcast for a hash join of rank
-    onto the explode — the surrounding layout is unchanged.
+    fixed total order). DF is one extra explode+groupby pass, then
+    SIZE-ADAPTIVE on |vocab| (``df_broadcast_limit``):
+    - bounded gram space (char n-grams): the DF map is a broadcast
+      dict — kilobyte-scale per million docs for trigrams;
+    - unbounded gram space: a distributed hash join of DF onto the
+      exploded (doc, gram) rows, then a groupby(doc) prefix selection
+      — nothing vocab-sized touches the driver. Both paths are
+      equivalence-tested (tests/test_neardup_distributed.py).
 
     Two further AllPairs prunes ride along: the LENGTH filter (a pair
     at Jaccard >= t needs t*max(|A|,|B|) <= min(|A|,|B|), checked from
@@ -1191,50 +1195,111 @@ def q_ngram_jaccard(
              "df": pa.array(counts.astype(np.int64), pa.int64())}
         )
 
-    df_tbl = (
+    _empty_pref = pa.table(
+        {"gram": pa.array([], pa.int64()),
+         "doc_id": pa.array([], pa.int64()),
+         "sz": pa.array([], pa.int64())}
+    )
+    df_ds = (
         ds.map_batches(explode_grams, batch_format="pyarrow")
         .groupby("gram")
         .aggregate(Sum("df", alias_name="df"))
-        .to_pandas()  # |distinct grams| rows — vocab-, not corpus-sized
+        .materialize()
     )
-    df_ref = ray.put(
-        dict(zip(df_tbl["gram"].astype(np.int64), df_tbl["df"].astype(np.int64)))
-    )
+    n_vocab = df_ds.count()
 
-    def prefix_rows(batch: pa.Table) -> pa.Table:
-        dfm = ray.get(df_ref)
-        ids = batch.column("doc_id").to_pylist()
-        texts = batch.column("text").to_pylist()
-        out_g: list[np.ndarray] = []
-        out_d: list[np.ndarray] = []
-        out_s: list[np.ndarray] = []
-        for did, t in zip(ids, texts):
-            t = t or ""
-            if len(t) < n:
-                continue
-            h = _gram_hashes(t)
-            dfs = np.fromiter((dfm[g] for g in h), np.int64, len(h))
-            order = np.lexsort((h, dfs))  # rare grams first, hash tiebreak
-            m = len(h)
-            L = m - (threshold_e4 * m + 9999) // 10000 + 1
-            out_g.append(h[order[:L]])
-            out_d.append(np.full(L, did, dtype=np.int64))
-            out_s.append(np.full(L, m, dtype=np.int64))
-        if not out_g:
-            return pa.table(
-                {"gram": pa.array([], pa.int64()),
-                 "doc_id": pa.array([], pa.int64()),
-                 "sz": pa.array([], pa.int64())}
-            )
-        return pa.table(
-            {
-                "gram": pa.array(np.concatenate(out_g), pa.int64()),
-                "doc_id": pa.array(np.concatenate(out_d), pa.int64()),
-                "sz": pa.array(np.concatenate(out_s), pa.int64()),
-            }
+    if n_vocab <= df_broadcast_limit:
+        # bounded gram space: DF map travels as one broadcast dict
+        df_tbl = df_ds.to_pandas()  # |vocab| rows — vocab-, not corpus-sized
+        df_ref = ray.put(
+            dict(zip(df_tbl["gram"].astype(np.int64), df_tbl["df"].astype(np.int64)))
         )
 
-    pref = ds.map_batches(prefix_rows, batch_format="pyarrow")
+        def prefix_rows(batch: pa.Table) -> pa.Table:
+            dfm = ray.get(df_ref)
+            ids = batch.column("doc_id").to_pylist()
+            texts = batch.column("text").to_pylist()
+            out_g: list[np.ndarray] = []
+            out_d: list[np.ndarray] = []
+            out_s: list[np.ndarray] = []
+            for did, t in zip(ids, texts):
+                t = t or ""
+                if len(t) < n:
+                    continue
+                h = _gram_hashes(t)
+                dfs = np.fromiter((dfm[g] for g in h), np.int64, len(h))
+                order = np.lexsort((h, dfs))  # rare grams first, hash tiebreak
+                m = len(h)
+                L = m - (threshold_e4 * m + 9999) // 10000 + 1
+                out_g.append(h[order[:L]])
+                out_d.append(np.full(L, did, dtype=np.int64))
+                out_s.append(np.full(L, m, dtype=np.int64))
+            if not out_g:
+                return _empty_pref
+            return pa.table(
+                {
+                    "gram": pa.array(np.concatenate(out_g), pa.int64()),
+                    "doc_id": pa.array(np.concatenate(out_d), pa.int64()),
+                    "sz": pa.array(np.concatenate(out_s), pa.int64()),
+                }
+            )
+
+        pref = ds.map_batches(prefix_rows, batch_format="pyarrow")
+    else:
+        # unbounded gram space: hash-join DF onto the exploded
+        # (doc, gram) rows, then select each doc's DF-ascending prefix
+        # in a groupby(doc_id) — the driver never sees the vocab
+        def explode_doc_grams(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_pylist()
+            texts = batch.column("text").to_pylist()
+            out_g, out_d, out_s = [], [], []
+            for did, t in zip(ids, texts):
+                t = t or ""
+                if len(t) < n:
+                    continue
+                h = _gram_hashes(t)
+                out_g.append(h)
+                out_d.append(np.full(len(h), did, dtype=np.int64))
+                out_s.append(np.full(len(h), len(h), dtype=np.int64))
+            if not out_g:
+                return _empty_pref
+            return pa.table(
+                {
+                    "gram": pa.array(np.concatenate(out_g), pa.int64()),
+                    "doc_id": pa.array(np.concatenate(out_d), pa.int64()),
+                    "sz": pa.array(np.concatenate(out_s), pa.int64()),
+                }
+            )
+
+        tune_join_resources()
+        dg = ds.map_batches(explode_doc_grams, batch_format="pyarrow").materialize()
+        n_dg = dg.count()
+        if n_dg == 0:
+            return empty
+        dg = dg.repartition(max(1, min(join_partitions(), n_dg // 4096)))
+        df_rp = df_ds.repartition(max(1, min(join_partitions(), n_vocab // 4096)))
+        joined = dg.join(
+            df_rp, join_type="inner", num_partitions=join_partitions(),
+            on=("gram",),
+        )
+
+        def doc_prefix(g: pd.DataFrame) -> pd.DataFrame:
+            # grams are distinct per doc, so m == len(g) == sz
+            order = np.lexsort((g["gram"].to_numpy(), g["df"].to_numpy()))
+            m = int(g["sz"].iloc[0])
+            L = m - (threshold_e4 * m + 9999) // 10000 + 1
+            sel = order[:L]
+            return pd.DataFrame(
+                {
+                    "gram": g["gram"].to_numpy()[sel],
+                    "doc_id": g["doc_id"].to_numpy()[sel],
+                    "sz": g["sz"].to_numpy()[sel],
+                }
+            )
+
+        pref = joined.groupby("doc_id").map_groups(
+            doc_prefix, batch_format="pandas"
+        )
 
     # Hoisted to the driver so every map task closes over the SAME
     # modulus: default_buckets() reads live cluster CPU state, and a

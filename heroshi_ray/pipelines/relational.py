@@ -183,25 +183,52 @@ def q_join_enrich(sf_dir: str):
 
 
 # ---------------------------------------------------------------- J1 ----
-def q_anti_join(sf_dir: str):
-    """Anti join via broadcast key set (the exact twin of the seen-filter
-    shape): customers with no finished ('F') order."""
+def q_anti_join(sf_dir: str, broadcast_limit: int = 500_000):
+    """Anti join: customers with no finished ('F') order.
+
+    Size-adaptive on the probe side (the 'F' custkey set grows with the
+    corpus, so a fixed broadcast would eventually OOM the driver):
+    - small: broadcast the key set once (ray.put) and filter inside
+      map_batches — the exact twin of the seen-filter shape, zero
+      shuffles;
+    - large: distributed ``left_anti`` hash join — nothing key-set-
+      sized ever touches the driver.
+    Both paths are equivalence-tested (tests/test_queries_oracle.py)."""
     forders = _pq(sf_dir, "orders", columns=["o_custkey", "o_orderstatus"]).map_batches(
         lambda b: b.filter(pc.equal(b.column("o_orderstatus"), "F")).select(
             ["o_custkey"]
         ),
         batch_format="pyarrow",
     )
-    okeys = sorted(forders.unique("o_custkey"))
-    keys_ref = ray.put(pa.array(okeys, pa.int64()))
     cust = _pq(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    forders = forders.materialize()
+    n_f = forders.count()  # row count bounds the distinct-key count
 
-    def anti(batch: pa.Table) -> pa.Table:
-        ks = ray.get(keys_ref)  # broadcast pa.Array of keys
-        mask = pc.invert(pc.is_in(batch.column("c_custkey"), value_set=ks))
-        return batch.filter(mask)
+    if n_f <= broadcast_limit:
+        okeys = sorted(forders.unique("o_custkey"))
+        keys_ref = ray.put(pa.array(okeys, pa.int64()))
 
-    return cust.map_batches(anti, batch_format="pyarrow", zero_copy_batch=True)
+        def anti(batch: pa.Table) -> pa.Table:
+            ks = ray.get(keys_ref)  # broadcast pa.Array of keys
+            mask = pc.invert(pc.is_in(batch.column("c_custkey"), value_set=ks))
+            return batch.filter(mask)
+
+        return cust.map_batches(anti, batch_format="pyarrow", zero_copy_batch=True)
+
+    # distributed path: bucketed left_anti hash join; repartition first
+    # to squeeze out empty blocks (Ray 2.49 hash-join abort) and keep
+    # partition count proportional to data, not file layout
+    tune_join_resources()
+    cust = cust.materialize()
+    n_c = cust.count()
+    if n_c == 0:
+        return cust
+    cust = cust.repartition(max(1, min(join_partitions(), n_c // 4096)))
+    forders = forders.repartition(max(1, min(join_partitions(), n_f // 4096)))
+    return cust.join(
+        forders, join_type="left_anti", num_partitions=join_partitions(),
+        on=("c_custkey",), right_on=("o_custkey",),
+    )
 
 
 # ---------------------------------------------------------------- D2 ----
@@ -387,24 +414,39 @@ def q_running_sum(sf_dir: str):
     )
 
 
-def q_grouped_count_distinct(sf_dir: str):
-    """Grouped COUNT(DISTINCT): distinct users per event type. Layout:
-    per-batch unique (type, user) pairs (combiner — the shuffle moves
-    deduped pairs, bounded by |types|·|users|, never raw events) → ONE
-    groupby(event_type) whose per-group body is a vectorized nunique.
-    The skew note: groups are per event TYPE (a handful), so per-group
-    fan-in is wide — at 100 TB the same query salts the pair shuffle
-    with hash(user)%B and sums per-salt distinct counts (disjoint user
-    ranges per salt keep it exact), exactly q_count_distinct's layout."""
+def q_grouped_count_distinct(sf_dir: str, n_salts: int | None = None):
+    """Grouped COUNT(DISTINCT): distinct users per event type. Salted
+    layout (the 100-TB shape, now the only path): groups are per event
+    TYPE — a handful — so an unsalted groupby funnels the whole user
+    set of a type into ONE aggregator. Instead:
+
+      per-batch unique (type, user) pairs (combiner; the shuffle moves
+      deduped pairs, never raw events)
+        → groupby (event_type, __salt=user%B): per-salt vectorized
+          nunique — per-group fan-in is |users|/B, skew-proof
+        → groupby(event_type).Sum — B tiny count rows per type.
+
+    Exact because salts partition users into disjoint ranges, so
+    per-salt distinct counts sum to the global distinct count. This is
+    q_count_distinct's two-level layout with the type key carried
+    through; the old single-groupby path is equivalence-covered by the
+    DuckDB oracle twin."""
+    from ray.data.aggregate import Sum
+
+    B = n_salts or default_buckets()
     ds = _pq(sf_dir, "events", columns=["event_type", "user_id"])
 
     def pairs(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         u = df.drop_duplicates(["event_type", "user_id"])
+        salt = (u["user_id"].to_numpy().astype(np.uint64) % np.uint64(B)).astype(
+            np.int32
+        )
         return pa.table(
             {
                 "event_type": pa.array(u["event_type"], pa.string()),
                 "user_id": pa.array(u["user_id"], pa.int64()),
+                "__salt": pa.array(salt, pa.int32()),
             }
         )
 
@@ -418,8 +460,10 @@ def q_grouped_count_distinct(sf_dir: str):
 
     return (
         ds.map_batches(pairs, batch_format="pyarrow")
-        .groupby("event_type")
+        .groupby(["event_type", "__salt"])
         .map_groups(nunique, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(Sum("n_users", alias_name="n_users"))
     )
 
 
@@ -473,18 +517,22 @@ def q_mode_per_key(sf_dir: str):
     )
 
 
-def q_small_qty_revenue(sf_dir: str):
+def q_small_qty_revenue(sf_dir: str, broadcast_limit: int = 500_000):
     """TPC-H-Q17-shaped correlated aggregate filter: revenue from
     lineitems whose quantity is below 20% of their part's average
     quantity. Two passes over ONE pruned table: pass 1 = per-part
     (sum_qty, cnt) combiner groupby (key-bounded, |parts| rows); pass 2
-    = stream lineitem again, probe the broadcast partials and keep rows
-    with 5*qty*cnt < sum_qty — the integer-exact form of
+    keeps rows with 5*qty*cnt < sum_qty — the integer-exact form of
     qty < 0.2*avg, immune to float-division order — then global sum
-    partials. The driver holds one output row. At a scale where the
-    per-part map outgrows a broadcast, pass 2 becomes a distributed
-    hash join on l_partkey (q_hash_join's path) with the same
-    predicate."""
+    partials. The driver holds one output row.
+
+    Pass 2 is size-adaptive on |parts|:
+    - small: broadcast the per-part map (ray.put) and probe inside
+      map_batches — lineitem streams with zero extra shuffles;
+    - large: distributed hash join lineitem ⋈ per-part partials on
+      l_partkey (q_hash_join's path), same integer predicate applied
+      per joined batch — nothing |parts|-sized touches the driver.
+    Both paths are equivalence-tested (tests/test_queries_oracle.py)."""
     from ray.data.aggregate import Sum
 
     li = _pq(sf_dir, "lineitem", columns=["l_partkey", "l_quantity"])
@@ -503,23 +551,64 @@ def q_small_qty_revenue(sf_dir: str):
             }
         )
 
-    per_part = (
+    per_part_ds = (
         li.map_batches(p_partial, batch_format="pyarrow")
         .groupby("l_partkey")
         .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
-        .to_pandas()  # |parts| rows, 24 bytes each — key-bounded
-        .set_index("l_partkey")
+        .materialize()
     )
-    pp_ref = ray.put(per_part)
-
+    n_parts = per_part_ds.count()
     li2 = _pq(sf_dir, "lineitem", columns=["l_partkey", "l_quantity", "l_extendedprice"])
 
-    def probe(batch: pa.Table) -> pa.Table:
-        p = ray.get(pp_ref)
+    def finalize(parts: pd.DataFrame) -> pa.Table:
+        return pa.table(
+            {
+                "revenue_e2": pa.array([int(parts["revenue_e2"].sum())], pa.int64()),
+                "n": pa.array([int(parts["n"].sum())], pa.int64()),
+            }
+        )
+
+    if n_parts <= broadcast_limit:
+        per_part = per_part_ds.to_pandas().set_index("l_partkey")
+        pp_ref = ray.put(per_part)
+
+        def probe(batch: pa.Table) -> pa.Table:
+            p = ray.get(pp_ref)
+            df = batch.to_pandas()
+            q = df["l_quantity"].round().astype("int64")
+            j = df[["l_partkey"]].join(p, on="l_partkey")
+            keep = (5 * q * j["n"].to_numpy()) < j["s"].to_numpy()
+            cents = (df.loc[keep, "l_extendedprice"] * 100).round().astype("int64")
+            return pa.table(
+                {
+                    "revenue_e2": pa.array([int(cents.sum())], pa.int64()),
+                    "n": pa.array([int(keep.sum())], pa.int64()),
+                }
+            )
+
+        return finalize(li2.map_batches(probe, batch_format="pyarrow").to_pandas())
+
+    # distributed pass 2: hash join lineitem ⋈ per-part partials, then
+    # the same integer predicate per joined batch → one partial row per
+    # block → driver sums O(blocks) rows
+    tune_join_resources()
+    li2 = li2.materialize()
+    n_li = li2.count()
+    if n_li == 0:
+        return finalize(pd.DataFrame({"revenue_e2": [], "n": []}))
+    li2 = li2.repartition(max(1, min(join_partitions(), n_li // 4096)))
+    per_part_rp = per_part_ds.repartition(
+        max(1, min(join_partitions(), n_parts // 4096))
+    )
+    joined = li2.join(
+        per_part_rp, join_type="inner", num_partitions=join_partitions(),
+        on=("l_partkey",),
+    )
+
+    def probe_joined(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         q = df["l_quantity"].round().astype("int64")
-        j = df[["l_partkey"]].join(p, on="l_partkey")
-        keep = (5 * q * j["n"].to_numpy()) < j["s"].to_numpy()
+        keep = (5 * q * df["n"].to_numpy()) < df["s"].to_numpy()
         cents = (df.loc[keep, "l_extendedprice"] * 100).round().astype("int64")
         return pa.table(
             {
@@ -528,13 +617,7 @@ def q_small_qty_revenue(sf_dir: str):
             }
         )
 
-    parts = li2.map_batches(probe, batch_format="pyarrow").to_pandas()
-    return pa.table(
-        {
-            "revenue_e2": pa.array([int(parts["revenue_e2"].sum())], pa.int64()),
-            "n": pa.array([int(parts["n"].sum())], pa.int64()),
-        }
-    )
+    return finalize(joined.map_batches(probe_joined, batch_format="pyarrow").to_pandas())
 
 
 # ------------------------------------------------------------ distinct --

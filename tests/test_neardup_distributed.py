@@ -194,3 +194,45 @@ def test_dedup_clusters_transitive_chain(ray_session, tmp_path):
     )
     assert out[10] == out[20] == out[30] == 10  # one transitive cluster, min id
     assert out[99] == 99  # isolated: own id
+
+
+def test_anti_join_distributed_path_equals_broadcast(ray_session):
+    """broadcast_limit=0 forces the bucketed left_anti hash join; both
+    layouts must return identical customers."""
+    import pandas as pd
+
+    from heroshi_ray.pipelines.relational import q_anti_join
+
+    cols = ["c_custkey", "c_name"]
+    a = q_anti_join(SF_DIR).to_pandas().sort_values(cols).reset_index(drop=True)
+    b = (
+        q_anti_join(SF_DIR, broadcast_limit=0)
+        .to_pandas()[cols]
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+    assert len(a) > 0
+
+
+def test_small_qty_revenue_join_path_equals_broadcast(ray_session):
+    """broadcast_limit=0 forces the distributed lineitem ⋈ per-part
+    hash join for pass 2; the single-row result must be identical."""
+    from heroshi_ray.pipelines.relational import q_small_qty_revenue
+
+    a = q_small_qty_revenue(SF_DIR).to_pandas()
+    b = q_small_qty_revenue(SF_DIR, broadcast_limit=0).to_pandas()
+    assert a.equals(b)
+
+
+def test_ngram_df_join_path_equals_broadcast(ray_session):
+    """df_broadcast_limit=0 forces the distributed DF hash join +
+    groupby(doc) prefix selection; results must be identical (the
+    AllPairs prefix lemma holds for any path computing the same DF
+    order)."""
+    from heroshi_ray.pipelines.dataops import q_ngram_jaccard
+
+    a = q_ngram_jaccard(SF_DIR).to_pandas()
+    b = q_ngram_jaccard(SF_DIR, df_broadcast_limit=0).to_pandas()
+    assert a.equals(b)
+    assert len(a) > 0
