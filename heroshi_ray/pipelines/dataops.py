@@ -687,29 +687,48 @@ def q_embed_dedup(sf_dir: str, threshold: float = 0.45):
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def q_dedup_clusters(sf_dir: str, threshold: float = 0.45, max_iters: int = 64):
+def q_dedup_clusters(
+    sf_dir: str,
+    threshold: float = 0.45,
+    max_iters: int = 64,
+    driver_labels_max: int = 2_000_000,
+    stats: dict | None = None,
+):
     """Near-dup CLUSTERS: connected components over the embedding
     near-dup graph — the transitive-closure form of dedup (a~b and b~c
     put a and c in one cluster even when a,c are not directly similar),
     which keep-lists like q_embed_dedup cannot express. The iterative-
     algorithm class of the engine.
 
-    Layout: hash-min label propagation. The edge list (symmetrized
-    near-dup pairs — OUTPUT-scale, the same bound q_embed_dedup already
-    broadcasts) lives in a Dataset; each iteration is one distributed
-    pass: map_batches folds src labels onto dst nodes, a per-node
-    groupby-Min merges messages, and the driver holds only the
-    edge-subgraph label table (≤ 2·|pairs| rows) to detect the
-    fixpoint. Isolated nodes never enter the loop — they get their own
-    id in a final streaming attach pass over the full table.
-    Iterations = graph diameter (similarity graphs: small; at scale add
-    pointer-doubling to make it log n). Oracled by a DuckDB RECURSIVE
-    CTE computing min-reachable-id — edge sets agree exactly because
-    q_embed_neardup itself is oracle-green under the same predicate."""
+    Layout: hash-min label propagation WITH POINTER DOUBLING (each
+    round: one edge pass folding neighbor labels via groupby-Min, then
+    label[x] <- label[label[x]] path compression), so rounds are
+    O(log diameter) instead of O(diameter). Two size-adaptive layouts:
+
+    - |edge-subgraph nodes| <= driver_labels_max: labels are one int64
+      numpy vector on the driver, edge passes are distributed
+      map_batches + groupby-Min, doubling is an in-memory gather —
+      cheapest when near-dups are rare (label state is output-scale).
+    - above the bound (web corpora run 30%+ duplicate, where the edge
+      subgraph is corpus-sized): labels live in a Dataset; each round
+      is edges⋈labels hash join → per-node groupby-Min → self-join
+      pointer doubling, and convergence is detected by the Sum of all
+      labels (min-propagation is monotone decreasing, so an unchanged
+      sum IS the fixpoint — no driver-side label diff needed). Nothing
+      corpus-sized ever touches the driver.
+
+    Non-convergence within max_iters raises rather than silently
+    returning partially-propagated ids. Isolated nodes never enter the
+    loop — they get their own id in the final streaming attach pass.
+    Oracled by a DuckDB RECURSIVE CTE computing min-reachable-id —
+    edge sets agree exactly because q_embed_neardup itself is
+    oracle-green under the same predicate."""
     from ray.data.aggregate import Min
 
     pairs = q_embed_neardup(sf_dir, threshold)
     ds = _pq(sf_dir, "embeddings", columns=["vec_id"])
+    if stats is not None:
+        stats["iters"] = 0
     if pairs.num_rows == 0:
         return ds.map_batches(
             lambda b: pa.table(
@@ -720,18 +739,81 @@ def q_dedup_clusters(sf_dir: str, threshold: float = 0.45, max_iters: int = 64):
 
     a = pairs.column("vec_a").to_numpy()
     b = pairs.column("vec_b").to_numpy()
-    edges_ds = ray.data.from_arrow(
-        pa.table(
+    edges_tbl = pa.table(
+        {
+            "src": pa.array(np.concatenate([a, b]), pa.int64()),
+            "dst": pa.array(np.concatenate([b, a]), pa.int64()),
+        }
+    )
+    n_nodes = len(np.unique(np.concatenate([a, b])))
+
+    if n_nodes > driver_labels_max:
+        labels = _cc_labels_distributed(edges_tbl, max_iters, stats)
+        # attach = distributed left-outer join; isolated rows fill own id
+        tune_join_resources()
+        nparts = join_partitions(8)
+        lbl2 = labels.map_batches(
+            lambda t: pa.table(
+                {"vec_id": t.column("node"), "_cc_lbl": t.column("lbl")}
+            ),
+            batch_format="pyarrow",
+        ).repartition(nparts)
+        n_rows = ds.count()
+        joined = ds.repartition(max(2, min(nparts, n_rows // 4096 + 1))).join(
+            lbl2, join_type="left_outer", num_partitions=nparts, on=("vec_id",)
+        )
+
+        def fill(batch: pa.Table) -> pa.Table:
+            v = batch.column("vec_id")
+            lbl = pc.coalesce(batch.column("_cc_lbl"), v)
+            return pa.table({"vec_id": v, "cluster_id": lbl})
+
+        return joined.map_batches(fill, batch_format="pyarrow")
+
+    ns, ls = _cc_labels_driver(edges_tbl, max_iters, stats)
+
+    final_ref = ray.put((ns, ls))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        ns, ls = ray.get(final_ref)
+        v = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        out = v.copy()  # isolated nodes: own id
+        if len(ns):
+            pos = np.clip(np.searchsorted(ns, v), 0, len(ns) - 1)
+            hit = ns[pos] == v
+            out[hit] = ls[pos[hit]]
+        return pa.table(
             {
-                "src": pa.array(np.concatenate([a, b]), pa.int64()),
-                "dst": pa.array(np.concatenate([b, a]), pa.int64()),
+                "vec_id": pa.array(v, pa.int64()),
+                "cluster_id": pa.array(out, pa.int64()),
             }
         )
-    )
-    nodes = np.unique(np.concatenate([a, b]))  # edge-subgraph only
+
+    return ds.map_batches(attach, batch_format="pyarrow")
+
+
+def _cc_pointer_double(nodes: np.ndarray, labels: np.ndarray) -> np.ndarray:
+    """In-memory path compression: label[x] <- label[label[x]] until
+    stable. Valid because every label value is itself a node id of the
+    edge subgraph (min-propagation only moves existing ids)."""
+    while True:
+        nxt = labels[np.searchsorted(nodes, labels)]
+        if np.array_equal(nxt, labels):
+            return labels
+        labels = nxt
+
+
+def _cc_labels_driver(edges_tbl: pa.Table, max_iters: int, stats: dict | None):
+    """Hash-min label propagation, labels resident on the driver
+    (edge-subgraph-scale). Edge passes stay distributed; pointer
+    doubling is a numpy gather per round."""
+    from ray.data.aggregate import Min
+
+    edges_ds = ray.data.from_arrow(edges_tbl)
+    nodes = np.unique(edges_tbl.column("src").to_numpy())
     labels = nodes.copy()
 
-    for _ in range(max_iters):
+    for it in range(max_iters):
         lbl_ref = ray.put((nodes, labels))
 
         def msgs(batch: pa.Table) -> pa.Table:
@@ -754,27 +836,98 @@ def q_dedup_clusters(sf_dir: str, threshold: float = 0.45, max_iters: int = 64):
         new = labels.copy()
         idx = np.searchsorted(nodes, agg["node"].to_numpy())
         np.minimum.at(new, idx, agg["lbl"].to_numpy())
+        new = _cc_pointer_double(nodes, new)
+        if stats is not None:
+            stats["iters"] = it + 1
         if np.array_equal(new, labels):
-            break
+            return nodes, labels
         labels = new
+    raise RuntimeError(
+        f"q_dedup_clusters: label propagation did not converge in "
+        f"{max_iters} rounds (pathological graph?); refusing to return "
+        f"partially-propagated cluster ids"
+    )
 
-    final_ref = ray.put((nodes, labels))
 
-    def attach(batch: pa.Table) -> pa.Table:
-        ns, ls = ray.get(final_ref)
-        v = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        out = v.copy()  # isolated nodes: own id
-        pos = np.clip(np.searchsorted(ns, v), 0, len(ns) - 1)
-        hit = ns[pos] == v
-        out[hit] = ls[pos[hit]]
-        return pa.table(
-            {
-                "vec_id": pa.array(v, pa.int64()),
-                "cluster_id": pa.array(out, pa.int64()),
-            }
+def _cc_labels_distributed(edges_tbl: pa.Table, max_iters: int, stats: dict | None):
+    """Hash-min label propagation with Dataset-resident labels — the
+    100-TB path for web-scale duplicate rates where the edge subgraph
+    is corpus-sized. Per round: edges⋈labels hash join (src lookup) →
+    per-node groupby-Min over messages ∪ self-labels → pointer-doubling
+    self-join. Fixpoint detected by the (monotone-decreasing) global
+    label Sum; the driver holds two scalars, never the labels."""
+    from ray.data.aggregate import Min
+
+    tune_join_resources()
+    nparts = join_partitions(8)
+    edges_ds = (
+        ray.data.from_arrow(edges_tbl)
+        .map_batches(
+            lambda b: pa.table({"node": b.column("src"), "dst": b.column("dst")}),
+            batch_format="pyarrow",
         )
+        .repartition(max(2, min(nparts, edges_tbl.num_rows // 4096 + 1)))
+        .materialize()
+    )
+    # distinct nodes, label = own id (symmetrized edges: src covers all)
+    labels = (
+        edges_ds.map_batches(
+            lambda b: pa.table({"node": b.column("node"), "lbl": b.column("node")}),
+            batch_format="pyarrow",
+        )
+        .groupby("node")
+        .aggregate(Min("lbl", alias_name="lbl"))
+        .repartition(nparts)
+        .materialize()
+    )
+    prev_sum = labels.sum(on="lbl")
 
-    return ds.map_batches(attach, batch_format="pyarrow")
+    for it in range(max_iters):
+        # 1 hop: every node receives its neighbors' current labels
+        msgs = edges_ds.join(
+            labels, join_type="inner", num_partitions=nparts, on=("node",)
+        ).map_batches(
+            lambda b: pa.table({"node": b.column("dst"), "lbl": b.column("lbl")}),
+            batch_format="pyarrow",
+        )
+        new = (
+            msgs.union(labels)
+            .groupby("node")
+            .aggregate(Min("lbl", alias_name="lbl"))
+        )
+        # pointer doubling: lbl <- label-of-label (≤ lbl by monotonicity)
+        parent = new.map_batches(
+            lambda b: pa.table({"lbl": b.column("node"), "plbl": b.column("lbl")}),
+            batch_format="pyarrow",
+        ).repartition(nparts)
+        new = (
+            new.repartition(nparts)
+            .join(parent, join_type="inner", num_partitions=nparts, on=("lbl",))
+            .map_batches(
+                lambda b: pa.table(
+                    {
+                        "node": b.column("node"),
+                        "lbl": pc.min_element_wise(
+                            b.column("lbl"), b.column("plbl")
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .repartition(nparts)
+            .materialize()
+        )
+        cur_sum = new.sum(on="lbl")
+        labels = new
+        if stats is not None:
+            stats["iters"] = it + 1
+        if cur_sum == prev_sum:
+            return labels  # Dataset(node, lbl) — never on the driver
+        prev_sum = cur_sum
+    raise RuntimeError(
+        f"q_dedup_clusters: distributed label propagation did not "
+        f"converge in {max_iters} rounds"
+    )
 
 
 # ------------------------------------------------------------- crawler ---

@@ -236,3 +236,96 @@ def test_ngram_df_join_path_equals_broadcast(ray_session):
     b = q_ngram_jaccard(SF_DIR, df_broadcast_limit=0).to_pandas()
     assert a.equals(b)
     assert len(a) > 0
+
+
+def _chain_embeddings(tmp_path, n: int):
+    """Chain of n vectors where cos(v_i, v_{i+1}) = 0.5 >= 0.45 and all
+    non-adjacent cosines are 0: v_i = (e_i + e_{i+1}) / sqrt(2)."""
+    import pyarrow as pa
+
+    dim = n + 2
+    vecs = []
+    for i in range(n):
+        v = np.zeros(dim, np.float32)
+        v[i], v[i + 1] = 1.0, 1.0
+        vecs.append((v / np.sqrt(2)).tolist())
+    iso = np.zeros(dim, np.float32)
+    iso[dim - 1] = 1.0
+    vecs.append(iso.tolist())
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(list(range(100, 100 + n)) + [9999], pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+
+
+def test_dedup_clusters_long_chain_log_rounds(ray_session, tmp_path):
+    """Pointer doubling must close a diameter-40 chain in O(log n)
+    rounds, not O(n): the pre-doubling layout needed ~40 iterations."""
+    from heroshi_ray.pipelines.dataops import q_dedup_clusters
+
+    n = 40
+    _chain_embeddings(tmp_path, n)
+    stats: dict = {}
+    out = (
+        q_dedup_clusters(str(tmp_path), threshold=0.45, stats=stats)
+        .to_pandas()
+        .set_index("vec_id")["cluster_id"]
+    )
+    assert (out.loc[100 : 100 + n - 1] == 100).all()  # one transitive cluster
+    assert out[9999] == 9999  # isolated keeps own id
+    assert 0 < stats["iters"] <= 8, stats  # log2(40)≈5.3 + slack, not ~40
+
+
+def test_dedup_clusters_distributed_labels_equal_driver(ray_session, tmp_path):
+    """driver_labels_max=0 forces the Dataset-resident label path
+    (joins + groupby-Min + doubling self-join); cluster assignment must
+    be identical to the driver-vector path, and rounds stay O(log n)."""
+    from heroshi_ray.pipelines.dataops import q_dedup_clusters
+
+    n = 24
+    _chain_embeddings(tmp_path, n)
+    a = (
+        q_dedup_clusters(str(tmp_path), threshold=0.45)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    stats: dict = {}
+    b = (
+        q_dedup_clusters(
+            str(tmp_path), threshold=0.45, driver_labels_max=0, stats=stats
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+    assert 0 < stats["iters"] <= 8, stats
+
+
+def test_dedup_clusters_distributed_path_sf001(ray_session):
+    """Forced-distributed path on the real sf0.001 fixture equals the
+    default path row-for-row (the equivalence standard every other
+    size-adaptive switch in the repo is held to)."""
+    import pandas as pd
+
+    from heroshi_ray.pipelines.dataops import q_dedup_clusters
+
+    a = (
+        q_dedup_clusters(SF_DIR)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        q_dedup_clusters(SF_DIR, driver_labels_max=0)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
