@@ -61,8 +61,11 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
     from heroshi_ray.pipelines.frontier import (
         fused_schedule_pipeline,
         synth_frontier_from_sf,
+        synth_robots,
     )
     from heroshi_ray.state.seen import SeenSet
+
+    robots = synth_robots()  # headline covers seen+politeness+ROBOTS
 
     expand = int(os.environ.get("GRAFT_BENCH_EXPAND", "48"))
     num_blocks = 192  # fixed input shape; ~300k-row blocks keep per-task transient memory small (large blocks amplify host memory-pressure phases)
@@ -109,6 +112,7 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         epoch_budget=1_000,
         n_buckets=8,
         seen=mini_seen,
+        robots=robots,
     )
     mini_seen.shutdown()
 
@@ -135,13 +139,14 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
             epoch_budget=500_000,
             n_buckets=32,
             seen=seen,
+            robots=robots,
         )
         n_sched = sched.count()
         headline_sec = min(headline_sec, time.time() - t0)
         seen.shutdown()
 
     out = {
-        "metric": "frontier schedule pipeline (canonicalize+dedup+seen+politeness+topk) wall time",
+        "metric": "frontier schedule pipeline (canonicalize+dedup+seen+robots+politeness+topk) wall time",
         "value": round(headline_sec, 3),
         "unit": "sec",
         "sf": sf_dir,

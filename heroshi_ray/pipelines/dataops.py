@@ -351,11 +351,12 @@ def q_text_stats(sf_dir: str):
     def feats(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
         q = quality_features(texts)
+        # n_chars / punct counts live in the ORACLED q_quality_stats (and
+        # the stopword counts in q_stopword_stats); this bundle keeps only
+        # the genuinely non-SQL composites.
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
-                "n_chars": pa.array(q["n_chars"], pa.int64()),
-                "punct_ratio": pa.array(np.round(q["punct_ratio"], 6), pa.float64()),
                 "stop_ratio": pa.array(np.round(q["stop_ratio"], 6), pa.float64()),
                 "quality_score": pa.array(np.round(q["quality_score"], 6), pa.float64()),
                 "n_bpe_tokens": pa.array(token_count_bpe(texts), pa.int64()),
@@ -364,6 +365,39 @@ def q_text_stats(sf_dir: str):
         )
 
     return ds.map_batches(feats, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_stopword_stats(sf_dir: str):
+    """Integer-exact stopword counters per document (the SQL-expressible
+    core of stopword-ratio quality gating, split out so it hash-checks
+    against a DuckDB list_filter twin): whitespace token count and the
+    number of tokens whose lowercase form is a stopword. Vectorized —
+    polars extract_all + list-eval, zero Python per-row work."""
+    import polars as pl
+
+    from ..functions.text import STOPWORDS
+
+    stop = sorted(STOPWORDS)
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def counters(batch: pa.Table) -> pa.Table:
+        s = pl.from_arrow(batch.column("text")).rename("t")
+        toks = s.str.extract_all(r"\S+")
+        d = pl.select(
+            n_tokens=toks.list.len().cast(pl.Int64),
+            n_stop=toks.list.eval(
+                pl.element().str.to_lowercase().is_in(stop)
+            ).list.sum().fill_null(0).cast(pl.Int64),
+        ).to_arrow()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": d.column("n_tokens"),
+                "n_stop": d.column("n_stop"),
+            }
+        )
+
+    return ds.map_batches(counters, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def q_quality_stats(sf_dir: str):

@@ -97,15 +97,34 @@ class GateAndCap:
     wall-time variance. bench.py additionally raises the raylet
     worker-pool keepalive env knobs."""
 
-    def __init__(self, shards, n_buckets: int, per_host_budget: int):
+    def __init__(self, shards, n_buckets: int, per_host_budget: int, robots_ref=None):
         self.shards = shards
         self.n_shards = len(shards)
         self.n_buckets = n_buckets
         self.budget = per_host_budget
+        self.robots_ref = robots_ref
+        self._vr = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..functions.hashing import hash64
 
+        if self.robots_ref is not None and batch.num_rows:
+            # J2 fused into the gate: vectorized longest-match robots
+            # check (VectorRobots — per rule-bearing host, not per row).
+            # Denied rows drop BEFORE the seen-set RPC, so they neither
+            # consume cuckoo capacity nor count as scheduled; a later
+            # robots change can re-admit them (matches the crawl loop,
+            # which re-gates every epoch).
+            if self._vr is None:
+                from ..stages.schedule import VectorRobots
+
+                self._vr = VectorRobots(ray.get(self.robots_ref))
+            m = self._vr.mask(
+                batch.column("url").to_numpy(zero_copy_only=False),
+                batch.column("host").to_numpy(zero_copy_only=False),
+            )
+            if not m.all():
+                batch = batch.filter(pa.array(m))
         n = batch.num_rows
         if n == 0:
             return batch
@@ -172,6 +191,7 @@ def fused_schedule_pipeline(
     seen: SeenSet | None = None,
     gate_concurrency: tuple[int, int] | None = None,
     driver_merge_max: int = 4_000_000,
+    robots: dict | None = None,
 ):
     """Combiner-style schedule path — the full frontier NEVER shuffles:
 
@@ -219,7 +239,8 @@ def fused_schedule_pipeline(
         # RAY_num_workers_soft_limit / RAY_idle_worker_killing_time_threshold_ms
         # raised (bench.py sets them) so those backfill workers stay warm
         # instead of respawning + re-importing for every block.
-        gate = GateAndCap(seen.shards, n_buckets, per_host_budget)
+        robots_ref = ray.put(robots) if robots else None
+        gate = GateAndCap(seen.shards, n_buckets, per_host_budget, robots_ref)
         # materialize = the gate's side effects (cuckoo inserts) execute
         # EXACTLY once; every downstream consumer reads the pinned blocks
         capped = cand.map_batches(
@@ -295,7 +316,34 @@ def schedule_pipeline(
             seen.shutdown()
 
 
+def synth_robots(n_hosts: int = 97) -> dict:
+    """Deterministic parsed-robots dict for the synthetic hosts, so the
+    flagship covers the FULL BASELINE.json:6 gate semantics (seen +
+    politeness + robots), not just seen+politeness. Mix of shapes:
+    plain-prefix Disallow, longest-match Allow override, crawl-delay
+    only, and allow-all hosts absent from the dict (the common case,
+    skipped whole by VectorRobots). Built from robots.txt TEXT through
+    the real parser — the same code path a fetched robots body takes."""
+    from ..functions.robots import parse_robots
+
+    robots = {}
+    for k in range(n_hosts):
+        if k == 0:  # the hot host: denies one orderkey-prefix shard
+            body = "User-agent: *\nDisallow: /o/9\nCrawl-delay: 2\n"
+        elif k % 4 == 1:
+            body = "User-agent: *\nDisallow: /o/1\n"
+        elif k % 4 == 2:
+            body = "User-agent: *\nDisallow: /o/2\nAllow: /o/22\n"
+        else:
+            continue  # allow-all: absent from the dict
+        robots[f"host{k}.example"] = parse_robots(body)
+    return robots
+
+
 def run_flagship(sf_dir: str, **kwargs):
     """entry()'s flagship: synth frontier from sf tables -> fused schedule
-    (the zero-frontier-shuffle path benchmarked in BASELINE.md)."""
+    (the zero-frontier-shuffle path benchmarked in BASELINE.md), with the
+    synthetic robots rules applied in the gate (headline covers the full
+    seen+politeness+robots semantics)."""
+    kwargs.setdefault("robots", synth_robots())
     return fused_schedule_pipeline(synth_frontier_from_sf(sf_dir), **kwargs)

@@ -1447,3 +1447,187 @@ def q_left_join(sf_dir: str):
         )
 
     return cust.map_batches(probe, batch_format="pyarrow")
+
+
+# -------------------------------------------------- filter aggregate ----
+def q_filter_agg(sf_dir: str):
+    """TPC-H-Q6-shaped scan-filter-aggregate: one streaming pass, each
+    batch reduced to a single partial (revenue_e4, n) row, tiny final
+    sum — the cheapest distributed query shape and the yardstick for
+    read-side column pruning (only 4 of 11 lineitem columns leave
+    storage). Money math in scaled int64 so the result is bit-exact
+    under any summation order and matches the SQL twin."""
+    ds = _pq(
+        sf_dir, "lineitem",
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    )
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1997-01-01")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        d2 = (df["l_discount"] * 100).round().astype("int64")
+        m = (
+            (df["l_shipdate"] >= lo)
+            & (df["l_shipdate"] < hi)
+            & (d2 >= 5)
+            & (d2 <= 7)
+            & (df["l_quantity"] < 24)
+        )
+        e2 = (df.loc[m, "l_extendedprice"] * 100).round().astype("int64")
+        return pa.table(
+            {
+                "revenue_e4": pa.array([int((e2 * d2[m]).sum())], pa.int64()),
+                "n": pa.array([int(m.sum())], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pa.table(
+        {
+            "revenue_e4": pa.array([int(parts["revenue_e4"].sum())], pa.int64()),
+            "n": pa.array([int(parts["n"].sum())], pa.int64()),
+        }
+    )
+
+
+# ------------------------------------------------------- semi join ------
+def q_semi_join(sf_dir: str, broadcast_limit: int = 2_000_000):
+    """TPC-H-Q4-shaped EXISTS semi-join: count open orders per priority
+    where at least one line item was returned. The semi side is reduced
+    FIRST to a distinct key set (two-level: per-batch unique → global
+    groupby-count — keys never concentrate in one task), then applied
+    size-adaptively:
+
+    - |keys| <= broadcast_limit: keys broadcast once via ray.put, the
+      orders scan keeps rows with pc.is_in — zero shuffle on the big
+      side (the anti-join's mirror);
+    - above the bound: distributed inner hash join orders ⋈ distinct
+      keys (a semi-join, since the key side is distinct by
+      construction), then the same tiny groupby.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    li = _pq(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"])
+
+    def ret_keys(batch: pa.Table) -> pa.Table:
+        mask = pc.equal(batch.column("l_returnflag"), "R")
+        keys = pc.unique(batch.filter(mask).column("l_orderkey"))
+        return pa.table({"l_orderkey": keys})
+
+    distinct = (
+        li.map_batches(ret_keys, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_orderkey")
+        .aggregate(Count(alias_name="_c"))
+        .materialize()
+    )
+    n_keys = distinct.count()
+
+    orders = _pq(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus", "o_orderpriority"])
+
+    def open_orders(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch.column("o_orderstatus"), "O"))
+
+    orders = orders.map_batches(
+        open_orders, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    if n_keys <= broadcast_limit:
+        keys = pa.array(
+            distinct.to_pandas()["l_orderkey"].to_numpy(), pa.int64()
+        )  # key-bounded by broadcast_limit
+        keys_ref = ray.put(keys)
+
+        def semi(batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                pc.is_in(batch.column("o_orderkey"), value_set=ray.get(keys_ref))
+            )
+
+        kept = orders.map_batches(semi, batch_format="pyarrow", zero_copy_batch=True)
+    else:
+        tune_join_resources()
+        nparts = join_partitions()
+        dk = distinct.map_batches(
+            lambda b: pa.table({"o_orderkey": b.column("l_orderkey")}),
+            batch_format="pyarrow",
+        ).repartition(nparts)
+        n_o = orders.count()
+        kept = orders.repartition(max(2, min(nparts, n_o // 4096 + 1))).join(
+            dk, join_type="inner", num_partitions=nparts, on=("o_orderkey",)
+        )
+
+    def prio_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"o_orderpriority": batch.column("o_orderpriority")})
+        df = t.to_pandas()
+        g = df.groupby("o_orderpriority", sort=False).size().reset_index(name="n")
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(g["o_orderpriority"], pa.string()),
+                "n": pa.array(g["n"].astype("int64"), pa.int64()),
+            }
+        )
+
+    return (
+        kept.map_batches(prio_partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n", alias_name="n_orders"))
+    )
+
+
+# --------------------------------------------------- promo revenue ------
+def q_promo_revenue(sf_dir: str, broadcast_limit: int = 50_000_000):
+    """TPC-H-Q14-shaped conditional aggregate over a dimension join:
+    promo vs total revenue for one ship-month. part is the classic
+    small side — its {p_partkey → is_promo} bitmap costs ~1 byte/row,
+    broadcast once via ray.put and probed inside the scan (searchsorted
+    over the sorted key array); above broadcast_limit parts it would
+    switch to a distributed hash join (same fork the other dimension
+    joins use). Output is the two exact integer sums (promo_e4,
+    total_e4) — the ratio is derivable, the sums are hashable."""
+    import pyarrow.parquet as pqt
+
+    part = pqt.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_type"]
+    )
+    n_parts = part.num_rows
+    if n_parts <= broadcast_limit:
+        pk = part.column("p_partkey").to_numpy()
+        promo = pc.equal(part.column("p_type"), "PROMO").to_numpy(zero_copy_only=False)
+        order = np.argsort(pk)
+        lookup_ref = ray.put((pk[order], promo[order]))
+    else:  # pragma: no cover - fixture parts never exceed the bound
+        raise NotImplementedError(
+            "distributed part join for >50M parts: same fork as q_revenue_by_nation"
+        )
+
+    lo, hi = pd.Timestamp("1996-09-01"), pd.Timestamp("1996-10-01")
+    ds = _pq(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys, promo = ray.get(lookup_ref)
+        df = batch.to_pandas()
+        m = (df["l_shipdate"] >= lo) & (df["l_shipdate"] < hi)
+        df = df[m]
+        e2 = (df["l_extendedprice"] * 100).round().astype("int64")
+        d2 = (df["l_discount"] * 100).round().astype("int64")
+        rev = (e2 * (100 - d2)).to_numpy()
+        pkv = df["l_partkey"].to_numpy()
+        pos = np.searchsorted(keys, pkv)
+        pos = np.clip(pos, 0, len(keys) - 1)
+        is_promo = (keys[pos] == pkv) & promo[pos]
+        return pa.table(
+            {
+                "promo_e4": pa.array([int(rev[is_promo].sum())], pa.int64()),
+                "total_e4": pa.array([int(rev.sum())], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pa.table(
+        {
+            "promo_e4": pa.array([int(parts["promo_e4"].sum())], pa.int64()),
+            "total_e4": pa.array([int(parts["total_e4"].sum())], pa.int64()),
+        }
+    )

@@ -124,3 +124,73 @@ def per_host_topk(
 def global_order(ds: "ray.data.Dataset", epoch_budget: int) -> "ray.data.Dataset":
     """K2: deterministic cross-host schedule order."""
     return ds.sort(["priority", "surt"], descending=[True, False]).limit(epoch_budget)
+
+
+class VectorRobots:
+    """Vectorized robots gate for the flagship hot path.
+
+    mark_robots() above evaluates ``allowed()`` per row in Python — fine
+    for the crawl loop's epoch batches, wrong for the headline path that
+    streams tens of millions of URLs. This matcher evaluates a broadcast
+    {host: Rules} dict with one Arrow/numpy pass per (rule-bearing host,
+    rule) instead of per row:
+
+    - rows are grouped by host via np.unique (a ~|hosts| operation);
+      hosts absent from the dict — the common case — are skipped whole;
+    - plain-prefix rules (no '*' or '$', the overwhelmingly common robots
+      form) vectorize as np.char.startswith over that host's path slice;
+      wildcard/anchored rules fall back to the compiled-regex matcher on
+      the slice only;
+    - longest-match-wins / allow-wins-ties is replayed vectorially with
+      (best_len, best_allow) arrays, bit-identical to ``allowed()``
+      (equivalence-tested in tests/test_robots.py).
+    """
+
+    def __init__(self, robots: dict[str, "Rules"]):
+        # keep only hosts that can deny anything
+        self.robots = {h: r for h, r in robots.items() if r[0]}
+
+    def mask(self, urls: np.ndarray, hosts: np.ndarray) -> np.ndarray:
+        out = np.ones(len(urls), dtype=bool)
+        if not self.robots:
+            return out
+        uh, inv = np.unique(hosts, return_inverse=True)
+        for hi, h in enumerate(uh):
+            rules = self.robots.get(h)
+            if rules is None:
+                continue
+            idx = np.flatnonzero(inv == hi)
+            paths = _paths_np(urls[idx])
+            best_len = np.full(len(idx), -1, dtype=np.int64)
+            best_allow = np.ones(len(idx), dtype=bool)
+            for pattern, is_allow in rules[0]:
+                if "*" in pattern or pattern.endswith("$"):
+                    from ..functions.robots import _rule_re
+
+                    rx = _rule_re(pattern)
+                    m = np.fromiter(
+                        (rx.match(p) is not None for p in paths),
+                        dtype=bool, count=len(paths),
+                    )
+                else:
+                    m = np.char.startswith(paths, pattern)
+                plen = len(pattern)
+                upd = m & (
+                    (plen > best_len)
+                    | ((plen == best_len) & is_allow & ~best_allow)
+                )
+                best_len[upd] = plen
+                best_allow[upd] = is_allow
+            out[idx] = best_allow
+        return out
+
+
+def _paths_np(urls: np.ndarray) -> np.ndarray:
+    """Path component of canonical urls, vectorized (one RE2 pass)."""
+    import polars as pl
+
+    s = pl.Series(urls.astype(object).tolist(), dtype=pl.String)
+    p = s.str.replace(r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*", "")
+    return np.asarray(
+        p.to_pandas().fillna("/").replace("", "/").to_numpy(), dtype="U"
+    )

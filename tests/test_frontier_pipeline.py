@@ -188,3 +188,50 @@ def test_sliding_window_property(ray_session):
     # window starts sit on the 30-minute grid
     ns = out["win_start"].astype("datetime64[ns]").astype("int64")
     assert (ns % (1800 * 10**9) == 0).all()
+
+
+def test_flagship_robots_gate(ray_session):
+    """With robots wired into the fused gate, denied URLs never appear
+    in the handout, allow-overrides survive, and the robots run is a
+    subset of the robots-less run on identical input."""
+    import pyarrow as pa
+
+    from heroshi_ray.functions.robots import parse_robots
+    from heroshi_ray.pipelines.frontier import fused_schedule_pipeline
+
+    urls = pa.table(
+        {
+            "url": pa.array(
+                [f"http://ha.example/o/{k}/l/1" for k in range(30)]
+                + [f"http://ha.example/o/22/l/{k}" for k in range(3)]
+                + [f"http://hb.example/o/{k}/l/1" for k in range(30)],
+                pa.string(),
+            )
+        }
+    )
+    robots = {
+        "ha.example": parse_robots("User-agent: *\nDisallow: /o/2\nAllow: /o/22\n")
+    }
+
+    def run(rb):
+        import ray
+
+        return fused_schedule_pipeline(
+            ray.data.from_arrow(urls),
+            per_host_budget=64,
+            epoch_budget=1000,
+            n_seen_shards=2,
+            seen_capacity=1 << 14,
+            robots=rb,
+        ).to_pandas()
+
+    with_rb = run(robots)
+    without = run(None)
+    got = set(with_rb["url"])
+    # /o/2, /o/20..29 denied on ha; /o/22 allowed back; hb untouched
+    assert not any(u.startswith("http://ha.example/o/2") and "/o/22/" not in u
+                   and not u.startswith("http://ha.example/o/22") for u in got)
+    # /o/22/l/{0,1,2} plus /o/22/l/1 from the first range, deduped -> 3
+    assert sum(u.startswith("http://ha.example/o/22") for u in got) == 3
+    assert sum(u.startswith("http://hb.example/") for u in got) == 30
+    assert got < set(without["url"])

@@ -72,3 +72,39 @@ def test_token_bucket_budget():
     # state roundtrip
     tb2 = TokenBuckets.from_state(tb.state())
     assert tb2.budget("h", 4.0, 2.0) == 2
+
+
+def test_vector_robots_matches_scalar_allowed():
+    """VectorRobots (the flagship's vectorized gate) must be
+    bit-identical to the per-row allowed() matcher across rule shapes:
+    plain prefixes, longest-match Allow overrides, '*' wildcards, '$'
+    anchors, allow-wins-ties, rule-less hosts, absent hosts."""
+    import numpy as np
+
+    from heroshi_ray.functions.robots import allowed, parse_robots
+    from heroshi_ray.stages.schedule import VectorRobots, _path_of
+
+    rules_a = parse_robots(
+        "User-agent: *\nDisallow: /o/2\nAllow: /o/22\nDisallow: /x*z\n"
+        "Disallow: /end$\nAllow: /end$\n"
+    )
+    rules_b = parse_robots("User-agent: *\nDisallow: /\nAllow: /pub\n")
+    robots = {"a.example": rules_a, "b.example": rules_b,
+              "empty.example": parse_robots("")}
+    vr = VectorRobots(robots)
+
+    paths = ["/o/1", "/o/2", "/o/22", "/o/23/l/4", "/o/22x", "/xaaz", "/xz",
+             "/end", "/endq", "/", "/pub/x", "/private", "/o/2?q=1"]
+    urls, hosts = [], []
+    for h in ("a.example", "b.example", "empty.example", "absent.example"):
+        for p in paths:
+            urls.append(f"http://{h}{p}")
+            hosts.append(h)
+    got = vr.mask(np.array(urls, dtype=object), np.array(hosts, dtype=object))
+    exp = np.array(
+        [
+            allowed(robots.get(h, ((), 1.0)), _path_of(u, h))
+            for u, h in zip(urls, hosts)
+        ]
+    )
+    assert (got == exp).all(), list(zip(urls, got.tolist(), exp.tolist()))
