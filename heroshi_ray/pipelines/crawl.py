@@ -73,8 +73,23 @@ from ..stages.dedup import dedup_first
 from ..stages.extract import ImageRowBuilder, LinkExtractor
 from ..stages.fetch import fetch_dataset, pages_index
 from ..stages.schedule import global_order, per_host_topk, split_robots
+from ..runtime import task_stage
 from ..state.politeness import PolitenessPool
 from ..state.seen import SeenSet
+
+
+def _distinct_hosts(ds: "ray.data.Dataset") -> list[str]:
+    """Distinct hosts without a groupby shuffle: per-block pc.unique +
+    driver set-union. The host domain is bounded (politeness state is
+    per-host by design), so the driver sees <= blocks x hosts tiny rows;
+    a full unique() here costs a ~1-2 s all-to-all per epoch for the
+    same answer."""
+    parts = ds.map_batches(
+        lambda b: pa.table({"host": pc.unique(b.column("host"))}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).to_pandas()
+    return sorted(set(parts["host"]))
 
 
 @dataclass
@@ -96,6 +111,14 @@ class CrawlConfig:
     max_depth: int = 64
     robots_via_actors: bool = False  # A-R shard pool instead of driver broadcast
     n_robots_shards: int = 2
+    # physical plan for the stateful per-epoch stages (fetch/extract/
+    # image-rows): "actors" = Ray Data actor pools (the 100-TB plan:
+    # isolation, autoscaling, per-stage num_cpus), "tasks" = same
+    # callables cached per worker process (runtime.task_stage — saves
+    # the ~1-1.7 s/stage actor-pool spin-up that dominates SMALL
+    # epochs), "auto" = tasks when the epoch batch <= actor_cutover.
+    stateful_mode: str = "auto"
+    actor_cutover: int = 100_000
     # extension hooks (SURVEY.md §2.9) — batch-level, cloudpickle-shipped
     url_filter: object = None       # fn(urls, hosts, depth) -> bool mask
     priority_fn: object = None      # fn(depth array) -> float array
@@ -233,7 +256,7 @@ class Crawler:
         if self.robots_cache is not None:
             # A-R actor-pool path (scale mode): rules for this epoch's
             # hosts only, fetched/parsed on miss and cached in the shards
-            hosts_all = [h for h in pending.unique("host")]
+            hosts_all = _distinct_hosts(pending)
             epoch_rules = self.robots_cache.rules_for(hosts_all, epoch=e)
             robots_ref = ray.put(epoch_rules)
             rules_lookup = epoch_rules
@@ -257,7 +280,7 @@ class Crawler:
             append_epoch_table(denied_tbl, self.workdir, "denied", e)
 
         # politeness budgets (A-P): O(distinct hosts) driver<->actor exchange
-        hosts = [h for h in allowed_ds.unique("host")]
+        hosts = _distinct_hosts(allowed_ds)
         delays = {h: crawl_delay(rules_lookup.get(h, ALLOW_ALL)) for h in hosts}
         budgets = self.pol.budgets(hosts, now_s, [delays[h] for h in hosts])
         budgets_ref = ray.put(budgets)
@@ -293,7 +316,11 @@ class Crawler:
         counts = pd.Series(sched_tbl.column("host").to_pylist()).value_counts().to_dict()
         self.pol.consume(counts, now_s, delays)
 
-        # A-F fetch — actor pool; epoch batch pinned in object store, not driver
+        # A-F fetch — actor pool (or process-cached tasks for small
+        # epochs); epoch batch pinned in object store, not driver
+        mode = cfg.stateful_mode
+        if mode == "auto":
+            mode = "tasks" if n_sched <= cfg.actor_cutover else "actors"
         sched_sel = sched_tbl.select(FRONTIER.names).cast(FRONTIER)
         fetched = fetch_dataset(
             ray.data.from_arrow(sched_sel),
@@ -302,6 +329,7 @@ class Crawler:
             concurrency=cfg.fetch_concurrency,
             batch_size=cfg.fetch_batch_size,
             counters=self.counters,
+            mode=mode,
         ).materialize()
 
         # fetch log without bodies (resumable, append-only)
@@ -335,9 +363,15 @@ class Crawler:
                 self.seen.check_and_add(surts)
 
         # X1: links + captions
-        links = fetched.map_batches(
-            LinkExtractor, batch_format="pyarrow", concurrency=(1, 2), batch_size=256, num_cpus=0.5
-        ).materialize()
+        if mode == "tasks":
+            links = fetched.map_batches(
+                task_stage(LinkExtractor), batch_format="pyarrow", batch_size=256
+            ).materialize()
+        else:
+            links = fetched.map_batches(
+                LinkExtractor, batch_format="pyarrow", concurrency=(1, 2),
+                batch_size=256, num_cpus=0.5,
+            ).materialize()
         # captions discovered THIS epoch (min per url) -> append-only
         # epoch sink; the cumulative caption store lives in parquet, not
         # in a driver dict (at 10^10 URLs a dict is driver-OOM)
@@ -371,13 +405,18 @@ class Crawler:
         # the captions sink on url (first-wins across epochs = min epoch)
         corpus_dir = os.path.join(self.workdir, "corpus", f"e{e}")
         os.makedirs(corpus_dir, exist_ok=True)
-        img_rows = fetched.map_batches(
-            ImageRowBuilder,
-            batch_format="pyarrow",
-            concurrency=(1, 2),
-            batch_size=64,
-            num_cpus=0.5,
-        ).materialize()  # bounded by the epoch batch; pinned for count+join
+        if mode == "tasks":
+            img_rows = fetched.map_batches(
+                task_stage(ImageRowBuilder), batch_format="pyarrow", batch_size=64
+            ).materialize()
+        else:
+            img_rows = fetched.map_batches(
+                ImageRowBuilder,
+                batch_format="pyarrow",
+                concurrency=(1, 2),
+                batch_size=64,
+                num_cpus=0.5,
+            ).materialize()  # bounded by the epoch batch; pinned for count+join
         n_img = img_rows.count()
         if n_img:
             # repartition squeezes out zero-row blocks first: Ray's hash

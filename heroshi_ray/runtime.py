@@ -53,3 +53,49 @@ def join_partitions(hi: int = 16) -> int:
     """Hash-join partition count proportional to the cluster (each
     partition is an aggregator actor — more than ~1 per core is waste)."""
     return max(2, min(hi, cluster_cpus()))
+
+
+# ---------------------------------------------------------------------
+# Per-worker-process stage cache: the task-mode twin of an actor pool.
+#
+# Ray Data actor pools are created at EXECUTION start and torn down at
+# its end — a map_batches(Cls, concurrency=...) costs ~1-1.7 s of actor
+# spin-up per execution (measured) regardless of data size. A crawl
+# epoch runs three such stages, so at small epoch sizes the spin-up IS
+# the epoch. Worker *processes*, by contrast, persist across
+# executions; caching the constructed stage instance per process gives
+# the same build-state-once semantics with ~0.13 s fixed cost, and the
+# cache survives every epoch of the crawl loop.
+#
+# Actor pools remain the right physical plan when the epoch batch is
+# large (isolation, autoscaling, per-stage num_cpus): callers switch on
+# batch size (CrawlConfig.stateful_mode="auto").
+_STAGE_CACHE: dict = {}
+
+
+def task_stage(cls, ctor_kwargs: dict | None = None, volatile: dict | None = None):
+    """Wrap an actor-pool stage class as a plain map_batches function.
+
+    The instance is constructed once per worker process (keyed on the
+    class + ctor kwargs) and reused across executions/epochs.
+    ``volatile`` attrs (e.g. the simulated epoch clock) are assigned on
+    the cached instance before each batch — they vary per epoch and must
+    not fragment the cache key."""
+    ctor_kwargs = ctor_kwargs or {}
+    volatile = volatile or {}
+    key = (
+        cls.__module__,
+        cls.__qualname__,
+        tuple(sorted((k, repr(v)) for k, v in ctor_kwargs.items())),
+    )
+
+    def fn(batch):
+        inst = _STAGE_CACHE.get(key)
+        if inst is None:
+            inst = _STAGE_CACHE[key] = cls(**ctor_kwargs)
+        for k, v in volatile.items():
+            setattr(inst, k, v)
+        return inst(batch)
+
+    fn.__name__ = f"task_{cls.__name__}"
+    return fn

@@ -163,7 +163,23 @@ def fetch_dataset(
     concurrency: int | tuple[int, int] = 4,
     batch_size: int = 256,
     counters=None,
+    mode: str = "actors",
 ) -> "ray.data.Dataset":
+    if mode == "tasks":
+        # small-epoch physical plan: same Fetcher semantics, but the
+        # instance is cached per worker PROCESS (survives epochs) instead
+        # of per actor-pool execution — see runtime.task_stage
+        from ..runtime import task_stage
+
+        return scheduled.map_batches(
+            task_stage(
+                SyntheticFetcher,
+                {"pages_ref": pages_ref, "counters": counters},
+                volatile={"now_us": now_us},
+            ),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
     return scheduled.map_batches(
         SyntheticFetcher,
         fn_constructor_kwargs={
