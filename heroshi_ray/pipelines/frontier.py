@@ -119,10 +119,9 @@ class GateAndCap:
                 from ..stages.schedule import VectorRobots
 
                 self._vr = VectorRobots(ray.get(self.robots_ref))
-            m = self._vr.mask(
-                batch.column("url").to_numpy(zero_copy_only=False),
-                batch.column("host").to_numpy(zero_copy_only=False),
-            )
+            # Arrow columns go straight in — no numpy-object
+            # materialization of 150k urls/hosts per block
+            m = self._vr.mask(batch.column("url"), batch.column("host"))
             if not m.all():
                 batch = batch.filter(pa.array(m))
         n = batch.num_rows

@@ -132,65 +132,138 @@ class VectorRobots:
     mark_robots() above evaluates ``allowed()`` per row in Python — fine
     for the crawl loop's epoch batches, wrong for the headline path that
     streams tens of millions of URLs. This matcher evaluates a broadcast
-    {host: Rules} dict with one Arrow/numpy pass per (rule-bearing host,
-    rule) instead of per row:
+    {host: Rules} dict with one pass per DISTINCT rule pattern, staying
+    in Arrow/polars kernels end-to-end (no Python-string or numpy-U
+    materialization — the previous per-host-slice form cost ~0.8 s per
+    150k-row block and, under 32-way concurrency on a memory-bound box,
+    ~3.5x the whole headline):
 
-    - rows are grouped by host via np.unique (a ~|hosts| operation);
-      hosts absent from the dict — the common case — are skipped whole;
-    - plain-prefix rules (no '*' or '$', the overwhelmingly common robots
-      form) vectorize as np.char.startswith over that host's path slice;
-      wildcard/anchored rules fall back to the compiled-regex matcher on
-      the slice only;
+    - hosts are dictionary-encoded (Arrow C kernel); rows whose host has
+      no rules — the common case — are dropped via one small
+      dictionary-level membership lookup before any row-level work;
+    - the path component is extracted ONCE per batch with a single RE2
+      replace over the rule-hit rows only;
+    - plain-prefix rules (the overwhelmingly common robots form) are
+      deduplicated ACROSS hosts: each distinct (pattern, is_allow) runs
+      one Rust ``starts_with`` over the rule-hit rows, gated by a
+      per-dictionary-entry host-membership vector (hosts sharing a
+      pattern — ubiquitous in real robots corpora — pay once, not once
+      per host);
+    - wildcard/'$'-anchored rules fall back to the compiled-regex
+      matcher on that host's rows only;
     - longest-match-wins / allow-wins-ties is replayed vectorially with
-      (best_len, best_allow) arrays, bit-identical to ``allowed()``
+      (best_len, best_allow) arrays — the update is a commutative
+      lexicographic max on (len, allow), so pattern evaluation order
+      doesn't matter — bit-identical to ``allowed()``
       (equivalence-tested in tests/test_robots.py).
     """
+
+    _PATH_RX = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*"
 
     def __init__(self, robots: dict[str, "Rules"]):
         # keep only hosts that can deny anything
         self.robots = {h: r for h, r in robots.items() if r[0]}
-
-    def mask(self, urls: np.ndarray, hosts: np.ndarray) -> np.ndarray:
-        out = np.ones(len(urls), dtype=bool)
-        if not self.robots:
-            return out
-        uh, inv = np.unique(hosts, return_inverse=True)
-        for hi, h in enumerate(uh):
-            rules = self.robots.get(h)
-            if rules is None:
-                continue
-            idx = np.flatnonzero(inv == hi)
-            paths = _paths_np(urls[idx])
-            best_len = np.full(len(idx), -1, dtype=np.int64)
-            best_allow = np.ones(len(idx), dtype=bool)
-            for pattern, is_allow in rules[0]:
+        # distinct plain-prefix patterns -> the hosts carrying them
+        pat_hosts: dict[tuple[str, bool], set] = {}
+        rx_rules: dict[str, list] = {}
+        for h, r in self.robots.items():
+            for pattern, is_allow in r[0]:
                 if "*" in pattern or pattern.endswith("$"):
-                    from ..functions.robots import _rule_re
-
-                    rx = _rule_re(pattern)
-                    m = np.fromiter(
-                        (rx.match(p) is not None for p in paths),
-                        dtype=bool, count=len(paths),
-                    )
+                    rx_rules.setdefault(h, []).append((pattern, is_allow))
                 else:
-                    m = np.char.startswith(paths, pattern)
-                plen = len(pattern)
-                upd = m & (
-                    (plen > best_len)
-                    | ((plen == best_len) & is_allow & ~best_allow)
-                )
-                best_len[upd] = plen
-                best_allow[upd] = is_allow
-            out[idx] = best_allow
+                    pat_hosts.setdefault((pattern, is_allow), set()).add(h)
+        # stable order: host -> list of pattern-group ids (one dict-vals
+        # scan per batch builds every membership vector)
+        self.patterns = list(pat_hosts.keys())
+        self.host_groups: dict[str, list[int]] = {}
+        for gid, key in enumerate(self.patterns):
+            for h in pat_hosts[key]:
+                self.host_groups.setdefault(h, []).append(gid)
+        self.rx_rules = rx_rules
+
+    def mask(self, urls, hosts) -> np.ndarray:
+        """urls/hosts: pyarrow Array/ChunkedArray (zero-copy hot path)
+        or any sequence (converted). Returns a bool allow-mask."""
+        import pyarrow.compute as pc
+
+        if not isinstance(urls, (pa.Array, pa.ChunkedArray)):
+            urls = pa.array(list(urls), pa.string())
+        if not isinstance(hosts, (pa.Array, pa.ChunkedArray)):
+            hosts = pa.array(list(hosts), pa.string())
+        if isinstance(hosts, pa.ChunkedArray):
+            hosts = hosts.combine_chunks()
+        n = len(urls)
+        out = np.ones(n, dtype=bool)
+        if not self.robots or n == 0:
+            return out
+
+        enc = hosts.dictionary_encode()
+        dict_vals = enc.dictionary.to_pylist()
+        # dictionary-level (tiny) membership: which encoded hosts carry
+        # rules at all, and which pattern groups each belongs to
+        n_dict, n_grp = len(dict_vals), len(self.patterns)
+        grp_m = np.zeros((n_grp, n_dict), dtype=bool) if n_grp else None
+        any_rule = np.zeros(n_dict, dtype=bool)
+        rx_pos: list[tuple[int, list]] = []
+        for di, v in enumerate(dict_vals):
+            if v not in self.robots:
+                continue
+            any_rule[di] = True
+            for gid in self.host_groups.get(v, ()):
+                grp_m[gid, di] = True
+            rr = self.rx_rules.get(v)
+            if rr:
+                rx_pos.append((di, rr))
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        sel = np.flatnonzero(any_rule[codes])
+        if len(sel) == 0:
+            return out
+
+        import polars as pl
+
+        usel = pc.take(
+            urls.combine_chunks() if isinstance(urls, pa.ChunkedArray) else urls,
+            pa.array(sel),
+        )
+        p = pl.from_arrow(usel).str.replace(self._PATH_RX, "")
+        empty = (p.str.len_bytes() == 0) | p.is_null()
+        if empty.any():
+            p = p.zip_with(~empty, pl.Series(["/"] * len(p)))
+
+        sub = codes[sel]
+        best_len = np.full(len(sel), -1, dtype=np.int64)
+        best_allow = np.ones(len(sel), dtype=bool)
+
+        def upd(m: np.ndarray, plen: int, is_allow: bool) -> None:
+            u = m & (
+                (plen > best_len)
+                | ((plen == best_len) & is_allow & ~best_allow)
+            )
+            best_len[u] = plen
+            best_allow[u] = is_allow
+
+        for gid, (pattern, is_allow) in enumerate(self.patterns):
+            hm = grp_m[gid][sub]
+            if not hm.any():
+                continue
+            sw = p.str.starts_with(pattern).fill_null(False).to_numpy()
+            upd(sw & hm, len(pattern), is_allow)
+        if rx_pos:
+            from ..functions.robots import _rule_re
+
+            p_py = p.to_list()  # regex fallback only: rare rule shape
+            for di, rr in rx_pos:
+                rows = np.flatnonzero(sub == di)
+                if len(rows) == 0:
+                    continue
+                for pattern, is_allow in rr:
+                    rx = _rule_re(pattern)
+                    m = np.zeros(len(sel), dtype=bool)
+                    m[rows] = np.fromiter(
+                        (rx.match(p_py[i]) is not None for i in rows),
+                        dtype=bool,
+                        count=len(rows),
+                    )
+                    upd(m, len(pattern), is_allow)
+        out[sel] = best_allow
         return out
-
-
-def _paths_np(urls: np.ndarray) -> np.ndarray:
-    """Path component of canonical urls, vectorized (one RE2 pass)."""
-    import polars as pl
-
-    s = pl.Series(urls.astype(object).tolist(), dtype=pl.String)
-    p = s.str.replace(r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*", "")
-    return np.asarray(
-        p.to_pandas().fillna("/").replace("", "/").to_numpy(), dtype="U"
-    )
