@@ -95,6 +95,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fixed template over events rows, so the SQL twin can construct
         # the expected canonical/surt forms directly
         "q_canonicalize": d.q_canonicalize,
+        "q_bigram_count": d.q_bigram_count,
+        "q_tfidf": d.q_tfidf,
+        "q_pagerank": d.q_pagerank,
         # crawler flagship (rows-only: stateful / not SQL-expressible)
         "q_frontier_schedule": lambda sf: run_flagship(
             sf, per_host_budget=32, epoch_budget=50_000,
@@ -541,5 +544,111 @@ def oracle_sql() -> dict[str, str]:
                      || CAST(event_id % 3 AS VARCHAR) AS surt,
                    'host' || CAST(user_id AS VARCHAR) || '.example' AS host
             FROM events
+        """,
+        # bigram counts: tokenization is a literal single-space split on
+        # BOTH sides (string_split here, polars str.split(" ") in the
+        # engine); gram positions come from lineitem row numbers, the
+        # same no-fixed-cap trick q_ngram_jaccard's oracle uses
+        "q_bigram_count": """
+            WITH tok AS (SELECT string_split(text, ' ') AS t FROM documents),
+                 nums AS (SELECT CAST(row_number() OVER () AS BIGINT) AS i
+                          FROM lineitem
+                          QUALIFY i <= (SELECT max(len(t)) FROM tok) - 1),
+                 b AS (SELECT t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT)+1]
+                              AS bigram
+                       FROM tok CROSS JOIN nums WHERE i <= len(t) - 1)
+            SELECT bigram, CAST(count(*) AS BIGINT) AS cnt
+            FROM b GROUP BY bigram HAVING count(*) >= 5
+        """,
+        # integer fixed-point idf ((N*10^6) // df) so the score is exact
+        # int64 arithmetic on both sides — a float ln-idf would diverge
+        # in last-ulp summation order
+        "q_tfidf": """
+            WITH p AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+                 tok AS (SELECT doc_id, string_split(text, ' ') AS t
+                         FROM documents),
+                 tf AS (SELECT doc_id,
+                          CAST(len(list_filter(t, x -> x = 'table')) AS BIGINT) AS tf0,
+                          CAST(len(list_filter(t, x -> x = 'hash'))  AS BIGINT) AS tf1,
+                          CAST(len(list_filter(t, x -> x = 'sort'))  AS BIGINT) AS tf2
+                        FROM tok),
+                 df AS (SELECT CAST(count(*) FILTER (tf0 > 0) AS BIGINT) AS df0,
+                               CAST(count(*) FILTER (tf1 > 0) AS BIGINT) AS df1,
+                               CAST(count(*) FILTER (tf2 > 0) AS BIGINT) AS df2
+                        FROM tf)
+            SELECT doc_id,
+                   tf0 * (CASE WHEN df0 = 0 THEN 0
+                               ELSE (SELECT n FROM p) * 1000000 // df0 END)
+                 + tf1 * (CASE WHEN df1 = 0 THEN 0
+                               ELSE (SELECT n FROM p) * 1000000 // df1 END)
+                 + tf2 * (CASE WHEN df2 = 0 THEN 0
+                               ELSE (SELECT n FROM p) * 1000000 // df2 END)
+                   AS tfidf_e6
+            FROM tf, df WHERE tfidf_e6 > 0
+        """,
+        # integer PageRank, 6 iterations unrolled as chained CTEs (the
+        # recursive-term-with-aggregation form is not portable); all
+        # arithmetic int64 fixed-point exactly as the engine computes it
+        "q_pagerank": """
+            WITH nodes AS (SELECT c_custkey AS node FROM customer),
+                 nn AS (SELECT count(*) AS n FROM customer),
+                 edges AS (SELECT o_custkey AS src,
+                                  o_orderkey % (SELECT n FROM nn) AS dst,
+                                  CAST(count(*) AS BIGINT) AS cnt
+                           FROM orders GROUP BY 1, 2),
+                 outdeg AS (SELECT src, SUM(cnt) AS deg FROM edges GROUP BY src),
+                 base AS (SELECT CAST(15 * (1000000000000 // (SELECT n FROM nn))
+                                      // 100 AS BIGINT) AS b),
+                 it0 AS (SELECT node, CAST(1000000000000 // (SELECT n FROM nn)
+                                           AS BIGINT) AS r FROM nodes),
+                 it1 AS (SELECT n.node AS node,
+                                (SELECT b FROM base)
+                              + 85 * COALESCE(SUM(e.cnt * (r.r // d.deg)), 0) // 100 AS r
+                         FROM nodes n
+                         LEFT JOIN edges e ON e.dst = n.node
+                         LEFT JOIN it0 r ON r.node = e.src
+                         LEFT JOIN outdeg d ON d.src = e.src
+                         GROUP BY n.node),
+                 it2 AS (SELECT n.node AS node,
+                                (SELECT b FROM base)
+                              + 85 * COALESCE(SUM(e.cnt * (r.r // d.deg)), 0) // 100 AS r
+                         FROM nodes n
+                         LEFT JOIN edges e ON e.dst = n.node
+                         LEFT JOIN it1 r ON r.node = e.src
+                         LEFT JOIN outdeg d ON d.src = e.src
+                         GROUP BY n.node),
+                 it3 AS (SELECT n.node AS node,
+                                (SELECT b FROM base)
+                              + 85 * COALESCE(SUM(e.cnt * (r.r // d.deg)), 0) // 100 AS r
+                         FROM nodes n
+                         LEFT JOIN edges e ON e.dst = n.node
+                         LEFT JOIN it2 r ON r.node = e.src
+                         LEFT JOIN outdeg d ON d.src = e.src
+                         GROUP BY n.node),
+                 it4 AS (SELECT n.node AS node,
+                                (SELECT b FROM base)
+                              + 85 * COALESCE(SUM(e.cnt * (r.r // d.deg)), 0) // 100 AS r
+                         FROM nodes n
+                         LEFT JOIN edges e ON e.dst = n.node
+                         LEFT JOIN it3 r ON r.node = e.src
+                         LEFT JOIN outdeg d ON d.src = e.src
+                         GROUP BY n.node),
+                 it5 AS (SELECT n.node AS node,
+                                (SELECT b FROM base)
+                              + 85 * COALESCE(SUM(e.cnt * (r.r // d.deg)), 0) // 100 AS r
+                         FROM nodes n
+                         LEFT JOIN edges e ON e.dst = n.node
+                         LEFT JOIN it4 r ON r.node = e.src
+                         LEFT JOIN outdeg d ON d.src = e.src
+                         GROUP BY n.node),
+                 it6 AS (SELECT n.node AS node,
+                                (SELECT b FROM base)
+                              + 85 * COALESCE(SUM(e.cnt * (r.r // d.deg)), 0) // 100 AS r
+                         FROM nodes n
+                         LEFT JOIN edges e ON e.dst = n.node
+                         LEFT JOIN it5 r ON r.node = e.src
+                         LEFT JOIN outdeg d ON d.src = e.src
+                         GROUP BY n.node)
+            SELECT node AS custkey, CAST(r AS BIGINT) AS pagerank_e12 FROM it6
         """,
     }

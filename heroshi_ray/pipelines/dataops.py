@@ -467,6 +467,110 @@ def q_lang_count(sf_dir: str):
     return ds.groupby("lang").aggregate(Count(alias_name="n"))
 
 
+def q_bigram_count(sf_dir: str, min_count: int = 5):
+    """Global bigram (consecutive-token-pair) counts over the corpus —
+    the co-occurrence-statistics shape (phrase mining, tokenizer-merge
+    candidates) every training-data pipeline computes.
+
+    Combiner layout: each batch explodes its own bigrams and counts them
+    locally (polars split/shift/explode — zero Python per row), so the
+    shuffle moves per-batch partial counts (bounded by the batch's
+    distinct-bigram vocabulary), not one row per bigram occurrence; one
+    final groupby-sum + threshold filter. Tokenization is a literal
+    single-space split, identical to the DuckDB twin's string_split."""
+    import polars as pl
+
+    from ray.data.aggregate import Sum
+
+    ds = _pq(sf_dir, "documents", columns=["text"], split=True)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pl.from_arrow(batch.column("text")).str.split(" ")
+        pairs = (
+            pl.select(a=t, b=t.list.shift(-1))
+            .explode(["a", "b"])
+            .filter(pl.col("b").is_not_null())
+            .select(bigram=pl.col("a") + " " + pl.col("b"))
+            .group_by("bigram")
+            .len()
+        )
+        return pa.table(
+            {
+                "bigram": pairs["bigram"].to_arrow(),
+                "cnt": pairs["len"].cast(pl.Int64).to_arrow(),
+            }
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bigram")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    return counts.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("cnt"), min_count)),
+        batch_format="pyarrow",
+    )
+
+
+def q_tfidf(sf_dir: str, terms: tuple = ("table", "hash", "sort")):
+    """Integer-exact tf-idf retrieval scoring for a fixed term set.
+
+    idf is fixed-point ``(N_docs * 10^6) // df`` (floored integer — a
+    float ln-idf would diverge from any SQL twin in last-ulp ordering),
+    so ``tfidf_e6 = Σ_t tf_t * idf_e6_t`` hash-matches DuckDB exactly.
+
+    Scale shape: pass 1 computes per-term document frequencies as
+    per-batch partial sums -> O(|terms|) numbers on the driver (the
+    idf map is |terms|-sized, broadcast-safe at any corpus size);
+    pass 2 scores each doc with one vectorized polars pass. Tokens =
+    literal single-space split, same as the oracle's string_split."""
+    import polars as pl
+
+    terms = list(terms)
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"], split=True)
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        t = pl.from_arrow(batch.column("text")).str.split(" ")
+        return pa.table(
+            {
+                "term": pa.array(terms, pa.string()),
+                "df": pa.array(
+                    [int((t.list.count_matches(w) > 0).sum()) for w in terms],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    df_rows = (
+        ds.map_batches(df_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"))
+        .take_all()
+    )  # O(|terms|) rows — the only driver contact
+    n_docs = ds.count()
+    idf = {
+        r["term"]: (n_docs * 10**6) // r["df"] if r["df"] else 0 for r in df_rows
+    }
+
+    def score(batch: pa.Table) -> pa.Table:
+        t = pl.from_arrow(batch.column("text")).str.split(" ")
+        total = np.zeros(batch.num_rows, dtype=np.int64)
+        for w in terms:
+            tf = t.list.count_matches(w).cast(pl.Int64).to_numpy()
+            total += tf * idf[w]
+        out = pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "tfidf_e6": pa.array(total, pa.int64()),
+            }
+        )
+        return out.filter(pc.greater(out.column("tfidf_e6"), 0))
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # ---------------------------------------------------------------- ANN ---
 def _query_matrix(sf_dir: str, n_queries: int):
     """First ``n_queries`` vectors by vec_id, selected with a distributed
@@ -962,6 +1066,187 @@ def _cc_labels_distributed(edges_tbl: pa.Table, max_iters: int, stats: dict | No
         f"q_dedup_clusters: distributed label propagation did not "
         f"converge in {max_iters} rounds"
     )
+
+
+def q_pagerank(
+    sf_dir: str,
+    n_iters: int = 6,
+    broadcast_limit: int = 2_000_000,
+    force_distributed: bool = False,
+):
+    """Integer PageRank over a deterministic customer link graph —
+    the link-analysis / crawl-prioritization shape (heroshi-class
+    crawlers rank the frontier by link authority), and with
+    q_dedup_clusters the second member of the iterative-algorithm class.
+
+    Graph: node = c_custkey, edge o_custkey -> (o_orderkey mod |nodes|)
+    per order row (parallel edges keep multiplicity). All arithmetic is
+    int64 fixed-point: rank mass 10^12, per-source share floored by
+    outdegree, damping 85/100 applied AFTER the in-edge sum — float
+    PageRank would diverge from any SQL twin in summation order, the
+    integer form hash-matches the DuckDB unrolled-CTE twin exactly.
+
+    Scale shape: edges pre-aggregate to (src, dst, cnt) + outdegree (one
+    combiner groupby each); per iteration ONE join of ranks into edges
+    on src and one groupby-sum on dst. Below ``broadcast_limit`` nodes
+    the rank vector rides ``ray.put`` and the join is a map-side numpy
+    lookup; above it ranks stay a Dataset and the join is a distributed
+    hash join (both paths equivalence-tested)."""
+    import pyarrow.parquet as pq_mod
+
+    from ray.data.aggregate import Sum
+
+    cust = pq_mod.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"]
+    )
+    n_nodes = cust.num_rows
+    nodes = cust.column("c_custkey").to_numpy()  # 0..n-1 contiguous by fixture
+    r0 = np.int64(10**12 // n_nodes)
+    base = np.int64(15 * int(r0) // 100)
+
+    orders = _pq(sf_dir, "orders", columns=["o_custkey", "o_orderkey"], split=True)
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        src = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        dst = batch.column("o_orderkey").to_numpy(zero_copy_only=False) % n_nodes
+        key = src.astype(np.int64) * n_nodes + dst  # in-batch combine
+        u, c = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "src": pa.array((u // n_nodes).astype(np.int64), pa.int64()),
+                "dst": pa.array((u % n_nodes).astype(np.int64), pa.int64()),
+                "cnt": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    edges = (
+        orders.map_batches(to_edges, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["src", "dst"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .materialize()
+    )
+
+    if n_nodes <= broadcast_limit and not force_distributed:
+        # outdegree as an O(n_nodes) driver vector (broadcast regime)
+        deg_rows = edges.groupby("src").aggregate(Sum("cnt", alias_name="deg")).take_all()
+        deg = np.zeros(n_nodes, dtype=np.int64)
+        for r in deg_rows:
+            deg[r["src"]] = r["deg"]
+        ranks = np.full(n_nodes, r0, dtype=np.int64)
+        safe_deg = np.maximum(deg, 1)
+        for _ in range(n_iters):
+            share_ref = ray.put(ranks // safe_deg)
+
+            def contrib(batch: pa.Table, _ref=share_ref) -> pa.Table:
+                sh = ray.get(_ref)
+                s = batch.column("src").to_numpy(zero_copy_only=False)
+                d = batch.column("dst").to_numpy(zero_copy_only=False)
+                c = batch.column("cnt").to_numpy(zero_copy_only=False)
+                w = c * sh[s]
+                u, inv = np.unique(d, return_inverse=True)
+                agg = np.zeros(len(u), dtype=np.int64)
+                np.add.at(agg, inv, w)
+                return pa.table(
+                    {
+                        "dst": pa.array(u, pa.int64()),
+                        "c": pa.array(agg, pa.int64()),
+                    }
+                )
+
+            s_rows = (
+                edges.map_batches(contrib, batch_format="pyarrow")
+                .groupby("dst")
+                .aggregate(Sum("c", alias_name="c"))
+                .take_all()
+            )  # O(n_nodes) rows — bounded by the broadcast_limit regime
+            ranks = np.full(n_nodes, base, dtype=np.int64)
+            for r in s_rows:
+                ranks[r["dst"]] += 85 * r["c"] // 100
+        return pa.table(
+            {
+                "custkey": pa.array(nodes.astype(np.int64), pa.int64()),
+                "pagerank_e12": pa.array(ranks, pa.int64()),
+            }
+        )
+
+    # ---- distributed path: ranks never leave the cluster ----
+    tune_join_resources()
+    nparts = join_partitions(8)
+    deg_ds = edges.groupby("src").aggregate(Sum("cnt", alias_name="deg"))
+    edges_deg = (
+        edges.repartition(nparts)
+        .join(deg_ds.repartition(nparts), join_type="inner",
+              num_partitions=nparts, on=("src",))
+        .materialize()
+    )
+    nodes_ds = ray.data.from_arrow(
+        pa.table({"dst": pa.array(nodes.astype(np.int64), pa.int64())})
+    ).repartition(nparts)
+    ranks_ds = nodes_ds.map_batches(
+        lambda b: pa.table(
+            {
+                "src": b.column("dst"),
+                "r": pa.array(np.full(b.num_rows, r0, np.int64), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    for _ in range(n_iters):
+        contrib = (
+            edges_deg.repartition(nparts)
+            .join(ranks_ds.repartition(nparts), join_type="inner",
+                  num_partitions=nparts, on=("src",))
+            .map_batches(
+                lambda b: pa.table(
+                    {
+                        "dst": b.column("dst"),
+                        "c": pc.multiply(
+                            b.column("cnt"),
+                            pc.divide(b.column("r"), b.column("deg")),
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        # union with zero-contribution rows so sink-only nodes keep base
+        zeros = nodes_ds.map_batches(
+            lambda b: pa.table(
+                {
+                    "dst": b.column("dst"),
+                    "c": pa.array(np.zeros(b.num_rows, np.int64), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        ranks_ds = (
+            contrib.union(zeros)
+            .groupby("dst")
+            .aggregate(Sum("c", alias_name="c"))
+            .map_batches(
+                lambda b: pa.table(
+                    {
+                        "src": b.column("dst"),
+                        "r": pc.add(
+                            pa.scalar(int(base), pa.int64()),
+                            pc.divide(
+                                pc.multiply(b.column("c"), pa.scalar(85, pa.int64())),
+                                pa.scalar(100, pa.int64()),
+                            ),
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+    out = ranks_ds.map_batches(
+        lambda b: pa.table(
+            {"custkey": b.column("src"), "pagerank_e12": b.column("r")}
+        ),
+        batch_format="pyarrow",
+    )
+    return out
 
 
 # ------------------------------------------------------------- crawler ---

@@ -329,3 +329,24 @@ def test_dedup_clusters_distributed_path_sf001(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+
+
+def test_pagerank_distributed_path_equals_broadcast(ray_session):
+    """force_distributed keeps the rank vector Dataset-resident (the
+    100-TB path); both layouts must produce identical int64 fixed-point
+    ranks — the arithmetic is exact, so equality is bitwise."""
+    import pandas as pd
+
+    from heroshi_ray.pipelines.dataops import q_pagerank
+
+    def norm(res):
+        df = res.to_pandas() if hasattr(res, "to_pandas") else res
+        return df.sort_values("custkey").reset_index(drop=True).astype("int64")
+
+    a = norm(q_pagerank(SF_DIR))
+    b = norm(q_pagerank(SF_DIR, force_distributed=True))
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+    assert len(a) > 0
+    # rank mass is conserved up to per-node floor loss: sum <= 10^12,
+    # within n_nodes + n_edges units of it
+    assert a["pagerank_e12"].sum() <= 10**12
