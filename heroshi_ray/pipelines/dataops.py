@@ -1382,6 +1382,7 @@ def hamming_band_pairs(
     a_col: str,
     b_col: str,
     id_arrow_type,
+    driver_pairs_max: int = 2_000_000,
 ) -> pa.Table:
     """Near-dup pairs over a 64-bit hash column by multi-index banding:
     explode each row into its four 16-bit quadrant keys (a pair within
@@ -1464,13 +1465,28 @@ def hamming_band_pairs(
     schema = pa.schema(
         [(a_col, id_arrow_type), (b_col, id_arrow_type), ("hamming", pa.int64())]
     )
+    pairs_ds = pairs_ds.materialize()
+    if pairs_ds.count() > driver_pairs_max:
+        # High-dup corpora: dedup the (<=4x-duplicated) verified pairs
+        # with the distributed hash(pair) shuffle BEFORE they reach the
+        # driver, so the driver only ever sees the final answer (which
+        # this function's Table contract hands out anyway)
+        pairs_ds = _dedup_pairs(
+            pairs_ds.map_batches(
+                lambda b: b.select([a_col, b_col, "hamming"]),
+                batch_format="pyarrow",
+            ),
+            a_col,
+            b_col,
+        ).materialize()
     blocks = [b for b in ray.get(pairs_ds.to_arrow_refs()) if b.num_rows]
     if not blocks:
         return schema.empty_table()
-    # pairs here are already hamming-VERIFIED, so what reaches the
-    # driver is the final answer duplicated at most 4x (once per shared
-    # band) — same order as the returned table itself; deduping it
-    # in pandas replaces a full hash(pair) shuffle
+    # pairs here are already hamming-VERIFIED (and, on the high-dup
+    # path, already pair-deduped), so what reaches the driver is the
+    # final answer duplicated at most 4x (once per shared band) — same
+    # order as the returned table itself; deduping small sets in pandas
+    # replaces a full hash(pair) shuffle
     merged = (
         pa.concat_tables(blocks, promote_options="none")
         .select([a_col, b_col, "hamming"])

@@ -350,3 +350,37 @@ def test_pagerank_distributed_path_equals_broadcast(ray_session):
     # rank mass is conserved up to per-node floor loss: sum <= 10^12,
     # within n_nodes + n_edges units of it
     assert a["pagerank_e12"].sum() <= 10**12
+
+
+def test_hamming_pairs_distributed_dedup_equals_driver(ray_session):
+    """driver_pairs_max=0 forces the distributed hash(pair) dedup
+    shuffle before pairs reach the driver (the high-dup-corpus path);
+    the verified pair set must be identical to the driver-pandas path."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray
+    from heroshi_ray.functions.text import simhash64
+    from heroshi_ray.pipelines.dataops import _pq, hamming_band_pairs
+
+    def run(**kw):
+        ds = _pq(SF_DIR, "documents", columns=["doc_id", "text"], split=True)
+
+        def sh(batch):
+            v = simhash64(batch.column("text").to_pylist())
+            return pa.table(
+                {"doc_id": batch.column("doc_id"),
+                 "simhash": pa.array(v, pa.int64())}
+            )
+
+        hashed = ds.map_batches(sh, batch_format="pyarrow", zero_copy_batch=True)
+        return hamming_band_pairs(
+            hashed, id_col="doc_id", hash_col="simhash", max_hamming=3,
+            a_col="doc_a", b_col="doc_b", id_arrow_type=pa.int64(), **kw
+        ).to_pandas()
+
+    a = run()
+    b = run(driver_pairs_max=0)
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True), check_exact=True
+    )
