@@ -50,12 +50,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_dedup_first": r.q_dedup_first,
         "q_join_enrich": r.q_join_enrich,
         "q_anti_join": r.q_anti_join,
-        "q_union_distinct": r.q_union_distinct,
-        "q_string_norm": r.q_string_norm,
-        "q_json_extract": r.q_json_extract,
         "q_window_count": r.q_window_count,
         # training-data ops (SQL-oracled)
-        "q_token_count": d.q_token_count,
         "q_token_histogram": d.q_token_histogram,
         "q_sessionize": r.q_sessionize,
         "q_count_distinct": r.q_count_distinct,
@@ -98,6 +94,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_bigram_count": d.q_bigram_count,
         "q_tfidf": d.q_tfidf,
         "q_pagerank": d.q_pagerank,
+        "q_volume_shipping": r.q_volume_shipping,
+        "q_no_order_customers": r.q_no_order_customers,
+        "q_minmax_scale": r.q_minmax_scale,
+        "q_vocab_topk": d.q_vocab_topk,
+        # SQL-oracled but past the driver's 50-entry cap BY CHOICE: these
+        # four scalar/set ops were hash-green in CORRECTNESS_r01 AND _r02,
+        # so their driver slots go to the newer shapes above; pytest
+        # (test_queries_oracle) still replicates the full check for them.
+        "q_union_distinct": r.q_union_distinct,
+        "q_string_norm": r.q_string_norm,
+        "q_json_extract": r.q_json_extract,
+        "q_token_count": d.q_token_count,
         # crawler flagship (rows-only: stateful / not SQL-expressible)
         "q_frontier_schedule": lambda sf: run_flagship(
             sf, per_host_budget=32, epoch_budget=50_000,
@@ -650,5 +658,77 @@ def oracle_sql() -> dict[str, str]:
                          LEFT JOIN outdeg d ON d.src = e.src
                          GROUP BY n.node)
             SELECT node AS custkey, CAST(r AS BIGINT) AS pagerank_e12 FROM it6
+        """,
+        # TPC-H Q7 shape: nation-pair trade volume by ship year
+        "q_volume_shipping": """
+            SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                        AS BIGINT) AS revenue_e4
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ns ON s_nationkey = ns.n_nationkey
+            JOIN nation nc ON c_nationkey = nc.n_nationkey
+            WHERE l_shipdate >= DATE '1995-01-01'
+              AND l_shipdate <  DATE '1997-01-01'
+              AND ns.n_name <> nc.n_name
+            GROUP BY 1, 2, 3
+        """,
+        # TPC-H Q22 shape: above-average-balance customers with no
+        # recent order, per nation (integer cross-multiply avg filter)
+        "q_no_order_customers": """
+            WITH pos AS (
+                SELECT c_custkey, c_nationkey,
+                       CAST(round(c_acctbal * 100) AS BIGINT) AS b
+                FROM customer WHERE c_acctbal > 0
+            ), stats AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(b) AS BIGINT) AS s
+                FROM pos
+            ), recent AS (
+                SELECT DISTINCT o_custkey FROM orders
+                WHERE o_orderdate >= DATE '2001-01-01'
+            )
+            SELECT c_nationkey,
+                   CAST(count(*) AS BIGINT) AS n_cust,
+                   CAST(sum(b) AS BIGINT) AS acctbal_e2
+            FROM pos, stats
+            WHERE b * n > s
+              AND c_custkey NOT IN (SELECT o_custkey FROM recent)
+            GROUP BY c_nationkey
+        """,
+        # global min-max scaling to fixed-point [0, 10000]
+        "q_minmax_scale": """
+            WITH s AS (
+                SELECT min(CAST(round(value * 100) AS BIGINT)) AS mn,
+                       max(CAST(round(value * 100) AS BIGINT)) AS mx
+                FROM events
+            )
+            SELECT event_id,
+                   CAST((CAST(round(value * 100) AS BIGINT) - mn) * 10000
+                        // greatest(mx - mn, 1) AS BIGINT) AS scaled_e4
+            FROM events, s
+        """,
+        # per-language top-k vocabulary with deterministic tie-break
+        "q_vocab_topk": """
+            WITH toks AS (
+                SELECT lang, t AS token FROM (
+                    SELECT lang,
+                           unnest(string_split_regex(lower(text), '\\s+')) AS t
+                    FROM documents
+                ) WHERE t <> ''
+            ), cnt AS (
+                SELECT lang, token, CAST(count(*) AS BIGINT) AS n
+                FROM toks GROUP BY lang, token
+            )
+            SELECT lang, token, n FROM (
+                SELECT lang, token, n,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY n DESC, token) AS rk
+                FROM cnt
+            ) WHERE rk <= 10
         """,
     }

@@ -183,6 +183,8 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         "q_ngram_jaccard",
         "q_running_sum",
         "q_quality_stats",
+        "q_volume_shipping",
+        "q_vocab_topk",
     ]
     # per-query best-of-2 with the same rationale as the headline reps.
     # The two sub-2 s fixed-overhead-dominated queries get extra reps:

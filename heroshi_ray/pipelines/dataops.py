@@ -2126,3 +2126,58 @@ def q_image_dedup(sf_dir: str, max_hamming: int = 6):
         return batch.filter(mask)
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ----------------------------------------------------- vocab top-k ------
+def q_vocab_topk(sf_dir: str, k: int = 10):
+    """Per-language top-k vocabulary (token -> frequency) — the
+    tokenizer-/vocab-building aggregation every multilingual training
+    pipeline runs before fitting BPE merges.
+
+    Combiner layout: each batch lowercases + whitespace-tokenizes in
+    polars (``extract_all(r'\\S+')`` — zero Python per row) and counts
+    (lang, token) locally, so the two-key groupby shuffle moves
+    per-batch vocabulary partials (bounded by the batch's distinct
+    vocab), never one row per token occurrence. A per-lang
+    ``map_groups`` then takes the top k with the deterministic
+    (count desc, token asc) tie-break — identical to the SQL twin's
+    ``row_number() OVER (ORDER BY n DESC, token)``. Corpus text is
+    printable ASCII, so polars/DuckDB lower() and binary string
+    ordering agree exactly."""
+    import polars as pl
+
+    from ray.data.aggregate import Sum
+
+    ds = _pq(sf_dir, "documents", columns=["lang", "text"], split=True)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        c = (
+            df.select(
+                lang=pl.col("lang"),
+                token=pl.col("text").str.to_lowercase().str.extract_all(r"\S+"),
+            )
+            .explode("token")
+            .drop_nulls("token")
+            .group_by(["lang", "token"])
+            .len()
+        )
+        return pa.table(
+            {
+                "lang": c["lang"].to_arrow(),
+                "token": c["token"].to_arrow(),
+                "n": c["len"].cast(pl.Int64).to_arrow(),
+            }
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["lang", "token"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n", "token"], ascending=[False, True], kind="mergesort")
+        return g.head(k)
+
+    return counts.groupby("lang").map_groups(topk, batch_format="pandas")

@@ -1631,3 +1631,350 @@ def q_promo_revenue(sf_dir: str, broadcast_limit: int = 50_000_000):
             "total_e4": pa.array([int(parts["total_e4"].sum())], pa.int64()),
         }
     )
+
+
+# ------------------------------------------------- volume shipping ------
+def q_volume_shipping(
+    sf_dir: str,
+    date_lo: str = "1995-01-01",
+    date_hi: str = "1997-01-01",
+    broadcast_limit: int = 500_000,
+):
+    """TPC-H-Q7-shaped nation-pair trade volume: revenue between every
+    (supplier nation, customer nation) ordered pair with supp != cust,
+    split by ship year.
+
+    Physical plan (the 100-TB layout):
+    - nation (<= 25 rows) and the supplier {s_suppkey -> nationkey}
+      lookup are broadcast probes (supplier is the classic small dim);
+    - customer collapses INTO orders first: one streaming orders pass
+      emits (o_orderkey, c_nat) with the customer map probed per batch
+      (same 8-bytes-per-row bound as q_revenue_by_nation);
+    - then size-adaptive on |orders|:
+      * <= broadcast_limit: {orderkey -> c_nat} is broadcast as two
+        sorted parallel arrays (searchsorted probe, ~9 bytes/row) and
+        the lineitem combiner partial-sums straight to
+        (s_nat, c_nat, year) rows -- the fact table never shuffles;
+      * above: lineitem pre-aggregates to (l_orderkey, s_nat, l_year)
+        revenue partials, meets orders in a distributed hash join,
+        and a tiny 3-key groupby finishes -- the shuffle moves
+        partials, not line items.
+    Both paths are equivalence-tested (tests/test_queries_oracle.py).
+    Revenue in int64 e4 (price_e2 * (100 - disc_e2)) -- bit-exact
+    under any shuffle order, so the DuckDB twin hash-matches."""
+    import pyarrow.parquet as _pqt
+
+    from ray.data.aggregate import Sum
+
+    lo, hi = pd.Timestamp(date_lo), pd.Timestamp(date_hi)
+
+    def _dim(name: str, columns=None) -> pd.DataFrame:
+        return _pqt.read_table(
+            os.path.join(sf_dir, f"{name}.parquet"), columns=columns
+        ).to_pandas()
+
+    nat = _dim("nation", columns=["n_nationkey", "n_name"])
+    nat_name = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    sup = _dim("supplier", columns=["s_suppkey", "s_nationkey"])
+    sup_map_ref = ray.put(
+        dict(zip(sup["s_suppkey"].astype(int), sup["s_nationkey"].astype(int)))
+    )
+    cust = _dim("customer", columns=["c_custkey", "c_nationkey"])
+    cust_map_ref = ray.put(
+        dict(zip(cust["c_custkey"].astype(int), cust["c_nationkey"].astype(int)))
+    )
+
+    def orders_probe(batch: pa.Table) -> pa.Table:
+        cm = ray.get(cust_map_ref)
+        df = batch.to_pandas()
+        return pa.table(
+            {
+                "o_orderkey": pa.array(df["o_orderkey"], pa.int64()),
+                "c_nat": pa.array(df["o_custkey"].map(cm).astype("int64"), pa.int64()),
+            }
+        )
+
+    orders_f = (
+        _pq(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+        .map_batches(orders_probe, batch_format="pyarrow")
+        .materialize()
+    )
+    n_ord = orders_f.count()
+
+    li = _pq(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+
+    def _rev_frame(batch: pa.Table) -> pd.DataFrame | None:
+        # shared prep: ship window + supplier nation + e4 revenue + year
+        sm = ray.get(sup_map_ref)
+        df = batch.to_pandas()
+        df = df[(df["l_shipdate"] >= lo) & (df["l_shipdate"] < hi)]
+        if len(df) == 0:
+            return None
+        e2 = (df["l_extendedprice"] * 100).round().astype("int64")
+        d2 = (df["l_discount"] * 100).round().astype("int64")
+        return pd.DataFrame(
+            {
+                "l_orderkey": df["l_orderkey"].astype("int64"),
+                "s_nat": df["l_suppkey"].map(sm).astype("int64"),
+                "l_year": df["l_shipdate"].dt.year.astype("int64"),
+                "rev": (e2 * (100 - d2)).astype("int64"),
+            }
+        )
+
+    pair_schema = pa.schema(
+        [("s_nat", pa.int64()), ("c_nat", pa.int64()),
+         ("l_year", pa.int64()), ("rev", pa.int64())]
+    )
+
+    if n_ord <= broadcast_limit:
+        op = orders_f.to_pandas()  # bounded by broadcast_limit rows
+        okeys = op["o_orderkey"].to_numpy()
+        order = np.argsort(okeys)
+        omap_ref = ray.put((okeys[order], op["c_nat"].to_numpy()[order]))
+
+        def partial(batch: pa.Table) -> pa.Table:
+            df = _rev_frame(batch)
+            if df is None:
+                return pair_schema.empty_table()
+            keys, cnat = ray.get(omap_ref)
+            ok = df["l_orderkey"].to_numpy()
+            pos = np.clip(np.searchsorted(keys, ok), 0, len(keys) - 1)
+            hit = keys[pos] == ok
+            df = df[hit].copy()
+            df["c_nat"] = cnat[pos[hit]]
+            df = df[df["s_nat"] != df["c_nat"]]
+            g = (
+                df.groupby(["s_nat", "c_nat", "l_year"], sort=False)["rev"]
+                .sum()
+                .reset_index()
+            )
+            return pa.table(
+                {
+                    "s_nat": pa.array(g["s_nat"], pa.int64()),
+                    "c_nat": pa.array(g["c_nat"], pa.int64()),
+                    "l_year": pa.array(g["l_year"], pa.int64()),
+                    "rev": pa.array(g["rev"].astype("int64"), pa.int64()),
+                }
+            )
+
+        agg = (
+            li.map_batches(partial, batch_format="pyarrow")
+            .groupby(["s_nat", "c_nat", "l_year"])
+            .aggregate(Sum("rev", alias_name="revenue_e4"))
+            .to_pandas()
+        )
+    else:
+        part_schema = pa.schema(
+            [("l_orderkey", pa.int64()), ("s_nat", pa.int64()),
+             ("l_year", pa.int64()), ("rev", pa.int64())]
+        )
+
+        def li_partial(batch: pa.Table) -> pa.Table:
+            df = _rev_frame(batch)
+            if df is None:
+                return part_schema.empty_table()
+            g = (
+                df.groupby(["l_orderkey", "s_nat", "l_year"], sort=False)["rev"]
+                .sum()
+                .reset_index()
+            )
+            return pa.table(
+                {
+                    "l_orderkey": pa.array(g["l_orderkey"], pa.int64()),
+                    "s_nat": pa.array(g["s_nat"], pa.int64()),
+                    "l_year": pa.array(g["l_year"], pa.int64()),
+                    "rev": pa.array(g["rev"].astype("int64"), pa.int64()),
+                }
+            )
+
+        parts = li.map_batches(li_partial, batch_format="pyarrow").materialize()
+        n_p = parts.count()
+        if n_p == 0:
+            agg = pd.DataFrame(
+                {"s_nat": [], "c_nat": [], "l_year": [], "revenue_e4": []}
+            )
+        else:
+            tune_join_resources()
+            nparts = join_partitions()
+            parts = parts.repartition(max(1, min(nparts, n_p // 4096)))
+            of = orders_f.repartition(max(1, min(nparts, n_ord // 4096)))
+            joined = parts.join(
+                of, join_type="inner", num_partitions=nparts,
+                on=("l_orderkey",), right_on=("o_orderkey",),
+            )
+            agg = (
+                joined.map_batches(
+                    lambda b: b.filter(
+                        pc.invert(pc.equal(b.column("s_nat"), b.column("c_nat")))
+                    ),
+                    batch_format="pyarrow",
+                )
+                .groupby(["s_nat", "c_nat", "l_year"])
+                .aggregate(Sum("rev", alias_name="revenue_e4"))
+                .to_pandas()
+            )
+
+    agg["supp_nation"] = agg["s_nat"].astype(int).map(nat_name)
+    agg["cust_nation"] = agg["c_nat"].astype(int).map(nat_name)
+    agg = agg.sort_values(["supp_nation", "cust_nation", "l_year"], kind="mergesort")
+    return pa.table(
+        {
+            "supp_nation": pa.array(agg["supp_nation"], pa.string()),
+            "cust_nation": pa.array(agg["cust_nation"], pa.string()),
+            "l_year": pa.array(agg["l_year"].astype("int64"), pa.int64()),
+            "revenue_e4": pa.array(agg["revenue_e4"].astype("int64"), pa.int64()),
+        }
+    )
+
+
+# --------------------------------------------- no-order customers -------
+def q_no_order_customers(
+    sf_dir: str, cutoff: str = "2001-01-01", broadcast_limit: int = 500_000
+):
+    """TPC-H-Q22-shaped global-average filter + anti join + rollup:
+    positive-balance customers strictly above the mean balance of the
+    positive set, with no RECENT order (o_orderdate >= cutoff), counted
+    and summed per nation.
+
+    The correlated global-average predicate is the integer-exact cross
+    multiply (b_e2 * n_pos > sum_e2) -- no division, so engine and
+    DuckDB twin agree bit-for-bit. Plan:
+    - pass 1: a combiner pass over customer emits per-batch
+      (n_pos, sum_e2) partials -- two ints reach the driver;
+    - the recent-order key set reduces two-level (per-batch unique ->
+      groupby) to distinct keys, then applies size-adaptively:
+      broadcast pc.is_in under the bound, distributed left_anti hash
+      join above it (q_anti_join's fork, both paths tested);
+    - the per-nation rollup is a combiner groupby (<= 25 partial rows
+      per batch)."""
+    from ray.data.aggregate import Count, Sum
+
+    cut = pd.Timestamp(cutoff)
+    cust = _pq(sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def bal_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        pos = df[df["c_acctbal"] > 0]
+        b = (pos["c_acctbal"] * 100).round().astype("int64")
+        return pa.table(
+            {
+                "n": pa.array([len(pos)], pa.int64()),
+                "s": pa.array([int(b.sum())], pa.int64()),
+            }
+        )
+
+    stats = cust.map_batches(bal_partial, batch_format="pyarrow").to_pandas()
+    n_pos, sum_e2 = int(stats["n"].sum()), int(stats["s"].sum())
+
+    def recent_keys(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        keys = df.loc[df["o_orderdate"] >= cut, "o_custkey"].unique()
+        return pa.table({"o_custkey": pa.array(keys, pa.int64())})
+
+    recent = (
+        _pq(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+        .map_batches(recent_keys, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="_c"))
+        .materialize()
+    )
+    n_r = recent.count()
+
+    def rich(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df["c_acctbal"] > 0].copy()
+        df["b"] = (df["c_acctbal"] * 100).round().astype("int64")
+        df = df[df["b"] * n_pos > sum_e2]
+        return pa.table(
+            {
+                "c_custkey": pa.array(df["c_custkey"], pa.int64()),
+                "c_nationkey": pa.array(df["c_nationkey"], pa.int64()),
+                "b": pa.array(df["b"], pa.int64()),
+            }
+        )
+
+    rich_ds = cust.map_batches(rich, batch_format="pyarrow")
+
+    if n_r <= broadcast_limit:
+        keys_ref = ray.put(
+            pa.array(sorted(recent.to_pandas()["o_custkey"].astype(int)), pa.int64())
+        )
+
+        def anti(batch: pa.Table) -> pa.Table:
+            mask = pc.invert(
+                pc.is_in(batch.column("c_custkey"), value_set=ray.get(keys_ref))
+            )
+            return batch.filter(mask)
+
+        kept = rich_ds.map_batches(anti, batch_format="pyarrow", zero_copy_batch=True)
+    else:
+        tune_join_resources()
+        nparts = join_partitions()
+        rich_ds = rich_ds.materialize()
+        n_c = rich_ds.count()
+        if n_c == 0:
+            kept = rich_ds
+        else:
+            kept = rich_ds.repartition(max(1, min(nparts, n_c // 4096))).join(
+                recent.repartition(max(1, min(nparts, n_r // 4096))),
+                join_type="left_anti", num_partitions=nparts,
+                on=("c_custkey",), right_on=("o_custkey",),
+            )
+
+    def nat_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("c_nationkey", sort=False)["b"].agg(["count", "sum"]).reset_index()
+        return pa.table(
+            {
+                "c_nationkey": pa.array(g["c_nationkey"], pa.int64()),
+                "n": pa.array(g["count"].astype("int64"), pa.int64()),
+                "s": pa.array(g["sum"].astype("int64"), pa.int64()),
+            }
+        )
+
+    return (
+        kept.map_batches(nat_partial, batch_format="pyarrow")
+        .groupby("c_nationkey")
+        .aggregate(Sum("n", alias_name="n_cust"), Sum("s", alias_name="acctbal_e2"))
+    )
+
+
+# --------------------------------------------------- min-max scale ------
+def q_minmax_scale(sf_dir: str):
+    """Global min-max feature scaling to fixed-point [0, 10000] -- the
+    two-pass normalization step of a feature pipeline. Pass 1 is a
+    per-batch (min, max) combiner (two ints reach the driver); pass 2
+    re-maps the scan with the constants closed over -- no shuffle at
+    all, and the pattern holds at any scale because only two int64s
+    ever leave the aggregate. Integer floor division keeps the engine
+    and the DuckDB twin (`// greatest(mx-mn, 1)`) bit-identical."""
+    ds = _pq(sf_dir, "events", columns=["event_id", "value"])
+
+    def mm(batch: pa.Table) -> pa.Table:
+        v = np.round(batch.column("value").to_numpy() * 100).astype(np.int64)
+        if len(v) == 0:
+            return pa.table({"mn": pa.array([], pa.int64()), "mx": pa.array([], pa.int64())})
+        return pa.table(
+            {"mn": pa.array([int(v.min())], pa.int64()),
+             "mx": pa.array([int(v.max())], pa.int64())}
+        )
+
+    parts = ds.map_batches(mm, batch_format="pyarrow").to_pandas()
+    mn, mx = int(parts["mn"].min()), int(parts["mx"].max())
+    span = max(1, mx - mn)
+
+    def scale(batch: pa.Table) -> pa.Table:
+        v = np.round(batch.column("value").to_numpy() * 100).astype(np.int64)
+        s = (v - mn) * 10000 // span
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "scaled_e4": pa.array(s, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(scale, batch_format="pyarrow", zero_copy_batch=True)

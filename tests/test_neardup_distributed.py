@@ -384,3 +384,41 @@ def test_hamming_pairs_distributed_dedup_equals_driver(ray_session):
     pd.testing.assert_frame_equal(
         a.reset_index(drop=True), b.reset_index(drop=True), check_exact=True
     )
+
+
+def test_volume_shipping_distributed_path_equals_broadcast(ray_session):
+    """broadcast_limit=0 forces lineitem-partials ⋈ orders hash join;
+    both layouts must produce identical nation-pair volumes."""
+    import pandas as pd
+
+    from heroshi_ray.pipelines.relational import q_volume_shipping
+
+    cols = ["supp_nation", "cust_nation", "l_year", "revenue_e4"]
+
+    def norm(t):
+        return (
+            t.to_pandas()[cols].sort_values(cols).reset_index(drop=True)
+        )
+
+    a = norm(q_volume_shipping(SF_DIR))
+    b = norm(q_volume_shipping(SF_DIR, broadcast_limit=0))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+    assert len(a) > 0
+
+
+def test_no_order_customers_distributed_path_equals_broadcast(ray_session):
+    """broadcast_limit=0 forces the left_anti hash join on the recent-
+    order key set; both layouts must produce identical rollups."""
+    import pandas as pd
+
+    from heroshi_ray.pipelines.relational import q_no_order_customers
+
+    cols = ["c_nationkey", "n_cust", "acctbal_e2"]
+
+    def norm(ds):
+        return ds.to_pandas()[cols].sort_values(cols).reset_index(drop=True)
+
+    a = norm(q_no_order_customers(SF_DIR))
+    b = norm(q_no_order_customers(SF_DIR, broadcast_limit=0))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+    assert len(a) > 0
