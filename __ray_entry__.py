@@ -52,7 +52,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_anti_join": r.q_anti_join,
         "q_window_count": r.q_window_count,
         # training-data ops (SQL-oracled)
-        "q_token_histogram": d.q_token_histogram,
         "q_sessionize": r.q_sessionize,
         "q_count_distinct": r.q_count_distinct,
         "q_pricing_summary": r.q_pricing_summary,
@@ -67,7 +66,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_embed_dedup": d.q_embed_dedup,
         "q_dedup_clusters": d.q_dedup_clusters,
         "q_sliding_window": r.q_sliding_window,
-        "q_sample": d.q_sample,
         "q_revenue_by_nation": r.q_revenue_by_nation,
         "q_percentiles": r.q_percentiles,
         "q_stratified_sample": r.q_stratified_sample,
@@ -98,6 +96,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_no_order_customers": r.q_no_order_customers,
         "q_minmax_scale": r.q_minmax_scale,
         "q_vocab_topk": d.q_vocab_topk,
+        "q_cube": r.q_cube,
+        "q_interarrival": r.q_interarrival,
         # SQL-oracled but past the driver's 50-entry cap BY CHOICE: these
         # four scalar/set ops were hash-green in CORRECTNESS_r01 AND _r02,
         # so their driver slots go to the newer shapes above; pytest
@@ -106,6 +106,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_string_norm": r.q_string_norm,
         "q_json_extract": r.q_json_extract,
         "q_token_count": d.q_token_count,
+        "q_token_histogram": d.q_token_histogram,
+        "q_sample": d.q_sample,
         # crawler flagship (rows-only: stateful / not SQL-expressible)
         "q_frontier_schedule": lambda sf: run_flagship(
             sf, per_host_budget=32, epoch_budget=50_000,
@@ -711,6 +713,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST((CAST(round(value * 100) AS BIGINT) - mn) * 10000
                         // greatest(mx - mn, 1) AS BIGINT) AS scaled_e4
             FROM events, s
+        """,
+        # CUBE grouping sets, subtotals coalesced to 'ALL'
+        "q_cube": """
+            SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+                   COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+                       AS qty_e2
+            FROM lineitem
+            GROUP BY CUBE(l_returnflag, l_linestatus)
+        """,
+        # per-user inter-event gap statistics (lag-window twin)
+        "q_interarrival": """
+            WITH d AS (
+                SELECT user_id,
+                       date_diff('microsecond',
+                                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts),
+                                 ts) AS g
+                FROM events
+            )
+            SELECT user_id,
+                   CAST(count(g) AS BIGINT) AS n_gaps,
+                   CAST(sum(g) AS BIGINT) AS sum_gap_us,
+                   CAST(max(g) AS BIGINT) AS max_gap_us
+            FROM d WHERE g IS NOT NULL GROUP BY user_id
         """,
         # per-language top-k vocabulary with deterministic tie-break
         "q_vocab_topk": """

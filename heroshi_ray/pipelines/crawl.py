@@ -72,10 +72,28 @@ from ..stages.canonicalize import canonicalize_dataset
 from ..stages.dedup import dedup_first
 from ..stages.extract import ImageRowBuilder, LinkExtractor
 from ..stages.fetch import fetch_dataset, pages_index
-from ..stages.schedule import global_order, per_host_topk, split_robots
+from ..stages.schedule import _ALLOWED_COL, budget_topk_order, mark_robots
 from ..runtime import task_stage
 from ..state.politeness import PolitenessPool
 from ..state.seen import SeenSet
+
+
+@ray.remote
+def _gate_block_summary(block: pa.Table):
+    """One task per materialized gated block: (denied rows, allowed
+    distinct hosts). Replaces TWO full Dataset executions (the denied
+    filter and the distinct-hosts pass) with one task round — both
+    outputs are driver-bound trickles by design (robots denials are
+    rare; the host domain is bounded because politeness state is
+    per-host), so the Dataset machinery bought nothing but its ~1 s
+    fixed cost each, twice per epoch."""
+    if block.num_rows == 0 or _ALLOWED_COL not in block.column_names:
+        # zero-row blocks can arrive schema-less from the executor
+        return FRONTIER.empty_table(), []
+    m = block.column(_ALLOWED_COL)
+    denied = block.filter(pc.invert(m)).drop_columns([_ALLOWED_COL])
+    hosts = pc.unique(block.filter(m).column("host")).to_pylist()
+    return denied, hosts
 
 
 def _distinct_hosts(ds: "ray.data.Dataset") -> list[str]:
@@ -119,6 +137,12 @@ class CrawlConfig:
     # epochs), "auto" = tasks when the epoch batch <= actor_cutover.
     stateful_mode: str = "auto"
     actor_cutover: int = 100_000
+    # caption attach: broadcast-dict probe under this many caption-sink
+    # rows (first-wins dict ~100 B/row), distributed hash join above
+    caption_broadcast_max: int = 500_000
+    # seed bootstrap: driver-side fast path for seed files up to this
+    # size (~1M URLs); the streaming plan above it
+    seed_driver_max_bytes: int = 64 << 20
     # extension hooks (SURVEY.md §2.9) — batch-level, cloudpickle-shipped
     url_filter: object = None       # fn(urls, hosts, depth) -> bool mask
     priority_fn: object = None      # fn(depth array) -> float array
@@ -189,15 +213,50 @@ class Crawler:
         return int(epoch * self.cfg.epoch_seconds * 1e6)
 
     def seed(self) -> int:
-        """Bootstrap epoch 0 frontier from the seed list (SURVEY.md §3.1)."""
-        seeds = read_seeds(self.paths["seeds"])
-        cand = canonicalize_dataset(
-            seeds, now_us=self._now_us(0), epoch=0,
-            url_filter=self.cfg.url_filter, priority_fn=self.cfg.priority_fn,
-        )
-        cand = dedup_first(cand, n_buckets=self.cfg.n_buckets)
-        admitted = self.seen.filter_new(cand)
-        write_frontier(admitted, self.workdir, 0, self.cfg.n_host_shards)
+        """Bootstrap epoch 0 frontier from the seed list (SURVEY.md §3.1).
+
+        Small seed files (the overwhelmingly common case — seed lists are
+        curated inputs, not crawl output) take a driver-side fast path
+        through the SAME kernels (canonicalize_candidates, the
+        dedup_first tie-break, the seen pool's routed test-and-set): the
+        streaming path costs three Dataset executions of pure fixed
+        overhead (~8-10 s) for a few thousand rows. Above
+        ``seed_driver_max_bytes`` the original streaming plan runs —
+        identical semantics, golden-tested."""
+        cfg = self.cfg
+        try:
+            small = (
+                os.path.getsize(self.paths["seeds"]) <= cfg.seed_driver_max_bytes
+            )
+        except OSError:
+            small = False
+        if small:
+            from ..stages.canonicalize import canonicalize_candidates
+            from ..stages.dedup import _first_per_key
+
+            with open(self.paths["seeds"]) as f:
+                urls = [ln.rstrip("\r\n") for ln in f if ln.strip()]
+            cand = canonicalize_candidates(
+                pa.table({"url": pa.array(urls, pa.string())}),
+                now_us=self._now_us(0), epoch=0,
+                url_filter=cfg.url_filter, priority_fn=cfg.priority_fn,
+            )
+            df = _first_per_key(cand.to_pandas(), "surt", ["depth", "parent_surt"])
+            mask = self.seen.check_and_add(df["surt"].tolist())
+            adm = pa.Table.from_pandas(df[mask], preserve_index=False)
+            adm = adm.select(FRONTIER.names).cast(FRONTIER)
+            write_frontier(
+                ray.data.from_arrow(adm), self.workdir, 0, cfg.n_host_shards
+            )
+        else:
+            seeds = read_seeds(self.paths["seeds"])
+            cand = canonicalize_dataset(
+                seeds, now_us=self._now_us(0), epoch=0,
+                url_filter=cfg.url_filter, priority_fn=cfg.priority_fn,
+            )
+            cand = dedup_first(cand, n_buckets=cfg.n_buckets)
+            admitted = self.seen.filter_new(cand)
+            write_frontier(admitted, self.workdir, 0, cfg.n_host_shards)
         n = frontier_row_count(self.workdir, 0)
         self._save_state(0, {"pending": n, "phase": "seeded"})
         return n
@@ -236,6 +295,19 @@ class Crawler:
         now_us = self._now_us(e)
         t0 = time.time()
 
+        # phase wall-clock attribution (GRAFT_CRAWL_PROFILE=1): the epoch
+        # loop is ~12 sequential Dataset executions whose FIXED cost (plan
+        # launch, actor spin-up) dominates small epochs — this is the
+        # measurement tool for shaving it.
+        _prof = os.environ.get("GRAFT_CRAWL_PROFILE")
+        _tprev = [time.time()]
+
+        def _pf(name: str) -> None:
+            if _prof:
+                now = time.time()
+                print(f"[epoch {e}] {name}: {now - _tprev[0]:.2f}s", flush=True)
+                _tprev[0] = now
+
         pending = read_frontier(self.workdir, e)
         ok0, err0 = report.fetch_ok, report.fetch_err  # per-epoch metric deltas
 
@@ -263,8 +335,32 @@ class Crawler:
         else:
             robots_ref = self.robots_ref
             rules_lookup = self.robots
-        allowed_ds, denied_ds = split_robots(pending, robots_ref)
-        denied_blocks = [b for b in ray.get(denied_ds.to_arrow_refs()) if b.num_rows]
+        _pf("read+cleanup+robots_prep")
+        # ONE robots evaluation pass (VectorRobots, materialized once);
+        # then ONE per-block task round extracts the two driver-bound
+        # trickles together — denied rows (for the log) and the allowed
+        # distinct hosts (for politeness budgets). The allowed side
+        # stays a cheap column filter over the pinned gated blocks.
+        gated = mark_robots(pending, robots_ref).materialize()
+        summaries = ray.get(
+            [_gate_block_summary.remote(r) for r in gated.to_arrow_refs()]
+        )
+        denied_blocks = [d for d, _ in summaries if d.num_rows]
+        hosts_set: set = set()
+        for _, hs in summaries:
+            hosts_set.update(hs)
+        hosts = sorted(hosts_set)
+
+        def _keep_allowed(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or _ALLOWED_COL not in batch.column_names:
+                return FRONTIER.empty_table()
+            return batch.filter(batch.column(_ALLOWED_COL)).drop_columns(
+                [_ALLOWED_COL]
+            )
+
+        allowed_ds = gated.map_batches(
+            _keep_allowed, batch_format="pyarrow", zero_copy_batch=True
+        )
         denied_tbl = (
             pa.concat_tables(denied_blocks, promote_options="none")
             if denied_blocks
@@ -279,29 +375,24 @@ class Crawler:
             )
             append_epoch_table(denied_tbl, self.workdir, "denied", e)
 
+        _pf("robots_split+denied_log")
         # politeness budgets (A-P): O(distinct hosts) driver<->actor exchange
-        hosts = _distinct_hosts(allowed_ds)
         delays = {h: crawl_delay(rules_lookup.get(h, ALLOW_ALL)) for h in hosts}
         budgets = self.pol.budgets(hosts, now_s, [delays[h] for h in hosts])
         budgets_ref = ray.put(budgets)
 
-        # K1 + K2: budget cap then deterministic global order
-        k1 = per_host_topk(allowed_ds, budgets_ref, n_shards=cfg.n_buckets)
-        sched_ds = global_order(k1, cfg.epoch_budget)
-        blocks = ray.get(sched_ds.to_arrow_refs())
-        sched_tbl = (
-            pa.concat_tables([b for b in blocks if b.num_rows], promote_options="none")
-            if any(b.num_rows for b in blocks)
-            else FRONTIER.empty_table()
+        _pf("politeness_budgets")
+        # K1 + K2 as the zero-shuffle combiner (budget_topk_order): local
+        # per-batch budget cap -> bounded driver merge -> exact cap +
+        # deterministic (priority desc, surt asc) order + limit; falls
+        # back to the groupby+sort shuffle plan above driver_merge_max
+        sched_tbl = budget_topk_order(
+            allowed_ds, budgets_ref, cfg.epoch_budget, n_shards=cfg.n_buckets
         )
-        # driver-side stable re-sort: the order log must be bit-deterministic
-        if sched_tbl.num_rows:
-            order = pc.sort_indices(
-                sched_tbl,
-                sort_keys=[("priority", "descending"), ("surt", "ascending")],
-            )
-            sched_tbl = sched_tbl.take(order)
+        if sched_tbl is None:
+            sched_tbl = FRONTIER.empty_table()
         n_sched = sched_tbl.num_rows
+        _pf("k1_topk+global_order")
 
         if n_sched == 0:
             # nothing schedulable this epoch (budgets exhausted) — frontier
@@ -332,11 +423,13 @@ class Crawler:
             mode=mode,
         ).materialize()
 
+        _pf("fetch")
         # fetch log without bodies (resumable, append-only)
         log_dir = os.path.join(self.workdir, "fetchlog", f"e{e}")
         os.makedirs(log_dir, exist_ok=True)
         fetched.drop_columns(["content"]).write_parquet(log_dir)
 
+        _pf("fetchlog_write")
         # redirect-discovered URLs (3xx chase targets) flow through
         # canonicalize -> seen: marked as crawled so they are never
         # re-fetched as links, but NOT admitted as pending (their content
@@ -362,6 +455,7 @@ class Crawler:
             if surts:
                 self.seen.check_and_add(surts)
 
+        _pf("redirect_seen")
         # X1: links + captions
         if mode == "tasks":
             links = fetched.map_batches(
@@ -401,6 +495,7 @@ class Crawler:
                 e,
             )
 
+        _pf("links+captions")
         # corpus rows from fetched images; caption attached by JOINING
         # the captions sink on url (first-wins across epochs = min epoch)
         corpus_dir = os.path.join(self.workdir, "corpus", f"e{e}")
@@ -425,6 +520,7 @@ class Crawler:
             img_rows = img_rows.repartition(max(1, min(4, n_img // 64)))
             self._attach_captions(img_rows, e).write_parquet(corpus_dir)
 
+        _pf("corpus_imgrows+caption_join")
         # candidates: canonicalize -> D1 exact dedup -> J1 seen gate
         cand = canonicalize_dataset(
             links.select_columns(["url", "depth", "parent_surt"]),
@@ -446,6 +542,7 @@ class Crawler:
                 admitted.select_columns(["surt"]), self.workdir, "admitted_log", e + 1
             )
 
+        _pf("canonicalize+dedup+seen_admit")
         # retries / permanent failures (nested cols dropped: pandas is
         # only a carrier for the scalar retry fields)
         fail_tbl = fetched.map_batches(
@@ -473,6 +570,7 @@ class Crawler:
         if retry_rows.num_rows:
             new_frontier = new_frontier.union(ray.data.from_arrow(retry_rows))
 
+        _pf("retries+frontier_assemble")
         self._finish_epoch(
             e, new_frontier, sched_tbl,
             (report.fetch_ok - ok0, report.fetch_err - err0),
@@ -482,8 +580,14 @@ class Crawler:
 
     def _attach_captions(self, img_rows: "ray.data.Dataset", e: int) -> "ray.data.Dataset":
         """CORPUS rows (+url) ⋈ captions sink on url, first-wins across
-        epochs (min epoch). Distributed hash join: the caption store
-        grows with the corpus and never touches the driver."""
+        epochs (min epoch). Size-adaptive like the other small-side
+        joins: under ``caption_broadcast_max`` sink rows (parquet
+        metadata count — no read) the first-wins dict is built driver-
+        side and broadcast once via ray.put, probed per batch (zero
+        shuffle; the distributed join's fixed cost was ~4-5 s/epoch on
+        kilobyte caption sinks); above the bound the caption store never
+        touches the driver — dedup_first + distributed hash join.
+        Equivalence-tested (tests/test_e2e_crawl.py)."""
         import glob
 
         from ..runtime import tune_join_resources
@@ -491,6 +595,36 @@ class Crawler:
         files = sorted(glob.glob(os.path.join(self.workdir, "captions", "e*.parquet")))
         if not files:
             return img_rows.drop_columns(["url"])
+        n_total = sum(pq.read_metadata(f).num_rows for f in files)
+        if n_total <= self.cfg.caption_broadcast_max:
+            caps_df = (
+                pq.read_table(files, columns=["url", "caption", "epoch"])
+                .to_pandas()
+                .sort_values(["url", "epoch"], kind="mergesort")
+                .drop_duplicates(subset=["url"], keep="first")
+            )
+            cap_ref = ray.put(dict(zip(caps_df["url"], caps_df["caption"])))
+
+            def probe(batch: pa.Table) -> pa.Table:
+                caps = ray.get(cap_ref)
+                urls = batch.column("url").to_pylist()
+                cap = pa.array([caps.get(u, "") for u in urls], pa.string())
+                # identical column layout to the join path's finish()
+                return pa.table(
+                    {
+                        "image_id": batch.column("image_id"),
+                        "bytes": batch.column("bytes"),
+                        "w": batch.column("w"),
+                        "h": batch.column("h"),
+                        "fmt": batch.column("fmt"),
+                        "caption": cap,
+                        "phash": batch.column("phash"),
+                    }
+                )
+
+            return img_rows.map_batches(
+                probe, batch_format="pyarrow", zero_copy_batch=True
+            )
         tune_join_resources()
         caps = ray.data.read_parquet(files)
         caps = dedup_first(caps, key="url", tie_cols=("epoch",), n_buckets=self.cfg.n_buckets)

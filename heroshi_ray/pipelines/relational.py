@@ -1978,3 +1978,113 @@ def q_minmax_scale(sf_dir: str):
         )
 
     return ds.map_batches(scale, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------------------------ cube ------
+def q_cube(sf_dir: str):
+    """CUBE grouping sets over (returnflag, linestatus): counts + exact
+    quantity sums (int64 e2) at all four levels, subtotal keys coalesced
+    to 'ALL'. Same layout as q_rollup: one combiner pass + one groupby
+    at the FINEST grouping only; the three coarser sets re-aggregate the
+    <= |R|x|S| fine rows on the driver — the fact table is read once."""
+    from ray.data.aggregate import Sum
+
+    ds = _pq(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df2 = pd.DataFrame(
+            {
+                "l_returnflag": df["l_returnflag"],
+                "l_linestatus": df["l_linestatus"],
+                "n_rows": 1,
+                "qty_e2": (df["l_quantity"] * 100).round().astype("int64"),
+            }
+        )
+        g = (
+            df2.groupby(["l_returnflag", "l_linestatus"], sort=False)
+            .sum()
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    fine = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("n_rows", alias_name="n_rows"),
+                   Sum("qty_e2", alias_name="qty_e2"))
+        .to_pandas()  # <= |flags| x |statuses| rows
+    )
+    by_flag = (
+        fine.groupby("l_returnflag", as_index=False)[["n_rows", "qty_e2"]]
+        .sum()
+        .assign(l_linestatus="ALL")
+    )
+    by_status = (
+        fine.groupby("l_linestatus", as_index=False)[["n_rows", "qty_e2"]]
+        .sum()
+        .assign(l_returnflag="ALL")
+    )
+    total = pd.DataFrame(
+        [{"l_returnflag": "ALL", "l_linestatus": "ALL",
+          "n_rows": fine["n_rows"].sum(), "qty_e2": fine["qty_e2"].sum()}]
+    )
+    out = pd.concat([fine, by_flag, by_status, total], ignore_index=True)
+    out = out.sort_values(["l_returnflag", "l_linestatus"], kind="mergesort")
+    return pa.table(
+        {
+            "l_returnflag": pa.array(out["l_returnflag"], pa.string()),
+            "l_linestatus": pa.array(out["l_linestatus"], pa.string()),
+            "n_rows": pa.array(out["n_rows"].astype("int64"), pa.int64()),
+            "qty_e2": pa.array(out["qty_e2"].astype("int64"), pa.int64()),
+        }
+    )
+
+
+# ----------------------------------------------------- inter-arrival ----
+def q_interarrival(sf_dir: str, n_buckets: int | None = None):
+    """Per-user inter-event-gap statistics (count / sum / max of the
+    microsecond deltas between consecutive events) — the arrival-process
+    feature a recrawl scheduler or session model derives per host/user.
+
+    One bucketed shuffle on hash(user) % B (a bucket holds every row of
+    its users), then a vectorized per-bucket body: one mergesort by
+    (user, ts) + one diff — O(buckets) Python calls, not O(users). The
+    gap aggregates are order-insensitive ints, so any tie order between
+    equal timestamps leaves the result unchanged (and bit-equal to the
+    SQL lag() twin)."""
+    B = n_buckets or default_buckets()
+    ds = _pq(sf_dir, "events", columns=["user_id", "ts"])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = (
+            batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+            % np.uint64(B)
+        ).astype(np.int32)
+        return batch.append_column("__b", pa.array(b, pa.int32()))
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        d = g.groupby("user_id", sort=False)["ts"].diff()
+        us = (d.dt.total_seconds() * 1e6).round()
+        out = (
+            pd.DataFrame({"user_id": g["user_id"], "gap": us})
+            .dropna()
+            .groupby("user_id", sort=False)["gap"]
+            .agg(["count", "sum", "max"])
+            .reset_index()
+        )
+        return pd.DataFrame(
+            {
+                "user_id": out["user_id"].astype("int64"),
+                "n_gaps": out["count"].astype("int64"),
+                "sum_gap_us": out["sum"].astype("int64"),
+                "max_gap_us": out["max"].astype("int64"),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(gaps, batch_format="pandas")
+    )

@@ -44,26 +44,31 @@ def _path_of(url: str, host: str) -> str:
 _ALLOWED_COL = "__allowed"
 
 
+# per-worker-process VectorRobots cache, keyed on the broadcast ref: the
+# matcher's pattern/host index is built once per process per robots
+# table, not once per batch (robots_via_actors puts a fresh ref per
+# epoch, so the cache is kept small)
+_VR_CACHE: dict = {}
+
+
 def mark_robots(ds: "ray.data.Dataset", robots_ref) -> "ray.data.Dataset":
     """ONE robots pass: append a boolean ``__allowed`` column using the
     broadcast parsed-robots dict {host: Rules}. Hosts absent from the
-    dict are allowed (no robots -> allow-all). Hosts with no rules (the
-    common case) short-circuit to an all-True slice per host run."""
+    dict are allowed (no robots -> allow-all). Evaluation is the
+    vectorized longest-match matcher (VectorRobots — one pass per
+    distinct rule pattern, bit-identical to ``allowed()``, equivalence-
+    tested in tests/test_robots.py), the same kernel the flagship gate
+    uses; the per-row Python loop this replaced cost ~1.5-4 s per crawl
+    epoch at 120k pending rows."""
 
     def gate(batch: pa.Table) -> pa.Table:
-        robots = ray.get(robots_ref)
-        urls = batch.column("url").to_pylist()
-        hosts = batch.column("host").to_pylist()
-        mask = np.ones(len(urls), dtype=bool)
-        # per-batch host->rules cache: one dict lookup per distinct host
-        cache: dict = {}
-        for i, (u, h) in enumerate(zip(urls, hosts)):
-            try:
-                rules = cache[h]
-            except KeyError:
-                rules = cache[h] = robots.get(h)
-            if rules is not None and rules[0]:
-                mask[i] = allowed(rules, _path_of(u, h))
+        key = robots_ref.hex() if hasattr(robots_ref, "hex") else id(robots_ref)
+        vr = _VR_CACHE.get(key)
+        if vr is None:
+            if len(_VR_CACHE) > 8:
+                _VR_CACHE.clear()
+            vr = _VR_CACHE[key] = VectorRobots(ray.get(robots_ref))
+        mask = vr.mask(batch.column("url"), batch.column("host"))
         return batch.append_column(_ALLOWED_COL, pa.array(mask))
 
     return ds.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
@@ -124,6 +129,83 @@ def per_host_topk(
 def global_order(ds: "ray.data.Dataset", epoch_budget: int) -> "ray.data.Dataset":
     """K2: deterministic cross-host schedule order."""
     return ds.sort(["priority", "surt"], descending=[True, False]).limit(epoch_budget)
+
+
+def _budget_cap_indices(host, priority, surt, budgets, default_budget=0) -> np.ndarray:
+    """Row indices surviving the per-host budget cap under
+    (priority desc, surt asc) within-host order. Pure index computation:
+    callers ``take`` on the Arrow table, so schemas never round-trip
+    through pandas."""
+    df = pd.DataFrame({"host": host, "priority": priority, "surt": surt})
+    g = df.sort_values(
+        ["host", "priority", "surt"], ascending=[True, False, True], kind="mergesort"
+    )
+    rank = g.groupby("host", sort=False).cumcount().to_numpy()
+    cap = g["host"].map(budgets).fillna(default_budget).to_numpy()
+    return np.sort(g.index.to_numpy()[rank < cap])
+
+
+def budget_topk_order(
+    ds: "ray.data.Dataset",
+    budgets_ref,
+    epoch_budget: int,
+    n_shards: int = 32,
+    driver_merge_max: int = 4_000_000,
+) -> pa.Table | None:
+    """K1+K2 without shuffling the frontier (the crawl loop's handout
+    path, mirroring the flagship combiner): each batch keeps its LOCAL
+    per-host top-``budget[host]`` (correct because the global per-host
+    top-b(h) is a subset of the union of per-batch top-b(h) under the
+    same (priority desc, surt asc) order), the budget-capped stream —
+    bounded by Σ budgets, ~the epoch batch — merges on the driver for
+    the exact cap + deterministic global order + limit. This replaces
+    TWO all-to-all exchanges of the allowed frontier (groupby(host
+    shard) + full sort) with zero; the driver merge is no new exposure
+    because run_epoch pulls the scheduled handout to the driver anyway
+    (heroshi's manager assembling one crawl-queue batch).
+
+    Above ``driver_merge_max`` capped rows it falls back to the shuffle
+    plan (per_host_topk + global_order), which bounds the driver pull by
+    ``epoch_budget``. Returns one Arrow table (or None when nothing is
+    schedulable)."""
+
+    def local_cap(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        budgets = ray.get(budgets_ref)
+        idx = _budget_cap_indices(
+            batch.column("host").to_pandas(),
+            batch.column("priority").to_pandas(),
+            batch.column("surt").to_pandas(),
+            budgets,
+        )
+        return batch.take(pa.array(idx))
+
+    capped = ds.map_batches(
+        local_cap, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    if capped.count() > driver_merge_max:
+        k1 = per_host_topk(capped, budgets_ref, n_shards=n_shards)
+        sched = global_order(k1, epoch_budget)
+        blocks = [b for b in ray.get(sched.to_arrow_refs()) if b.num_rows]
+        return (
+            pa.concat_tables(blocks, promote_options="none") if blocks else None
+        )
+    blocks = [b for b in ray.get(capped.to_arrow_refs()) if b.num_rows]
+    if not blocks:
+        return None
+    merged = pa.concat_tables(blocks, promote_options="none").combine_chunks()
+    idx = _budget_cap_indices(
+        merged.column("host").to_pandas(),
+        merged.column("priority").to_pandas(),
+        merged.column("surt").to_pandas(),
+        ray.get(budgets_ref),
+    )
+    exact = merged.take(pa.array(idx))
+    order = pa.compute.sort_indices(
+        exact, sort_keys=[("priority", "descending"), ("surt", "ascending")]
+    )
+    return exact.take(order.slice(0, epoch_budget))
 
 
 class VectorRobots:
