@@ -65,7 +65,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_embed_neardup": d.q_embed_neardup,
         "q_embed_dedup": d.q_embed_dedup,
         "q_dedup_clusters": d.q_dedup_clusters,
-        "q_sliding_window": r.q_sliding_window,
         "q_revenue_by_nation": r.q_revenue_by_nation,
         "q_percentiles": r.q_percentiles,
         "q_stratified_sample": r.q_stratified_sample,
@@ -98,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_vocab_topk": d.q_vocab_topk,
         "q_cube": r.q_cube,
         "q_interarrival": r.q_interarrival,
+        "q_returned_revenue": r.q_returned_revenue,
         # SQL-oracled but past the driver's 50-entry cap BY CHOICE: these
         # four scalar/set ops were hash-green in CORRECTNESS_r01 AND _r02,
         # so their driver slots go to the newer shapes above; pytest
@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_token_count": d.q_token_count,
         "q_token_histogram": d.q_token_histogram,
         "q_sample": d.q_sample,
+        "q_sliding_window": r.q_sliding_window,
         # crawler flagship (rows-only: stateful / not SQL-expressible)
         "q_frontier_schedule": lambda sf: run_flagship(
             sf, per_host_budget=32, epoch_budget=50_000,
@@ -119,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_simhash_neardup": d.q_simhash_neardup,
         "q_phash_neardup": d.q_phash_neardup,
         "q_image_dedup": d.q_image_dedup,
+        "q_image_clusters": d.q_image_clusters,
         "q_ann_ivf": d.q_ann_ivf,
         "q_image_decode": d.q_image_decode,
         "q_image_features": d.q_image_features,
@@ -713,6 +715,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST((CAST(round(value * 100) AS BIGINT) - mn) * 10000
                         // greatest(mx - mn, 1) AS BIGINT) AS scaled_e4
             FROM events, s
+        """,
+        # TPC-H Q10 shape: top-k customers by returned-item revenue
+        "q_returned_revenue": """
+            SELECT c_custkey, c_name, n_name,
+                   CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                        AS BIGINT) AS revenue_e4
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            WHERE o_orderdate >= DATE '1996-07-01'
+              AND o_orderdate <  DATE '1996-10-01'
+              AND l_returnflag = 'R'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue_e4 DESC, c_custkey
+            LIMIT 20
         """,
         # CUBE grouping sets, subtotals coalesced to 'ALL'
         "q_cube": """

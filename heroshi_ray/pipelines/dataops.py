@@ -2181,3 +2181,65 @@ def q_vocab_topk(sf_dir: str, k: int = 10):
         return g.head(k)
 
     return counts.groupby("lang").map_groups(topk, batch_format="pandas")
+
+
+# ------------------------------------------------- image clusters -------
+def q_image_clusters(
+    sf_dir: str, max_hamming: int = 6, driver_nodes_max: int = 2_000_000
+):
+    """Image near-dup CLUSTERS: connected components over the phash
+    hamming graph (the transitive closure of q_phash_neardup) — groups
+    of mutually-derived images (re-encodes, thumbnails, crops) that a
+    pairwise keep-list cannot express. ``cluster_id`` = the
+    lexicographically smallest image_id in the component (deterministic
+    representative).
+
+    Layout: the pair-graph node set is output-scale by construction
+    (only images WITH a verified near-dup appear, <= 2x pairs), so
+    labels run through the same hash-min + pointer-doubling core as the
+    embedding twin (_cc_labels_driver; distributed edge passes, driver
+    label vector). np.unique's SORTED node index makes min-int-label ==
+    min-image_id with no extra pass. The attach is a broadcast
+    output-scale dict probed in a streaming pass over the corpus;
+    isolated images keep their own id. Past ``driver_nodes_max`` nodes
+    the id->int index plus _cc_labels_distributed is the documented
+    fork (same shape as q_dedup_clusters' Dataset-resident path)."""
+    pairs = q_phash_neardup(sf_dir, max_hamming)
+    ds = ray.data.read_parquet(_ensure_neardup_corpus(), columns=["image_id"])
+    if pairs.num_rows == 0:
+        return ds.map_batches(
+            lambda b: pa.table(
+                {"image_id": b.column("image_id"),
+                 "cluster_id": b.column("image_id")}
+            ),
+            batch_format="pyarrow",
+        )
+    a = np.asarray(pairs.column("image_a").to_pylist())
+    b = np.asarray(pairs.column("image_b").to_pylist())
+    uniq, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    assert len(uniq) <= driver_nodes_max, (
+        "image pair-node set exceeded the driver bound; route through the "
+        "id->int64 index + _cc_labels_distributed fork"
+    )
+    ea, eb = inv[: len(a)].astype(np.int64), inv[len(a):].astype(np.int64)
+    edges_tbl = pa.table(
+        {
+            "src": pa.array(np.concatenate([ea, eb]), pa.int64()),
+            "dst": pa.array(np.concatenate([eb, ea]), pa.int64()),
+        }
+    )
+    ns, ls = _cc_labels_driver(edges_tbl, 64, None)
+    reps = {uniq[int(n)]: uniq[int(l)] for n, l in zip(ns, ls)}
+    rep_ref = ray.put(reps)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        reps = ray.get(rep_ref)
+        ids = batch.column("image_id").to_pylist()
+        return pa.table(
+            {
+                "image_id": batch.column("image_id"),
+                "cluster_id": pa.array([reps.get(i, i) for i in ids], pa.string()),
+            }
+        )
+
+    return ds.map_batches(attach, batch_format="pyarrow", zero_copy_batch=True)

@@ -1579,25 +1579,13 @@ def q_promo_revenue(sf_dir: str, broadcast_limit: int = 50_000_000):
     promo vs total revenue for one ship-month. part is the classic
     small side — its {p_partkey → is_promo} bitmap costs ~1 byte/row,
     broadcast once via ray.put and probed inside the scan (searchsorted
-    over the sorted key array); above broadcast_limit parts it would
-    switch to a distributed hash join (same fork the other dimension
-    joins use). Output is the two exact integer sums (promo_e4,
-    total_e4) — the ratio is derivable, the sums are hashable."""
+    over the sorted key array); above broadcast_limit parts the
+    lineitem side pre-aggregates to per-part partials and meets the
+    part dim in a bucketed hash join (the fork the other dimension
+    joins use — both paths equivalence-tested). Output is the two
+    exact integer sums (promo_e4, total_e4) — the ratio is derivable,
+    the sums are hashable."""
     import pyarrow.parquet as pqt
-
-    part = pqt.read_table(
-        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_type"]
-    )
-    n_parts = part.num_rows
-    if n_parts <= broadcast_limit:
-        pk = part.column("p_partkey").to_numpy()
-        promo = pc.equal(part.column("p_type"), "PROMO").to_numpy(zero_copy_only=False)
-        order = np.argsort(pk)
-        lookup_ref = ray.put((pk[order], promo[order]))
-    else:  # pragma: no cover - fixture parts never exceed the bound
-        raise NotImplementedError(
-            "distributed part join for >50M parts: same fork as q_revenue_by_nation"
-        )
 
     lo, hi = pd.Timestamp("1996-09-01"), pd.Timestamp("1996-10-01")
     ds = _pq(
@@ -1605,26 +1593,105 @@ def q_promo_revenue(sf_dir: str, broadcast_limit: int = 50_000_000):
         columns=["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
     )
 
-    def partial(batch: pa.Table) -> pa.Table:
-        keys, promo = ray.get(lookup_ref)
+    def _month_frame(batch: pa.Table) -> pd.DataFrame:
         df = batch.to_pandas()
-        m = (df["l_shipdate"] >= lo) & (df["l_shipdate"] < hi)
-        df = df[m]
+        df = df[(df["l_shipdate"] >= lo) & (df["l_shipdate"] < hi)]
+        if len(df) == 0:
+            return df
         e2 = (df["l_extendedprice"] * 100).round().astype("int64")
         d2 = (df["l_discount"] * 100).round().astype("int64")
-        rev = (e2 * (100 - d2)).to_numpy()
-        pkv = df["l_partkey"].to_numpy()
-        pos = np.searchsorted(keys, pkv)
-        pos = np.clip(pos, 0, len(keys) - 1)
-        is_promo = (keys[pos] == pkv) & promo[pos]
-        return pa.table(
+        return pd.DataFrame(
             {
-                "promo_e4": pa.array([int(rev[is_promo].sum())], pa.int64()),
-                "total_e4": pa.array([int(rev.sum())], pa.int64()),
+                "l_partkey": df["l_partkey"].astype("int64"),
+                "rev": (e2 * (100 - d2)).astype("int64"),
             }
         )
 
-    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    n_parts = pqt.read_metadata(os.path.join(sf_dir, "part.parquet")).num_rows
+    if n_parts <= broadcast_limit:
+        part = pqt.read_table(
+            os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_type"]
+        )
+        pk = part.column("p_partkey").to_numpy()
+        promo = pc.equal(part.column("p_type"), "PROMO").to_numpy(zero_copy_only=False)
+        order = np.argsort(pk)
+        lookup_ref = ray.put((pk[order], promo[order]))
+
+        def partial(batch: pa.Table) -> pa.Table:
+            keys, promo = ray.get(lookup_ref)
+            df = _month_frame(batch)
+            if len(df) == 0:
+                return pa.table(
+                    {"promo_e4": pa.array([0], pa.int64()),
+                     "total_e4": pa.array([0], pa.int64())}
+                )
+            rev = df["rev"].to_numpy()
+            pkv = df["l_partkey"].to_numpy()
+            pos = np.clip(np.searchsorted(keys, pkv), 0, len(keys) - 1)
+            is_promo = (keys[pos] == pkv) & promo[pos]
+            return pa.table(
+                {
+                    "promo_e4": pa.array([int(rev[is_promo].sum())], pa.int64()),
+                    "total_e4": pa.array([int(rev.sum())], pa.int64()),
+                }
+            )
+
+        parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    else:
+        # distributed fork (>broadcast_limit parts): lineitem pre-
+        # aggregates to one (partkey, rev) partial per key, meets the
+        # part dim in a bucketed hash join, and two conditional sums
+        # finish — the shuffle moves per-part partials, never line items
+        part_schema = pa.schema([("l_partkey", pa.int64()), ("rev", pa.int64())])
+
+        def li_partial(batch: pa.Table) -> pa.Table:
+            df = _month_frame(batch)
+            if len(df) == 0:
+                return part_schema.empty_table()
+            g = df.groupby("l_partkey", sort=False)["rev"].sum().reset_index()
+            return pa.table(
+                {
+                    "l_partkey": pa.array(g["l_partkey"], pa.int64()),
+                    "rev": pa.array(g["rev"].astype("int64"), pa.int64()),
+                }
+            )
+
+        li_parts = ds.map_batches(li_partial, batch_format="pyarrow").materialize()
+        n_p = li_parts.count()
+        if n_p == 0:
+            return pa.table(
+                {"promo_e4": pa.array([0], pa.int64()),
+                 "total_e4": pa.array([0], pa.int64())}
+            )
+        pdim = _pq(sf_dir, "part", columns=["p_partkey", "p_type"]).map_batches(
+            lambda b: pa.table(
+                {
+                    "p_partkey": b.column("p_partkey"),
+                    "is_promo": pc.equal(b.column("p_type"), "PROMO"),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        tune_join_resources()
+        nparts = join_partitions()
+        li_parts = li_parts.repartition(max(1, min(nparts, n_p // 4096)))
+        pdim = pdim.repartition(max(1, min(nparts, n_parts // 4096)))
+        joined = li_parts.join(
+            pdim, join_type="inner", num_partitions=nparts,
+            on=("l_partkey",), right_on=("p_partkey",),
+        )
+
+        def sums(batch: pa.Table) -> pa.Table:
+            rev = batch.column("rev").to_numpy(zero_copy_only=False)
+            isp = batch.column("is_promo").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "promo_e4": pa.array([int(rev[isp].sum())], pa.int64()),
+                    "total_e4": pa.array([int(rev.sum())], pa.int64()),
+                }
+            )
+
+        parts = joined.map_batches(sums, batch_format="pyarrow").to_pandas()
     return pa.table(
         {
             "promo_e4": pa.array([int(parts["promo_e4"].sum())], pa.int64()),
@@ -2087,4 +2154,184 @@ def q_interarrival(sf_dir: str, n_buckets: int | None = None):
         ds.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("__b")
         .map_groups(gaps, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------- returned revenue --------
+def q_returned_revenue(
+    sf_dir: str,
+    date_lo: str = "1996-07-01",
+    date_hi: str = "1996-10-01",
+    k: int = 20,
+    broadcast_limit: int = 500_000,
+):
+    """TPC-H-Q10-shaped top-k: the k customers losing the most revenue
+    to returned items in one quarter (revenue = e4-int sum over
+    returnflag='R' lines of window orders), with name + nation
+    attached. Deterministic (revenue desc, custkey asc) order.
+
+    Plan: the quarter's orders collapse to a broadcast sorted
+    {orderkey -> custkey} pair (date pruning makes this the small side;
+    above ``broadcast_limit`` the lineitem partials meet orders in a
+    distributed hash join — q_volume_shipping's fork); the lineitem
+    combiner partial-sums straight to per-CUSTOMER rows, the groupby
+    moves those partials, and the top-k is a per-block partial top-k +
+    driver merge of <= k x blocks rows (q_global_topk's layout — no
+    full sort). Customer/nation dims are broadcast probes applied to
+    the k winners on the driver."""
+    import pyarrow.parquet as _pqt
+
+    from ray.data.aggregate import Sum
+
+    lo, hi = pd.Timestamp(date_lo), pd.Timestamp(date_hi)
+
+    def _dim(name: str, columns=None) -> pd.DataFrame:
+        return _pqt.read_table(
+            os.path.join(sf_dir, f"{name}.parquet"), columns=columns
+        ).to_pandas()
+
+    def orders_probe(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[(df["o_orderdate"] >= lo) & (df["o_orderdate"] < hi)]
+        return pa.table(
+            {
+                "o_orderkey": pa.array(df["o_orderkey"], pa.int64()),
+                "o_custkey": pa.array(df["o_custkey"], pa.int64()),
+            }
+        )
+
+    orders_f = (
+        _pq(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+        .map_batches(orders_probe, batch_format="pyarrow")
+        .materialize()
+    )
+    n_ord = orders_f.count()
+
+    li = _pq(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    )
+
+    def _returned_frame(batch: pa.Table) -> pd.DataFrame | None:
+        df = batch.to_pandas()
+        df = df[df["l_returnflag"] == "R"]
+        if len(df) == 0:
+            return None
+        e2 = (df["l_extendedprice"] * 100).round().astype("int64")
+        d2 = (df["l_discount"] * 100).round().astype("int64")
+        return pd.DataFrame(
+            {
+                "l_orderkey": df["l_orderkey"].astype("int64"),
+                "rev": (e2 * (100 - d2)).astype("int64"),
+            }
+        )
+
+    cust_schema = pa.schema([("c_custkey", pa.int64()), ("rev", pa.int64())])
+
+    if n_ord <= broadcast_limit:
+        op = orders_f.to_pandas()
+        okeys = op["o_orderkey"].to_numpy()
+        order = np.argsort(okeys)
+        omap_ref = ray.put((okeys[order], op["o_custkey"].to_numpy()[order]))
+
+        def partial(batch: pa.Table) -> pa.Table:
+            df = _returned_frame(batch)
+            if df is None:
+                return cust_schema.empty_table()
+            keys, cust = ray.get(omap_ref)
+            ok = df["l_orderkey"].to_numpy()
+            pos = np.clip(np.searchsorted(keys, ok), 0, max(0, len(keys) - 1))
+            hit = len(keys) > 0
+            m = (keys[pos] == ok) if hit else np.zeros(len(ok), dtype=bool)
+            df = df[m].copy()
+            if len(df) == 0:
+                return cust_schema.empty_table()
+            df["c_custkey"] = cust[pos[m]]
+            g = df.groupby("c_custkey", sort=False)["rev"].sum().reset_index()
+            return pa.table(
+                {
+                    "c_custkey": pa.array(g["c_custkey"], pa.int64()),
+                    "rev": pa.array(g["rev"].astype("int64"), pa.int64()),
+                }
+            )
+
+        per_cust = (
+            li.map_batches(partial, batch_format="pyarrow")
+            .groupby("c_custkey")
+            .aggregate(Sum("rev", alias_name="revenue_e4"))
+        )
+    else:
+        part_schema = pa.schema([("l_orderkey", pa.int64()), ("rev", pa.int64())])
+
+        def li_partial(batch: pa.Table) -> pa.Table:
+            df = _returned_frame(batch)
+            if df is None:
+                return part_schema.empty_table()
+            g = df.groupby("l_orderkey", sort=False)["rev"].sum().reset_index()
+            return pa.table(
+                {
+                    "l_orderkey": pa.array(g["l_orderkey"], pa.int64()),
+                    "rev": pa.array(g["rev"].astype("int64"), pa.int64()),
+                }
+            )
+
+        parts = li.map_batches(li_partial, batch_format="pyarrow").materialize()
+        n_p = parts.count()
+        if n_p == 0 or n_ord == 0:
+            return pa.table(
+                {
+                    "c_custkey": pa.array([], pa.int64()),
+                    "c_name": pa.array([], pa.string()),
+                    "n_name": pa.array([], pa.string()),
+                    "revenue_e4": pa.array([], pa.int64()),
+                }
+            )
+        tune_join_resources()
+        nparts = join_partitions()
+        parts = parts.repartition(max(1, min(nparts, n_p // 4096)))
+        of = orders_f.repartition(max(1, min(nparts, n_ord // 4096)))
+        joined = parts.join(
+            of, join_type="inner", num_partitions=nparts,
+            on=("l_orderkey",), right_on=("o_orderkey",),
+        )
+        per_cust = (
+            joined.map_batches(
+                lambda b: pa.table(
+                    {"c_custkey": b.column("o_custkey"), "rev": b.column("rev")}
+                ),
+                batch_format="pyarrow",
+            )
+            .groupby("c_custkey")
+            .aggregate(Sum("rev", alias_name="revenue_e4"))
+        )
+
+    # partial top-k per block + tiny driver merge (no full sort)
+    def block_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(
+            ["revenue_e4", "c_custkey"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    tops = per_cust.map_batches(block_topk, batch_format="pyarrow").to_pandas()
+    tops = tops.sort_values(
+        ["revenue_e4", "c_custkey"], ascending=[False, True], kind="mergesort"
+    ).head(k)
+
+    cust = _dim("customer", columns=["c_custkey", "c_name", "c_nationkey"])
+    nat = _dim("nation", columns=["n_nationkey", "n_name"])
+    nat_name = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    cmap = {
+        int(ck): (nm, nat_name[int(nk)])
+        for ck, nm, nk in zip(cust["c_custkey"], cust["c_name"], cust["c_nationkey"])
+    }
+    names = [cmap[int(c)] for c in tops["c_custkey"]]
+    return pa.table(
+        {
+            "c_custkey": pa.array(tops["c_custkey"].astype("int64"), pa.int64()),
+            "c_name": pa.array([n for n, _ in names], pa.string()),
+            "n_name": pa.array([nn for _, nn in names], pa.string()),
+            "revenue_e4": pa.array(tops["revenue_e4"].astype("int64"), pa.int64()),
+        }
     )

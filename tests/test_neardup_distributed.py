@@ -422,3 +422,62 @@ def test_no_order_customers_distributed_path_equals_broadcast(ray_session):
     b = norm(q_no_order_customers(SF_DIR, broadcast_limit=0))
     pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
     assert len(a) > 0
+
+
+def test_image_clusters_match_union_find(ray_session):
+    """q_image_clusters must equal a brute-force union-find over the
+    verified q_phash_neardup pair list, with the lexicographically
+    smallest member as the cluster id; images without a near-dup keep
+    their own id."""
+    from heroshi_ray.pipelines.dataops import q_image_clusters, q_phash_neardup
+
+    pairs = q_phash_neardup(SF_DIR).to_pandas()
+    assert len(pairs) > 0  # planted dups guarantee a non-trivial graph
+
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(x, y):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+
+    for x, y in zip(pairs["image_a"], pairs["image_b"]):
+        union(x, y)
+
+    # canonical root = min member id per component
+    members: dict = {}
+    for x in parent:
+        members.setdefault(find(x), set()).add(x)
+    expected = {}
+    for root, ms in members.items():
+        rep = min(ms | {root})
+        for m in ms | {root}:
+            expected[m] = rep
+
+    out = q_image_clusters(SF_DIR).to_pandas()
+    assert len(out) > 0
+    n_nontrivial = 0
+    for iid, cid in zip(out["image_id"], out["cluster_id"]):
+        assert cid == expected.get(iid, iid), (iid, cid)
+        if cid != iid:
+            n_nontrivial += 1
+    assert n_nontrivial > 0
+
+
+def test_promo_revenue_distributed_path_equals_broadcast(ray_session):
+    """broadcast_limit=0 forces the per-part-partials ⋈ part hash join;
+    both layouts must produce the identical two sums."""
+    from heroshi_ray.pipelines.relational import q_promo_revenue
+
+    a = q_promo_revenue(SF_DIR).to_pandas()
+    b = q_promo_revenue(SF_DIR, broadcast_limit=0).to_pandas()
+    assert a["promo_e4"].iloc[0] == b["promo_e4"].iloc[0]
+    assert a["total_e4"].iloc[0] == b["total_e4"].iloc[0]
+    assert int(a["total_e4"].iloc[0]) > 0
