@@ -60,7 +60,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_shipping_priority": r.q_shipping_priority,
         "q_hash_join": r.q_hash_join,
         "q_dedup_exact": d.q_dedup_exact,
-        "q_lang_count": d.q_lang_count,
         "q_ann_knn": d.q_ann_knn,
         "q_embed_neardup": d.q_embed_neardup,
         "q_embed_dedup": d.q_embed_dedup,
@@ -98,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_cube": r.q_cube,
         "q_interarrival": r.q_interarrival,
         "q_returned_revenue": r.q_returned_revenue,
+        "q_centroids": d.q_centroids,
         # SQL-oracled but past the driver's 50-entry cap BY CHOICE: these
         # four scalar/set ops were hash-green in CORRECTNESS_r01 AND _r02,
         # so their driver slots go to the newer shapes above; pytest
@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_token_histogram": d.q_token_histogram,
         "q_sample": d.q_sample,
         "q_sliding_window": r.q_sliding_window,
+        "q_lang_count": d.q_lang_count,
         # crawler flagship (rows-only: stateful / not SQL-expressible)
         "q_frontier_schedule": lambda sf: run_flagship(
             sf, per_host_budget=32, epoch_budget=50_000,
@@ -715,6 +716,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST((CAST(round(value * 100) AS BIGINT) - mn) * 10000
                         // greatest(mx - mn, 1) AS BIGINT) AS scaled_e4
             FROM events, s
+        """,
+        # per-label embedding centroids as exact integer component sums
+        # (list components cast to DOUBLE before scaling — the engine
+        # upcasts float32 the same way)
+        "q_centroids": """
+            WITH dims AS (SELECT unnest(generate_series(0, 63)) AS dim),
+            e AS (
+                SELECT label, dims.dim AS dim,
+                       CAST(round(CAST(embedding[dims.dim + 1] AS DOUBLE)
+                                  * 1000000) AS BIGINT) AS v
+                FROM embeddings, dims
+            )
+            SELECT label, CAST(dim AS BIGINT) AS dim,
+                   CAST(sum(v) AS BIGINT) AS sum_e6,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM e GROUP BY label, dim
         """,
         # TPC-H Q10 shape: top-k customers by returned-item revenue
         "q_returned_revenue": """

@@ -2243,3 +2243,51 @@ def q_image_clusters(
         )
 
     return ds.map_batches(attach, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# -------------------------------------------------- label centroids -----
+def q_centroids(sf_dir: str, dims: int = 64):
+    """Per-label embedding centroids (class prototypes — the vector
+    aggregation every k-means / prototype-classifier / dataset-balance
+    step runs). Output long-form (label, dim, sum_e6, n): exact integer
+    sums of the e6-scaled components plus counts — the mean is
+    derivable, the sums are hashable (no float summation order in the
+    result).
+
+    Combiner layout: each batch flattens the list column ZERO-COPY
+    (ListArray values -> (n, dims) numpy view), partial-sums per label
+    with one np.add.at scatter, and emits <= |labels| x dims partial
+    rows; the two-key groupby moves those partials, never embeddings.
+    Components are upcast to float64 BEFORE the e6 scaling so the
+    engine matches the DuckDB twin's DOUBLE arithmetic bit-exactly
+    (float32 multiply would round differently)."""
+    from ray.data.aggregate import Sum
+
+    ds = _pq(sf_dir, "embeddings", columns=["label", "embedding"], split=True)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lab = batch.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        col = batch.column("embedding").combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        emb = flat.reshape(len(lab), dims).astype(np.float64)
+        v = np.round(emb * 1e6).astype(np.int64)
+        uniq, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(uniq), dims), dtype=np.int64)
+        np.add.at(sums, inv, v)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        lab_col = np.repeat(uniq, dims)
+        dim_col = np.tile(np.arange(dims, dtype=np.int64), len(uniq))
+        return pa.table(
+            {
+                "label": pa.array(lab_col, pa.int64()),
+                "dim": pa.array(dim_col, pa.int64()),
+                "sum_e6": pa.array(sums.reshape(-1), pa.int64()),
+                "n": pa.array(np.repeat(counts, dims), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["label", "dim"])
+        .aggregate(Sum("sum_e6", alias_name="sum_e6"), Sum("n", alias_name="n"))
+    )
