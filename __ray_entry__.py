@@ -69,7 +69,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_stratified_sample": r.q_stratified_sample,
         "q_rollup": r.q_rollup,
         "q_ngram_jaccard": d.q_ngram_jaccard,
-        "q_pivot": r.q_pivot,
         "q_order_count_dist": r.q_order_count_dist,
         "q_running_sum": r.q_running_sum,
         "q_small_qty_revenue": r.q_small_qty_revenue,
@@ -98,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_interarrival": r.q_interarrival,
         "q_returned_revenue": r.q_returned_revenue,
         "q_centroids": d.q_centroids,
+        "q_ntile": r.q_ntile,
         # SQL-oracled but past the driver's 50-entry cap BY CHOICE: these
         # four scalar/set ops were hash-green in CORRECTNESS_r01 AND _r02,
         # so their driver slots go to the newer shapes above; pytest
@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_sample": d.q_sample,
         "q_sliding_window": r.q_sliding_window,
         "q_lang_count": d.q_lang_count,
+        "q_pivot": r.q_pivot,
         # crawler flagship (rows-only: stateful / not SQL-expressible)
         "q_frontier_schedule": lambda sf: run_flagship(
             sf, per_host_budget=32, epoch_budget=50_000,
@@ -716,6 +717,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST((CAST(round(value * 100) AS BIGINT) - mn) * 10000
                         // greatest(mx - mn, 1) AS BIGINT) AS scaled_e4
             FROM events, s
+        """,
+        # exact global NTILE via distributed sort + block offsets
+        "q_ntile": """
+            SELECT event_id,
+                   CAST(NTILE(10) OVER (ORDER BY value, event_id) AS BIGINT)
+                       AS bucket
+            FROM events
         """,
         # per-label embedding centroids as exact integer component sums
         # (list components cast to DOUBLE before scaling — the engine

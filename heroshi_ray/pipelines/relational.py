@@ -2335,3 +2335,67 @@ def q_returned_revenue(
             "revenue_e4": pa.array(tops["revenue_e4"].astype("int64"), pa.int64()),
         }
     )
+
+
+# ----------------------------------------------------------- ntile ------
+def q_ntile(sf_dir: str, buckets: int = 10):
+    """Global NTILE(buckets) over (value, event_id) — the exact global
+    ranking / row_number primitive (quantile bucketing for stratified
+    training splits). No window function exists in Ray Data; the
+    distributed layout:
+
+    1. one distributed range sort on (value, event_id) — the only
+       all-to-all, and the key set IS the payload (2 columns);
+    2. one metadata round: a tiny task per sorted block returns its row
+       count (ints to the driver, never rows), cumsum -> block offsets;
+    3. one attach round: per-block tasks append
+       rank = offset + arange, bucket = DuckDB's NTILE split (the
+       first ``n % buckets`` buckets get the extra row) — embarrassingly
+       parallel, order preserved by construction.
+
+    Exactly the textbook distributed row_number (sort + partition
+    offsets); ties impossible because event_id is unique."""
+    ds = _pq(sf_dir, "events", columns=["event_id", "value"])
+    n_total = ds.count()
+    if n_total == 0:
+        return pa.table(
+            {"event_id": pa.array([], pa.int64()),
+             "bucket": pa.array([], pa.int64())}
+        )
+    sorted_ds = ds.sort(["value", "event_id"]).materialize()
+    refs = sorted_ds.to_arrow_refs()
+
+    @ray.remote
+    def _count(block: pa.Table) -> int:
+        return block.num_rows
+
+    counts = ray.get([_count.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+
+    base = n_total // buckets
+    extra = n_total % buckets
+    # rank r (0-based) -> bucket: first `extra` buckets hold base+1 rows
+    cut = extra * (base + 1)
+
+    @ray.remote
+    def _attach(block: pa.Table, off: int) -> pa.Table:
+        if block.num_rows == 0:
+            return pa.table(
+                {"event_id": pa.array([], pa.int64()),
+                 "bucket": pa.array([], pa.int64())}
+            )
+        r = off + np.arange(block.num_rows, dtype=np.int64)
+        b = np.where(
+            r < cut,
+            r // (base + 1),
+            extra + (r - cut) // max(base, 1),
+        ) + 1
+        return pa.table(
+            {
+                "event_id": block.column("event_id"),
+                "bucket": pa.array(b.astype(np.int64), pa.int64()),
+            }
+        )
+
+    out_refs = [_attach.remote(r, int(o)) for r, o in zip(refs, offsets)]
+    return ray.data.from_arrow_refs(out_refs)
