@@ -47,15 +47,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_groupby_host": r.q_groupby_host,
         "q_topk_per_host": r.q_topk_per_host,
         "q_global_topk": r.q_global_topk,
-        "q_dedup_first": r.q_dedup_first,
         "q_join_enrich": r.q_join_enrich,
         "q_anti_join": r.q_anti_join,
         "q_window_count": r.q_window_count,
         # training-data ops (SQL-oracled)
-        "q_sessionize": r.q_sessionize,
         "q_count_distinct": r.q_count_distinct,
-        "q_pricing_summary": r.q_pricing_summary,
-        "q_asof_join": r.q_asof_join,
         "q_range_join": r.q_range_join,
         "q_shipping_priority": r.q_shipping_priority,
         "q_hash_join": r.q_hash_join,
@@ -98,10 +94,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_returned_revenue": r.q_returned_revenue,
         "q_centroids": d.q_centroids,
         "q_ntile": r.q_ntile,
+        "q_chunk": d.q_chunk,
+        "q_decontaminate": d.q_decontaminate,
+        "q_pack_sequences": d.q_pack_sequences,
+        "q_data_mix": d.q_data_mix,
         # SQL-oracled but past the driver's 50-entry cap BY CHOICE: these
-        # four scalar/set ops were hash-green in CORRECTNESS_r01 AND _r02,
-        # so their driver slots go to the newer shapes above; pytest
+        # were hash-green in CORRECTNESS_r01 AND _r02 (twice-verified), so
+        # their driver slots go to the newer shapes above; pytest
         # (test_queries_oracle) still replicates the full check for them.
+        "q_dedup_first": r.q_dedup_first,
+        "q_sessionize": r.q_sessionize,
+        "q_pricing_summary": r.q_pricing_summary,
+        "q_asof_join": r.q_asof_join,
         "q_union_distinct": r.q_union_distinct,
         "q_string_norm": r.q_string_norm,
         "q_json_extract": r.q_json_extract,
@@ -757,6 +761,76 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2, 3
             ORDER BY revenue_e4 DESC, c_custkey
             LIMIT 20
+        """,
+        # fixed-size overlapping chunking (size=200, stride=150); chunk
+        # positions via the row_number nums trick (bound derived from the
+        # data, same rationale as q_ngram_jaccard's oracle)
+        "q_chunk": """
+            WITH nums AS (
+              SELECT CAST(row_number() OVER () AS BIGINT) AS i FROM lineitem
+              QUALIFY i <= (SELECT max(length(text)) FROM documents)
+            )
+            SELECT doc_id, CAST(i - 1 AS BIGINT) AS chunk_id,
+                   substring(text, CAST((i - 1) * 150 + 1 AS INT), 200) AS chunk
+            FROM documents CROSS JOIN nums
+            WHERE (i - 1) * 150 < length(text)
+        """,
+        # eval-set char-16-gram overlap; eval = doc_id % 97 == 0
+        "q_decontaminate": """
+            WITH nums AS (
+              SELECT CAST(row_number() OVER () AS BIGINT) AS i FROM lineitem
+              QUALIFY i <= (SELECT max(length(text)) FROM documents)
+            ), ev AS (
+              SELECT DISTINCT substring(text, CAST(i AS INT), 16) AS g
+              FROM documents CROSS JOIN nums
+              WHERE doc_id % 97 = 0 AND i <= length(text) - 15
+            ), tr AS (
+              SELECT DISTINCT doc_id, substring(text, CAST(i AS INT), 16) AS g
+              FROM documents CROSS JOIN nums
+              WHERE doc_id % 97 <> 0 AND i <= length(text) - 15
+            ), sizes AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+              FROM tr GROUP BY doc_id
+            ), hits AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS hit_grams
+              FROM tr JOIN ev USING (g) GROUP BY doc_id
+            )
+            SELECT h.doc_id, s.n_grams, h.hit_grams
+            FROM hits h JOIN sizes s USING (doc_id)
+        """,
+        # token-budget sequence packing: pack of the doc's START offset
+        # on the global token stream (exclusive prefix sum // 512)
+        "q_pack_sequences": """
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE CAST(len(string_split_regex(trim(text), '\\s+'))
+                                    AS BIGINT)
+                     END AS n_tokens
+              FROM documents
+            )
+            SELECT doc_id, n_tokens,
+                   CAST(COALESCE(SUM(n_tokens) OVER (
+                            ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                        ), 0) // 512 AS BIGINT) AS pack_id
+            FROM t
+        """,
+        # weighted language mixing with oversampling; keep gate is the
+        # Knuth multiplicative hash both numpy and SQL compute exactly
+        "q_data_mix": """
+            WITH w(lang, pct, reps) AS (
+              VALUES ('en', 60, 1), ('de', 80, 2), ('es', 80, 1),
+                     ('fr', 80, 3), ('zh', 40, 1)
+            ), nums AS (
+              SELECT CAST(row_number() OVER () AS BIGINT) AS i FROM lineitem
+              QUALIFY i <= (SELECT max(reps) FROM w)
+            )
+            SELECT d.doc_id, d.lang, CAST(i - 1 AS BIGINT) AS "copy"
+            FROM documents d JOIN w ON d.lang = w.lang
+            CROSS JOIN nums
+            WHERE i <= w.reps
+              AND (d.doc_id * 2654435761) % 4294967296 % 100 < w.pct
         """,
         # CUBE grouping sets, subtotals coalesced to 'ALL'
         "q_cube": """

@@ -185,6 +185,10 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         "q_quality_stats",
         "q_volume_shipping",
         "q_vocab_topk",
+        "q_chunk",
+        "q_decontaminate",
+        "q_pack_sequences",
+        "q_data_mix",
     ]
     # per-query best-of-2 with the same rationale as the headline reps.
     # The two sub-2 s fixed-overhead-dominated queries get extra reps:

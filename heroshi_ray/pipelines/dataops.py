@@ -2291,3 +2291,212 @@ def q_centroids(sf_dir: str, dims: int = 64):
         .groupby(["label", "dim"])
         .aggregate(Sum("sum_e6", alias_name="sum_e6"), Sum("n", alias_name="n"))
     )
+
+
+def q_chunk(sf_dir: str, size: int = 200, stride: int = 150):
+    """Fixed-size overlapping text chunking (the RAG / context-window
+    prep stage: every doc becomes ceil(len/stride) chunks of up to
+    ``size`` chars starting at offsets 0, stride, 2*stride, ...).
+
+    Pure flat-map shape: no shuffle, no state, output ~len/stride x
+    input rows. Vectorized end-to-end in polars — int_ranges builds the
+    per-doc chunk index list, one explode, one str.slice with a per-row
+    offset expression; zero Python per-row work. Corpus is
+    printable-ASCII (FIXTURES.md) so char offsets == byte offsets and
+    the DuckDB substring twin is exact."""
+    import polars as pl
+
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"], split=True)
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        out = (
+            df.with_columns(
+                __n=(
+                    (pl.col("text").str.len_bytes().cast(pl.Int64) + (stride - 1))
+                    // stride
+                ),
+            )
+            .with_columns(chunk_id=pl.int_ranges(0, pl.col("__n")))
+            .explode("chunk_id")
+            .filter(pl.col("chunk_id").is_not_null())
+            .with_columns(
+                chunk=pl.col("text").str.slice(pl.col("chunk_id") * stride, size)
+            )
+            .select("doc_id", pl.col("chunk_id").cast(pl.Int64), "chunk")
+        )
+        return out.to_arrow()
+
+    return ds.map_batches(chunks, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_decontaminate(sf_dir: str, n: int = 16, eval_mod: int = 97):
+    """Benchmark decontamination: flag training documents sharing any
+    character ``n``-gram with the eval set (docs where
+    doc_id % eval_mod == 0 stand in for a benchmark). The standard
+    pre-training hygiene pass (e.g. GPT-3 appendix C / PaLM-style
+    13-gram overlap, done here at n=16 chars).
+
+    Scale layout: the eval side of this op is a BENCHMARK — fixed-size
+    by definition (thousands of questions), never corpus-sized — so its
+    distinct-gram set is built distributed (explode -> groupby) and then
+    broadcast once via ray.put; the 100-TB train side streams through
+    one map_batches membership pass (pc.is_in against the broadcast
+    value set, one C++ kernel per batch). No shuffle touches the train
+    corpus. Grams compared as STRINGS, not hashes: the hit counts are
+    exact, no collision caveat, and the DuckDB twin hash-matches.
+
+    Returns (doc_id, n_grams, hit_grams) for contaminated train docs
+    (hit_grams >= 1), where n_grams is the doc's distinct-gram count —
+    the pair gives the overlap fraction downstream filters threshold
+    on."""
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"], split=True)
+
+    def eval_grams(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        grams: set[str] = set()
+        for i, t in zip(ids, texts):
+            if int(i) % eval_mod == 0 and t and len(t) >= n:
+                grams.update(t[j : j + n] for j in range(len(t) - n + 1))
+        return pa.table({"g": pa.array(sorted(grams), pa.string())})
+
+    # distinct across batches (combiner already dedups within a batch)
+    ev = (
+        ds.map_batches(eval_grams, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("g")
+        .count()
+        .select_columns(["g"])
+        .take_all()
+    )  # driver contact = benchmark gram set, fixed-size by definition
+    ev_set = pa.array([r["g"] for r in ev], pa.string())
+    ev_ref = ray.put(ev_set)
+
+    def hits(batch: pa.Table) -> pa.Table:
+        ev_arr = ray.get(ev_ref)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        out_id, out_n, out_hit = [], [], []
+        for i, t in zip(ids, texts):
+            if int(i) % eval_mod == 0 or not t or len(t) < n:
+                continue
+            grams = list({t[j : j + n] for j in range(len(t) - n + 1)})
+            m = pc.sum(
+                pc.is_in(pa.array(grams, pa.string()), value_set=ev_arr)
+            ).as_py() or 0
+            if m:
+                out_id.append(int(i))
+                out_n.append(len(grams))
+                out_hit.append(int(m))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "n_grams": pa.array(out_n, pa.int64()),
+                "hit_grams": pa.array(out_hit, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(hits, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_pack_sequences(sf_dir: str, budget: int = 512):
+    """Sequence packing for training (token-budget bin assignment):
+    docs in doc_id order are laid head-to-tail on the global token
+    stream; a doc belongs to the pack containing its START offset,
+    pack_id = exclusive-prefix-sum(n_tokens) // budget. This is naive
+    contiguous packing (docs may straddle pack boundaries and get
+    truncated/continued downstream) — the deterministic, shuffle-light
+    variant used when exact first-fit is not worth a sequential pass.
+
+    Distributed layout = the q_ntile row-number core: ONE range sort on
+    doc_id (the only all-to-all; payload is (doc_id, n_tokens) ints),
+    a metadata round of per-block token SUMS (two ints per block to the
+    driver, never rows), block offsets by cumsum, then an
+    embarrassingly-parallel attach pass doing a vectorized in-block
+    cumsum + floor division. SUM OVER (ORDER BY) in the DuckDB twin."""
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"], split=True)
+
+    def tc(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array(token_count_ws(texts), pa.int64()),
+            }
+        )
+
+    counted = ds.map_batches(tc, batch_format="pyarrow", zero_copy_batch=True)
+    sorted_ds = counted.sort("doc_id").materialize()
+    refs = sorted_ds.to_arrow_refs()
+
+    @ray.remote
+    def _toksum(block: pa.Table) -> int:
+        return int(pc.sum(block.column("n_tokens")).as_py() or 0)
+
+    sums = ray.get([_toksum.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(sums)[:-1]]).astype(np.int64)
+
+    @ray.remote
+    def _attach(block: pa.Table, off: int) -> pa.Table:
+        nt = block.column("n_tokens").to_numpy(zero_copy_only=False)
+        # exclusive prefix sum within the block + global block offset
+        excl = off + np.cumsum(nt) - nt
+        return pa.table(
+            {
+                "doc_id": block.column("doc_id"),
+                "n_tokens": block.column("n_tokens"),
+                "pack_id": pa.array(excl // budget, pa.int64()),
+            }
+        )
+
+    out_refs = [_attach.remote(r, int(o)) for r, o in zip(refs, offsets)]
+    return ray.data.from_arrow_refs(out_refs)
+
+
+# language sampling weights (percent kept) and oversample factors for
+# q_data_mix — module-level constants so the oracle twin can embed the
+# same table.
+MIX_WEIGHTS = {"en": 60, "de": 80, "es": 80, "fr": 80, "zh": 40}
+MIX_REPEATS = {"en": 1, "de": 2, "es": 1, "fr": 3, "zh": 1}
+
+
+def q_data_mix(sf_dir: str):
+    """Weighted dataset mixing with oversampling (the data-mixture step
+    of a pre-training run): per-language KEEP rates (downsample the
+    over-represented languages) plus integer REPEAT factors (oversample
+    the low-resource ones). Output one row per (doc, epoch-copy).
+
+    The keep gate is a deterministic Knuth multiplicative hash on
+    doc_id — (doc_id * 2654435761) mod 2^32 mod 100 < weight — chosen
+    over library hashes because both numpy and ANSI SQL compute it
+    exactly (the sampling decision is reproducible everywhere, the
+    property data-mixture configs need for resumable runs). Pure
+    map_batches: gate + np.repeat per batch, no shuffle, no driver
+    contact; weight maps are O(languages) closures."""
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "lang"], split=True)
+
+    def mix(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        langs = np.asarray(batch.column("lang").to_pylist(), dtype=object)
+        h = (ids.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(1 << 32)
+        gate = (h % np.uint64(100)).astype(np.int64)
+        w = np.array([MIX_WEIGHTS.get(l, 0) for l in langs], np.int64)
+        keep = gate < w
+        ids, langs = ids[keep], langs[keep]
+        reps = np.array([MIX_REPEATS.get(l, 1) for l in langs], np.int64)
+        out_ids = np.repeat(ids, reps)
+        out_langs = np.repeat(langs, reps)
+        # copy index 0..reps-1 per kept doc, vectorized
+        cum = np.cumsum(reps)
+        copy = np.arange(cum[-1] if len(cum) else 0, dtype=np.int64) - np.repeat(
+            cum - reps, reps
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "lang": pa.array(out_langs.tolist(), pa.string()),
+                "copy": pa.array(copy, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(mix, batch_format="pyarrow", zero_copy_batch=True)
