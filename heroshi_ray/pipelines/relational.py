@@ -2399,3 +2399,355 @@ def q_ntile(sf_dir: str, buckets: int = 10):
 
     out_refs = [_attach.remote(r, int(o)) for r, o in zip(refs, offsets)]
     return ray.data.from_arrow_refs(out_refs)
+
+
+def q_large_orders(sf_dir: str, min_qty_e2: int = 20_000, broadcast_limit: int = 500_000):
+    """TPC-H-Q18-shaped HAVING semi join: orders whose total line-item
+    quantity exceeds a threshold, with customer name and the aggregate
+    attached. The shape relational plans call "groupby-having used as a
+    join probe": the aggregate output (hot keys) is OUTPUT-scale by the
+    threshold's semantics, so it drives broadcast probes over the big
+    scans rather than shuffling them.
+
+    Plan: lineitem combiner partial-sums qty per order inside each batch
+    (the shuffle moves partials, not rows) -> ONE bucketed shuffle on
+    o_orderkey % B with a vectorized per-bucket groupby+HAVING
+    (dedup_first's layout — measured 3.5x faster than the sort-based
+    aggregate at 150k distinct keys, since the all-to-all moves B
+    coarse buckets, not a sorted key range). Under ``broadcast_limit``
+    the hot set travels once as sorted numpy arrays and the orders scan
+    probes it via searchsorted; above the bound it meets orders in a
+    distributed hash join (same fork the other adaptive joins use).
+    Customer names attach by filtering the customer scan against the
+    kept custkeys (pc.is_in, streamed) — the name map the driver holds
+    is hot-order sized, never customer-table sized."""
+    n_bkt = default_buckets()
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_quantity"],
+        override_num_blocks=n_bkt,
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        q2 = (df["l_quantity"] * 100).round().astype("int64")
+        g = (
+            pd.DataFrame({"o_orderkey": df["l_orderkey"].astype("int64"), "q": q2})
+            .groupby("o_orderkey", sort=False)["q"]
+            .sum()
+            .reset_index()
+        )
+        g["__b"] = (g["o_orderkey"].to_numpy() % n_bkt).astype(np.int32)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def bucket_agg(g: pd.DataFrame) -> pd.DataFrame:
+        s = (
+            g.groupby("o_orderkey", sort=False)["q"]
+            .sum()
+            .reset_index()
+            .rename(columns={"q": "sum_qty_e2"})
+        )
+        return s[s["sum_qty_e2"] > min_qty_e2]
+
+    hot = (
+        li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(bucket_agg, batch_format="pandas")
+        .materialize()
+    )
+    n_hot = hot.count()
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+        override_num_blocks=n_bkt,
+    )
+    out_schema = pa.schema(
+        [
+            ("o_orderkey", pa.int64()),
+            ("o_custkey", pa.int64()),
+            ("total_e2", pa.int64()),
+            ("sum_qty_e2", pa.int64()),
+        ]
+    )
+
+    if n_hot <= broadcast_limit:
+        hp = hot.to_pandas()  # hot-order scale, bounded by the threshold
+        hk = hp["o_orderkey"].to_numpy()
+        order = np.argsort(hk)
+        hot_ref = ray.put((hk[order], hp["sum_qty_e2"].to_numpy()[order]))
+
+        def probe(batch: pa.Table) -> pa.Table:
+            keys, sums = ray.get(hot_ref)
+            ok = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(keys, ok), 0, max(0, len(keys) - 1))
+            m = (keys[pos] == ok) if len(keys) else np.zeros(len(ok), bool)
+            if not m.any():
+                return out_schema.empty_table()
+            kept = batch.filter(pa.array(m))
+            tp = kept.column("o_totalprice").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "o_orderkey": kept.column("o_orderkey"),
+                    "o_custkey": kept.column("o_custkey"),
+                    "total_e2": pa.array(
+                        np.round(tp * 100).astype(np.int64), pa.int64()
+                    ),
+                    "sum_qty_e2": pa.array(sums[pos[m]], pa.int64()),
+                }
+            )
+
+        kept = orders.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+    else:
+        tune_join_resources()
+        nparts = join_partitions()
+
+        def price_e2(batch: pa.Table) -> pa.Table:
+            tp = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "o_orderkey": batch.column("o_orderkey"),
+                    "o_custkey": batch.column("o_custkey"),
+                    "total_e2": pa.array(
+                        np.round(tp * 100).astype(np.int64), pa.int64()
+                    ),
+                }
+            )
+
+        n_o = orders.count()
+        kept = (
+            orders.map_batches(price_e2, batch_format="pyarrow", zero_copy_batch=True)
+            .repartition(max(2, min(nparts, n_o // 4096 + 1)))
+            .join(
+                hot.repartition(max(2, min(nparts, n_hot // 4096 + 1))),
+                join_type="inner",
+                on=("o_orderkey",),
+                num_partitions=nparts,
+            )
+        )
+
+    kept = kept.materialize()
+    # customer-name attach: stream the customer scan against the kept
+    # custkeys; the dict the driver builds is hot-order sized
+    ck = np.unique(
+        np.concatenate(
+            [b["o_custkey"].to_numpy() for b in kept.iter_batches(batch_format="pandas")]
+            or [np.empty(0, np.int64)]
+        )
+    )
+    ck_ref = ray.put(pa.array(ck.astype(np.int64), pa.int64()))
+
+    cust = _pq(sf_dir, "customer", columns=["c_custkey", "c_name"]).map_batches(
+        lambda b: b.filter(pc.is_in(b.column("c_custkey"), value_set=ray.get(ck_ref))),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    cmap = {
+        int(k): v
+        for b in cust.iter_batches(batch_format="pandas")
+        for k, v in zip(b["c_custkey"], b["c_name"])
+    }
+    cmap_ref = ray.put(cmap)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        m = ray.get(cmap_ref)
+        names = [m[int(k)] for k in batch.column("o_custkey").to_pylist()]
+        return batch.append_column("c_name", pa.array(names, pa.string()))
+
+    return kept.map_batches(attach, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# disjunctive predicate branches for q_disjunctive_revenue (Q19 shape):
+# (brand set, max p_size, qty lo, qty hi) — module-level so the oracle
+# twin embeds the same table. Brand SETS (vs TPC-H's single brand per
+# branch) keep every branch non-empty at the smallest fixture (sf0.001
+# has ~4 parts per brand); the OR-of-ANDs cross-side shape is identical.
+Q19_BRANCHES = (
+    (("Brand#11", "Brand#12", "Brand#13", "Brand#14", "Brand#15"), 15, 1, 11),
+    (("Brand#21", "Brand#22", "Brand#23", "Brand#24", "Brand#25"), 25, 10, 20),
+    (("Brand#31", "Brand#32", "Brand#33", "Brand#34", "Brand#35"), 35, 20, 30),
+)
+
+
+def q_disjunctive_revenue(sf_dir: str):
+    """TPC-H-Q19-shaped disjunctive (OR-of-ANDs) predicate join: revenue
+    from line items matching any of three (brand, size-range,
+    quantity-range) branches, grouped by brand. The optimizer-unfriendly
+    shape: the predicate spans BOTH join sides, so each branch's
+    part-side half prunes the build side and the lineitem-side half is
+    applied after the probe.
+
+    Plan: the part scan keeps only rows satisfying SOME branch's
+    part-half (brand + size), emitting (p_partkey, brand, branch id) —
+    the build side collapses to the predicate-selected parts (heavily
+    pruned by brand/size, the reason Q19 plans build on part). That
+    travels once as broadcast sorted arrays; the lineitem scan probes by
+    searchsorted and applies the matched branch's quantity range
+    VECTORIZED (branch id indexes the qty-bounds arrays — no per-branch
+    rescan). Per-batch partial sums by brand, then a 3-row groupby."""
+    from ray.data.aggregate import Sum
+
+    qlo = np.array([b[2] * 100 for b in Q19_BRANCHES], np.int64)
+    qhi = np.array([b[3] * 100 for b in Q19_BRANCHES], np.int64)
+
+    part = _pq(sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"])
+
+    def part_side(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        keep_key, keep_br = [np.empty(0, np.int64)], [np.empty(0, np.int64)]
+        for bi, (brand_set, size_hi, _, _) in enumerate(Q19_BRANCHES):
+            m = (
+                df["p_brand"].isin(brand_set)
+                & (df["p_size"] >= 1)
+                & (df["p_size"] <= size_hi)
+            )
+            keep_key.append(df.loc[m, "p_partkey"].to_numpy().astype(np.int64))
+            keep_br.append(np.full(int(m.sum()), bi, np.int64))
+        return pa.table(
+            {
+                "p_partkey": pa.array(np.concatenate(keep_key), pa.int64()),
+                "branch": pa.array(np.concatenate(keep_br), pa.int64()),
+            }
+        )
+
+    pbatches = list(
+        part.map_batches(part_side, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_format="numpy")
+    )
+    # predicate-selected parts: pruned by brand+size, the small side by design
+    pk = (
+        np.concatenate([b["p_partkey"] for b in pbatches])
+        if pbatches
+        else np.empty(0, np.int64)
+    )
+    pbr = (
+        np.concatenate([b["branch"] for b in pbatches])
+        if pbatches
+        else np.empty(0, np.int64)
+    )
+    order = np.argsort(pk)
+    pmap_ref = ray.put((pk[order], pbr[order]))
+
+    li = _pq(
+        sf_dir,
+        "lineitem",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    out_schema = pa.schema([("branch", pa.int64()), ("revenue_e4", pa.int64())])
+    n_branch = len(Q19_BRANCHES)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        keys, branch = ray.get(pmap_ref)
+        df = batch.to_pandas()
+        lk = df["l_partkey"].to_numpy()
+        pos = np.clip(np.searchsorted(keys, lk), 0, max(0, len(keys) - 1))
+        m = (keys[pos] == lk) if len(keys) else np.zeros(len(lk), bool)
+        if not m.any():
+            return out_schema.empty_table()
+        df = df[m]
+        bi = branch[pos[m]]
+        q2 = (df["l_quantity"].to_numpy() * 100).round().astype(np.int64)
+        ok = (q2 >= qlo[bi]) & (q2 <= qhi[bi])
+        if not ok.any():
+            return out_schema.empty_table()
+        df, bi = df[ok], bi[ok]
+        e2 = (df["l_extendedprice"].to_numpy() * 100).round().astype(np.int64)
+        d2 = (df["l_discount"].to_numpy() * 100).round().astype(np.int64)
+        rev = e2 * (100 - d2)
+        sums = np.bincount(bi, weights=rev.astype(np.float64), minlength=n_branch)
+        # float64 exact: per-batch partials stay far below 2^53
+        nz = sums != 0
+        return pa.table(
+            {
+                "branch": pa.array(np.flatnonzero(nz).astype(np.int64), pa.int64()),
+                "revenue_e4": pa.array(sums[nz].astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        li.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("branch")
+        .aggregate(Sum("revenue_e4", alias_name="revenue_e4"))
+    )
+
+
+def q_top_supplier(sf_dir: str, date_lo: str = "1996-01-01", date_hi: str = "1996-04-01"):
+    """TPC-H-Q15-shaped global-argmax semi join: the supplier(s) with
+    maximum revenue in one quarter (ties kept, per the spec). The
+    two-phase shape: a combiner groupby produces the per-supplier
+    aggregate (supplier-scale), the global max is ONE scalar off that
+    aggregate, and the filter re-probes the aggregate — never the fact
+    table. Supplier names attach by streaming the supplier scan against
+    the winner set (usually one key)."""
+    from ray.data.aggregate import Sum
+
+    lo, hi = pd.Timestamp(date_lo), pd.Timestamp(date_hi)
+    li = _pq(
+        sf_dir,
+        "lineitem",
+        columns=["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[(df["l_shipdate"] >= lo) & (df["l_shipdate"] < hi)]
+        if len(df) == 0:
+            return pa.table(
+                {"s_suppkey": pa.array([], pa.int64()),
+                 "rev": pa.array([], pa.int64())}
+            )
+        e2 = (df["l_extendedprice"] * 100).round().astype("int64")
+        d2 = (df["l_discount"] * 100).round().astype("int64")
+        g = (
+            pd.DataFrame(
+                {"s_suppkey": df["l_suppkey"].astype("int64"), "rev": e2 * (100 - d2)}
+            )
+            .groupby("s_suppkey", sort=False)["rev"]
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "s_suppkey": pa.array(g["s_suppkey"], pa.int64()),
+                "rev": pa.array(g["rev"].astype("int64"), pa.int64()),
+            }
+        )
+
+    per_supp = (
+        li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("s_suppkey")
+        .aggregate(Sum("rev", alias_name="total_revenue_e4"))
+        .materialize()
+    )
+    best = per_supp.max("total_revenue_e4")
+    winners = per_supp.map_batches(
+        lambda b: b.filter(pc.equal(b.column("total_revenue_e4"), best)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+
+    wk = pa.array(
+        [r["s_suppkey"] for r in winners.take_all()], pa.int64()
+    )  # winner set: ~1 key
+    wk_ref = ray.put(wk)
+    smap = {
+        int(k): v
+        for b in _pq(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+        .map_batches(
+            lambda b: b.filter(
+                pc.is_in(b.column("s_suppkey"), value_set=ray.get(wk_ref))
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .iter_batches(batch_format="pandas")
+        for k, v in zip(b["s_suppkey"], b["s_name"])
+    }
+    smap_ref = ray.put(smap)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        m = ray.get(smap_ref)
+        names = [m[int(k)] for k in batch.column("s_suppkey").to_pylist()]
+        return batch.append_column("s_name", pa.array(names, pa.string()))
+
+    return winners.map_batches(attach, batch_format="pyarrow", zero_copy_batch=True)
