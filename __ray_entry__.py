@@ -44,9 +44,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # them are pytest-pinned against ground truth regardless).
     return {
         # relational core (SQL-oracled)
-        "q_groupby_host": r.q_groupby_host,
-        "q_topk_per_host": r.q_topk_per_host,
-        "q_global_topk": r.q_global_topk,
         "q_anti_join": r.q_anti_join,
         "q_window_count": r.q_window_count,
         # training-data ops (SQL-oracled)
@@ -98,10 +95,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_large_orders": r.q_large_orders,
         "q_disjunctive_revenue": r.q_disjunctive_revenue,
         "q_top_supplier": r.q_top_supplier,
+        "q_quantize_embeddings": d.q_quantize_embeddings,
+        "q_triangle_count": d.q_triangle_count,
+        "q_retention": r.q_retention,
         # SQL-oracled but past the driver's 50-entry cap BY CHOICE: these
         # were hash-green in CORRECTNESS_r01 AND _r02 (twice-verified), so
         # their driver slots go to the newer shapes above; pytest
         # (test_queries_oracle) still replicates the full check for them.
+        "q_groupby_host": r.q_groupby_host,
+        "q_topk_per_host": r.q_topk_per_host,
+        "q_global_topk": r.q_global_topk,
         "q_join_enrich": r.q_join_enrich,
         "q_hash_join": r.q_hash_join,
         "q_count_distinct": r.q_count_distinct,
@@ -878,6 +881,53 @@ def oracle_sql() -> dict[str, str]:
             )
             WHERE branch IS NOT NULL
             GROUP BY branch
+        """,
+        # per-dim affine int8 quantization, all-integer arithmetic
+        "q_quantize_embeddings": """
+            WITH dims AS (SELECT unnest(generate_series(0, 63)) AS dim),
+            e AS (
+                SELECT vec_id, dims.dim AS dim,
+                       CAST(round(CAST(embedding[dims.dim + 1] AS DOUBLE)
+                                  * 1000000) AS BIGINT) AS v
+                FROM embeddings, dims
+            ),
+            mm AS (
+                SELECT dim, min(v) AS mn,
+                       greatest(max(v) - min(v), 1) AS span
+                FROM e GROUP BY dim
+            )
+            SELECT e.vec_id, CAST(e.dim AS BIGINT) AS dim,
+                   CAST((e.v - mm.mn) * 255 // mm.span AS BIGINT) AS code
+            FROM e JOIN mm USING (dim)
+        """,
+        # triangle count over the q_pagerank link graph: distinct
+        # undirected u<v edges, triangles are (a,b),(b,c),(a,c) triples
+        "q_triangle_count": """
+            WITH n AS (SELECT count(*) AS c FROM customer),
+            raw AS (
+              SELECT least(o_custkey, o_orderkey % (SELECT c FROM n)) AS u,
+                     greatest(o_custkey, o_orderkey % (SELECT c FROM n)) AS v
+              FROM orders
+            ),
+            edges AS (SELECT DISTINCT u, v FROM raw WHERE u <> v)
+            SELECT CAST(count(*) AS BIGINT) AS n_triangles
+            FROM edges e1
+            JOIN edges e2 ON e2.u = e1.v
+            JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+        """,
+        # cohort retention: first-event-week cohorts x week offsets
+        "q_retention": """
+            WITH uw AS (
+              SELECT DISTINCT user_id,
+                     CAST(floor(epoch(ts) / 604800) AS BIGINT) AS wk
+              FROM events
+            ), fw AS (
+              SELECT user_id, min(wk) AS cw FROM uw GROUP BY user_id
+            )
+            SELECT f.cw AS cohort_week, u.wk - f.cw AS week_offset,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM uw u JOIN fw f USING (user_id)
+            GROUP BY 1, 2
         """,
         # TPC-H Q15 shape: global argmax with ties kept
         "q_top_supplier": """

@@ -191,6 +191,9 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         "q_data_mix",
         "q_large_orders",
         "q_disjunctive_revenue",
+        "q_quantize_embeddings",
+        "q_triangle_count",
+        "q_retention",
     ]
     # per-query best-of-2 with the same rationale as the headline reps.
     # The two sub-2 s fixed-overhead-dominated queries get extra reps:

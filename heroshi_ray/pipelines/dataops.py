@@ -2500,3 +2500,233 @@ def q_data_mix(sf_dir: str):
         )
 
     return ds.map_batches(mix, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_quantize_embeddings(sf_dir: str, dims: int = 64, levels: int = 255):
+    """Per-dimension affine int8 quantization of the embedding column
+    (the embedding-compression step before an ANN index ships to serving
+    — 4x smaller vectors, table-driven dequant). Entirely integer
+    arithmetic so the DuckDB twin hash-matches: components scale to e6
+    ints, per-dim (min, span) come from pass 1, and
+    code = (v - min) * levels // span in [0, levels].
+
+    Pass 1 is a per-batch per-dim (min, max) combiner -> a ``dims``-key
+    groupby (the all-to-all moves <= dims x blocks tiny rows); pass 2
+    re-maps the scan with the 2 x dims constants closed over — same
+    two-pass zero-data-shuffle layout as q_minmax_scale, vectorized over
+    the ListArray's flattened (n, dims) numpy view."""
+    from ray.data.aggregate import Max, Min
+
+    ds = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"], split=True)
+
+    def _mat(batch: pa.Table) -> np.ndarray:
+        col = batch.column("embedding").combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        emb = flat.reshape(-1, dims).astype(np.float64)
+        return np.round(emb * 1e6).astype(np.int64)
+
+    def mm(batch: pa.Table) -> pa.Table:
+        v = _mat(batch)
+        if v.shape[0] == 0:
+            return pa.table(
+                {"dim": pa.array([], pa.int64()),
+                 "mn": pa.array([], pa.int64()),
+                 "mx": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(dims, dtype=np.int64), pa.int64()),
+                "mn": pa.array(v.min(axis=0), pa.int64()),
+                "mx": pa.array(v.max(axis=0), pa.int64()),
+            }
+        )
+
+    stats = (
+        ds.map_batches(mm, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("dim")
+        .aggregate(Min("mn", alias_name="mn"), Max("mx", alias_name="mx"))
+        .to_pandas()
+        .sort_values("dim")
+    )  # driver holds 2 x dims ints
+    mn = stats["mn"].to_numpy()
+    span = np.maximum(stats["mx"].to_numpy() - mn, 1)
+
+    def quant(batch: pa.Table) -> pa.Table:
+        v = _mat(batch)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        code = (v - mn) * levels // span
+        n = v.shape[0]
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(ids, dims), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(dims, dtype=np.int64), n), pa.int64()),
+                "code": pa.array(code.reshape(-1), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(quant, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_triangle_count(sf_dir: str):
+    """Distributed triangle counting over the q_pagerank link graph
+    (node = c_custkey, distinct undirected edges from
+    o_custkey <-> o_orderkey mod |nodes|) — the third graph-analytics
+    member after PageRank and connected components; triangle density is
+    the standard web-graph spam/community signal.
+
+    Layout is the node-iterator++ / degree-ordering algorithm (Schank &
+    Wagner 2005; the MapReduce form in Suri & Vassilvitskii, WWW'11):
+    orient every edge from the (degree, node)-lower endpoint to the
+    higher; each triangle then has exactly ONE vertex with two outgoing
+    oriented edges, so emitting out-neighbor pairs per vertex counts
+    every triangle once and the quadratic wedge blowup concentrates on
+    the LOWEST-degree centers (max out-degree is O(sqrt(|E|))
+    regardless of skew — the reason this survives power-law web graphs
+    where naive neighbor-pairing dies on hub nodes).
+
+    Stages: distinct-edge groupby -> degree combiner groupby -> wedge
+    generation inside map_groups (vectorized np pair expansion per
+    center) -> hash-bucket shuffle of wedges against oriented edges ->
+    per-bucket sorted-array membership (searchsorted). Driver sees one
+    int64."""
+    import pyarrow.parquet as pq_mod
+
+    from ray.data.aggregate import Sum
+
+    n_nodes = pq_mod.read_metadata(
+        os.path.join(sf_dir, "customer.parquet")
+    ).num_rows
+
+    orders = _pq(sf_dir, "orders", columns=["o_custkey", "o_orderkey"], split=True)
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        a = batch.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = (
+            batch.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+            % n_nodes
+        )
+        u, v = np.minimum(a, b), np.maximum(a, b)
+        keep = u != v  # drop self-loops
+        pairs = np.unique(np.stack([u[keep], v[keep]], axis=1), axis=0)
+        return pa.table(
+            {"u": pa.array(pairs[:, 0], pa.int64()),
+             "v": pa.array(pairs[:, 1], pa.int64())}
+        )
+
+    edges = (
+        orders.map_batches(to_edges, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["u", "v"])
+        .count()
+        .select_columns(["u", "v"])
+        .materialize()
+    )
+
+    # degrees: one combiner groupby over both endpoints
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        both = np.concatenate(
+            [
+                batch.column("u").to_numpy(zero_copy_only=False),
+                batch.column("v").to_numpy(zero_copy_only=False),
+            ]
+        )
+        k, c = np.unique(both, return_counts=True)
+        return pa.table(
+            {"node": pa.array(k.astype(np.int64), pa.int64()),
+             "d": pa.array(c.astype(np.int64), pa.int64())}
+        )
+
+    deg = (
+        edges.map_batches(deg_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("node")
+        .aggregate(Sum("d", alias_name="deg"))
+        .to_pandas()
+    )  # node-scale ints; at web scale this rides ray.put as below
+    dmap = np.zeros(n_nodes, np.int64)
+    dmap[deg["node"].to_numpy()] = deg["deg"].to_numpy()
+    # total order: (degree, node) — rank = deg * n_nodes + node fits i64
+    rank = dmap * np.int64(n_nodes)
+    rank += np.arange(n_nodes, dtype=np.int64)
+    rank_ref = ray.put(rank)
+
+    n_bkt = default_buckets()
+
+    def orient(batch: pa.Table) -> pa.Table:
+        r = ray.get(rank_ref)
+        u = batch.column("u").to_numpy(zero_copy_only=False)
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        swap = r[u] > r[v]
+        src = np.where(swap, v, u).astype(np.int64)
+        dst = np.where(swap, u, v).astype(np.int64)
+        return pa.table(
+            {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
+        )
+
+    oriented = edges.map_batches(
+        orient, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    # wedges: per-center out-neighbor pairs, vectorized inside map_groups
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [np.empty(0, np.int64)], [np.empty(0, np.int64)]
+        for _, grp in g.groupby("src", sort=False):
+            nb = np.sort(grp["dst"].to_numpy())
+            k = len(nb)
+            if k < 2:
+                continue
+            iu = np.triu_indices(k, 1)
+            out_a.append(nb[iu[0]])
+            out_b.append(nb[iu[1]])
+        a, b = np.concatenate(out_a), np.concatenate(out_b)
+        return pd.DataFrame({"u": a, "v": b, "__b": (a * 31 + b) % n_bkt})
+
+    wedge_ds = oriented.groupby("src").map_groups(wedges, batch_format="pandas")
+
+    # closing-edge membership: bucket both sides on the same key, then a
+    # per-bucket sorted int64 membership test
+    def edge_key(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        d = batch.column("dst").to_numpy(zero_copy_only=False)
+        # oriented edges have rank(src)<rank(dst) but a wedge (u,v) is
+        # sorted by NODE id; normalize to (min,max) node order
+        u, v = np.minimum(s, d), np.maximum(s, d)
+        return pa.table(
+            {
+                "k": pa.array(u * np.int64(n_nodes) + v, pa.int64()),
+                "__b": pa.array((u * 31 + v) % n_bkt, pa.int64()),
+                "is_edge": pa.array(np.ones(len(u), np.int64), pa.int64()),
+            }
+        )
+
+    def wedge_key(batch: pa.Table) -> pa.Table:
+        u = batch.column("u").to_numpy(zero_copy_only=False)
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        uu, vv = np.minimum(u, v), np.maximum(u, v)
+        return pa.table(
+            {
+                "k": pa.array(uu * np.int64(n_nodes) + vv, pa.int64()),
+                "__b": pa.array(batch.column("__b").to_numpy(zero_copy_only=False).astype(np.int64), pa.int64()),
+                "is_edge": pa.array(np.zeros(len(uu), np.int64), pa.int64()),
+            }
+        )
+
+    tagged = oriented.map_batches(
+        edge_key, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        wedge_ds.map_batches(wedge_key, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def count_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ek = np.sort(g.loc[g["is_edge"] == 1, "k"].to_numpy())
+        wk = g.loc[g["is_edge"] == 0, "k"].to_numpy()
+        if len(ek) == 0 or len(wk) == 0:
+            return pd.DataFrame({"n": [0]})
+        pos = np.clip(np.searchsorted(ek, wk), 0, len(ek) - 1)
+        return pd.DataFrame({"n": [int((ek[pos] == wk).sum())]})
+
+    parts = (
+        tagged.groupby("__b")
+        .map_groups(count_in_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    total = int(parts["n"].sum())
+    return pa.table({"n_triangles": pa.array([total], pa.int64())})

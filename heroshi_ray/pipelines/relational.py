@@ -2751,3 +2751,60 @@ def q_top_supplier(sf_dir: str, date_lo: str = "1996-01-01", date_hi: str = "199
         return batch.append_column("s_name", pa.array(names, pa.string()))
 
     return winners.map_batches(attach, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_retention(sf_dir: str, week_us: int = 604_800_000_000):
+    """Cohort retention analysis (the engagement matrix every
+    product/telemetry pipeline computes): users are cohorted by their
+    FIRST event week; n_users counts distinct users of cohort c active
+    again at week offset k. Output (cohort_week, week_offset, n_users).
+
+    Layout: one bucketed shuffle on user_id % B co-locates each user's
+    events; inside a bucket everything is vectorized pandas — distinct
+    (user, week) pairs, per-user min week, offset join — and each bucket
+    emits cohort-offset PARTIAL counts, so the final groupby moves
+    O(cohorts x offsets x B) tiny rows. The week is computed by integer
+    floor division of the raw int64 microseconds (exact twin of DuckDB's
+    floor(epoch/604800))."""
+    from ray.data.aggregate import Sum
+
+    n_bkt = default_buckets()
+    ds = _pq(sf_dir, "events", columns=["user_id", "ts"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        wk = ts // week_us
+        uw = np.unique(np.stack([u, wk], axis=1), axis=0)
+        return pa.table(
+            {
+                "user_id": pa.array(uw[:, 0], pa.int64()),
+                "wk": pa.array(uw[:, 1], pa.int64()),
+                "__b": pa.array((uw[:, 0] % n_bkt).astype(np.int32), pa.int32()),
+            }
+        )
+
+    def bucket_counts(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "wk"])
+        first = g.groupby("user_id", sort=False)["wk"].transform("min")
+        out = (
+            pd.DataFrame(
+                {
+                    "cohort_week": first.astype("int64"),
+                    "week_offset": (g["wk"] - first).astype("int64"),
+                }
+            )
+            .groupby(["cohort_week", "week_offset"], sort=False)
+            .size()
+            .reset_index(name="n_users")
+        )
+        out["n_users"] = out["n_users"].astype("int64")
+        return out
+
+    return (
+        ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(bucket_counts, batch_format="pandas")
+        .groupby(["cohort_week", "week_offset"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )
