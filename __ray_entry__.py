@@ -45,13 +45,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # relational core (SQL-oracled)
         "q_anti_join": r.q_anti_join,
-        "q_window_count": r.q_window_count,
         # training-data ops (SQL-oracled)
-        "q_range_join": r.q_range_join,
         "q_shipping_priority": r.q_shipping_priority,
-        "q_dedup_exact": d.q_dedup_exact,
         "q_ann_knn": d.q_ann_knn,
-        "q_embed_neardup": d.q_embed_neardup,
         "q_embed_dedup": d.q_embed_dedup,
         "q_dedup_clusters": d.q_dedup_clusters,
         "q_revenue_by_nation": r.q_revenue_by_nation,
@@ -98,10 +94,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_quantize_embeddings": d.q_quantize_embeddings,
         "q_triangle_count": d.q_triangle_count,
         "q_retention": r.q_retention,
+        "q_intersect_users": r.q_intersect_users,
+        "q_except_users": r.q_except_users,
+        "q_corr_stats": r.q_corr_stats,
+        "q_skew_join": r.q_skew_join,
         # SQL-oracled but past the driver's 50-entry cap BY CHOICE: these
         # were hash-green in CORRECTNESS_r01 AND _r02 (twice-verified), so
         # their driver slots go to the newer shapes above; pytest
         # (test_queries_oracle) still replicates the full check for them.
+        "q_window_count": r.q_window_count,
+        "q_dedup_exact": d.q_dedup_exact,
+        "q_embed_neardup": d.q_embed_neardup,
+        "q_range_join": r.q_range_join,
         "q_groupby_host": r.q_groupby_host,
         "q_topk_per_host": r.q_topk_per_host,
         "q_global_topk": r.q_global_topk,
@@ -928,6 +932,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_users
             FROM uw u JOIN fw f USING (user_id)
             GROUP BY 1, 2
+        """,
+        # INTERSECT set op, big-click AND big-purchase users
+        "q_intersect_users": """
+            SELECT user_id FROM events
+            WHERE event_type = 'click'
+              AND CAST(round(value * 100) AS BIGINT) > 15000
+            INTERSECT
+            SELECT user_id FROM events
+            WHERE event_type = 'purchase'
+              AND CAST(round(value * 100) AS BIGINT) > 15000
+        """,
+        # EXCEPT set op, big-click users with no big purchase
+        "q_except_users": """
+            SELECT user_id FROM events
+            WHERE event_type = 'click'
+              AND CAST(round(value * 100) AS BIGINT) > 15000
+            EXCEPT
+            SELECT user_id FROM events
+            WHERE event_type = 'purchase'
+              AND CAST(round(value * 100) AS BIGINT) > 15000
+        """,
+        # per-type Pearson sufficient statistics, all-integer
+        "q_corr_stats": """
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sum_x,
+                   CAST(sum(y) AS BIGINT) AS sum_y,
+                   CAST(sum(x * y) AS BIGINT) AS sum_xy,
+                   CAST(sum(x * x) AS BIGINT) AS sum_x2,
+                   CAST(sum(y * y) AS BIGINT) AS sum_y2
+            FROM (
+              SELECT event_type,
+                     CAST(round(value * 100) AS BIGINT) AS x,
+                     (CAST(epoch_us(ts) AS BIGINT) % 86400000000)
+                         // 3600000000 AS y
+              FROM events
+            )
+            GROUP BY event_type
+        """,
+        # skewed-key dim enrichment (salted-join demo; oracle is the
+        # plain join — both engine plans must reproduce it)
+        "q_skew_join": """
+            SELECT e.event_id, e.event_type, t.type_n
+            FROM events e
+            JOIN (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS type_n
+              FROM events GROUP BY 1
+            ) t USING (event_type)
         """,
         # TPC-H Q15 shape: global argmax with ties kept
         "q_top_supplier": """

@@ -2808,3 +2808,218 @@ def q_retention(sf_dir: str, week_us: int = 604_800_000_000):
         .groupby(["cohort_week", "week_offset"])
         .aggregate(Sum("n_users", alias_name="n_users"))
     )
+
+
+def _flag_users(sf_dir: str, thr_e2: int = 15_000):
+    """Shared core for the set-op queries: ONE scan of events emitting
+    per-batch (user, in_a, in_b) partials — side A = big clicks, side B
+    = big purchases — then one max-combine groupby. INTERSECT / EXCEPT
+    read off the two flags; neither side is ever materialized as its own
+    pass (the naive plan scans the fact table twice and shuffles two key
+    sets; this shuffles one)."""
+    from ray.data.aggregate import Max
+
+    ds = _pq(sf_dir, "events", columns=["user_id", "event_type", "value"])
+
+    def flags(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        v2 = (df["value"] * 100).round().astype("int64")
+        big = v2 > thr_e2
+        a = (df["event_type"] == "click") & big
+        b = (df["event_type"] == "purchase") & big
+        keep = a | b
+        if not keep.any():
+            return pa.table(
+                {"user_id": pa.array([], pa.int64()),
+                 "in_a": pa.array([], pa.int64()),
+                 "in_b": pa.array([], pa.int64())}
+            )
+        g = (
+            pd.DataFrame(
+                {
+                    "user_id": df.loc[keep, "user_id"].astype("int64"),
+                    "in_a": a[keep].astype("int64"),
+                    "in_b": b[keep].astype("int64"),
+                }
+            )
+            .groupby("user_id", sort=False)
+            .max()
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.map_batches(flags, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(Max("in_a", alias_name="in_a"), Max("in_b", alias_name="in_b"))
+    )
+
+
+def q_intersect_users(sf_dir: str):
+    """INTERSECT set op (§2.7): users with a big click AND a big
+    purchase — single-scan flag layout, see _flag_users."""
+    return _flag_users(sf_dir).map_batches(
+        lambda b: pa.table(
+            {
+                "user_id": b.filter(
+                    pc.and_(
+                        pc.equal(b.column("in_a"), 1), pc.equal(b.column("in_b"), 1)
+                    )
+                ).column("user_id")
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def q_except_users(sf_dir: str):
+    """EXCEPT set op (§2.7): users with a big click but NO big
+    purchase — same single-scan flag layout."""
+    return _flag_users(sf_dir).map_batches(
+        lambda b: pa.table(
+            {
+                "user_id": b.filter(
+                    pc.and_(
+                        pc.equal(b.column("in_a"), 1), pc.equal(b.column("in_b"), 0)
+                    )
+                ).column("user_id")
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def q_corr_stats(sf_dir: str, hour_us: int = 3_600_000_000):
+    """Per-type correlation sufficient statistics: n, Σx, Σy, Σxy, Σx²,
+    Σy² for x = value (e2 int) and y = hour-of-day — the integer-exact
+    decomposition of Pearson correlation / covariance (the feature-
+    correlation pass of a feature-selection pipeline). Pure combiner:
+    each batch emits one row per type, the groupby moves |types| x
+    blocks rows, correlation itself is derivable downstream from the
+    six sums without any float having crossed the shuffle."""
+    from ray.data.aggregate import Sum
+
+    ds = _pq(sf_dir, "events", columns=["event_type", "value", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        x = (df["value"] * 100).round().astype("int64")
+        us = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        y = pd.Series((us % (24 * hour_us)) // hour_us, index=df.index).astype("int64")
+        g = (
+            pd.DataFrame(
+                {
+                    "event_type": df["event_type"],
+                    "n": 1,
+                    "sum_x": x,
+                    "sum_y": y,
+                    "sum_xy": x * y,
+                    "sum_x2": x * x,
+                    "sum_y2": y * y,
+                }
+            )
+            .groupby("event_type", sort=False)
+            .sum()
+            .reset_index()
+        )
+        for c in ("n", "sum_x", "sum_y", "sum_xy", "sum_x2", "sum_y2"):
+            g[c] = g[c].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_x", alias_name="sum_x"),
+            Sum("sum_y", alias_name="sum_y"),
+            Sum("sum_xy", alias_name="sum_xy"),
+            Sum("sum_x2", alias_name="sum_x2"),
+            Sum("sum_y2", alias_name="sum_y2"),
+        )
+    )
+
+
+def q_skew_join(sf_dir: str, n_salts: int | None = None, force_salted: bool = False):
+    """Skewed-key join with SALTING (the hot-key pattern the 100-TB
+    plan calls for): enrich every event with its type's global count.
+    The join key has |types| = a handful of distinct values, the
+    classic death of a hash join — every row of a hot key lands in one
+    partition. Two plans, equivalence-tested:
+
+    - default: the dim side is tiny by construction (one row per type),
+      so it broadcasts via ray.put and the probe is a map-side numpy
+      lookup — zero shuffle, the correct plan whenever the dim fits;
+    - ``force_salted``: the textbook salted shuffle join for when BOTH
+      sides are too big to broadcast — the fact side appends
+      __salt = hash(row) % S, the dim side replicates each row S times,
+      and the distributed hash join runs on (event_type, __salt) with
+      S x |types| evenly-sized partitions instead of |types| hot ones.
+
+    Output (event_id, event_type, type_n), oracled against the plain
+    SQL join."""
+    from ray.data.aggregate import Sum
+
+    S = n_salts or default_buckets()
+    ds = _pq(sf_dir, "events", columns=["event_id", "event_type"])
+
+    def cnt_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("event_type", sort=False).size().reset_index(name="type_n")
+        g["type_n"] = g["type_n"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    stats = (
+        ds.map_batches(cnt_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(Sum("type_n", alias_name="type_n"))
+        .to_pandas()
+    )  # |types| rows
+
+    if not force_salted:
+        tmap = dict(zip(stats["event_type"], stats["type_n"].astype("int64")))
+        tmap_ref = ray.put(tmap)
+
+        def probe(batch: pa.Table) -> pa.Table:
+            m = ray.get(tmap_ref)
+            tn = [int(m[t]) for t in batch.column("event_type").to_pylist()]
+            return pa.table(
+                {
+                    "event_id": batch.column("event_id"),
+                    "event_type": batch.column("event_type"),
+                    "type_n": pa.array(tn, pa.int64()),
+                }
+            )
+
+        return ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+
+    # salted shuffle join: fact side salts, dim side replicates S times
+    tune_join_resources()
+    nparts = join_partitions()
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        e = batch.column("event_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return batch.append_column(
+            "__salt", pa.array((e % np.uint64(S)).astype(np.int32), pa.int32())
+        )
+
+    fact = ds.map_batches(add_salt, batch_format="pyarrow", zero_copy_batch=True)
+    dim = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "event_type": np.repeat(stats["event_type"].to_numpy(), S),
+                "type_n": np.repeat(stats["type_n"].to_numpy().astype(np.int64), S),
+                "__salt": np.tile(np.arange(S, dtype=np.int32), len(stats)),
+            }
+        )
+    ).repartition(max(2, min(nparts, (len(stats) * S) // 64 + 1)))
+    n_fact = fact.count()
+    joined = fact.repartition(max(2, min(nparts, n_fact // 4096 + 1))).join(
+        dim,
+        join_type="inner",
+        on=("event_type", "__salt"),
+        num_partitions=nparts,
+    )
+    return joined.select_columns(["event_id", "event_type", "type_n"])

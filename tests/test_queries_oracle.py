@@ -85,3 +85,13 @@ def test_entry_smoke(ray_session):
     df = to_df(res)
     assert len(df) >= 0
     assert "surt" in df.columns
+
+
+def test_skew_join_salted_fork_equivalence(ray_session):
+    """The salted shuffle join must reproduce the broadcast plan exactly
+    (both are oracled against the same SQL twin)."""
+    from heroshi_ray.pipelines import relational as r
+
+    a = canon(to_df(r.q_skew_join(SF_DIR)))
+    b = canon(to_df(r.q_skew_join(SF_DIR, force_salted=True, n_salts=5)))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
