@@ -4,6 +4,7 @@ MinHash, SimHash), ANN (brute force, IVF), multimodal stages."""
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -167,3 +168,43 @@ def test_image_feature_stage():
     # deterministic
     out2 = ImageFeatureStage()(corpus)
     assert out.column("features").to_pylist() == out2.column("features").to_pylist()
+
+
+def test_pq_codebook_roundtrip():
+    from heroshi_ray.functions.ann import PQCodebook
+
+    rng = np.random.default_rng(3)
+    # clustered data (embedding tables are never isotropic noise);
+    # isotropic gaussians are PQ's pathological case and only reach
+    # ~0.7 score correlation at 8x16 codebooks
+    centers = rng.normal(size=(8, 64)) * 3
+    pts = np.vstack([c + rng.normal(size=(50, 64)) for c in centers])
+    book = PQCodebook(m=8, ksub=16).fit(pts)
+    codes = book.encode(pts)
+    assert codes.shape == (400, 8) and codes.dtype == np.uint8
+    # ADC approximates the true cosine: rank correlation on one query
+    q = pts[11]
+    table = book.adc_table(q)
+    approx = book.adc_scores(table, codes)
+    exact = l2_normalize(pts) @ (q / np.linalg.norm(q))
+    # ADC retrieves the right CLUSTER (within-cluster points share
+    # codes, so exact self-retrieval is the re-rank stage's job)
+    assert all(t < 50 for t in np.argsort(-approx)[:5])
+    # global agreement: correlation of scores is strong
+    assert np.corrcoef(approx, exact)[0, 1] > 0.8
+
+
+def test_ivfpq_recall_vs_exact(ray_session):
+    from heroshi_ray.pipelines import dataops as d
+
+    sf = "/root/testdata/sf0.001"
+    knn = d.q_ann_knn(sf)
+    knn = knn if isinstance(knn, pd.DataFrame) else knn.to_pandas()
+    approx = d.q_ann_ivfpq(sf).to_pandas()
+    hits = total = 0
+    for qid, g in knn.groupby("query_id"):
+        exact_ids = set(g["vec_id"])
+        approx_ids = set(approx[approx["query_id"] == qid]["vec_id"])
+        hits += len(exact_ids & approx_ids)
+        total += len(exact_ids)
+    assert total > 0 and hits / total >= 0.6  # ADC + exact re-rank recall
