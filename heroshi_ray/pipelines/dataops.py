@@ -2567,7 +2567,11 @@ def q_quantize_embeddings(sf_dir: str, dims: int = 64, levels: int = 255):
     return ds.map_batches(quant, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def q_triangle_count(sf_dir: str):
+def q_triangle_count(
+    sf_dir: str,
+    broadcast_limit: int = 5_000_000,
+    force_distributed: bool = False,
+):
     """Distributed triangle counting over the q_pagerank link graph
     (node = c_custkey, distinct undirected edges from
     o_custkey <-> o_orderkey mod |nodes|) — the third graph-analytics
@@ -2588,7 +2592,14 @@ def q_triangle_count(sf_dir: str):
     generation inside map_groups (vectorized np pair expansion per
     center) -> hash-bucket shuffle of wedges against oriented edges ->
     per-bucket sorted-array membership (searchsorted). Driver sees one
-    int64."""
+    int64.
+
+    The degree table is node-scale: under ``broadcast_limit`` nodes it
+    rides ``ray.put`` as one int64 array and orientation is a map-side
+    gather; above the bound (or ``force_distributed``) degrees stay a
+    Dataset and attach to the edge list via two distributed hash joins
+    (deg(u), deg(v)) — nothing node-scale touches the driver. Both
+    orientations are equivalence-tested."""
     import pyarrow.parquet as pq_mod
 
     from ray.data.aggregate import Sum
@@ -2635,35 +2646,83 @@ def q_triangle_count(sf_dir: str):
              "d": pa.array(c.astype(np.int64), pa.int64())}
         )
 
-    deg = (
+    deg_ds = (
         edges.map_batches(deg_partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("node")
         .aggregate(Sum("d", alias_name="deg"))
-        .to_pandas()
-    )  # node-scale ints; at web scale this rides ray.put as below
-    dmap = np.zeros(n_nodes, np.int64)
-    dmap[deg["node"].to_numpy()] = deg["deg"].to_numpy()
-    # total order: (degree, node) — rank = deg * n_nodes + node fits i64
-    rank = dmap * np.int64(n_nodes)
-    rank += np.arange(n_nodes, dtype=np.int64)
-    rank_ref = ray.put(rank)
+        .materialize()
+    )
 
     n_bkt = default_buckets()
 
-    def orient(batch: pa.Table) -> pa.Table:
-        r = ray.get(rank_ref)
-        u = batch.column("u").to_numpy(zero_copy_only=False)
-        v = batch.column("v").to_numpy(zero_copy_only=False)
-        swap = r[u] > r[v]
-        src = np.where(swap, v, u).astype(np.int64)
-        dst = np.where(swap, u, v).astype(np.int64)
-        return pa.table(
-            {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
+    if n_nodes <= broadcast_limit and not force_distributed:
+        deg = deg_ds.to_pandas()  # node-scale ints, under the bound
+        dmap = np.zeros(n_nodes, np.int64)
+        dmap[deg["node"].to_numpy()] = deg["deg"].to_numpy()
+        # total order: (degree, node) — rank = deg*n_nodes + node fits i64
+        rank = dmap * np.int64(n_nodes)
+        rank += np.arange(n_nodes, dtype=np.int64)
+        rank_ref = ray.put(rank)
+
+        def orient(batch: pa.Table) -> pa.Table:
+            r = ray.get(rank_ref)
+            u = batch.column("u").to_numpy(zero_copy_only=False)
+            v = batch.column("v").to_numpy(zero_copy_only=False)
+            swap = r[u] > r[v]
+            src = np.where(swap, v, u).astype(np.int64)
+            dst = np.where(swap, u, v).astype(np.int64)
+            return pa.table(
+                {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
+            )
+
+        oriented = edges.map_batches(
+            orient, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+    else:
+        # degrees stay a Dataset: attach deg(u) and deg(v) to the edge
+        # list via two distributed hash joins, orient per row
+        tune_join_resources()
+        nparts = join_partitions()
+        n_e = edges.count()
+        eparts = max(2, min(nparts, n_e // 4096 + 1))
+        dparts = max(2, min(nparts, deg_ds.count() // 4096 + 1))
+        du = deg_ds.map_batches(
+            lambda b: pa.table(
+                {"u": b.column("node"), "deg_u": b.column("deg")}
+            ),
+            batch_format="pyarrow",
+        ).repartition(dparts)
+        dv = deg_ds.map_batches(
+            lambda b: pa.table(
+                {"v": b.column("node"), "deg_v": b.column("deg")}
+            ),
+            batch_format="pyarrow",
+        ).repartition(dparts)
+        e2 = (
+            edges.repartition(eparts)
+            .join(du, join_type="inner", on=("u",), num_partitions=nparts)
+            .join(dv, join_type="inner", on=("v",), num_partitions=nparts)
         )
 
-    oriented = edges.map_batches(
-        orient, batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()
+        def orient_joined(batch: pa.Table) -> pa.Table:
+            u = batch.column("u").to_numpy(zero_copy_only=False)
+            v = batch.column("v").to_numpy(zero_copy_only=False)
+            ru = batch.column("deg_u").to_numpy(zero_copy_only=False) * np.int64(
+                n_nodes
+            ) + u
+            rv = batch.column("deg_v").to_numpy(zero_copy_only=False) * np.int64(
+                n_nodes
+            ) + v
+            swap = ru > rv
+            src = np.where(swap, v, u).astype(np.int64)
+            dst = np.where(swap, u, v).astype(np.int64)
+            return pa.table(
+                {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
+            )
+
+        oriented = e2.map_batches(
+            orient_joined, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
 
     # wedges: per-center out-neighbor pairs, vectorized inside map_groups
     def wedges(g: pd.DataFrame) -> pd.DataFrame:

@@ -95,3 +95,13 @@ def test_skew_join_salted_fork_equivalence(ray_session):
     a = canon(to_df(r.q_skew_join(SF_DIR)))
     b = canon(to_df(r.q_skew_join(SF_DIR, force_salted=True, n_salts=5)))
     pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+
+
+def test_triangle_count_distributed_fork_equivalence(ray_session):
+    """Node-scale degree broadcast vs distributed degree-join orientation
+    must count identically."""
+    from heroshi_ray.pipelines import dataops as d
+
+    a = to_df(d.q_triangle_count(SF_DIR))
+    b = to_df(d.q_triangle_count(SF_DIR, force_distributed=True))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
