@@ -53,14 +53,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_revenue_by_nation": r.q_revenue_by_nation,
         "q_percentiles": r.q_percentiles,
         "q_stratified_sample": r.q_stratified_sample,
-        "q_rollup": r.q_rollup,
         "q_ngram_jaccard": d.q_ngram_jaccard,
         "q_order_count_dist": r.q_order_count_dist,
         "q_running_sum": r.q_running_sum,
         "q_small_qty_revenue": r.q_small_qty_revenue,
         "q_mode_per_key": r.q_mode_per_key,
         "q_grouped_count_distinct": r.q_grouped_count_distinct,
-        "q_left_join": r.q_left_join,
         "q_frequent_items": d.q_frequent_items,
         "q_curate": d.q_curate,
         "q_quality_stats": d.q_quality_stats,
@@ -98,10 +96,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_except_users": r.q_except_users,
         "q_corr_stats": r.q_corr_stats,
         "q_skew_join": r.q_skew_join,
+        "q_market_share": r.q_market_share,
+        "q_funnel": r.q_funnel,
         # SQL-oracled but past the driver's 50-entry cap BY CHOICE: these
         # were hash-green in CORRECTNESS_r01 AND _r02 (twice-verified), so
         # their driver slots go to the newer shapes above; pytest
         # (test_queries_oracle) still replicates the full check for them.
+        "q_left_join": r.q_left_join,
+        "q_rollup": r.q_rollup,
         "q_window_count": r.q_window_count,
         "q_dedup_exact": d.q_dedup_exact,
         "q_embed_neardup": d.q_embed_neardup,
@@ -980,6 +982,58 @@ def oracle_sql() -> dict[str, str]:
               SELECT event_type, CAST(count(*) AS BIGINT) AS type_n
               FROM events GROUP BY 1
             ) t USING (event_type)
+        """,
+        # TPC-H Q8 shape: per-year market share of one nation, share
+        # as integer floor division next to both exact sums
+        "q_market_share": """
+            WITH reg AS (
+              SELECT n_nationkey FROM nation
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'ASIA'
+            ), tgt AS (
+              SELECT n_nationkey FROM nation WHERE n_name = 'NATION_7'
+            ), rev AS (
+              SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                     CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS r,
+                     s_nationkey
+              FROM lineitem
+              JOIN orders   ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN part     ON l_partkey = p_partkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              WHERE p_type = 'ECONOMY'
+                AND c_nationkey IN (SELECT n_nationkey FROM reg)
+            )
+            SELECT o_year,
+                   CAST(sum(CASE WHEN s_nationkey IN (SELECT n_nationkey FROM tgt)
+                                 THEN r ELSE 0 END) AS BIGINT) AS nation_rev_e4,
+                   CAST(sum(r) AS BIGINT) AS total_rev_e4,
+                   CAST(sum(CASE WHEN s_nationkey IN (SELECT n_nationkey FROM tgt)
+                                 THEN r ELSE 0 END) * 10000
+                        // greatest(sum(r), 1) AS BIGINT) AS share_e4
+            FROM rev GROUP BY o_year
+        """,
+        # ordered conversion funnel on per-user first timestamps
+        "q_funnel": """
+            WITH m AS (
+              SELECT user_id,
+                     min(CASE WHEN event_type = 'signup' THEN ts END) AS t1,
+                     min(CASE WHEN event_type = 'click' THEN ts END) AS t2,
+                     min(CASE WHEN event_type = 'purchase' THEN ts END) AS t3
+              FROM events GROUP BY user_id
+            )
+            SELECT stage, CAST(n_users AS BIGINT) AS n_users FROM (
+              SELECT 's1_signup' AS stage,
+                     count(*) FILTER (WHERE t1 IS NOT NULL) AS n_users FROM m
+              UNION ALL
+              SELECT 's2_click',
+                     count(*) FILTER (WHERE t1 IS NOT NULL AND t2 > t1) FROM m
+              UNION ALL
+              SELECT 's3_purchase',
+                     count(*) FILTER (WHERE t1 IS NOT NULL AND t2 > t1
+                                      AND t3 > t2) FROM m
+            )
         """,
         # TPC-H Q15 shape: global argmax with ties kept
         "q_top_supplier": """

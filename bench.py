@@ -196,6 +196,8 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         "q_retention",
         "q_skew_join",
         "q_corr_stats",
+        "q_market_share",
+        "q_funnel",
     ]
     # per-query best-of-2 with the same rationale as the headline reps.
     # The two sub-2 s fixed-overhead-dominated queries get extra reps:

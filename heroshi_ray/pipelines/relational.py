@@ -3023,3 +3023,272 @@ def q_skew_join(sf_dir: str, n_salts: int | None = None, force_salted: bool = Fa
         num_partitions=nparts,
     )
     return joined.select_columns(["event_id", "event_type", "type_n"])
+
+
+def q_market_share(
+    sf_dir: str,
+    region: str = "ASIA",
+    nation: str = "NATION_7",
+    p_type: str = "ECONOMY",
+    broadcast_limit: int = 500_000,
+    force_distributed: bool = False,
+):
+    """TPC-H-Q8-shaped market share: the target nation's share of
+    revenue per order year, over ECONOMY parts sold to customers of one
+    region — the widest composite in the suite (lineitem + orders +
+    customer + part + supplier + nation + region). Share is emitted as
+    integer floor division (num * 10^4 // den) next to both exact sums,
+    so the DuckDB twin hash-matches with no float ratio.
+
+    Plan: nation/region resolve on the driver (25 + 5 rows); part and
+    customer prune to broadcast key sets (part by type ~1/|types|,
+    customer by region ~1/|regions| — the standard Q8 build sides);
+    supplier maps suppkey -> nationkey (dim-sized). The orders window
+    (orderkey -> year of region-qualified orders) is SIZE-ADAPTIVE:
+    under ``broadcast_limit`` it rides ray.put and the lineitem combiner
+    probes by searchsorted; above it (or ``force_distributed``) the
+    lineitem partials meet orders in a distributed hash join — both
+    paths equivalence-tested. One |years|-key groupby ends it."""
+    import pyarrow.parquet as _pqt
+
+    from ray.data.aggregate import Sum
+
+    def _dim(name: str, columns=None) -> pd.DataFrame:
+        return _pqt.read_table(
+            os.path.join(sf_dir, f"{name}.parquet"), columns=columns
+        ).to_pandas()
+
+    nat = _dim("nation")
+    reg = _dim("region")
+    rk = int(reg.loc[reg["r_name"] == region, "r_regionkey"].iloc[0])
+    region_nations = set(nat.loc[nat["n_regionkey"] == rk, "n_nationkey"].astype(int))
+    target_nk = int(nat.loc[nat["n_name"] == nation, "n_nationkey"].iloc[0])
+
+    # part side: type-pruned key set
+    pp = _dim("part", columns=["p_partkey", "p_type"])
+    part_keys = np.sort(pp.loc[pp["p_type"] == p_type, "p_partkey"].to_numpy())
+    part_ref = ray.put(part_keys.astype(np.int64))
+
+    # supplier dim: suppkey -> nationkey
+    sup = _dim("supplier", columns=["s_suppkey", "s_nationkey"])
+    sk = sup["s_suppkey"].to_numpy()
+    so = np.argsort(sk)
+    sup_ref = ray.put((sk[so].astype(np.int64), sup["s_nationkey"].to_numpy()[so].astype(np.int64)))
+
+    # customer side: region membership key set
+    cc = _dim("customer", columns=["c_custkey", "c_nationkey"])
+    cust_keys = np.sort(
+        cc.loc[cc["c_nationkey"].isin(region_nations), "c_custkey"].to_numpy()
+    ).astype(np.int64)
+    cust_ref = ray.put(cust_keys)
+
+    # orders window: (orderkey, year) of region-qualified orders
+    def owin(batch: pa.Table) -> pa.Table:
+        ck = ray.get(cust_ref)
+        ok = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(ck, ok), 0, max(0, len(ck) - 1))
+        m = (ck[pos] == ok) if len(ck) else np.zeros(len(ok), bool)
+        kept = batch.filter(pa.array(m))
+        yr = pd.to_datetime(
+            kept.column("o_orderdate").to_pandas()
+        ).dt.year.to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "o_orderkey": kept.column("o_orderkey"),
+                "o_year": pa.array(yr, pa.int64()),
+            }
+        )
+
+    orders_f = (
+        _pq(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+        .map_batches(owin, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+    )
+    n_ord = orders_f.count()
+
+    li = _pq(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    part_schema = pa.schema(
+        [("o_year", pa.int64()), ("num", pa.int64()), ("den", pa.int64())]
+    )
+
+    def _li_frame(batch: pa.Table):
+        """Part-pruned lineitem rows with revenue + supplier nation."""
+        pk = ray.get(part_ref)
+        lk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(pk, lk), 0, max(0, len(pk) - 1))
+        m = (pk[pos] == lk) if len(pk) else np.zeros(len(lk), bool)
+        if not m.any():
+            return None
+        kept = batch.filter(pa.array(m))
+        e2 = np.round(
+            kept.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        d2 = np.round(
+            kept.column("l_discount").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        skeys, snat = ray.get(sup_ref)
+        lsk = kept.column("l_suppkey").to_numpy(zero_copy_only=False)
+        spos = np.clip(np.searchsorted(skeys, lsk), 0, max(0, len(skeys) - 1))
+        return (
+            kept.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64),
+            e2 * (100 - d2),
+            snat[spos],
+        )
+
+    if n_ord <= broadcast_limit and not force_distributed:
+        op = orders_f.to_pandas()
+        okeys = op["o_orderkey"].to_numpy()
+        oo = np.argsort(okeys)
+        omap_ref = ray.put((okeys[oo].astype(np.int64), op["o_year"].to_numpy()[oo]))
+
+        def partial(batch: pa.Table) -> pa.Table:
+            f = _li_frame(batch)
+            if f is None:
+                return part_schema.empty_table()
+            lok, rev, lnat = f
+            keys, years = ray.get(omap_ref)
+            pos = np.clip(np.searchsorted(keys, lok), 0, max(0, len(keys) - 1))
+            m = (keys[pos] == lok) if len(keys) else np.zeros(len(lok), bool)
+            if not m.any():
+                return part_schema.empty_table()
+            yr = years[pos[m]]
+            rev, lnat = rev[m], lnat[m]
+            num = np.where(lnat == target_nk, rev, 0)
+            uy, inv = np.unique(yr, return_inverse=True)
+            return pa.table(
+                {
+                    "o_year": pa.array(uy, pa.int64()),
+                    "num": pa.array(np.bincount(inv, weights=num).astype(np.int64), pa.int64()),
+                    "den": pa.array(np.bincount(inv, weights=rev).astype(np.int64), pa.int64()),
+                }
+            )
+
+        partials = li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    else:
+        tune_join_resources()
+        nparts = join_partitions()
+
+        def li_rows(batch: pa.Table) -> pa.Table:
+            f = _li_frame(batch)
+            if f is None:
+                return pa.schema(
+                    [("o_orderkey", pa.int64()), ("rev", pa.int64()), ("num", pa.int64())]
+                ).empty_table()
+            lok, rev, lnat = f
+            return pa.table(
+                {
+                    "o_orderkey": pa.array(lok, pa.int64()),
+                    "rev": pa.array(rev, pa.int64()),
+                    "num": pa.array(np.where(lnat == target_nk, rev, 0), pa.int64()),
+                }
+            )
+
+        n_li = li.count()
+        joined = (
+            li.map_batches(li_rows, batch_format="pyarrow", zero_copy_batch=True)
+            .repartition(max(2, min(nparts, n_li // 4096 + 1)))
+            .join(
+                orders_f.repartition(max(2, min(nparts, n_ord // 4096 + 1))),
+                join_type="inner",
+                on=("o_orderkey",),
+                num_partitions=nparts,
+            )
+        )
+
+        def to_partials(batch: pa.Table) -> pa.Table:
+            yr = batch.column("o_year").to_numpy(zero_copy_only=False)
+            rev = batch.column("rev").to_numpy(zero_copy_only=False)
+            num = batch.column("num").to_numpy(zero_copy_only=False)
+            uy, inv = np.unique(yr, return_inverse=True)
+            return pa.table(
+                {
+                    "o_year": pa.array(uy.astype(np.int64), pa.int64()),
+                    "num": pa.array(np.bincount(inv, weights=num).astype(np.int64), pa.int64()),
+                    "den": pa.array(np.bincount(inv, weights=rev).astype(np.int64), pa.int64()),
+                }
+            )
+
+        partials = joined.map_batches(
+            to_partials, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    agg = (
+        partials.groupby("o_year")
+        .aggregate(Sum("num", alias_name="nation_rev_e4"), Sum("den", alias_name="total_rev_e4"))
+    )
+
+    def share(batch: pa.Table) -> pa.Table:
+        num = batch.column("nation_rev_e4").to_numpy(zero_copy_only=False)
+        den = batch.column("total_rev_e4").to_numpy(zero_copy_only=False)
+        s = num * 10000 // np.maximum(den, 1)
+        return batch.append_column("share_e4", pa.array(s.astype(np.int64), pa.int64()))
+
+    return agg.map_batches(share, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_funnel(sf_dir: str):
+    """Ordered conversion funnel (signup -> click -> purchase) counted
+    on per-user FIRST timestamps: a user converts at stage k iff their
+    earliest stage-k event comes strictly after their earliest
+    stage-(k-1) event. One combiner pass emits per-user min-µs per
+    stage (missing stage = i64 max sentinel, exact under Min), one
+    user-key groupby, then a vectorized three-comparison count —
+    the product-analytics shape that usually hides a triple self-join.
+    Output (stage, n_users), 3 rows."""
+    from ray.data.aggregate import Min
+
+    SENT = np.int64(2**62)
+    ds = _pq(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+
+    def mins(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        us = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        out = {}
+        for stage, et in (("t1", "signup"), ("t2", "click"), ("t3", "purchase")):
+            t = np.where(df["event_type"].to_numpy() == et, us, SENT)
+            out[stage] = pd.Series(t, index=df.index)
+        g = (
+            pd.DataFrame({"user_id": df["user_id"].astype("int64"), **out})
+            .groupby("user_id", sort=False)
+            .min()
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_user = (
+        ds.map_batches(mins, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(
+            Min("t1", alias_name="t1"),
+            Min("t2", alias_name="t2"),
+            Min("t3", alias_name="t3"),
+        )
+    )
+
+    def stage_partial(batch: pa.Table) -> pa.Table:
+        t1 = batch.column("t1").to_numpy(zero_copy_only=False)
+        t2 = batch.column("t2").to_numpy(zero_copy_only=False)
+        t3 = batch.column("t3").to_numpy(zero_copy_only=False)
+        s1 = t1 < SENT
+        s2 = s1 & (t2 < SENT) & (t2 > t1)
+        s3 = s2 & (t3 < SENT) & (t3 > t2)
+        return pa.table(
+            {
+                "stage": pa.array(["s1_signup", "s2_click", "s3_purchase"], pa.string()),
+                "n_users": pa.array(
+                    [int(s1.sum()), int(s2.sum()), int(s3.sum())], pa.int64()
+                ),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        per_user.map_batches(stage_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("stage")
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )

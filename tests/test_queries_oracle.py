@@ -105,3 +105,13 @@ def test_triangle_count_distributed_fork_equivalence(ray_session):
     a = to_df(d.q_triangle_count(SF_DIR))
     b = to_df(d.q_triangle_count(SF_DIR, force_distributed=True))
     pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+
+
+def test_market_share_distributed_fork_equivalence(ray_session):
+    """The orders-window hash-join path must reproduce the broadcast
+    probe exactly."""
+    from heroshi_ray.pipelines import relational as r
+
+    a = canon(to_df(r.q_market_share(SF_DIR)))
+    b = canon(to_df(r.q_market_share(SF_DIR, force_distributed=True)))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
