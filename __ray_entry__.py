@@ -51,8 +51,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_embed_dedup": d.q_embed_dedup,
         "q_dedup_clusters": d.q_dedup_clusters,
         "q_revenue_by_nation": r.q_revenue_by_nation,
-        "q_percentiles": r.q_percentiles,
-        "q_stratified_sample": r.q_stratified_sample,
         "q_ngram_jaccard": d.q_ngram_jaccard,
         "q_order_count_dist": r.q_order_count_dist,
         "q_running_sum": r.q_running_sum,
@@ -98,10 +96,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_skew_join": r.q_skew_join,
         "q_market_share": r.q_market_share,
         "q_funnel": r.q_funnel,
+        "q_collect_values": r.q_collect_values,
+        "q_bfs_distance": d.q_bfs_distance,
         # SQL-oracled but past the driver's 50-entry cap BY CHOICE: these
         # were hash-green in CORRECTNESS_r01 AND _r02 (twice-verified), so
         # their driver slots go to the newer shapes above; pytest
         # (test_queries_oracle) still replicates the full check for them.
+        "q_percentiles": r.q_percentiles,
+        "q_stratified_sample": r.q_stratified_sample,
         "q_left_join": r.q_left_join,
         "q_rollup": r.q_rollup,
         "q_window_count": r.q_window_count,
@@ -1034,6 +1036,85 @@ def oracle_sql() -> dict[str, str]:
                      count(*) FILTER (WHERE t1 IS NOT NULL AND t2 > t1
                                       AND t3 > t2) FROM m
             )
+        """,
+        # grouped COLLECT / array_agg with explicit in-group order
+        "q_collect_values": """
+            WITH p AS (
+              SELECT user_id, event_id FROM events
+              WHERE event_type = 'purchase'
+            )
+            SELECT user_id,
+                   string_agg(CAST(event_id AS VARCHAR), ','
+                              ORDER BY event_id) AS event_ids
+            FROM p GROUP BY user_id
+            HAVING count(*) <= 40
+        """,
+        # BFS distances <= 6 from node 0, unrolled relax rounds (the
+        # q_pagerank oracle pattern)
+        "q_bfs_distance": """
+            WITH n AS (SELECT count(*) AS c FROM customer),
+            raw AS (
+              SELECT least(o_custkey, o_orderkey % (SELECT c FROM n)) AS u,
+                     greatest(o_custkey, o_orderkey % (SELECT c FROM n)) AS v
+              FROM orders
+            ),
+            edges AS (SELECT DISTINCT u, v FROM raw WHERE u <> v),
+            und AS (
+              SELECT u AS a, v AS b FROM edges
+              UNION ALL
+              SELECT v AS a, u AS b FROM edges
+            ),
+            d0(node, dist) AS (SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+            d1 AS (
+              SELECT node, min(dist) AS dist FROM (
+                SELECT node, dist FROM d0
+                UNION ALL
+                SELECT und.b AS node, d0.dist + 1 AS dist
+                FROM d0 JOIN und ON und.a = d0.node
+              ) GROUP BY node
+            ),
+            d2 AS (
+              SELECT node, min(dist) AS dist FROM (
+                SELECT node, dist FROM d1
+                UNION ALL
+                SELECT und.b AS node, d1.dist + 1 AS dist
+                FROM d1 JOIN und ON und.a = d1.node
+              ) GROUP BY node
+            ),
+            d3 AS (
+              SELECT node, min(dist) AS dist FROM (
+                SELECT node, dist FROM d2
+                UNION ALL
+                SELECT und.b AS node, d2.dist + 1 AS dist
+                FROM d2 JOIN und ON und.a = d2.node
+              ) GROUP BY node
+            ),
+            d4 AS (
+              SELECT node, min(dist) AS dist FROM (
+                SELECT node, dist FROM d3
+                UNION ALL
+                SELECT und.b AS node, d3.dist + 1 AS dist
+                FROM d3 JOIN und ON und.a = d3.node
+              ) GROUP BY node
+            ),
+            d5 AS (
+              SELECT node, min(dist) AS dist FROM (
+                SELECT node, dist FROM d4
+                UNION ALL
+                SELECT und.b AS node, d4.dist + 1 AS dist
+                FROM d4 JOIN und ON und.a = d4.node
+              ) GROUP BY node
+            ),
+            d6 AS (
+              SELECT node, min(dist) AS dist FROM (
+                SELECT node, dist FROM d5
+                UNION ALL
+                SELECT und.b AS node, d5.dist + 1 AS dist
+                FROM d5 JOIN und ON und.a = d5.node
+              ) GROUP BY node
+            )
+            SELECT CAST(node AS BIGINT) AS node, CAST(dist AS BIGINT) AS dist
+            FROM d6
         """,
         # TPC-H Q15 shape: global argmax with ties kept
         "q_top_supplier": """

@@ -2872,3 +2872,94 @@ def q_ann_ivfpq(
             "cos_sim_e4": pa.array([r[2] for r in rows], pa.int64()),
         }
     )
+
+
+def q_bfs_distance(sf_dir: str, source: int = 0, max_depth: int = 6):
+    """BFS shortest-path distances from a seed node over the
+    q_pagerank/q_triangle_count link graph — crawl-depth / link-distance
+    analysis (heroshi tracks depth-from-seed for scheduling), and the
+    third iterative-graph member after PageRank and connected
+    components. Output (node, dist) for nodes within ``max_depth``.
+
+    Layout per round: ONE map_batches over the (materialized once)
+    distinct edge list emits the neighbors of the broadcast frontier —
+    partials are np.unique'd per batch, so the driver merge handles at
+    most |new frontier| x blocks ints. Frontier and visited sets are
+    REACHED-node-scale on the driver (bounded by max_depth's ball, the
+    quantity a crawl scheduler budget-caps anyway); for
+    unbounded-diameter full-graph labeling the Dataset-resident
+    propagation machinery in q_dedup_clusters is the scale path, as its
+    docstring documents. The DuckDB twin unrolls the same rounds as
+    nested CTEs (the q_pagerank oracle pattern)."""
+    import pyarrow.parquet as pq_mod
+
+    n_nodes = pq_mod.read_metadata(
+        os.path.join(sf_dir, "customer.parquet")
+    ).num_rows
+
+    orders = _pq(sf_dir, "orders", columns=["o_custkey", "o_orderkey"], split=True)
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        a = batch.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = (
+            batch.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+            % n_nodes
+        )
+        u, v = np.minimum(a, b), np.maximum(a, b)
+        keep = u != v
+        pairs = np.unique(np.stack([u[keep], v[keep]], axis=1), axis=0)
+        return pa.table(
+            {"u": pa.array(pairs[:, 0], pa.int64()),
+             "v": pa.array(pairs[:, 1], pa.int64())}
+        )
+
+    edges = (
+        orders.map_batches(to_edges, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["u", "v"])
+        .count()
+        .select_columns(["u", "v"])
+        .materialize()
+    )
+
+    visited = {int(source): 0}
+    frontier = np.array([source], np.int64)
+    for depth in range(1, max_depth + 1):
+        f_ref = ray.put(np.sort(frontier))
+
+        def neighbors(batch: pa.Table) -> pa.Table:
+            f = ray.get(f_ref)
+            u = batch.column("u").to_numpy(zero_copy_only=False)
+            v = batch.column("v").to_numpy(zero_copy_only=False)
+            pu = np.clip(np.searchsorted(f, u), 0, max(0, len(f) - 1))
+            pv = np.clip(np.searchsorted(f, v), 0, max(0, len(f) - 1))
+            mu = f[pu] == u
+            mv = f[pv] == v
+            out = np.unique(np.concatenate([v[mu], u[mv]]))
+            return pa.table({"node": pa.array(out, pa.int64())})
+
+        reached = np.unique(
+            np.concatenate(
+                [
+                    b["node"].to_numpy()
+                    for b in edges.map_batches(
+                        neighbors, batch_format="pyarrow", zero_copy_batch=True
+                    ).iter_batches(batch_format="pandas")
+                ]
+                or [np.empty(0, np.int64)]
+            )
+        )
+        frontier = np.array(
+            [n for n in reached if int(n) not in visited], np.int64
+        )
+        if len(frontier) == 0:
+            break
+        for n in frontier:
+            visited[int(n)] = depth
+
+    nodes = sorted(visited)
+    return pa.table(
+        {
+            "node": pa.array(nodes, pa.int64()),
+            "dist": pa.array([visited[n] for n in nodes], pa.int64()),
+        }
+    )

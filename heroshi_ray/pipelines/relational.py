@@ -3292,3 +3292,51 @@ def q_funnel(sf_dir: str):
         .groupby("stage")
         .aggregate(Sum("n_users", alias_name="n_users"))
     )
+
+
+def q_collect_values(sf_dir: str, max_events: int = 40):
+    """Grouped COLLECT / array_agg (the per-key list materialization
+    training pipelines use to assemble per-user histories): for each
+    user with at most ``max_events`` qualifying events, the
+    comma-joined ASCENDING list of event ids. Determinism comes from
+    the explicit sort inside the bucket (array_agg without an order is
+    unhashable); the small-list gate bounds the row payload the way a
+    real history assembler caps sequence length.
+
+    Layout: one bucketed shuffle on user % B; per bucket a vectorized
+    pandas sort + groupby-join — O(B) Python calls. The joined string
+    is exactly DuckDB's string_agg(... ORDER BY), so the twin
+    hash-matches."""
+    n_bkt = default_buckets()
+    ds = _pq(sf_dir, "events", columns=["user_id", "event_id", "event_type"])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df["event_type"] == "purchase"]
+        return pa.table(
+            {
+                "user_id": pa.array(df["user_id"].astype("int64"), pa.int64()),
+                "event_id": pa.array(df["event_id"].astype("int64"), pa.int64()),
+                "__b": pa.array(
+                    (df["user_id"].to_numpy() % n_bkt).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+    def collect(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "event_id"], kind="mergesort")
+        out = (
+            g.groupby("user_id", sort=False)["event_id"]
+            .agg(lambda s: ",".join(str(x) for x in s))
+            .reset_index(name="event_ids")
+        )
+        sizes = g.groupby("user_id", sort=False).size().reset_index(name="n")
+        out = out.merge(sizes, on="user_id")
+        out = out[out["n"] <= max_events].drop(columns=["n"])
+        return out
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(collect, batch_format="pandas")
+    )
