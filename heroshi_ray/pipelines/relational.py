@@ -3064,21 +3064,51 @@ def q_market_share(
     region_nations = set(nat.loc[nat["n_regionkey"] == rk, "n_nationkey"].astype(int))
     target_nk = int(nat.loc[nat["n_name"] == nation, "n_nationkey"].iloc[0])
 
-    # part side: type-pruned key set
-    pp = _dim("part", columns=["p_partkey", "p_type"])
-    part_keys = np.sort(pp.loc[pp["p_type"] == p_type, "p_partkey"].to_numpy())
-    part_ref = ray.put(part_keys.astype(np.int64))
+    # part side: type-pruned key set — the PRUNE runs in the scan tasks,
+    # only the matching keys (~1/|types| of the table) reach the driver
+    part_keys = np.sort(
+        np.concatenate(
+            [
+                b["p_partkey"].to_numpy()
+                for b in _pq(sf_dir, "part", columns=["p_partkey", "p_type"])
+                .map_batches(
+                    lambda t: t.filter(pc.equal(t.column("p_type"), p_type)),
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                )
+                .iter_batches(batch_format="pandas")
+            ]
+            or [np.empty(0, np.int64)]
+        )
+    ).astype(np.int64)
+    part_ref = ray.put(part_keys)
 
-    # supplier dim: suppkey -> nationkey
+    # supplier dim: suppkey -> nationkey (dim-sized by definition)
     sup = _dim("supplier", columns=["s_suppkey", "s_nationkey"])
     sk = sup["s_suppkey"].to_numpy()
     so = np.argsort(sk)
     sup_ref = ray.put((sk[so].astype(np.int64), sup["s_nationkey"].to_numpy()[so].astype(np.int64)))
 
-    # customer side: region membership key set
-    cc = _dim("customer", columns=["c_custkey", "c_nationkey"])
+    # customer side: region membership key set, pruned in the scan tasks
+    # (~1/|regions| of the table reaches the driver — the Q8 build side)
+    rn_arr = pa.array(sorted(region_nations), pa.int32())
+
     cust_keys = np.sort(
-        cc.loc[cc["c_nationkey"].isin(region_nations), "c_custkey"].to_numpy()
+        np.concatenate(
+            [
+                b["c_custkey"].to_numpy()
+                for b in _pq(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+                .map_batches(
+                    lambda t: t.filter(
+                        pc.is_in(t.column("c_nationkey"), value_set=rn_arr)
+                    ),
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                )
+                .iter_batches(batch_format="pandas")
+            ]
+            or [np.empty(0, np.int64)]
+        )
     ).astype(np.int64)
     cust_ref = ray.put(cust_keys)
 
