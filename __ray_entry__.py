@@ -55,7 +55,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_order_count_dist": r.q_order_count_dist,
         "q_running_sum": r.q_running_sum,
         "q_small_qty_revenue": r.q_small_qty_revenue,
-        "q_mode_per_key": r.q_mode_per_key,
         "q_grouped_count_distinct": r.q_grouped_count_distinct,
         "q_frequent_items": d.q_frequent_items,
         "q_curate": d.q_curate,
@@ -98,10 +97,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_funnel": r.q_funnel,
         "q_collect_values": r.q_collect_values,
         "q_bfs_distance": d.q_bfs_distance,
+        "q_train_split": d.q_train_split,
         # SQL-oracled but past the driver's 50-entry cap BY CHOICE: these
         # were hash-green in CORRECTNESS_r01 AND _r02 (twice-verified), so
         # their driver slots go to the newer shapes above; pytest
         # (test_queries_oracle) still replicates the full check for them.
+        "q_mode_per_key": r.q_mode_per_key,
         "q_percentiles": r.q_percentiles,
         "q_stratified_sample": r.q_stratified_sample,
         "q_left_join": r.q_left_join,
@@ -1115,6 +1116,25 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT CAST(node AS BIGINT) AS node, CAST(dist AS BIGINT) AS dist
             FROM d6
+        """,
+        # deterministic hash train/val/test split manifest
+        "q_train_split": """
+            WITH t AS (
+              SELECT lang,
+                     CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 10
+                          THEN 'test'
+                          WHEN (doc_id * 2654435761) % 4294967296 % 100 < 20
+                          THEN 'val'
+                          ELSE 'train' END AS split,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE CAST(len(string_split_regex(trim(text), '\\s+'))
+                                    AS BIGINT)
+                     END AS n_tokens
+              FROM documents
+            )
+            SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+            FROM t GROUP BY lang, split
         """,
         # TPC-H Q15 shape: global argmax with ties kept
         "q_top_supplier": """

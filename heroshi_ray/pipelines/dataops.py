@@ -2963,3 +2963,52 @@ def q_bfs_distance(sf_dir: str, source: int = 0, max_depth: int = 6):
             "dist": pa.array([visited[n] for n in nodes], pa.int64()),
         }
     )
+
+
+def q_train_split(sf_dir: str, val_pct: int = 10, test_pct: int = 10):
+    """Deterministic train/val/test split (the holdout assignment every
+    training corpus needs, reproducible across runs and engines): the
+    split gate is the same Knuth multiplicative hash q_data_mix uses —
+    (doc_id * 2654435761) mod 2^32 mod 100 — carved into
+    [0, test) / [test, test+val) / rest, so numpy and ANSI SQL agree
+    bit-for-bit and a re-run never migrates a document across splits
+    (the leakage property hash splits exist to guarantee). Output one
+    (lang, split, n_docs, n_tokens) row per cell: the split manifest a
+    training job validates against. Pure combiner — one |langs x 3|-key
+    groupby of per-batch partials, no shuffle of the corpus."""
+    from ray.data.aggregate import Sum
+
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "lang", "text"], split=True)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (
+            (ids.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(1 << 32)
+        ) % np.uint64(100)
+        gate = h.astype(np.int64)
+        split = np.where(
+            gate < test_pct, "test", np.where(gate < test_pct + val_pct, "val", "train")
+        )
+        toks = token_count_ws(batch.column("text").to_pylist())
+        g = (
+            pd.DataFrame(
+                {
+                    "lang": batch.column("lang").to_pylist(),
+                    "split": split,
+                    "n_docs": 1,
+                    "n_tokens": toks,
+                }
+            )
+            .groupby(["lang", "split"], sort=False)
+            .sum()
+            .reset_index()
+        )
+        g["n_docs"] = g["n_docs"].astype("int64")
+        g["n_tokens"] = g["n_tokens"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["lang", "split"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("n_tokens", alias_name="n_tokens"))
+    )
