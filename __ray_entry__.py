@@ -52,7 +52,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_dedup_clusters": d.q_dedup_clusters,
         "q_revenue_by_nation": r.q_revenue_by_nation,
         "q_ngram_jaccard": d.q_ngram_jaccard,
-        "q_order_count_dist": r.q_order_count_dist,
         "q_running_sum": r.q_running_sum,
         "q_small_qty_revenue": r.q_small_qty_revenue,
         "q_grouped_count_distinct": r.q_grouped_count_distinct,
@@ -98,11 +97,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_collect_values": r.q_collect_values,
         "q_bfs_distance": d.q_bfs_distance,
         "q_train_split": d.q_train_split,
+        "q_quality_sample": d.q_quality_sample,
         # SQL-oracled but past the driver's 50-entry cap BY CHOICE: these
         # were hash-green in CORRECTNESS_r01 AND _r02 (twice-verified), so
         # their driver slots go to the newer shapes above; pytest
         # (test_queries_oracle) still replicates the full check for them.
         "q_mode_per_key": r.q_mode_per_key,
+        "q_order_count_dist": r.q_order_count_dist,
         "q_percentiles": r.q_percentiles,
         "q_stratified_sample": r.q_stratified_sample,
         "q_left_join": r.q_left_join,
@@ -1135,6 +1136,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(n_tokens) AS BIGINT) AS n_tokens
             FROM t GROUP BY lang, split
+        """,
+        # quality-weighted deterministic downsampling (curation)
+        "q_quality_sample": """
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE CAST(len(string_split_regex(trim(text), '\\s+'))
+                                    AS BIGINT)
+                     END AS n_tokens,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE CAST(len(list_filter(
+                              string_split_regex(trim(text), '\\s+'),
+                              x -> list_contains(
+                                  ['the','a','an','and','or','of','to','in',
+                                   'is','are','was','were','be','been','it',
+                                   'this','that','for','on','with','as','by'],
+                                  lower(x)))) AS BIGINT)
+                     END AS n_stop
+              FROM documents
+            )
+            SELECT doc_id,
+                   least(10000, n_stop * 40000 // greatest(n_tokens, 1))
+                       AS w_e4
+            FROM t
+            WHERE (doc_id * 2654435761) % 4294967296 % 10000
+                  < least(10000, n_stop * 40000 // greatest(n_tokens, 1))
         """,
         # TPC-H Q15 shape: global argmax with ties kept
         "q_top_supplier": """

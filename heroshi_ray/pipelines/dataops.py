@@ -3012,3 +3012,48 @@ def q_train_split(sf_dir: str, val_pct: int = 10, test_pct: int = 10):
         .groupby(["lang", "split"])
         .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("n_tokens", alias_name="n_tokens"))
     )
+
+
+def q_quality_sample(sf_dir: str):
+    """Quality-weighted downsampling (the data-selection step of corpus
+    curation — keep natural-language-looking documents with probability
+    proportional to a quality weight, cf. the CCNet/GPT-3 quality-
+    sampling recipe): weight w_e4 = min(10^4, stopword_density * 4)
+    (stopword-dense text reads as prose), keep iff
+    hash(doc_id) mod 10^4 < w_e4. Every quantity is integer and the
+    hash is the Knuth gate, so the DuckDB twin reproduces the EXACT
+    sample — the reproducibility a curation pipeline needs to re-derive
+    its corpus. Pure map_batches: one scan, no shuffle, no driver
+    state; emits (doc_id, w_e4) for the kept docs."""
+    import polars as pl
+
+    from ..functions.text import STOPWORDS
+
+    stop = sorted(STOPWORDS)
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"], split=True)
+
+    def gate(batch: pa.Table) -> pa.Table:
+        s = pl.from_arrow(batch.column("text")).rename("t")
+        toks = s.str.extract_all(r"\S+")
+        d = pl.select(
+            n_tokens=toks.list.len().cast(pl.Int64),
+            n_stop=toks.list.eval(
+                pl.element().str.to_lowercase().is_in(stop)
+            ).list.sum().fill_null(0).cast(pl.Int64),
+        )
+        nt = d["n_tokens"].to_numpy()
+        nst = d["n_stop"].to_numpy()
+        w = np.minimum(10_000, nst * 40_000 // np.maximum(nt, 1)).astype(np.int64)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (
+            (ids.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(1 << 32)
+        ) % np.uint64(10_000)
+        keep = h.astype(np.int64) < w
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep], pa.int64()),
+                "w_e4": pa.array(w[keep], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
