@@ -15,6 +15,7 @@ from __future__ import annotations
 import os
 
 import numpy as np
+import pandas as pd
 import pyarrow.parquet as pq
 import pytest
 
@@ -481,3 +482,15 @@ def test_promo_revenue_distributed_path_equals_broadcast(ray_session):
     assert a["promo_e4"].iloc[0] == b["promo_e4"].iloc[0]
     assert a["total_e4"].iloc[0] == b["total_e4"].iloc[0]
     assert int(a["total_e4"].iloc[0]) > 0
+
+
+def test_large_orders_distributed_fork(ray_session):
+    """broadcast_limit=0 forces the hot-set hash join onto orders; both
+    plans must produce the identical Q18 result."""
+    from heroshi_ray.pipelines.relational import q_large_orders
+
+    a = q_large_orders(SF_DIR).to_pandas()
+    b = q_large_orders(SF_DIR, broadcast_limit=0).to_pandas()
+    ca = a[sorted(a.columns)].sort_values(sorted(a.columns)).reset_index(drop=True)
+    cb = b[sorted(b.columns)].sort_values(sorted(b.columns)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(ca, cb, check_dtype=False, check_exact=True)
