@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_image_clusters": d.q_image_clusters,
         "q_ann_ivf": d.q_ann_ivf,
         "q_ann_ivfpq": d.q_ann_ivfpq,
+        "q_ann_persistent": d.q_ann_persistent,
         "q_image_decode": d.q_image_decode,
         "q_image_features": d.q_image_features,
         "q_approx_distinct": d.q_approx_distinct,

