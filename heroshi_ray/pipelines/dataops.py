@@ -593,6 +593,30 @@ def _query_matrix(sf_dir: str, n_queries: int):
     return df["vec_id"].to_numpy(), as_matrix(df["embedding"].tolist())
 
 
+def _merge_topk(parts: pd.DataFrame, k: int) -> pa.Table:
+    """Driver merge of per-batch partial top-ks (k x blocks rows in):
+    deterministic (sim desc, vec_id asc) top-k per query, sims rounded
+    to e4 ints so the result is order-insensitively hashable. Shared by
+    every ANN variant — the tie-break and rounding rule here IS the
+    equality contract between q_ann_knn / q_ann_ivf / q_ann_ivfpq /
+    q_ann_persistent."""
+    rows = []
+    for qid, g in parts.groupby("query_id"):
+        g = g.sort_values(
+            ["cos_sim_raw", "vec_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        for r in g.itertuples():
+            rows.append((qid, r.vec_id, int(round(r.cos_sim_raw * 10000))))
+    rows.sort()
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], pa.int64()),
+            "vec_id": pa.array([r[1] for r in rows], pa.int64()),
+            "cos_sim_e4": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
 def q_ann_knn(sf_dir: str, n_queries: int = 5, k: int = 3):
     """Brute-force cosine top-k per query: per-batch matmul against the
     broadcast query matrix, per-batch partial top-k, driver merge of
@@ -625,20 +649,7 @@ def q_ann_knn(sf_dir: str, n_queries: int = 5, k: int = 3):
         )
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    rows = []
-    for qid, g in parts.groupby("query_id"):
-        g = g.sort_values(["cos_sim_raw", "vec_id"], ascending=[False, True],
-                          kind="mergesort").head(k)
-        for r in g.itertuples():
-            rows.append((qid, r.vec_id, int(round(r.cos_sim_raw * 10000))))
-    rows.sort()
-    return pa.table(
-        {
-            "query_id": pa.array([r[0] for r in rows], pa.int64()),
-            "vec_id": pa.array([r[1] for r in rows], pa.int64()),
-            "cos_sim_e4": pa.array([r[2] for r in rows], pa.int64()),
-        }
-    )
+    return _merge_topk(parts, k)
 
 
 def q_ann_ivf(sf_dir: str, n_queries: int = 5, k: int = 3, nprobe: int = 8):
@@ -685,20 +696,7 @@ def q_ann_ivf(sf_dir: str, n_queries: int = 5, k: int = 3, nprobe: int = 8):
         )
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    rows = []
-    for qid, g in parts.groupby("query_id"):
-        g = g.sort_values(["cos_sim_raw", "vec_id"], ascending=[False, True],
-                          kind="mergesort").head(k)
-        for r in g.itertuples():
-            rows.append((qid, r.vec_id, int(round(r.cos_sim_raw * 10000))))
-    rows.sort()
-    return pa.table(
-        {
-            "query_id": pa.array([r[0] for r in rows], pa.int64()),
-            "vec_id": pa.array([r[1] for r in rows], pa.int64()),
-            "cos_sim_e4": pa.array([r[2] for r in rows], pa.int64()),
-        }
-    )
+    return _merge_topk(parts, k)
 
 
 def q_embed_neardup(
@@ -2373,26 +2371,44 @@ def q_decontaminate(sf_dir: str, n: int = 16, eval_mod: int = 97):
     ev_ref = ray.put(ev_set)
 
     def hits(batch: pa.Table) -> pa.Table:
+        # ONE membership kernel per batch: all docs' distinct grams go
+        # into a single flat array with per-doc offsets, one pc.is_in
+        # runs against the broadcast set, and per-doc hit counts come
+        # from a segmented np.add.reduceat — no per-row kernel dispatch
         ev_arr = ray.get(ev_ref)
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         texts = batch.column("text").to_pylist()
-        out_id, out_n, out_hit = [], [], []
+        flat: list[str] = []
+        offs, doc_ids, n_grams = [], [], []
         for i, t in zip(ids, texts):
             if int(i) % eval_mod == 0 or not t or len(t) < n:
                 continue
             grams = list({t[j : j + n] for j in range(len(t) - n + 1)})
-            m = pc.sum(
-                pc.is_in(pa.array(grams, pa.string()), value_set=ev_arr)
-            ).as_py() or 0
-            if m:
-                out_id.append(int(i))
-                out_n.append(len(grams))
-                out_hit.append(int(m))
+            offs.append(len(flat))
+            doc_ids.append(int(i))
+            n_grams.append(len(grams))
+            flat.extend(grams)
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_grams": pa.array([], pa.int64()),
+                "hit_grams": pa.array([], pa.int64()),
+            }
+        )
+        if not flat:
+            return empty
+        member = pc.is_in(
+            pa.array(flat, pa.string()), value_set=ev_arr
+        ).to_numpy(zero_copy_only=False)
+        hit = np.add.reduceat(member.astype(np.int64), np.array(offs, np.int64))
+        keep = hit > 0
+        if not keep.any():
+            return empty
         return pa.table(
             {
-                "doc_id": pa.array(out_id, pa.int64()),
-                "n_grams": pa.array(out_n, pa.int64()),
-                "hit_grams": pa.array(out_hit, pa.int64()),
+                "doc_id": pa.array(np.array(doc_ids, np.int64)[keep], pa.int64()),
+                "n_grams": pa.array(np.array(n_grams, np.int64)[keep], pa.int64()),
+                "hit_grams": pa.array(hit[keep], pa.int64()),
             }
         )
 
@@ -2425,16 +2441,13 @@ def q_pack_sequences(sf_dir: str, budget: int = 512):
             }
         )
 
+    from ..runtime import sorted_block_offsets
+
     counted = ds.map_batches(tc, batch_format="pyarrow", zero_copy_batch=True)
     sorted_ds = counted.sort("doc_id").materialize()
-    refs = sorted_ds.to_arrow_refs()
-
-    @ray.remote
-    def _toksum(block: pa.Table) -> int:
-        return int(pc.sum(block.column("n_tokens")).as_py() or 0)
-
-    sums = ray.get([_toksum.remote(r) for r in refs])
-    offsets = np.concatenate([[0], np.cumsum(sums)[:-1]]).astype(np.int64)
+    refs, offsets = sorted_block_offsets(
+        sorted_ds, lambda b: int(pc.sum(b.column("n_tokens")).as_py() or 0)
+    )
 
     @ray.remote
     def _attach(block: pa.Table, off: int) -> pa.Table:
@@ -2567,6 +2580,40 @@ def q_quantize_embeddings(sf_dir: str, dims: int = 64, levels: int = 255):
     return ds.map_batches(quant, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _link_edges(sf_dir: str, n_nodes: int) -> "ray.data.Dataset":
+    """DISTINCT undirected (u < v) edges of the synthetic link graph
+    (node = c_custkey, edge o_custkey <-> o_orderkey mod n_nodes,
+    self-loops dropped) — the ONE graph definition shared by
+    q_triangle_count and q_bfs_distance, so the "same link graph"
+    queries and their oracles cannot silently diverge. q_pagerank keeps
+    parallel edges and direction, so it builds its own edge list.
+    Per-batch combiner dedup, then one distinct groupby; materialized
+    because both consumers scan it repeatedly."""
+    orders = _pq(sf_dir, "orders", columns=["o_custkey", "o_orderkey"], split=True)
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        a = batch.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = (
+            batch.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+            % n_nodes
+        )
+        u, v = np.minimum(a, b), np.maximum(a, b)
+        keep = u != v  # drop self-loops
+        pairs = np.unique(np.stack([u[keep], v[keep]], axis=1), axis=0)
+        return pa.table(
+            {"u": pa.array(pairs[:, 0], pa.int64()),
+             "v": pa.array(pairs[:, 1], pa.int64())}
+        )
+
+    return (
+        orders.map_batches(to_edges, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["u", "v"])
+        .count()
+        .select_columns(["u", "v"])
+        .materialize()
+    )
+
+
 def q_triangle_count(
     sf_dir: str,
     broadcast_limit: int = 5_000_000,
@@ -2608,29 +2655,7 @@ def q_triangle_count(
         os.path.join(sf_dir, "customer.parquet")
     ).num_rows
 
-    orders = _pq(sf_dir, "orders", columns=["o_custkey", "o_orderkey"], split=True)
-
-    def to_edges(batch: pa.Table) -> pa.Table:
-        a = batch.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
-        b = (
-            batch.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
-            % n_nodes
-        )
-        u, v = np.minimum(a, b), np.maximum(a, b)
-        keep = u != v  # drop self-loops
-        pairs = np.unique(np.stack([u[keep], v[keep]], axis=1), axis=0)
-        return pa.table(
-            {"u": pa.array(pairs[:, 0], pa.int64()),
-             "v": pa.array(pairs[:, 1], pa.int64())}
-        )
-
-    edges = (
-        orders.map_batches(to_edges, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["u", "v"])
-        .count()
-        .select_columns(["u", "v"])
-        .materialize()
-    )
+    edges = _link_edges(sf_dir, n_nodes)
 
     # degrees: one combiner groupby over both endpoints
     def deg_partial(batch: pa.Table) -> pa.Table:
@@ -2857,21 +2882,7 @@ def q_ann_ivfpq(
         )
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    rows = []
-    for qid, g in parts.groupby("query_id"):
-        g = g.sort_values(
-            ["cos_sim_raw", "vec_id"], ascending=[False, True], kind="mergesort"
-        ).head(k)
-        for r in g.itertuples():
-            rows.append((qid, r.vec_id, int(round(r.cos_sim_raw * 10000))))
-    rows.sort()
-    return pa.table(
-        {
-            "query_id": pa.array([r[0] for r in rows], pa.int64()),
-            "vec_id": pa.array([r[1] for r in rows], pa.int64()),
-            "cos_sim_e4": pa.array([r[2] for r in rows], pa.int64()),
-        }
-    )
+    return _merge_topk(parts, k)
 
 
 def q_bfs_distance(sf_dir: str, source: int = 0, max_depth: int = 6):
@@ -2897,29 +2908,7 @@ def q_bfs_distance(sf_dir: str, source: int = 0, max_depth: int = 6):
         os.path.join(sf_dir, "customer.parquet")
     ).num_rows
 
-    orders = _pq(sf_dir, "orders", columns=["o_custkey", "o_orderkey"], split=True)
-
-    def to_edges(batch: pa.Table) -> pa.Table:
-        a = batch.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
-        b = (
-            batch.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
-            % n_nodes
-        )
-        u, v = np.minimum(a, b), np.maximum(a, b)
-        keep = u != v
-        pairs = np.unique(np.stack([u[keep], v[keep]], axis=1), axis=0)
-        return pa.table(
-            {"u": pa.array(pairs[:, 0], pa.int64()),
-             "v": pa.array(pairs[:, 1], pa.int64())}
-        )
-
-    edges = (
-        orders.map_batches(to_edges, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["u", "v"])
-        .count()
-        .select_columns(["u", "v"])
-        .materialize()
-    )
+    edges = _link_edges(sf_dir, n_nodes)
 
     visited = {int(source): 0}
     frontier = np.array([source], np.int64)
@@ -3060,9 +3049,15 @@ def q_quality_sample(sf_dir: str):
 
 
 def _ann_index_dir(sf_dir: str) -> str:
+    """Cache dir keyed by the PATH and a FINGERPRINT of the embeddings
+    file (size + mtime): regenerating the fixture invalidates the
+    index, so a stale build can never silently answer queries for data
+    it was not built from."""
     import hashlib
 
-    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    key = f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}"
+    tag = hashlib.sha1(key.encode()).hexdigest()[:10]
     return f"/tmp/heroshi_ray_cache/annidx_{tag}_v1"
 
 
@@ -3073,8 +3068,10 @@ def build_ann_index(sf_dir: str, out_dir: str, n_centroids: int = 16) -> None:
     centroids sidecar. At 100 TB this is the build-once artifact every
     query pipeline shares — and the partitioned layout is what makes
     query-time PARTITION PRUNING possible (read only nprobe directories,
-    not the table). Resumable by construction: the _DONE marker commits
-    the build atomically; a re-run skips it."""
+    not the table). Committed atomically: the build writes a .tmp
+    sibling and os.replace's it into place; q_ann_persistent treats the
+    centroids sidecar in the FINAL path as build-complete and skips the
+    rebuild."""
     import pyarrow.parquet as pq_mod
 
     ds = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"], split=True)
@@ -3187,18 +3184,4 @@ def q_ann_persistent(sf_dir: str, n_queries: int = 5, k: int = 3, nprobe: int = 
         )
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    rows = []
-    for qid, g in parts.groupby("query_id"):
-        g = g.sort_values(
-            ["cos_sim_raw", "vec_id"], ascending=[False, True], kind="mergesort"
-        ).head(k)
-        for r in g.itertuples():
-            rows.append((qid, r.vec_id, int(round(r.cos_sim_raw * 10000))))
-    rows.sort()
-    return pa.table(
-        {
-            "query_id": pa.array([r[0] for r in rows], pa.int64()),
-            "vec_id": pa.array([r[1] for r in rows], pa.int64()),
-            "cos_sim_e4": pa.array([r[2] for r in rows], pa.int64()),
-        }
-    )
+    return _merge_topk(parts, k)

@@ -2362,15 +2362,10 @@ def q_ntile(sf_dir: str, buckets: int = 10):
             {"event_id": pa.array([], pa.int64()),
              "bucket": pa.array([], pa.int64())}
         )
+    from ..runtime import sorted_block_offsets
+
     sorted_ds = ds.sort(["value", "event_id"]).materialize()
-    refs = sorted_ds.to_arrow_refs()
-
-    @ray.remote
-    def _count(block: pa.Table) -> int:
-        return block.num_rows
-
-    counts = ray.get([_count.remote(r) for r in refs])
-    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    refs, offsets = sorted_block_offsets(sorted_ds, lambda b: b.num_rows)
 
     base = n_total // buckets
     extra = n_total % buckets
@@ -2979,17 +2974,25 @@ def q_skew_join(sf_dir: str, n_salts: int | None = None, force_salted: bool = Fa
     )  # |types| rows
 
     if not force_salted:
-        tmap = dict(zip(stats["event_type"], stats["type_n"].astype("int64")))
-        tmap_ref = ray.put(tmap)
+        tmap_ref = ray.put(
+            (
+                pa.array(stats["event_type"].tolist(), pa.string()),
+                stats["type_n"].to_numpy().astype(np.int64),
+            )
+        )
 
         def probe(batch: pa.Table) -> pa.Table:
-            m = ray.get(tmap_ref)
-            tn = [int(m[t]) for t in batch.column("event_type").to_pylist()]
+            # map-side lookup as ONE kernel: index_in against the
+            # broadcast key array, then a numpy gather of the counts
+            types_arr, counts = ray.get(tmap_ref)
+            idx = pc.index_in(
+                batch.column("event_type"), value_set=types_arr
+            ).to_numpy(zero_copy_only=False)
             return pa.table(
                 {
                     "event_id": batch.column("event_id"),
                     "event_type": batch.column("event_type"),
-                    "type_n": pa.array(tn, pa.int64()),
+                    "type_n": pa.array(counts[idx], pa.int64()),
                 }
             )
 

@@ -99,3 +99,27 @@ def task_stage(cls, ctor_kwargs: dict | None = None, volatile: dict | None = Non
 
     fn.__name__ = f"task_{cls.__name__}"
     return fn
+
+
+def sorted_block_offsets(sorted_ds, per_block_value):
+    """Block refs + EXCLUSIVE prefix offsets of a per-block int reduce
+    over a materialized range-sorted Dataset — the distributed
+    row-number / prefix-sum core shared by q_ntile (per-block row
+    counts -> global ranks) and q_pack_sequences (per-block token sums
+    -> global token offsets). Kept in ONE place because its correctness
+    rests on a subtle invariant: ``to_arrow_refs()`` returns blocks in
+    the range-sort's key order, so the cumsum of per-block values IS
+    each block's global offset. The metadata round ships one int per
+    block to the driver, never rows."""
+    import numpy as np
+    import ray
+
+    refs = sorted_ds.to_arrow_refs()
+
+    @ray.remote
+    def _val(block) -> int:
+        return int(per_block_value(block))
+
+    vals = ray.get([_val.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(vals)[:-1]]).astype(np.int64)
+    return refs, offsets
