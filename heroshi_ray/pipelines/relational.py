@@ -3373,3 +3373,122 @@ def q_collect_values(sf_dir: str, max_events: int = 40):
         .groupby("__b")
         .map_groups(collect, batch_format="pandas")
     )
+
+
+def q_late_events(sf_dir: str, allowed_lateness_us: int = 86_400_000_000):
+    """Watermark-based late-event detection (the streaming-ingest
+    semantics batch engines replay): arrival order is a PER-USER upload
+    replay — (user_id, event_id) — the pattern of devices syncing whole
+    histories one source at a time, which is what actually produces
+    late data; the watermark trails the running max event-time by the
+    allowed lateness, and an event is LATE iff it arrives after the
+    watermark passed its timestamp. Output (event_id, late_by_us) for
+    the late arrivals. (Arrival by bare event_id is vacuous on this
+    fixture — events are generated time-ordered — so the replay order
+    is also the only semantics with observable output.)
+
+    The distributed layout generalizes the q_ntile/q_pack_sequences
+    block-offset core from prefix-SUM to prefix-MAX — the same ONE
+    range sort + per-block scalar metadata round + embarrassingly
+    parallel attach, because running max is associative: each block
+    needs only the EXCLUSIVE max of all earlier blocks (one int64 per
+    block to the driver, np.maximum.accumulate across them), then a
+    vectorized in-block exclusive running max finishes locally. The
+    DuckDB twin is MAX(...) OVER (ORDER BY ... ROWS BETWEEN UNBOUNDED
+    PRECEDING AND 1 PRECEDING)."""
+    ds = _pq(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "event_id": batch.column("event_id"),
+                "ts_us": batch.column("ts").cast(pa.int64()),
+            }
+        )
+
+    sorted_ds = (
+        ds.map_batches(to_us, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["user_id", "event_id"])
+        .materialize()
+    )
+    refs = sorted_ds.to_arrow_refs()
+
+    @ray.remote
+    def _blockmax(block: pa.Table) -> int:
+        if block.num_rows == 0:
+            return -(2**62)
+        return int(pc.max(block.column("ts_us")).as_py())
+
+    maxima = np.array(ray.get([_blockmax.remote(r) for r in refs]), np.int64)
+    # exclusive prefix max of block maxima: block i sees the max of
+    # blocks 0..i-1; the first block sees -inf
+    incoming = np.concatenate(
+        [[-(2**62)], np.maximum.accumulate(maxima)[:-1]]
+    ).astype(np.int64)
+
+    out_schema = pa.schema([("event_id", pa.int64()), ("late_by_us", pa.int64())])
+
+    @ray.remote
+    def _attach(block: pa.Table, prefix_max: int) -> pa.Table:
+        if block.num_rows == 0:
+            return out_schema.empty_table()
+        ts = block.column("ts_us").to_numpy(zero_copy_only=False)
+        run = np.maximum.accumulate(ts)
+        # exclusive running max: earlier rows in this block + prefix
+        excl = np.concatenate([[prefix_max], run[:-1]])
+        excl = np.maximum(excl, prefix_max)
+        wm = excl - allowed_lateness_us
+        late = ts < wm
+        if not late.any():
+            return out_schema.empty_table()
+        return pa.table(
+            {
+                "event_id": block.column("event_id").filter(pa.array(late)),
+                "late_by_us": pa.array((wm - ts)[late], pa.int64()),
+            }
+        )
+
+    out_refs = [_attach.remote(r, int(m)) for r, m in zip(refs, incoming)]
+    return ray.data.from_arrow_refs(out_refs)
+
+
+def q_window_dedup(sf_dir: str, window_us: int = 86_400_000_000):
+    """Windowed dedup: first event per (user, event_type) per tumbling
+    window (the dedup semantics of a streaming ingest that suppresses
+    repeats within a day but lets keys reappear across windows —
+    exact dedup's time-scoped cousin). One bucketed shuffle on
+    user % B co-locates each user's events; per bucket a vectorized
+    sort + drop_duplicates on (user, type, window) keeps the earliest
+    (ts, event_id) row. Output (user_id, event_type, window_id,
+    event_id)."""
+    n_bkt = default_buckets()
+    ds = _pq(sf_dir, "events", columns=["user_id", "event_type", "event_id", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": pa.array(u, pa.int64()),
+                "event_type": batch.column("event_type"),
+                "event_id": batch.column("event_id"),
+                "ts_us": pa.array(ts, pa.int64()),
+                "window_id": pa.array(ts // window_us, pa.int64()),
+                "__b": pa.array((u % n_bkt).astype(np.int32), pa.int32()),
+            }
+        )
+
+    def first_per_window(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["user_id", "event_type", "window_id", "ts_us", "event_id"],
+            kind="mergesort",
+        )
+        out = g.drop_duplicates(["user_id", "event_type", "window_id"], keep="first")
+        return out[["user_id", "event_type", "window_id", "event_id"]]
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(first_per_window, batch_format="pandas")
+    )
