@@ -201,6 +201,13 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         "q_corr_stats",
         "q_market_share",
         "q_funnel",
+        "q_min_cost_supplier",
+        "q_product_profit",
+        "q_important_parts",
+        "q_ship_priority_class",
+        "q_part_supplier_counts",
+        "q_dominant_suppliers",
+        "q_late_suppliers",
     ]
     # per-query best-of-2 with the same rationale as the headline reps.
     # The two sub-2 s fixed-overhead-dominated queries get extra reps:

@@ -115,3 +115,15 @@ def test_market_share_distributed_fork_equivalence(ray_session):
     a = canon(to_df(r.q_market_share(SF_DIR)))
     b = canon(to_df(r.q_market_share(SF_DIR, force_distributed=True)))
     pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+
+
+def test_attach_by_key_distributed_fork_equivalence(ray_session):
+    """The three TPC-H shapes that attach order attributes through
+    _attach_by_key must produce identical results on the broadcast
+    searchsorted path and the distributed hash-join path."""
+    from heroshi_ray.pipelines import relational as r
+
+    for fn in (r.q_product_profit, r.q_ship_priority_class, r.q_late_suppliers):
+        a = canon(to_df(fn(SF_DIR)))
+        b = canon(to_df(fn(SF_DIR, force_distributed=True)))
+        pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
