@@ -3185,3 +3185,285 @@ def q_ann_persistent(sf_dir: str, n_queries: int = 5, k: int = 3, nprobe: int = 
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     return _merge_topk(parts, k)
+
+
+# --------------------------------------------- corpus hygiene (round 3) --
+def q_repetition_stats(sf_dir: str):
+    """Gopher-style repetition counters per document (Rae et al.,
+    "Scaling Language Models: ... Gopher", 2021 §A1.1 uses
+    duplicate-line/ngram fractions as quality gates): whitespace token
+    count, distinct-token count, and the duplicate-token fraction in
+    integer parts-per-million (exact — no float ratio crosses the hash).
+    Pure map_batches (no shuffle); polars list kernels, zero Python per
+    row. At 100 TB this is a single streaming pass, the cheapest gate in
+    a curation chain and the first one to run."""
+    import polars as pl
+
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        toks = pl.from_arrow(batch.column("text")).rename("t").str.split(" ")
+        d = pl.select(
+            n_tokens=toks.list.len().cast(pl.Int64),
+            n_distinct=toks.list.n_unique().cast(pl.Int64),
+        ).with_columns(
+            dup_e6=(pl.col("n_tokens") - pl.col("n_distinct"))
+            * 1_000_000
+            // pl.col("n_tokens")
+        ).to_arrow()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": d.column("n_tokens"),
+                "n_distinct": d.column("n_distinct"),
+                "dup_e6": d.column("dup_e6"),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_pii_redact(sf_dir: str):
+    """PII redaction over synthetic contact strings (the scrubbing pass
+    every public-web training corpus runs before tokenization). The
+    corpus fixture has no natural PII, so — exactly like q_canonicalize
+    builds URLs — the input strings are built by a FIXED template over
+    events rows (user-derived email + event-derived phone), which lets
+    the DuckDB twin construct the identical strings and hash-check the
+    redaction. Output: redacted text + per-row match counters.
+
+    Engine side is one streaming map_batches pass with compiled-once
+    Rust-regex kernels (polars count_matches / replace_all) — zero
+    Python per row, no shuffle; the corpus is ASCII so the RE2 classes
+    in the SQL twin agree. At 100 TB this pass is bandwidth-bound, the
+    shape you want."""
+    import polars as pl
+
+    email = r"[a-z0-9._]+@[a-z0-9.-]+"
+    phone = r"\+1-555-[0-9]{4}"
+    ds = _pq(sf_dir, "events", columns=["event_id", "user_id", "event_type"])
+
+    def redact(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        out = df.select(
+            "event_id",
+            msg=pl.format(
+                "contact user{} at user{}@example.com or +1-555-{} re {}",
+                pl.col("user_id"),
+                pl.col("user_id"),
+                (pl.col("event_id") % 10000).cast(pl.Utf8).str.zfill(4),
+                pl.col("event_type"),
+            ),
+        ).select(
+            "event_id",
+            n_emails=pl.col("msg").str.count_matches(email).cast(pl.Int64),
+            n_phones=pl.col("msg").str.count_matches(phone).cast(pl.Int64),
+            clean=pl.col("msg")
+            .str.replace_all(email, "<EMAIL>")
+            .str.replace_all(phone, "<PHONE>"),
+        )
+        return out.to_arrow()
+
+    return ds.map_batches(redact, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _explode_chunks(batch: pa.Table, width: int):
+    """(doc_id, chunk_id, chunk): fixed-width token windows per doc —
+    the 'line' unit of corpus-level chunk dedup. Vectorized polars
+    explode; a document's chunks stay inside its input batch."""
+    import polars as pl
+
+    return (
+        pl.from_arrow(batch)
+        .with_columns(t=pl.col("text").str.split(" "))
+        .with_columns(pos=pl.int_ranges(pl.col("t").list.len()))
+        .explode(["t", "pos"])
+        .with_columns(chunk_id=(pl.col("pos") // width).cast(pl.Int64))
+        .group_by(["doc_id", "chunk_id"], maintain_order=True)
+        .agg(chunk=pl.col("t").str.join(" "))
+    )
+
+
+def q_chunk_dedup(
+    sf_dir: str,
+    width: int = 3,
+    min_docs: int = 3,
+    broadcast_max: int = 500_000,
+    force_distributed: bool = False,
+):
+    """Corpus-level duplicated-chunk removal (the Dolma/CCNet
+    paragraph-dedup shape: Soldaini et al. 2024 §2.3 dedups at the
+    paragraph level; CCNet (Wenzek et al. 2020) at the line level):
+    split every document into fixed-width token chunks, count how many
+    DISTINCT documents each exact chunk appears in, delete chunks that
+    appear in >= min_docs docs, and reassemble the surviving text in
+    order. Documents whose every chunk is boilerplate disappear —
+    matching the SQL twin's string_agg-over-zero-rows semantics.
+
+    Layout: explode is per-batch (a doc's chunks never leave its input
+    batch); the frequency pass is a COMBINER (per-batch distinct
+    (doc,chunk) -> partial counts, so the shuffle moves per-batch chunk
+    vocabularies, not one row per occurrence); the frequent set is
+    OUTPUT-scale by construction (<= total_chunks/min_docs and in real
+    corpora tiny — boilerplate is frequent *because* it is few distinct
+    strings). Under ``broadcast_max`` it ships once via ray.put and the
+    delete+reassemble pass stays fully in-batch with NO further
+    shuffle; above it (or under force_distributed) chunks anti-join the
+    frequent set in a bucketed shuffle and docs reassemble in a second
+    keyed shuffle — same fork discipline as the other size-adaptive
+    joins, equivalence-tested at sandbox scale."""
+    import polars as pl
+
+    from ray.data.aggregate import Sum
+
+    n_bkt = default_buckets()
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"], split=True)
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        ex = _explode_chunks(batch, width)
+        cnt = ex.unique(["doc_id", "chunk"]).group_by("chunk").len()
+        return pa.table(
+            {
+                "chunk": cnt["chunk"].to_arrow(),
+                "cnt": cnt["len"].cast(pl.Int64).to_arrow(),
+            }
+        )
+
+    freq_ds = (
+        ds.map_batches(partial_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("chunk")
+        .aggregate(Sum("cnt", alias_name="n_docs"))
+        .filter(lambda r: r["n_docs"] >= min_docs)
+    )
+    n_freq = freq_ds.count()
+
+    if n_freq <= broadcast_max and not force_distributed:
+        freq_ref = ray.put(sorted(
+            c for b in freq_ds.iter_batches(batch_format="pyarrow")
+            for c in b.column("chunk").to_pylist()
+        ))
+
+        def scrub(batch: pa.Table) -> pa.Table:
+            fset = ray.get(freq_ref)
+            out = (
+                _explode_chunks(batch, width)
+                .filter(~pl.col("chunk").is_in(fset) if fset else pl.lit(True))
+                .sort(["doc_id", "chunk_id"])
+                .group_by("doc_id", maintain_order=True)
+                .agg(text=pl.col("chunk").str.join(" "))
+            )
+            return out.to_arrow()
+
+        return ds.map_batches(scrub, batch_format="pyarrow", zero_copy_batch=True)
+
+    # distributed path: bucketed anti join on the chunk, then reassemble
+    # docs in a second keyed shuffle (both all-to-alls move chunk rows,
+    # never whole documents)
+    from ..functions.hashing import hash64
+
+    def explode_with_bucket(batch: pa.Table) -> pa.Table:
+        ex = _explode_chunks(batch, width)
+        t = ex.to_arrow()
+        b = (hash64(t.column("chunk")).astype(np.uint64) % np.uint64(n_bkt)).astype(np.int32)
+        return t.append_column("__b", pa.array(b, pa.int32())).append_column(
+            "__drop", pa.array(np.zeros(t.num_rows, np.int8), pa.int8())
+        )
+
+    def freq_with_bucket(batch: pa.Table) -> pa.Table:
+        b = (hash64(batch.column("chunk")).astype(np.uint64) % np.uint64(n_bkt)).astype(np.int32)
+        n = batch.num_rows
+        return pa.table(
+            {
+                "doc_id": pa.array(np.full(n, -1, np.int64), pa.int64()),
+                "chunk_id": pa.array(np.full(n, -1, np.int64), pa.int64()),
+                "chunk": batch.column("chunk"),
+                "__b": pa.array(b, pa.int32()),
+                "__drop": pa.array(np.ones(n, np.int8), pa.int8()),
+            }
+        )
+
+    chunks = ds.map_batches(explode_with_bucket, batch_format="pyarrow", zero_copy_batch=True)
+    marks = freq_ds.map_batches(freq_with_bucket, batch_format="pyarrow")
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        drop = set(g.loc[g["__drop"] == 1, "chunk"])
+        keep = g[(g["__drop"] == 0) & ~g["chunk"].isin(drop)]
+        return keep[["doc_id", "chunk_id", "chunk"]]
+
+    kept = chunks.union(marks).groupby("__b").map_groups(anti, batch_format="pandas")
+
+    def reassemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "chunk_id"], kind="mergesort")
+        return (
+            g.groupby("doc_id", sort=False)["chunk"]
+            .agg(" ".join)
+            .reset_index(name="text")
+        )
+
+    def doc_bucket(batch: pa.Table) -> pa.Table:
+        b = (
+            batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+            % np.uint64(n_bkt)
+        ).astype(np.int32)
+        return batch.append_column("__db", pa.array(b, pa.int32()))
+
+    return (
+        kept.map_batches(doc_bucket, batch_format="pyarrow")
+        .groupby("__db")
+        .map_groups(reassemble, batch_format="pandas")
+    )
+
+
+def q_inverted_index(sf_dir: str, min_df: int = 2, max_df: int = 50):
+    """Posting-list construction (the IR / dedup-support index shape):
+    for every bigram with document frequency in [min_df, max_df], the
+    ascending comma-joined list of doc_ids containing it. The df window
+    is the classic posting-size bound — stopword-frequency grams are
+    useless for lookup and their lists are corpus-sized, so a real
+    index drops them (df > max_df) along with hapaxes (df < min_df).
+
+    Layout: per-batch DISTINCT (doc_id, bigram) explode (a doc lives in
+    one batch, so batch-local distinct is globally distinct); ONE
+    bucketed shuffle on hash(bigram)%B; per-bucket vectorized pandas
+    groupby builds df + the ordered posting string (string_agg ORDER BY
+    twin). Posting payload is bounded by max_df, so the output is
+    index-scale, never corpus-scale."""
+    import polars as pl
+
+    from ..functions.hashing import hash64
+
+    n_bkt = default_buckets()
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"], split=True)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        t = (
+            pl.from_arrow(batch)
+            .with_columns(t=pl.col("text").str.split(" "))
+            .with_columns(a=pl.col("t"), b=pl.col("t").list.shift(-1))
+            .explode(["a", "b"])
+            .filter(pl.col("b").is_not_null())
+            .select("doc_id", bigram=pl.col("a") + " " + pl.col("b"))
+            .unique()
+            .to_arrow()
+        )
+        bkt = (hash64(t.column("bigram")).astype(np.uint64) % np.uint64(n_bkt)).astype(np.int32)
+        return t.append_column("__b", pa.array(bkt, pa.int32()))
+
+    def build(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["bigram", "doc_id"], kind="mergesort")
+        out = (
+            g.groupby("bigram", sort=False)["doc_id"]
+            .agg(
+                df="size",
+                postings=lambda s: ",".join(str(x) for x in s),
+            )
+            .reset_index()
+        )
+        out["df"] = out["df"].astype("int64")
+        return out[(out["df"] >= min_df) & (out["df"] <= max_df)]
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(build, batch_format="pandas")
+    )

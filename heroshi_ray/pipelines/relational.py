@@ -4350,3 +4350,196 @@ def q_late_suppliers(
         .aggregate(Sum("n", alias_name="numwait"))
         .map_batches(attach, batch_format="pyarrow")
     )
+
+
+# ------------------------------------------- value-distribution (round 3) --
+def q_p99_outliers(sf_dir: str, q: int = 99):
+    """Per-event-type p99 outlier filter (the tail-clipping gate data
+    cleaning runs before normalization): events whose value exceeds
+    their type's exact 99th percentile. Unlike q_percentiles (which
+    sorts each group's VALUE VECTOR in one task), the threshold here is
+    computed from a distributed VALUE HISTOGRAM, which is the layout
+    that still works when one group holds billions of rows:
+
+    1. combiner: per-batch (event_type, v_e2) -> partial count — the
+       shuffle moves per-batch distinct-value vocabularies, not rows;
+    2. one groupby merges partials; per type a map_groups task sorts the
+       distinct values and walks the cumulative counts to the exact
+       index floor((n-1)*q/100) — the SAME integer rule q_percentiles
+       pins, reproduced over (value, count) pairs, duplicates included;
+    3. thresholds (|event types| rows) broadcast; one streaming filter
+       pass emits the outliers. No row-level all-to-all anywhere."""
+    from ray.data.aggregate import Sum
+
+    ds = _pq(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["v_e2"] = (df["value"] * 100).round().astype("int64")
+        g = (
+            df.groupby(["event_type", "v_e2"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        g["cnt"] = g["cnt"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "v_e2"])
+        .aggregate(Sum("cnt", alias_name="n"))
+    )
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("v_e2", kind="mergesort")
+        c = g["n"].to_numpy(dtype=np.int64)
+        n = int(c.sum())
+        idx = (n - 1) * q // 100
+        pos = int(np.searchsorted(np.cumsum(c), idx + 1))
+        return pd.DataFrame(
+            {"event_type": [g["event_type"].iloc[0]], "thr": [int(g["v_e2"].iloc[pos])]}
+        )
+
+    th = (
+        hist.groupby("event_type")
+        .map_groups(pick, batch_format="pandas")
+        .to_pandas()  # |event types| rows — tiny
+    )
+    thr = {t: int(v) for t, v in zip(th["event_type"], th["thr"])}
+    thr_ref = ray.put(thr)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        tm = ray.get(thr_ref)
+        v = (df["value"] * 100).round().astype("int64")
+        keep = v.to_numpy() > df["event_type"].map(tm).to_numpy()
+        out = pd.DataFrame(
+            {
+                "event_id": df["event_id"][keep].astype("int64"),
+                "event_type": df["event_type"][keep],
+                "v_e2": v[keep],
+            }
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return ds.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_dense_rank(sf_dir: str):
+    """DENSE_RANK() OVER (PARTITION BY event_type ORDER BY v_e2) for
+    every event — the exact grouped ranking window, distributed. The
+    q_ntile/q_late_events block-offset core generalized from prefix-SUM
+    and prefix-MAX to prefix-DISTINCT-COUNT with partition resets:
+
+    1. ONE range sort on (event_type, v_e2) — the only all-to-all, and
+       the sort key IS the payload;
+    2. metadata round: each sorted block returns its per-type distinct
+       counts plus its boundary (type, value) pairs — a few ints/strings
+       per block, never rows. The driver cumsums distinct counts per
+       type, subtracting one when a value straddles two blocks (the
+       block's first value equals its predecessor's last);
+    3. attach round, embarrassingly parallel: each block computes local
+       dense ranks vectorized (change-flag cumsum reset at type
+       boundaries) and adds its type's global offset.
+
+    Dense rank is order-associative the same way sum/max are — a
+    block's contribution is its distinct count, corrected at the seam —
+    so the pattern holds at any block count; ties NEED no tiebreak
+    because equal (type, value) rows get equal rank by definition."""
+    ds = _pq(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        v = pc.round(pc.multiply(batch.column("value"), 100.0))
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "event_type": batch.column("event_type"),
+                "v_e2": v.cast(pa.int64()),
+            }
+        )
+
+    sorted_ds = (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["event_type", "v_e2"])
+        .materialize()
+    )
+    refs = sorted_ds.to_arrow_refs()
+
+    @ray.remote
+    def _meta(block: pa.Table):
+        if block.num_rows == 0:
+            return None
+        t = np.asarray(block.column("event_type").to_pandas(), dtype=object)
+        v = block.column("v_e2").to_numpy(zero_copy_only=False)
+        change = np.r_[True, (t[1:] != t[:-1]) | (v[1:] != v[:-1])]
+        seg = np.r_[True, t[1:] != t[:-1]]
+        types, counts = [], []
+        seg_idx = np.flatnonzero(seg)
+        bounds = np.r_[seg_idx, len(t)]
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            types.append(t[s])
+            counts.append(int(change[s:e].sum()))
+        return {
+            "types": types,
+            "distinct": counts,
+            "first": (t[0], int(v[0])),
+            "last": (t[-1], int(v[-1])),
+        }
+
+    metas = ray.get([_meta.remote(r) for r in refs])
+
+    # driver seam-merge: one dict of per-type running distinct counts;
+    # per block a snapshot offset map + a straddle flag
+    cum: dict = {}
+    last = None
+    block_offsets, block_straddle = [], []
+    for m in metas:
+        if m is None:
+            block_offsets.append({})
+            block_straddle.append(False)
+            continue
+        straddle = last is not None and (m["first"][0], m["first"][1]) == last
+        block_offsets.append(dict(cum))
+        block_straddle.append(bool(straddle))
+        for ty, d in zip(m["types"], m["distinct"]):
+            cum[ty] = cum.get(ty, 0) + d
+        if straddle:
+            cum[m["first"][0]] -= 1
+        last = (m["last"][0], m["last"][1])
+
+    @ray.remote
+    def _attach(block: pa.Table, offsets: dict, straddle: bool) -> pa.Table:
+        if block.num_rows == 0:
+            return pa.table(
+                {"event_id": pa.array([], pa.int64()),
+                 "drank": pa.array([], pa.int64())}
+            )
+        t = np.asarray(block.column("event_type").to_pandas(), dtype=object)
+        v = block.column("v_e2").to_numpy(zero_copy_only=False)
+        change = np.r_[True, (t[1:] != t[:-1]) | (v[1:] != v[:-1])]
+        seg = np.r_[True, t[1:] != t[:-1]]
+        gdense = np.cumsum(change)
+        seg_start = np.flatnonzero(seg)
+        seg_id = np.cumsum(seg) - 1
+        local = gdense - (gdense[seg_start] - 1)[seg_id]
+        off = np.array([offsets.get(ty, 0) for ty in t[seg_start]], dtype=np.int64)[seg_id]
+        rank = off + local
+        if straddle:
+            # the block's first value was already counted into this
+            # block's offset by its predecessor, but the local change
+            # flags count it again — every rank in the FIRST type
+            # segment is one too high (the driver's cum decrement only
+            # repairs LATER blocks)
+            rank[seg_id == 0] -= 1
+        return pa.table(
+            {
+                "event_id": block.column("event_id"),
+                "drank": pa.array(rank.astype(np.int64), pa.int64()),
+            }
+        )
+
+    out_refs = [
+        _attach.remote(r, o, s)
+        for r, o, s in zip(refs, block_offsets, block_straddle)
+    ]
+    return ray.data.from_arrow_refs(out_refs)
