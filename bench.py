@@ -208,6 +208,12 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         "q_part_supplier_counts",
         "q_dominant_suppliers",
         "q_late_suppliers",
+        "q_pii_redact",
+        "q_repetition_stats",
+        "q_chunk_dedup",
+        "q_inverted_index",
+        "q_p99_outliers",
+        "q_dense_rank",
     ]
     # per-query best-of-2 with the same rationale as the headline reps.
     # The two sub-2 s fixed-overhead-dominated queries get extra reps:

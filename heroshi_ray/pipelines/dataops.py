@@ -3334,6 +3334,7 @@ def q_chunk_dedup(
         .groupby("chunk")
         .aggregate(Sum("cnt", alias_name="n_docs"))
         .filter(lambda r: r["n_docs"] >= min_docs)
+        .materialize()  # frequent set is output-scale; count + read reuse it
     )
     n_freq = freq_ds.count()
 
