@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_inverted_index": d.q_inverted_index,
         "q_p99_outliers": r.q_p99_outliers,
         "q_dense_rank": r.q_dense_rank,
+        "q_full_outer": r.q_full_outer,
         # the remaining TPC-H shapes (round-3 session 3) — with these
         # all 22 TPC-H query shapes are covered and oracled
         "q_min_cost_supplier": r.q_min_cost_supplier,
@@ -90,7 +91,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_triangle_count": d.q_triangle_count,
         "q_retention": r.q_retention,
         "q_intersect_users": r.q_intersect_users,
-        "q_except_users": r.q_except_users,
         "q_corr_stats": r.q_corr_stats,
         "q_skew_join": r.q_skew_join,
         "q_market_share": r.q_market_share,
@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # quality counters, filtered aggregates, per-group scaling,
         # lag windows, per-group top-k, and the ntile/dense-rank core)
         "q_stopword_stats": d.q_stopword_stats,
+        "q_except_users": r.q_except_users,
         "q_filter_agg": r.q_filter_agg,
         "q_minmax_scale": r.q_minmax_scale,
         "q_vocab_topk": d.q_vocab_topk,
@@ -165,6 +166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_phash_neardup": d.q_phash_neardup,
         "q_image_dedup": d.q_image_dedup,
         "q_image_clusters": d.q_image_clusters,
+        "q_kmeans": d.q_kmeans,
         "q_ann_ivf": d.q_ann_ivf,
         "q_ann_ivfpq": d.q_ann_ivfpq,
         "q_ann_persistent": d.q_ann_persistent,
@@ -1510,5 +1512,23 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY CAST(round(value * 100) AS BIGINT)
                    ) AS BIGINT) AS drank
             FROM events
+        """,
+        # FULL OUTER JOIN reconciliation of activity vs accounts
+        "q_full_outer": """
+            WITH e AS (
+              SELECT user_id AS key, CAST(count(*) AS BIGINT) AS n_events
+              FROM events GROUP BY 1
+            ), c AS (
+              SELECT c_custkey AS key,
+                     CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_e2
+              FROM customer
+            )
+            SELECT COALESCE(e.key, c.key) AS key,
+                   COALESCE(e.n_events, 0) AS n_events,
+                   COALESCE(c.acctbal_e2, -1) AS acctbal_e2,
+                   CASE WHEN e.key IS NOT NULL AND c.key IS NOT NULL THEN 'both'
+                        WHEN e.key IS NOT NULL THEN 'events'
+                        ELSE 'customer' END AS side
+            FROM e FULL OUTER JOIN c ON e.key = c.key
         """,
     }

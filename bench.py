@@ -214,6 +214,8 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         "q_inverted_index",
         "q_p99_outliers",
         "q_dense_rank",
+        "q_full_outer",
+        "q_kmeans",
     ]
     # per-query best-of-2 with the same rationale as the headline reps.
     # The two sub-2 s fixed-overhead-dominated queries get extra reps:

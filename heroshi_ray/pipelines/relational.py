@@ -4543,3 +4543,74 @@ def q_dense_rank(sf_dir: str):
         for r, o, s in zip(refs, block_offsets, block_straddle)
     ]
     return ray.data.from_arrow_refs(out_refs)
+
+
+def q_full_outer(sf_dir: str):
+    """FULL OUTER JOIN of per-user event counts against the customer
+    table (the reconciliation shape: which activity has no account,
+    which account has no activity, and the joined rows). Completes the
+    join-type inventory next to the inner/left/semi/anti/asof/range
+    shapes. Nulls never cross the hash: counts coalesce to 0, balances
+    to a -1 sentinel, and a `side` tag (both/events/customer) makes the
+    outer semantics directly assertable.
+
+    Layout: the events side arrives as COMBINER partials (one row per
+    user per batch), so the single bucketed shuffle moves key-bounded
+    partials + the customer scan — never raw events; per bucket one
+    vectorized pandas outer merge. Same bucket modulus on both sides,
+    hoisted to the driver (the ADVICE-r2 rule: workers must not read
+    live cluster state for routing)."""
+    n_bkt = default_buckets()
+    ev = _pq(sf_dir, "events", columns=["user_id"])
+    cust = _pq(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+
+    def ev_partial(batch: pa.Table) -> pa.Table:
+        u, c = np.unique(
+            batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64),
+            return_counts=True,
+        )
+        return pa.table(
+            {
+                "key": pa.array(u, pa.int64()),
+                "n_events": pa.array(c.astype(np.int64), pa.int64()),
+                "acctbal_e2": pa.array(np.full(len(u), -1, np.int64), pa.int64()),
+                "__side": pa.array(np.zeros(len(u), np.int8), pa.int8()),
+                "__b": pa.array((u % n_bkt).astype(np.int32), pa.int32()),
+            }
+        )
+
+    def cust_rows(batch: pa.Table) -> pa.Table:
+        key = batch.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        bal = np.round(
+            batch.column("c_acctbal").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "key": pa.array(key, pa.int64()),
+                "n_events": pa.array(np.zeros(len(key), np.int64), pa.int64()),
+                "acctbal_e2": pa.array(bal, pa.int64()),
+                "__side": pa.array(np.ones(len(key), np.int8), pa.int8()),
+                "__b": pa.array((key % n_bkt).astype(np.int32), pa.int32()),
+            }
+        )
+
+    both = ev.map_batches(ev_partial, batch_format="pyarrow", zero_copy_batch=True).union(
+        cust.map_batches(cust_rows, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        e = (
+            g[g["__side"] == 0]
+            .groupby("key", sort=False)["n_events"].sum().reset_index()
+        )
+        c = g[g["__side"] == 1][["key", "acctbal_e2"]]
+        m = e.merge(c, on="key", how="outer")
+        m["side"] = np.where(
+            m["n_events"].notna() & m["acctbal_e2"].notna(), "both",
+            np.where(m["n_events"].notna(), "events", "customer"),
+        )
+        m["n_events"] = m["n_events"].fillna(0).astype("int64")
+        m["acctbal_e2"] = m["acctbal_e2"].fillna(-1).astype("int64")
+        return m[["key", "n_events", "acctbal_e2", "side"]]
+
+    return both.groupby("__b").map_groups(merge, batch_format="pandas")

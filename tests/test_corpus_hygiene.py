@@ -112,3 +112,33 @@ def test_pii_redact_no_residual_pii(ray_session):
     assert not out["clean"].str.contains(r"[a-z0-9._]+@", regex=True).any()
     assert not out["clean"].str.contains(r"\+1-555-[0-9]", regex=True).any()
     assert (out["n_emails"] >= 1).all()
+
+
+def test_kmeans_matches_single_process_replica(ray_session):
+    """The distributed Lloyd's must equal a straight-line numpy replica
+    that uses the identical fixed-point rule (same init, 5 iters)."""
+    from heroshi_ray.pipelines.dataops import q_kmeans
+
+    k, n_iter, dims = 8, 5, 64
+    out = to_df(q_kmeans(SF_DIR, k=k, n_iter=n_iter)).sort_values("vec_id")
+
+    t = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"))
+    ids = t.column("vec_id").to_numpy()
+    x = np.asarray(
+        [np.asarray(e, dtype=np.float32) for e in t.column("embedding").to_pylist()]
+    ).astype(np.float64)
+    order = np.argsort(ids)
+    ids, x = ids[order], x[order]
+    C = x[ids < k].copy()
+    for _ in range(n_iter):
+        d = (x * x).sum(1)[:, None] - 2.0 * (x @ C.T) + (C * C).sum(1)[None, :]
+        a = np.argmin(d, axis=1)
+        v = np.round(x * 1e6).astype(np.int64)
+        for c in range(k):
+            m = a == c
+            if m.any():
+                C[c] = v[m].sum(axis=0).astype(np.float64) / 1e6 / m.sum()
+    d = (x * x).sum(1)[:, None] - 2.0 * (x @ C.T) + (C * C).sum(1)[None, :]
+    expect = np.argmin(d, axis=1)
+    np.testing.assert_array_equal(out["cluster"].to_numpy(), expect)
+    assert len(np.unique(expect)) > 1  # the fixture actually separates
