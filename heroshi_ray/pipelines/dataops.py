@@ -2749,21 +2749,50 @@ def q_triangle_count(
             orient_joined, batch_format="pyarrow", zero_copy_batch=True
         ).materialize()
 
-    # wedges: per-center out-neighbor pairs, vectorized inside map_groups
+    # wedges: per-center out-neighbor pairs. The shuffle keys on
+    # src%B (coarse buckets — a center's out-edges co-locate, the sort
+    # moves B distinct ints, not the node id range) and the kernel is
+    # vectorized BY OUT-DEGREE CLASS: rows sort by (degree, center),
+    # every center with the same out-degree k stacks into an (m, k)
+    # matrix and one triu gather emits all their pairs — zero
+    # per-center Python (out-degree is O(sqrt|E|) under the degree
+    # orientation, so there are few distinct classes).
+    def add_src_bucket(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "__sb", pa.array((s % n_bkt).astype(np.int32), pa.int32())
+        )
+
     def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.sort_values(["src", "dst"], kind="mergesort")
+        s = df["src"].to_numpy()
+        d = df["dst"].to_numpy()
+        change = np.r_[True, s[1:] != s[:-1]]
+        gid = np.cumsum(change) - 1
+        sizes = np.bincount(gid)
+        order = np.argsort(sizes[gid], kind="stable")  # group rows stay contiguous
+        d = d[order]
+        k_of_row = sizes[gid][order]
         out_a, out_b = [np.empty(0, np.int64)], [np.empty(0, np.int64)]
-        for _, grp in g.groupby("src", sort=False):
-            nb = np.sort(grp["dst"].to_numpy())
-            k = len(nb)
+        start = 0
+        for k in np.unique(sizes):
+            n_rows = int((k_of_row == k).sum())
+            block = d[start : start + n_rows]
+            start += n_rows
             if k < 2:
                 continue
-            iu = np.triu_indices(k, 1)
-            out_a.append(nb[iu[0]])
-            out_b.append(nb[iu[1]])
+            mat = block.reshape(-1, k)
+            iu, ju = np.triu_indices(k, 1)
+            out_a.append(mat[:, iu].ravel())
+            out_b.append(mat[:, ju].ravel())
         a, b = np.concatenate(out_a), np.concatenate(out_b)
         return pd.DataFrame({"u": a, "v": b, "__b": (a * 31 + b) % n_bkt})
 
-    wedge_ds = oriented.groupby("src").map_groups(wedges, batch_format="pandas")
+    wedge_ds = (
+        oriented.map_batches(add_src_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__sb")
+        .map_groups(wedges, batch_format="pandas")
+    )
 
     # closing-edge membership: bucket both sides on the same key, then a
     # per-bucket sorted int64 membership test

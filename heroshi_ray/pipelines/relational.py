@@ -4021,15 +4021,18 @@ def q_part_supplier_counts(
     """TPC-H-Q16 shape: DISTINCT supplier count per (brand, type,
     size), excluding a brand, a type, large sizes, and a NOT-IN
     supplier blocklist (acctbal below a floor stands in for the
-    complaints filter). Layout: part attrs broadcast as sorted
-    parallel arrays (attach + filter in one searchsorted probe),
-    blocklist as an inverted is_in; per-batch unique 4-tuples
-    (combiner dedup) → ONE bucketed shuffle on supp%B (a 4-tuple is
-    wholly inside its supplier's bucket, so per-bucket
-    drop_duplicates IS the global dedup) → per-bucket partial counts
-    → tiny attrs groupby Sum. Raw line items never shuffle."""
-    from ray.data.aggregate import Sum
+    complaints filter).
 
+    Layout: the filtered part attrs collapse to a driver-side DISTINCT
+    attrs table (output-scale: |brand x type x size| combos), so the
+    pipeline ships (attr_id, suppkey) INT pairs only — strings never
+    enter the shuffle (the string-keyed two-shuffle version measured
+    ~6x slower at sf0.1). Per-batch unique pairs (combiner dedup) ->
+    ONE bucketed shuffle on supp%B (a pair lives wholly in its
+    supplier's bucket, so per-bucket drop_duplicates IS the global
+    dedup) -> per-bucket partial counts per attr_id -> driver sums
+    <= |attrs| x B partial rows and joins the attr strings back. Raw
+    line items never shuffle."""
     B = n_buckets or default_buckets()
 
     part = _dim_df(
@@ -4040,13 +4043,23 @@ def q_part_supplier_counts(
         & (part["p_type"] != excl_type)
         & (part["p_size"] <= max_size)
     ].sort_values("p_partkey", kind="mergesort")
-    part_ref = ray.put(
-        (
-            part["p_partkey"].to_numpy().astype(np.int64),
-            part["p_brand"].to_numpy(),
-            part["p_type"].to_numpy(),
-            part["p_size"].to_numpy().astype(np.int64),
+    attrs = (
+        part[["p_brand", "p_type", "p_size"]]
+        .drop_duplicates()
+        .reset_index(drop=True)
+    )
+    attr_key = {
+        t: i for i, t in enumerate(
+            zip(attrs["p_brand"], attrs["p_type"], attrs["p_size"])
         )
+    }
+    attr_of_part = np.fromiter(
+        (attr_key[t] for t in zip(part["p_brand"], part["p_type"], part["p_size"])),
+        dtype=np.int64,
+        count=len(part),
+    )
+    part_ref = ray.put(
+        (part["p_partkey"].to_numpy().astype(np.int64), attr_of_part)
     )
 
     sup = _dim_df(sf_dir, "supplier", columns=["s_suppkey", "s_acctbal"])
@@ -4056,17 +4069,11 @@ def q_part_supplier_counts(
     li = _pq(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
 
     empty = pa.schema(
-        [
-            ("p_brand", pa.string()),
-            ("p_type", pa.string()),
-            ("p_size", pa.int64()),
-            ("l_suppkey", pa.int64()),
-            ("__b", pa.int32()),
-        ]
+        [("attr_id", pa.int64()), ("l_suppkey", pa.int64()), ("__b", pa.int32())]
     )
 
-    def tuples(batch: pa.Table) -> pa.Table:
-        pkeys, pbrand, ptype, psize = ray.get(part_ref)
+    def pairs(batch: pa.Table) -> pa.Table:
+        pkeys, pattr = ray.get(part_ref)
         batch = batch.filter(
             pc.invert(
                 pc.is_in(batch.column("l_suppkey"), value_set=ray.get(bad_ref))
@@ -4078,48 +4085,36 @@ def q_part_supplier_counts(
         hit = pkeys[pos] == k if len(pkeys) else np.zeros(len(k), bool)
         if not bool(hit.any()):
             return empty.empty_table()
-        batch = batch.filter(pa.array(hit))
-        pos = pos[hit]
-        df = pd.DataFrame(
-            {
-                "p_brand": pbrand[pos],
-                "p_type": ptype[pos],
-                "p_size": psize[pos],
-                "l_suppkey": batch.column("l_suppkey").to_numpy(
-                    zero_copy_only=False
-                ),
-            }
-        ).drop_duplicates()
-        b = (df["l_suppkey"].to_numpy().astype(np.uint64) % np.uint64(B)).astype(
-            np.int32
-        )
+        supp = batch.column("l_suppkey").to_numpy(zero_copy_only=False)[hit]
+        aid = pattr[pos[hit]]
+        u = np.unique(np.stack([aid, supp], axis=1), axis=0)
+        b = (u[:, 1].astype(np.uint64) % np.uint64(B)).astype(np.int32)
         return pa.table(
             {
-                "p_brand": pa.array(df["p_brand"], pa.string()),
-                "p_type": pa.array(df["p_type"], pa.string()),
-                "p_size": pa.array(df["p_size"], pa.int64()),
-                "l_suppkey": pa.array(df["l_suppkey"], pa.int64()),
+                "attr_id": pa.array(u[:, 0], pa.int64()),
+                "l_suppkey": pa.array(u[:, 1], pa.int64()),
                 "__b": pa.array(b, pa.int32()),
             }
         )
 
     def bucket_count(g: pd.DataFrame) -> pd.DataFrame:
-        u = g.drop_duplicates(["p_brand", "p_type", "p_size", "l_suppkey"])
-        out = (
-            u.groupby(["p_brand", "p_type", "p_size"], sort=False)
-            .size()
-            .reset_index(name="n")
-        )
+        u = g.drop_duplicates(["attr_id", "l_suppkey"])
+        out = u.groupby("attr_id", sort=False).size().reset_index(name="n")
         out["n"] = out["n"].astype("int64")
         return out
 
-    return (
-        li.map_batches(tuples, batch_format="pyarrow")
+    parts_cnt = (
+        li.map_batches(pairs, batch_format="pyarrow")
         .groupby("__b")
         .map_groups(bucket_count, batch_format="pandas")
-        .groupby(["p_brand", "p_type", "p_size"])
-        .aggregate(Sum("n", alias_name="supplier_cnt"))
+        .to_pandas()  # <= |attrs| x B rows — output-scale
     )
+    total = parts_cnt.groupby("attr_id")["n"].sum()
+    out = attrs.copy()
+    out["supplier_cnt"] = out.index.map(total).fillna(0).astype("int64")
+    out = out[out["supplier_cnt"] > 0].reset_index(drop=True)
+    out["p_size"] = out["p_size"].astype("int64")
+    return out
 
 
 # ----------------------------------------------------------- Q20 ----
@@ -4323,32 +4318,28 @@ def q_late_suppliers(
         out["n"] = out["n"].astype("int64")
         return out
 
-    sup = _dim_df(sf_dir, "supplier", columns=["s_suppkey", "s_name"]).sort_values(
-        "s_suppkey", kind="mergesort"
-    )
-    sup_ref = ray.put(
-        (sup["s_suppkey"].to_numpy().astype(np.int64), sup["s_name"].to_numpy())
-    )
-
-    def attach(batch: pa.Table) -> pa.Table:
-        skeys, snames = ray.get(sup_ref)
-        k = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(skeys, k)
-        return pa.table(
-            {
-                "s_suppkey": pa.array(k, pa.int64()),
-                "s_name": pa.array(snames[pos], pa.string()),
-                "numwait": batch.column("numwait"),
-            }
-        )
-
-    return (
+    # per-bucket counts are KEY-BOUNDED (<= |suppliers| rows per
+    # bucket), so the final rollup is a driver merge like the other
+    # output-scale tails — the chained groupby(suppkey) shuffle this
+    # replaces cost more wall than the whole rest of the query
+    parts = (
         joined.map_batches(pair_late, batch_format="pyarrow")
         .groupby("__b")
         .map_groups(lone_late, batch_format="pandas")
-        .groupby("l_suppkey")
-        .aggregate(Sum("n", alias_name="numwait"))
-        .map_batches(attach, batch_format="pyarrow")
+        .to_pandas()
+    )
+    sup = _dim_df(sf_dir, "supplier", columns=["s_suppkey", "s_name"]).sort_values(
+        "s_suppkey", kind="mergesort"
+    )
+    tot = parts.groupby("l_suppkey", sort=True)["n"].sum()
+    skeys = sup["s_suppkey"].to_numpy().astype(np.int64)
+    pos = np.searchsorted(skeys, tot.index.to_numpy().astype(np.int64))
+    return pd.DataFrame(
+        {
+            "s_suppkey": tot.index.to_numpy().astype(np.int64),
+            "s_name": sup["s_name"].to_numpy()[pos],
+            "numwait": tot.to_numpy().astype(np.int64),
+        }
     )
 
 
