@@ -4354,14 +4354,13 @@ def q_p99_outliers(sf_dir: str, q: int = 99):
 
     1. combiner: per-batch (event_type, v_e2) -> partial count — the
        shuffle moves per-batch distinct-value vocabularies, not rows;
-    2. one groupby merges partials; per type a map_groups task sorts the
-       distinct values and walks the cumulative counts to the exact
-       index floor((n-1)*q/100) — the SAME integer rule q_percentiles
-       pins, reproduced over (value, count) pairs, duplicates included;
+    2. ONE groupby(type) co-locates each type's partials; the per-type
+       task merges duplicate values and walks the cumulative counts to
+       the exact index floor((n-1)*q/100) — the SAME integer rule
+       q_percentiles pins, reproduced over (value, count) pairs,
+       duplicates included;
     3. thresholds (|event types| rows) broadcast; one streaming filter
        pass emits the outliers. No row-level all-to-all anywhere."""
-    from ray.data.aggregate import Sum
-
     ds = _pq(sf_dir, "events", columns=["event_id", "event_type", "value"])
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -4375,24 +4374,25 @@ def q_p99_outliers(sf_dir: str, q: int = 99):
         g["cnt"] = g["cnt"].astype("int64")
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    hist = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["event_type", "v_e2"])
-        .aggregate(Sum("cnt", alias_name="n"))
-    )
-
     def pick(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("v_e2", kind="mergesort")
+        # g = ALL partial (v_e2, cnt) rows of one event type (distinct-
+        # value scale); merge duplicates, then walk the cumulative
+        # counts to the exact index — one task per type, ONE all-to-all
+        # total (the two-stage groupby([type,v]) -> groupby(type) chain
+        # this fuses spent a second shuffle for nothing)
+        et = g["event_type"].iloc[0]
+        g = (
+            g.groupby("v_e2", sort=True)["cnt"].sum().reset_index(name="n")
+        )
         c = g["n"].to_numpy(dtype=np.int64)
         n = int(c.sum())
         idx = (n - 1) * q // 100
         pos = int(np.searchsorted(np.cumsum(c), idx + 1))
-        return pd.DataFrame(
-            {"event_type": [g["event_type"].iloc[0]], "thr": [int(g["v_e2"].iloc[pos])]}
-        )
+        return pd.DataFrame({"event_type": [et], "thr": [int(g["v_e2"].iloc[pos])]})
 
     th = (
-        hist.groupby("event_type")
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
         .map_groups(pick, batch_format="pandas")
         .to_pandas()  # |event types| rows — tiny
     )
