@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_p99_outliers": r.q_p99_outliers,
         "q_dense_rank": r.q_dense_rank,
         "q_full_outer": r.q_full_outer,
+        "q_edit_neardup": d.q_edit_neardup,
         # the remaining TPC-H shapes (round-3 session 3) — with these
         # all 22 TPC-H query shapes are covered and oracled
         "q_min_cost_supplier": r.q_min_cost_supplier,
@@ -77,7 +78,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pagerank": d.q_pagerank,
         "q_volume_shipping": r.q_volume_shipping,
         "q_no_order_customers": r.q_no_order_customers,
-        "q_cube": r.q_cube,
         "q_returned_revenue": r.q_returned_revenue,
         "q_centroids": d.q_centroids,
         "q_chunk": d.q_chunk,
@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # lag windows, per-group top-k, and the ntile/dense-rank core)
         "q_stopword_stats": d.q_stopword_stats,
         "q_except_users": r.q_except_users,
+        "q_cube": r.q_cube,
         "q_filter_agg": r.q_filter_agg,
         "q_minmax_scale": r.q_minmax_scale,
         "q_vocab_topk": d.q_vocab_topk,
@@ -1530,5 +1531,12 @@ def oracle_sql() -> dict[str, str]:
                         WHEN e.key IS NOT NULL THEN 'events'
                         ELSE 'customer' END AS side
             FROM e FULL OUTER JOIN c ON e.key = c.key
+        """,
+        # edit-distance-1 similarity self-join (the engine uses FastSS
+        # deletion neighborhoods; the twin runs the quadratic check)
+        "q_edit_neardup": """
+            SELECT a.s_suppkey AS a, b.s_suppkey AS b
+            FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+            WHERE levenshtein(a.s_name, b.s_name) <= 1
         """,
     }

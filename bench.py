@@ -216,6 +216,7 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         "q_dense_rank",
         "q_full_outer",
         "q_kmeans",
+        "q_edit_neardup",
     ]
     # per-query best-of-2 with the same rationale as the headline reps.
     # The two sub-2 s fixed-overhead-dominated queries get extra reps:
