@@ -117,6 +117,42 @@ class _MinHashStage:
         )
 
 
+def _group_pairs(group_key: np.ndarray, payloads: list) -> list:
+    """All unordered within-group pairs, degree-class-vectorized (the
+    shared core of q_triangle_count's wedge stage and q_edit_neardup's
+    candidate stage): rows must arrive SORTED by group_key; rows are
+    re-ordered by group size so every same-size group stacks into one
+    (m, k) matrix and a single triu gather emits all pairs — zero
+    per-group Python. Returns [(pay_a, pay_b), ...] per payload array."""
+    change = np.r_[True, group_key[1:] != group_key[:-1]]
+    gid = np.cumsum(change) - 1
+    sizes = np.bincount(gid)
+    order = np.argsort(sizes[gid], kind="stable")  # group rows stay contiguous
+    k_of_row = sizes[gid][order]
+    pays = [p[order] for p in payloads]
+    outs = [([], []) for _ in payloads]
+    start = 0
+    for k in np.unique(sizes):
+        n_rows = int((k_of_row == k).sum())
+        if k < 2:
+            start += n_rows
+            continue
+        iu, ju = np.triu_indices(k, 1)
+        for p, (oa, ob) in zip(pays, outs):
+            mat = p[start : start + n_rows].reshape(-1, k)
+            oa.append(mat[:, iu].ravel())
+            ob.append(mat[:, ju].ravel())
+        start += n_rows
+    empty = np.empty(0, payloads[0].dtype if payloads else np.int64)
+    return [
+        (
+            np.concatenate(oa) if oa else np.empty(0, p.dtype),
+            np.concatenate(ob) if ob else np.empty(0, p.dtype),
+        )
+        for p, (oa, ob) in zip(payloads, outs)
+    ]
+
+
 def _dedup_pairs(cand: "ray.data.Dataset", a_col: str, b_col: str,
                  n_buckets: int | None = None) -> "ray.data.Dataset":
     """Distributed (a, b) pair dedup: one shuffle keyed on hash(pair)%B,
@@ -2765,27 +2801,8 @@ def q_triangle_count(
 
     def wedges(g: pd.DataFrame) -> pd.DataFrame:
         df = g.sort_values(["src", "dst"], kind="mergesort")
-        s = df["src"].to_numpy()
-        d = df["dst"].to_numpy()
-        change = np.r_[True, s[1:] != s[:-1]]
-        gid = np.cumsum(change) - 1
-        sizes = np.bincount(gid)
-        order = np.argsort(sizes[gid], kind="stable")  # group rows stay contiguous
-        d = d[order]
-        k_of_row = sizes[gid][order]
-        out_a, out_b = [np.empty(0, np.int64)], [np.empty(0, np.int64)]
-        start = 0
-        for k in np.unique(sizes):
-            n_rows = int((k_of_row == k).sum())
-            block = d[start : start + n_rows]
-            start += n_rows
-            if k < 2:
-                continue
-            mat = block.reshape(-1, k)
-            iu, ju = np.triu_indices(k, 1)
-            out_a.append(mat[:, iu].ravel())
-            out_b.append(mat[:, ju].ravel())
-        a, b = np.concatenate(out_a), np.concatenate(out_b)
+        ((a, b),) = _group_pairs(df["src"].to_numpy(), [df["dst"].to_numpy()])
+        # out-neighbors were dst-sorted within each src, so a < b holds
         return pd.DataFrame({"u": a, "v": b, "__b": (a * 31 + b) % n_bkt})
 
     wedge_ds = (
@@ -3368,16 +3385,20 @@ def q_chunk_dedup(
     n_freq = freq_ds.count()
 
     if n_freq <= broadcast_max and not force_distributed:
-        freq_ref = ray.put(sorted(
-            c for b in freq_ds.iter_batches(batch_format="pyarrow")
-            for c in b.column("chunk").to_pylist()
-        ))
+        freq_ref = ray.put(pl.Series(
+            "chunk",
+            sorted(
+                c for b in freq_ds.iter_batches(batch_format="pyarrow")
+                for c in b.column("chunk").to_pylist()
+            ),
+        ))  # broadcast as a polars Series — is_in() reuses it per batch
+        # with no per-call list->Series conversion
 
         def scrub(batch: pa.Table) -> pa.Table:
             fset = ray.get(freq_ref)
             out = (
                 _explode_chunks(batch, width)
-                .filter(~pl.col("chunk").is_in(fset) if fset else pl.lit(True))
+                .filter(~pl.col("chunk").is_in(fset) if len(fset) else pl.lit(True))
                 .sort(["doc_id", "chunk_id"])
                 .group_by("doc_id", maintain_order=True)
                 .agg(text=pl.col("chunk").str.join(" "))
@@ -3481,16 +3502,26 @@ def q_inverted_index(sf_dir: str, min_df: int = 2, max_df: int = 50):
 
     def build(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["bigram", "doc_id"], kind="mergesort")
-        out = (
-            g.groupby("bigram", sort=False)["doc_id"]
-            .agg(
-                df="size",
-                postings=lambda s: ",".join(str(x) for x in s),
+        # df-window filter FIRST: hapaxes and stopword-frequency grams
+        # dominate real vocabularies, so posting strings are built only
+        # for in-window bigrams, from a single vectorized astype(str)
+        sizes = g.groupby("bigram", sort=False)["doc_id"].transform("size")
+        g = g[(sizes >= min_df) & (sizes <= max_df)]
+        if g.empty:
+            return pd.DataFrame(
+                {"bigram": pd.Series([], dtype=object),
+                 "df": pd.Series([], dtype="int64"),
+                 "postings": pd.Series([], dtype=object)}
             )
+        ids = g["doc_id"].astype(str)
+        out = (
+            pd.DataFrame({"bigram": g["bigram"], "ids": ids})
+            .groupby("bigram", sort=False)["ids"]
+            .agg(df="size", postings=",".join)
             .reset_index()
         )
         out["df"] = out["df"].astype("int64")
-        return out[(out["df"] >= min_df) & (out["df"] <= max_df)]
+        return out
 
     return (
         ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
@@ -3633,18 +3664,32 @@ def q_edit_neardup(sf_dir: str, n_buckets: int | None = None):
         keys = batch.column("s_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
         names = np.asarray(batch.column("s_name").to_pylist(), dtype=object)
         lens = np.fromiter((len(n) for n in names), np.int64, len(names))
+        if len(names) == 0:
+            return pa.table(
+                {"v": pa.array([], pa.string()), "k": pa.array([], pa.int64()),
+                 "name": pa.array([], pa.string()),
+                 "__b": pa.array([], pa.int32())}
+            )
         out_v, out_k, out_n = [], [], []
         for L in np.unique(lens):
             sel = lens == L
-            nm = names[sel].astype(f"U{L}")
+            nm = names[sel].astype(f"U{max(L, 1)}")
             km = keys[sel]
-            mat = nm.view("U1").reshape(len(nm), L)
             out_v.append(nm.astype(object))  # identity variant
             out_k.append(km)
             out_n.append(nm.astype(object))
+            if L == 0:
+                continue
+            if L == 1:
+                # the single deletion variant of a 1-char name is ""
+                out_v.append(np.full(len(nm), "", dtype=object))
+                out_k.append(km)
+                out_n.append(nm.astype(object))
+                continue
+            mat = nm.view("U1").reshape(len(nm), L)
             for p in range(L):
                 v = np.concatenate([mat[:, :p], mat[:, p + 1 :]], axis=1)
-                out_v.append(v.view(f"U{max(L - 1, 1)}").ravel().astype(object))
+                out_v.append(v.view(f"U{L - 1}").ravel().astype(object))
                 out_k.append(km)
                 out_n.append(nm.astype(object))
         df = pd.DataFrame(
@@ -3674,37 +3719,16 @@ def q_edit_neardup(sf_dir: str, n_buckets: int | None = None):
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates(["v", "k"]).sort_values(["v", "k"], kind="mergesort")
-        v = g["v"].to_numpy()
-        change = np.r_[True, v[1:] != v[:-1]]
-        gid = np.cumsum(change) - 1
-        sizes = np.bincount(gid)
-        order = np.argsort(sizes[gid], kind="stable")
-        k = g["k"].to_numpy()[order]
-        nm = g["name"].to_numpy()[order]
-        k_of_row = sizes[gid][order]
-        pa_, pb_, na_, nb_ = [], [], [], []
-        start = 0
-        for sz in np.unique(sizes):
-            n_rows = int((k_of_row == sz).sum())
-            kb = k[start : start + n_rows]
-            nb = nm[start : start + n_rows]
-            start += n_rows
-            if sz < 2:
-                continue
-            km = kb.reshape(-1, sz)
-            nmm = nb.reshape(-1, sz)
-            iu, ju = np.triu_indices(sz, 1)
-            pa_.append(km[:, iu].ravel())
-            pb_.append(km[:, ju].ravel())
-            na_.append(nmm[:, iu].ravel())
-            nb_.append(nmm[:, ju].ravel())
-        if not pa_:
+        (ka, kb2), (na_p, nb_p) = _group_pairs(
+            g["v"].to_numpy(), [g["k"].to_numpy(), g["name"].to_numpy()]
+        )
+        if len(ka) == 0:
             return pd.DataFrame({"a": pd.Series([], dtype="int64"),
                                  "b": pd.Series([], dtype="int64")})
-        a = np.concatenate(pa_).astype(np.int64)
-        b = np.concatenate(pb_).astype(np.int64)
-        na = np.concatenate(na_)
-        nbv = np.concatenate(nb_)
+        a = ka.astype(np.int64)
+        b = kb2.astype(np.int64)
+        na = na_p
+        nbv = nb_p
         swap = a > b
         a2 = np.where(swap, b, a)
         b2 = np.where(swap, a, b)

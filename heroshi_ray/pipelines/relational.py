@@ -4027,7 +4027,7 @@ def q_part_supplier_counts(
     attrs table (output-scale: |brand x type x size| combos), so the
     pipeline ships (attr_id, suppkey) INT pairs only — strings never
     enter the shuffle (the string-keyed two-shuffle version measured
-    ~6x slower at sf0.1). Per-batch unique pairs (combiner dedup) ->
+    10.7x slower at sf0.1: 11.96 -> 1.12 s, BASELINE.md session 4). Per-batch unique pairs (combiner dedup) ->
     ONE bucketed shuffle on supp%B (a pair lives wholly in its
     supplier's bucket, so per-bucket drop_duplicates IS the global
     dedup) -> per-bucket partial counts per attr_id -> driver sums
@@ -4109,6 +4109,9 @@ def q_part_supplier_counts(
         .map_groups(bucket_count, batch_format="pandas")
         .to_pandas()  # <= |attrs| x B rows — output-scale
     )
+    if parts_cnt.empty:  # zero survivors -> schema-less frame; empty result
+        parts_cnt = pd.DataFrame({"attr_id": pd.Series([], dtype="int64"),
+                                  "n": pd.Series([], dtype="int64")})
     total = parts_cnt.groupby("attr_id")["n"].sum()
     out = attrs.copy()
     out["supplier_cnt"] = out.index.map(total).fillna(0).astype("int64")
@@ -4328,6 +4331,9 @@ def q_late_suppliers(
         .map_groups(lone_late, batch_format="pandas")
         .to_pandas()
     )
+    if parts.empty:  # zero lone-late rows -> schema-less frame
+        parts = pd.DataFrame({"l_suppkey": pd.Series([], dtype="int64"),
+                              "n": pd.Series([], dtype="int64")})
     sup = _dim_df(sf_dir, "supplier", columns=["s_suppkey", "s_name"]).sort_values(
         "s_suppkey", kind="mergesort"
     )

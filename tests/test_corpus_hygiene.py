@@ -142,3 +142,42 @@ def test_kmeans_matches_single_process_replica(ray_session):
     expect = np.argmin(d, axis=1)
     np.testing.assert_array_equal(out["cluster"].to_numpy(), expect)
     assert len(np.unique(expect)) > 1  # the fixture actually separates
+
+
+def test_edit_neardup_short_names_and_empty_results(ray_session, tmp_path):
+    """Length-0/1 names (the U0-view crash case) and planted
+    insert/delete/substitute pairs must match DuckDB's levenshtein;
+    Q16/Q21's driver merges must survive zero-row outcomes."""
+    from heroshi_ray.pipelines.dataops import q_edit_neardup
+    from heroshi_ray.pipelines.relational import (
+        q_late_suppliers,
+        q_part_supplier_counts,
+    )
+
+    pq.write_table(
+        pa.table(
+            {
+                "s_suppkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "s_name": pa.array(["a", "b", "ab", "", "xyz"], pa.string()),
+            }
+        ),
+        os.path.join(tmp_path, "supplier.parquet"),
+    )
+    out = (
+        to_df(q_edit_neardup(str(tmp_path)))
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW supplier AS SELECT * FROM '{tmp_path}/supplier.parquet'"
+    )
+    exp = con.sql(
+        "SELECT a.s_suppkey a, b.s_suppkey b FROM supplier a "
+        "JOIN supplier b ON a.s_suppkey < b.s_suppkey "
+        "WHERE levenshtein(a.s_name, b.s_name) <= 1 ORDER BY 1, 2"
+    ).df()
+    assert out.to_numpy().tolist() == exp.to_numpy().tolist()
+
+    assert len(q_part_supplier_counts(SF_DIR, min_acct_e2=10**15)) == 0
+    assert len(to_df(q_late_suppliers(SF_DIR, late_days=100000))) == 0
