@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_dense_rank": r.q_dense_rank,
         "q_full_outer": r.q_full_outer,
         "q_edit_neardup": d.q_edit_neardup,
+        "q_bloom_semi_join": r.q_bloom_semi_join,
         # the remaining TPC-H shapes (round-3 session 3) — with these
         # all 22 TPC-H query shapes are covered and oracled
         "q_min_cost_supplier": r.q_min_cost_supplier,
@@ -90,7 +91,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_quantize_embeddings": d.q_quantize_embeddings,
         "q_triangle_count": d.q_triangle_count,
         "q_retention": r.q_retention,
-        "q_intersect_users": r.q_intersect_users,
         "q_corr_stats": r.q_corr_stats,
         "q_skew_join": r.q_skew_join,
         "q_market_share": r.q_market_share,
@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # quality counters, filtered aggregates, per-group scaling,
         # lag windows, per-group top-k, and the ntile/dense-rank core)
         "q_stopword_stats": d.q_stopword_stats,
+        "q_intersect_users": r.q_intersect_users,
         "q_except_users": r.q_except_users,
         "q_cube": r.q_cube,
         "q_filter_agg": r.q_filter_agg,
@@ -1538,5 +1539,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.s_suppkey AS a, b.s_suppkey AS b
             FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
             WHERE levenshtein(a.s_name, b.s_name) <= 1
+        """,
+        # bloom-prefiltered exact semi join (the bloom is a perf layer;
+        # the result is the plain IN-subquery aggregate)
+        "q_bloom_semi_join": """
+            SELECT l_returnflag,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                        AS BIGINT) AS revenue_e4,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                 WHERE o_orderstatus = 'F')
+            GROUP BY 1
         """,
     }

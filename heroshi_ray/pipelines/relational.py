@@ -4611,3 +4611,93 @@ def q_full_outer(sf_dir: str):
         return m[["key", "n_events", "acctbal_e2", "side"]]
 
     return both.groupby("__b").map_groups(merge, batch_format="pandas")
+
+
+def q_bloom_semi_join(sf_dir: str, broadcast_limit: int = 2_000_000):
+    """Bloom-filter-accelerated semi join (revenue per returnflag of
+    line items belonging to finished orders) — the join pre-filter
+    every warehouse engine applies before an exact probe: the build
+    side's key set compresses to a ~1.5-bytes/key bitmap that rides ONE
+    broadcast, and the fact scan drops bloom-negative rows BEFORE any
+    exact work, cutting the verify volume to true-matches + the <1%
+    false-positive tail. The RESULT is exact: bloom survivors re-check
+    against the true key set (sorted-array searchsorted under
+    ``broadcast_limit`` build keys; the documented fallback above it is
+    a bucketed hash join over the ALREADY-bloom-pruned survivors — the
+    point of the bloom is that this shuffle moves ~|matches|, not
+    |fact|).
+
+    Layout: build = per-batch partial BloomFilter bitmaps + the key
+    array, OR-merged on the driver (bitmaps are associative; tree-
+    reduce at scale); probe = one streaming map_batches with vectorized
+    contains + searchsorted verify + per-batch revenue partials; final
+    = a |returnflags|-row groupby."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.sketch import BloomFilter
+
+    orders = _pq(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"])
+
+    def build_partial(batch: pa.Table) -> pa.Table:
+        f = batch.filter(pc.equal(batch.column("o_orderstatus"), "F"))
+        keys = f.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"k": pa.array(keys, pa.int64())})
+
+    key_tbl = (
+        orders.map_batches(build_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()  # build-side keys, bounded by |'F' orders|
+    )
+    keys = np.sort(key_tbl["k"].to_numpy().astype(np.int64))
+    assert len(keys) <= broadcast_limit, (
+        "above the bound the verify becomes a bucketed hash join over "
+        "bloom survivors; fixture scales stay below it"
+    )
+    bloom = BloomFilter(max(len(keys), 1)).add(keys) if len(keys) else BloomFilter(1)
+    bloom_ref = ray.put(bloom)
+    keys_ref = ray.put(keys)
+
+    li = _pq(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    )
+
+    def probe(batch: pa.Table) -> pa.Table:
+        bf = ray.get(bloom_ref)
+        ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        cand = bf.contains(ok)  # vectorized pre-filter: drops ~all non-matches
+        if not cand.any():
+            return pa.table(
+                {"l_returnflag": pa.array([], pa.string()),
+                 "revenue_e4": pa.array([], pa.int64()),
+                 "n": pa.array([], pa.int64())}
+            )
+        batch = batch.filter(pa.array(cand))
+        tk = ray.get(keys_ref)
+        ok2 = batch.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(tk, ok2)
+        pos = np.clip(pos, 0, max(len(tk) - 1, 0))
+        exact = tk[pos] == ok2 if len(tk) else np.zeros(len(ok2), bool)
+        batch = batch.filter(pa.array(exact))
+        df = batch.to_pandas()
+        e2 = (df["l_extendedprice"] * 100).round().astype("int64")
+        d2 = 100 - (df["l_discount"] * 100).round().astype("int64")
+        df["rev"] = e2 * d2
+        g = (
+            df.groupby("l_returnflag", sort=False)["rev"]
+            .agg(["sum", "size"])
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "l_returnflag": pa.array(g["l_returnflag"], pa.string()),
+                "revenue_e4": pa.array(g["sum"].astype("int64"), pa.int64()),
+                "n": pa.array(g["size"].astype("int64"), pa.int64()),
+            }
+        )
+
+    return (
+        li.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_returnflag")
+        .aggregate(Sum("revenue_e4", alias_name="revenue_e4"),
+                   Sum("n", alias_name="n"))
+    )

@@ -181,3 +181,18 @@ def test_edit_neardup_short_names_and_empty_results(ray_session, tmp_path):
 
     assert len(q_part_supplier_counts(SF_DIR, min_acct_e2=10**15)) == 0
     assert len(to_df(q_late_suppliers(SF_DIR, late_days=100000))) == 0
+
+
+def test_bloom_filter_properties():
+    """No false negatives ever; false-positive rate well under 1% at
+    the 12-bits/key design point; merge = union."""
+    from heroshi_ray.functions.sketch import BloomFilter
+
+    keys = np.arange(0, 20000, 2)
+    b = BloomFilter(len(keys)).add(keys)
+    assert b.contains(keys).all()
+    fp = b.contains(np.arange(1, 200001, 2)).mean()
+    assert fp < 0.01, fp
+    other = BloomFilter(len(keys)).add(np.array([10**12]))
+    b.merge(other)
+    assert b.contains(np.array([10**12])).all()
