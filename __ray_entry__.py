@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_full_outer": r.q_full_outer,
         "q_edit_neardup": d.q_edit_neardup,
         "q_bloom_semi_join": r.q_bloom_semi_join,
+        "q_rolling_sum": r.q_rolling_sum,
         # the remaining TPC-H shapes (round-3 session 3) — with these
         # all 22 TPC-H query shapes are covered and oracled
         "q_min_cost_supplier": r.q_min_cost_supplier,
@@ -90,7 +91,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_top_supplier": r.q_top_supplier,
         "q_quantize_embeddings": d.q_quantize_embeddings,
         "q_triangle_count": d.q_triangle_count,
-        "q_retention": r.q_retention,
         "q_corr_stats": r.q_corr_stats,
         "q_skew_join": r.q_skew_join,
         "q_market_share": r.q_market_share,
@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # quality counters, filtered aggregates, per-group scaling,
         # lag windows, per-group top-k, and the ntile/dense-rank core)
         "q_stopword_stats": d.q_stopword_stats,
+        "q_retention": r.q_retention,
         "q_intersect_users": r.q_intersect_users,
         "q_except_users": r.q_except_users,
         "q_cube": r.q_cube,
@@ -1552,5 +1553,19 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_orderkey IN (SELECT o_orderkey FROM orders
                                  WHERE o_orderstatus = 'F')
             GROUP BY 1
+        """,
+        # ROWS-BETWEEN moving aggregate
+        "q_rolling_sum": """
+            WITH v AS (
+              SELECT event_id, user_id,
+                     CAST(round(value * 100) AS BIGINT) AS v_e2
+              FROM events
+            )
+            SELECT event_id,
+                   CAST(sum(v_e2) OVER (
+                     PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS mov_sum_e2
+            FROM v
         """,
     }

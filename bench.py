@@ -218,6 +218,7 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         "q_kmeans",
         "q_edit_neardup",
         "q_bloom_semi_join",
+        "q_rolling_sum",
     ]
     # per-query best-of-2 with the same rationale as the headline reps.
     # The two sub-2 s fixed-overhead-dominated queries get extra reps:

@@ -4701,3 +4701,58 @@ def q_bloom_semi_join(sf_dir: str, broadcast_limit: int = 2_000_000):
         .aggregate(Sum("revenue_e4", alias_name="revenue_e4"),
                    Sum("n", alias_name="n"))
     )
+
+
+def q_rolling_sum(sf_dir: str, window: int = 3, n_buckets: int | None = None):
+    """ROWS-BETWEEN moving aggregate (3-event moving value sum per
+    user, ordered by event id) — the rolling-window family next to the
+    RANGE prefix aggregate (q_running_sum) and the time-window shapes:
+    feature engineering's 'last-N behavior' transform.
+
+    Layout: ONE bucketed shuffle on user%B (a user's rows co-locate);
+    per bucket a single vectorized pass — sort, per-row cumsum, and a
+    per-user-reset subtraction of the cumsum shifted `window` rows
+    (group starts from a boundary mask; no per-user Python). Integer
+    cents end to end."""
+    B = n_buckets or default_buckets()
+    ds = _pq(sf_dir, "events", columns=["event_id", "user_id", "value"])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = np.round(
+            batch.column("value").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "user_id": pa.array(u, pa.int64()),
+                "v_e2": pa.array(v, pa.int64()),
+                "__b": pa.array((u % B).astype(np.int32), pa.int32()),
+            }
+        )
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        v = g["v_e2"].to_numpy()
+        start = np.r_[True, u[1:] != u[:-1]]          # group boundaries
+        gstart = np.flatnonzero(start)
+        gid = np.cumsum(start) - 1
+        pos = np.arange(len(u)) - gstart[gid]          # row index within user
+        cum = np.cumsum(v)
+        base = np.where(gstart[gid] > 0, cum[gstart[gid] - 1], 0)
+        cum_in = cum - base                            # per-user inclusive cumsum
+        lag = pos - window                             # index of row window-back
+        prev = np.where(lag >= 0, cum_in[np.maximum(gstart[gid] + lag, 0)], 0)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "mov_sum_e2": (cum_in - prev).astype("int64"),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(roll, batch_format="pandas")
+    )
