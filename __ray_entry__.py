@@ -170,6 +170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_image_dedup": d.q_image_dedup,
         "q_image_clusters": d.q_image_clusters,
         "q_kmeans": d.q_kmeans,
+        "q_bpe_train": d.q_bpe_train,
         "q_ann_ivf": d.q_ann_ivf,
         "q_ann_ivfpq": d.q_ann_ivfpq,
         "q_ann_persistent": d.q_ann_persistent,

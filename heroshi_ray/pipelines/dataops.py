@@ -3746,3 +3746,188 @@ def q_edit_neardup(sf_dir: str, n_buckets: int | None = None):
         .map_groups(bucket_pairs, batch_format="pandas")
     )
     return _dedup_pairs(cand, "a", "b")
+
+
+def _bpe_learn(words: dict, k: int) -> list:
+    """Reference BPE merge learner over a word-frequency dict (Sennrich
+    et al., "Neural Machine Translation of Rare Words with Subword
+    Units", ACL 2016): k rounds of (count adjacent symbol pairs
+    weighted by word frequency -> merge the most frequent pair).
+    Deterministic: ties break to the lexicographically smallest pair.
+    Returns [(left, right, count), ...] in merge order."""
+    from collections import Counter
+
+    seqs = {w: list(w) for w in words}
+    merges = []
+    for _ in range(k):
+        pc = Counter()
+        for w, cnt in words.items():
+            s = seqs[w]
+            for a, b in zip(s, s[1:]):
+                pc[(a, b)] += cnt
+        if not pc:
+            break
+        mx = max(pc.values())
+        best = min(p for p, c in pc.items() if c == mx)
+        merges.append((best[0], best[1], int(mx)))
+        for w, s in seqs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and (s[i], s[i + 1]) == best:
+                    out.append(s[i] + s[i + 1])
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+    return merges
+
+
+def q_bpe_train(
+    sf_dir: str,
+    k: int = 10,
+    driver_vocab_max: int = 1_000_000,
+    force_distributed: bool = False,
+):
+    """Distributed BPE tokenizer training — the canonical
+    tokenizer-build step of an LLM data pipeline, and the repo's fourth
+    iterative-algorithm member (pagerank / label propagation / Lloyd's
+    / BPE). Output: the first k learned merges as (rank, left, right,
+    cnt) rows.
+
+    The corpus is touched EXACTLY ONCE (stage 0: per-batch word counts
+    -> one combiner groupby -> the word-frequency table, the classic
+    Sennrich reduction); merge learning then runs over vocab-scale
+    state only. Size-adaptive like every other driver-vs-distributed
+    fork here:
+    - vocab <= ``driver_vocab_max``: the frequency table lands on the
+      driver once and `_bpe_learn` finishes locally (vocab is
+      output-scale for BPE by definition — a few million rows even at
+      100 TB of text);
+    - above the bound (or ``force_distributed``): the tokenized vocab
+      stays a Dataset of (word, cnt, toks); each round = one per-batch
+      weighted pair-count combiner -> pair groupby-sum -> per-block
+      top-1 + driver merge of block winners (the global-argmax pattern
+      q_top_supplier uses; ties to the lexicographically smallest pair
+      on BOTH paths) -> one re-tokenize map. Both paths
+      equivalence-tested."""
+    import polars as pl
+
+    from ray.data.aggregate import Sum
+
+    ds = _pq(sf_dir, "documents", columns=["text"], split=True)
+
+    def word_partial(batch: pa.Table) -> pa.Table:
+        c = (
+            pl.from_arrow(batch.column("text"))
+            .rename("t")
+            .str.split(" ")
+            .explode()
+            .value_counts()
+        )
+        return pa.table(
+            {
+                "word": c["t"].to_arrow(),
+                "cnt": c["count"].cast(pl.Int64).to_arrow(),
+            }
+        )
+
+    vocab = (
+        ds.map_batches(word_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("word")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .materialize()
+    )
+
+    def merges_table(merges: list) -> pa.Table:
+        return pa.table(
+            {
+                "rank": pa.array(range(len(merges)), pa.int64()),
+                "left": pa.array([m[0] for m in merges], pa.string()),
+                "right": pa.array([m[1] for m in merges], pa.string()),
+                "cnt": pa.array([m[2] for m in merges], pa.int64()),
+            }
+        )
+
+    if vocab.count() <= driver_vocab_max and not force_distributed:
+        wdf = vocab.to_pandas()
+        words = dict(zip(wdf["word"], wdf["cnt"].astype(int)))
+        return merges_table(_bpe_learn(words, k))
+
+    # distributed path: vocab-resident state, one combiner round per merge
+    def tokenize(batch: pa.Table) -> pa.Table:
+        ws = batch.column("word").to_pylist()
+        return pa.table(
+            {
+                "word": batch.column("word"),
+                "cnt": batch.column("cnt"),
+                "toks": pa.array([list(w) for w in ws], pa.list_(pa.string())),
+            }
+        )
+
+    state = vocab.map_batches(tokenize, batch_format="pyarrow").materialize()
+    merges = []
+    for _ in range(k):
+        def pair_partial(batch: pa.Table) -> pa.Table:
+            from collections import Counter
+
+            cnts = batch.column("cnt").to_pylist()
+            toks = batch.column("toks").to_pylist()
+            pc = Counter()
+            for c, s in zip(cnts, toks):
+                for a, b in zip(s, s[1:]):
+                    pc[(a, b)] += c
+            return pa.table(
+                {
+                    "a": pa.array([p[0] for p in pc], pa.string()),
+                    "b": pa.array([p[1] for p in pc], pa.string()),
+                    "n": pa.array([int(v) for v in pc.values()], pa.int64()),
+                }
+            )
+
+        def block_top1(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            if df.empty:
+                return batch
+            mx = df["n"].max()
+            df = df[df["n"] == mx].sort_values(["a", "b"]).head(1)
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        winners = (
+            state.map_batches(pair_partial, batch_format="pyarrow")
+            .groupby(["a", "b"])
+            .aggregate(Sum("n", alias_name="n"))
+            .map_batches(block_top1, batch_format="pyarrow")
+            .to_pandas()  # <= one row per block
+        )
+        if winners.empty:
+            break
+        mx = winners["n"].max()
+        w = winners[winners["n"] == mx].sort_values(["a", "b"]).iloc[0]
+        best = (str(w["a"]), str(w["b"]))
+        merges.append((best[0], best[1], int(mx)))
+
+        def apply_merge(batch: pa.Table) -> pa.Table:
+            toks = batch.column("toks").to_pylist()
+            out = []
+            for s in toks:
+                r, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and (s[i], s[i + 1]) == best:
+                        r.append(s[i] + s[i + 1])
+                        i += 2
+                    else:
+                        r.append(s[i])
+                        i += 1
+                out.append(r)
+            return pa.table(
+                {
+                    "word": batch.column("word"),
+                    "cnt": batch.column("cnt"),
+                    "toks": pa.array(out, pa.list_(pa.string())),
+                }
+            )
+
+        state = state.map_batches(apply_merge, batch_format="pyarrow").materialize()
+
+    return merges_table(merges)

@@ -196,3 +196,32 @@ def test_bloom_filter_properties():
     other = BloomFilter(len(keys)).add(np.array([10**12]))
     b.merge(other)
     assert b.contains(np.array([10**12])).all()
+
+
+def test_bpe_train_distributed_equals_driver(ray_session):
+    """The distributed per-round argmax loop must learn the identical
+    merge sequence (pairs, counts, order) as the driver-local learner;
+    the first merge must equal a hand-computed Counter ground truth."""
+    from collections import Counter
+
+    from heroshi_ray.pipelines.dataops import q_bpe_train
+
+    a = to_df(q_bpe_train(SF_DIR, k=6))
+    b = to_df(q_bpe_train(SF_DIR, k=6, force_distributed=True))
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True), check_dtype=False
+    )
+    assert len(a) == 6
+
+    words = Counter()
+    t = pq.read_table(os.path.join(SF_DIR, "documents.parquet"), columns=["text"])
+    for s in t.column("text").to_pylist():
+        words.update(s.split(" "))
+    pc = Counter()
+    for w, cnt in words.items():
+        for x, y in zip(w, w[1:]):
+            pc[(x, y)] += cnt
+    mx = max(pc.values())
+    expect = min(p for p, c in pc.items() if c == mx)
+    assert (a["left"].iloc[0], a["right"].iloc[0]) == expect
+    assert int(a["cnt"].iloc[0]) == mx
