@@ -4137,8 +4137,6 @@ def q_dominant_suppliers(
     (sum + size per part) keeps dominant pairs; distinct suppliers
     via a key-bounded groupby; names attach from the broadcast
     supplier dim."""
-    from ray.data.aggregate import Count
-
     B = n_buckets or default_buckets()
 
     part = _dim_df(sf_dir, "part", columns=["p_partkey", "p_name"])
@@ -4198,26 +4196,23 @@ def q_dominant_suppliers(
         keep = m["qty"] * grp.transform("size") > mult * grp.transform("sum")
         return m.loc[keep, ["l_suppkey"]].drop_duplicates()
 
-    def attach(batch: pa.Table) -> pa.Table:
-        skeys, snames = ray.get(sup_ref)
-        k = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(skeys, k)
-        return pa.table(
-            {
-                "s_suppkey": pa.array(k, pa.int64()),
-                "s_name": pa.array(snames[pos], pa.string()),
-            }
-        )
-
-    return (
+    # the dominant (part, supp) stream is KEY-BOUNDED per bucket, so
+    # the distinct-suppliers rollup is a driver merge (same replacement
+    # that took Q21's tail from 3.9 to 1.8 s — the chained
+    # groupby(suppkey) all-to-all cost more than the whole query)
+    dom = (
         li.map_batches(partial, batch_format="pyarrow")
         .groupby("__b")
         .map_groups(dominant, batch_format="pandas")
-        .groupby("l_suppkey")
-        .aggregate(Count(alias_name="_c"))
-        .drop_columns(["_c"])
-        .map_batches(attach, batch_format="pyarrow")
+        .to_pandas()
     )
+    if dom.empty:
+        return pd.DataFrame({"s_suppkey": pd.Series([], dtype="int64"),
+                             "s_name": pd.Series([], dtype=object)})
+    skeys, snames = ray.get(sup_ref)
+    supp = np.unique(dom["l_suppkey"].to_numpy().astype(np.int64))
+    pos = np.searchsorted(skeys, supp)
+    return pd.DataFrame({"s_suppkey": supp, "s_name": snames[pos]})
 
 
 # ----------------------------------------------------------- Q21 ----
