@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_edit_neardup": d.q_edit_neardup,
         "q_bloom_semi_join": r.q_bloom_semi_join,
         "q_rolling_sum": r.q_rolling_sum,
+        "q_mad_outliers": r.q_mad_outliers,
         # the remaining TPC-H shapes (round-3 session 3) — with these
         # all 22 TPC-H query shapes are covered and oracled
         "q_min_cost_supplier": r.q_min_cost_supplier,
@@ -91,7 +92,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_top_supplier": r.q_top_supplier,
         "q_quantize_embeddings": d.q_quantize_embeddings,
         "q_triangle_count": d.q_triangle_count,
-        "q_corr_stats": r.q_corr_stats,
         "q_skew_join": r.q_skew_join,
         "q_market_share": r.q_market_share,
         "q_funnel": r.q_funnel,
@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # lag windows, per-group top-k, and the ntile/dense-rank core)
         "q_stopword_stats": d.q_stopword_stats,
         "q_retention": r.q_retention,
+        "q_corr_stats": r.q_corr_stats,
         "q_intersect_users": r.q_intersect_users,
         "q_except_users": r.q_except_users,
         "q_cube": r.q_cube,
@@ -1568,5 +1569,37 @@ def oracle_sql() -> dict[str, str]:
                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
                    ) AS BIGINT) AS mov_sum_e2
             FROM v
+        """,
+        # MAD robust outliers: median + MAD via the same floor((n-1)/2)
+        # row pick the engine's histogram core uses
+        "q_mad_outliers": """
+            WITH v AS (
+              SELECT event_id, event_type,
+                     CAST(round(value * 100) AS BIGINT) AS v_e2
+              FROM events
+            ), med AS (
+              SELECT event_type, v_e2 AS med FROM (
+                SELECT event_type, v_e2,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY v_e2) - 1 AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM v
+              ) WHERE rn = (n - 1) // 2
+            ), dev AS (
+              SELECT v.event_id, v.event_type, v.v_e2,
+                     abs(v.v_e2 - med.med) AS d, med.med
+              FROM v JOIN med USING (event_type)
+            ), mad AS (
+              SELECT event_type, d AS mad FROM (
+                SELECT event_type, d,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY d) - 1 AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM dev
+              ) WHERE rn = (n - 1) // 2
+            )
+            SELECT dev.event_id, dev.event_type, dev.v_e2
+            FROM dev JOIN mad USING (event_type)
+            WHERE dev.d > 3 * mad.mad
         """,
     }

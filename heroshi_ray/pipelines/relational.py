@@ -4751,3 +4751,85 @@ def q_rolling_sum(sf_dir: str, window: int = 3, n_buckets: int | None = None):
         .groupby("__b")
         .map_groups(roll, batch_format="pandas")
     )
+
+
+def q_mad_outliers(sf_dir: str, mult: int = 3):
+    """Median-absolute-deviation outlier detection per event type (the
+    ROBUST counterpart to q_p99_outliers' tail clip — MAD ignores the
+    very outliers it hunts, where mean/std get dragged): flag events
+    with |v - median| > mult * MAD, median and MAD both EXACT via the
+    same distributed value-histogram core (floor((n-1)/2) index rule on
+    both sides, duplicates included).
+
+    Layout: round 1 = per-batch (type, v_e2) partial counts -> ONE
+    groupby(type) -> per-type exact median from merged counts; round 2
+    = the SAME pass over |v - med| (med broadcast) -> exact MAD; then
+    one streaming filter with both tiny maps broadcast. Three corpus
+    scans, ZERO row-level all-to-alls — the histogram partials are
+    batch-vocab-bounded on both rounds."""
+    ds = _pq(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def _hist_partial(col_fn):
+        def partial(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            df["x"] = col_fn(df)
+            g = (
+                df.groupby(["event_type", "x"], sort=False)
+                .size()
+                .reset_index(name="cnt")
+            )
+            g["cnt"] = g["cnt"].astype("int64")
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        return partial
+
+    def _pick50(g: pd.DataFrame) -> pd.DataFrame:
+        et = g["event_type"].iloc[0]
+        g = g.groupby("x", sort=True)["cnt"].sum().reset_index(name="n")
+        c = g["n"].to_numpy(dtype=np.int64)
+        idx = (int(c.sum()) - 1) // 2
+        pos = int(np.searchsorted(np.cumsum(c), idx + 1))
+        return pd.DataFrame({"event_type": [et], "med": [int(g["x"].iloc[pos])]})
+
+    def v_e2(df: pd.DataFrame) -> pd.Series:
+        return (df["value"] * 100).round().astype("int64")
+
+    med = (
+        ds.map_batches(_hist_partial(v_e2), batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .map_groups(_pick50, batch_format="pandas")
+        .to_pandas()
+    )
+    med_map = dict(zip(med["event_type"], med["med"].astype(int)))
+    med_ref = ray.put(med_map)
+
+    def dev(df: pd.DataFrame) -> pd.Series:
+        m = ray.get(med_ref)
+        return (v_e2(df) - df["event_type"].map(m)).abs().astype("int64")
+
+    mad = (
+        ds.map_batches(_hist_partial(dev), batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .map_groups(_pick50, batch_format="pandas")
+        .to_pandas()
+    )
+    mad_map = dict(zip(mad["event_type"], mad["med"].astype(int)))
+    mad_ref = ray.put(mad_map)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        m = ray.get(med_ref)
+        s = ray.get(mad_ref)
+        v = v_e2(df)
+        d = (v - df["event_type"].map(m)).abs()
+        keep = d.to_numpy() > mult * df["event_type"].map(s).to_numpy()
+        out = pd.DataFrame(
+            {
+                "event_id": df["event_id"][keep].astype("int64"),
+                "event_type": df["event_type"][keep],
+                "v_e2": v[keep],
+            }
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return ds.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
