@@ -172,6 +172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_image_clusters": d.q_image_clusters,
         "q_kmeans": d.q_kmeans,
         "q_bpe_train": d.q_bpe_train,
+        "q_bpe_encode": d.q_bpe_encode,
         "q_ann_ivf": d.q_ann_ivf,
         "q_ann_ivfpq": d.q_ann_ivfpq,
         "q_ann_persistent": d.q_ann_persistent,

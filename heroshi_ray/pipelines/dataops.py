@@ -3931,3 +3931,67 @@ def q_bpe_train(
         state = state.map_batches(apply_merge, batch_format="pyarrow").materialize()
 
     return merges_table(merges)
+
+
+class BPEEncodeStage:
+    """Actor-pool tokenizer-encode stage: the merge table (pair ->
+    rank) is built ONCE per actor in __init__ from the broadcast merge
+    list, and a per-actor word->length memo cache amortizes repeated
+    words across every batch the actor sees — the canonical stateful
+    map_batches pattern (state in __init__, work in __call__)."""
+
+    def __init__(self, merges_ref):
+        import ray as _ray
+
+        merges = _ray.get(merges_ref)
+        self.rank = {(a, b): i for i, (a, b) in enumerate(merges)}
+        self.cache: dict = {}
+
+    def _encode_len(self, w: str) -> int:
+        hit = self.cache.get(w)
+        if hit is not None:
+            return hit
+        s = list(w)
+        while len(s) > 1:
+            best_i, best_r = -1, len(self.rank)
+            for i in range(len(s) - 1):
+                r = self.rank.get((s[i], s[i + 1]), len(self.rank))
+                if r < best_r:
+                    best_i, best_r = i, r
+            if best_i < 0 or best_r >= len(self.rank):
+                break
+            s[best_i : best_i + 2] = [s[best_i] + s[best_i + 1]]
+        self.cache[w] = len(s)
+        return len(s)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n = [sum(self._encode_len(w) for w in t.split(" ")) for t in texts]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_subwords": pa.array(n, pa.int64()),
+            }
+        )
+
+
+def q_bpe_encode(sf_dir: str, k: int = 10):
+    """Apply the learned BPE merges to the corpus (tokenizer ENCODE,
+    pairing q_bpe_train's TRAIN): per-document subword count after k
+    merges. Encoding applies merges in rank order (lowest first), so a
+    training-set word segments exactly as it did at train time —
+    pinned against the trainer's own segmentation in tests. The merge
+    list broadcasts once; the stage is an ACTOR POOL whose per-actor
+    memo cache makes the cost proportional to distinct words per
+    actor, not corpus tokens."""
+    tr = q_bpe_train(sf_dir, k=k)
+    merges = list(zip(tr.column("left").to_pylist(), tr.column("right").to_pylist()))
+    merges_ref = ray.put(merges)
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"], split=True)
+    return ds.map_batches(
+        BPEEncodeStage,
+        fn_constructor_args=(merges_ref,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )

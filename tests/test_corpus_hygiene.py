@@ -225,3 +225,46 @@ def test_bpe_train_distributed_equals_driver(ray_session):
     expect = min(p for p, c in pc.items() if c == mx)
     assert (a["left"].iloc[0], a["right"].iloc[0]) == expect
     assert int(a["cnt"].iloc[0]) == mx
+
+
+def test_bpe_encode_matches_training_segmentation(ray_session):
+    """Encoding with rank-ordered merges must reproduce the trainer's
+    own segmentation for every vocabulary word: per-doc subword counts
+    equal a replica that re-runs the training segmentation."""
+    from collections import Counter
+
+    from heroshi_ray.pipelines.dataops import _bpe_learn, q_bpe_encode
+
+    k = 6
+    out = (
+        to_df(q_bpe_encode(SF_DIR, k=k))
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    t = pq.read_table(
+        os.path.join(SF_DIR, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    texts = t.column("text").to_pylist()
+    words = Counter()
+    for s in texts:
+        words.update(s.split(" "))
+    merges = _bpe_learn(dict(words), k)
+    # replay the trainer's segmentation
+    seqs = {w: list(w) for w in words}
+    for a, b, _ in merges:
+        for w, s in seqs.items():
+            r, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and (s[i], s[i + 1]) == (a, b):
+                    r.append(s[i] + s[i + 1]); i += 2
+                else:
+                    r.append(s[i]); i += 1
+            seqs[w] = r
+    expect = [sum(len(seqs[w]) for w in s.split(" ")) for s in texts]
+    got = dict(zip(out["doc_id"], out["n_subwords"]))
+    ids = t.column("doc_id").to_pylist()
+    assert [got[i] for i in ids] == expect
+    # merges actually compress: fewer subwords than chars, more than words
+    n_chars = sum(len(w) for s in texts for w in s.split(" "))
+    assert sum(expect) < n_chars
