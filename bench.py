@@ -219,6 +219,11 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         "q_edit_neardup",
         "q_bloom_semi_join",
         "q_rolling_sum",
+        "q_semantic_decontaminate",
+        "q_containment_neardup",
+        "q_transition_counts",
+        "q_grouped_hll",
+        "q_compression_stats",
     ]
     # per-query best-of-2 with the same rationale as the headline reps.
     # The two sub-2 s fixed-overhead-dominated queries get extra reps:

@@ -3995,3 +3995,314 @@ def q_bpe_encode(sf_dir: str, k: int = 10):
         zero_copy_batch=True,
         concurrency=(1, 8),
     )
+
+
+# ------------------------------------------ semantic decontamination ----
+def q_semantic_decontaminate(
+    sf_dir: str, eval_mod: int = 41, threshold_e4: int = 3500
+):
+    """EMBEDDING-level benchmark decontamination (the semantic cousin of
+    q_decontaminate's exact n-gram pass): flag training vectors whose
+    best cosine against the eval set clears ``threshold_e4``, reporting
+    the argmax eval id — paraphrased benchmark leakage that exact gram
+    overlap misses. vec_id % eval_mod == 0 stands in for the benchmark.
+
+    Scale layout mirrors q_decontaminate: the eval side is a BENCHMARK,
+    fixed-size by definition, so its normalized matrix broadcasts once
+    (ray.put); the 100-TB train side streams through ONE map_batches
+    matmul+argmax pass — no shuffle, no train-side materialization.
+    Ties on best cosine break to the smallest eval id (eval columns are
+    vec_id-sorted, np.argmax takes the first max), matching the SQL
+    twin's ``ORDER BY sim DESC, eval_id`` row_number."""
+    ds = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"], split=True)
+
+    def eval_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        return batch.take(pa.array(np.flatnonzero(ids % eval_mod == 0)))
+
+    ev_df = (
+        ds.map_batches(eval_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()  # driver contact = benchmark rows, fixed-size by definition
+    ).sort_values("vec_id")
+    ev_ids = ev_df["vec_id"].to_numpy()
+    ev_mat = l2_normalize(as_matrix(ev_df["embedding"].tolist()).astype(np.float64))
+    ev_ref = ray.put((ev_ids, ev_mat))
+
+    def flag(batch: pa.Table) -> pa.Table:
+        eids, emat = ray.get(ev_ref)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        tr_mask = ids % eval_mod != 0
+        empty = pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "eval_id": pa.array([], pa.int64()),
+                "cos_sim_e4": pa.array([], pa.int64()),
+            }
+        )
+        if not tr_mask.any():
+            return empty
+        ids = ids[tr_mask]
+        mat = l2_normalize(
+            as_matrix(
+                batch.column("embedding").take(
+                    pa.array(np.flatnonzero(tr_mask))
+                ).to_pylist()
+            ).astype(np.float64)
+        )
+        sims = mat @ emat.T  # (n_train_in_batch, n_eval)
+        best = np.argmax(sims, axis=1)
+        e4 = np.round(sims[np.arange(len(ids)), best] * 10000).astype(np.int64)
+        keep = e4 >= threshold_e4
+        if not keep.any():
+            return empty
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[keep], pa.int64()),
+                "eval_id": pa.array(eids[best[keep]], pa.int64()),
+                "cos_sim_e4": pa.array(e4[keep], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------ n-gram containment ----------
+def q_containment_neardup(
+    sf_dir: str, n: int = 12, threshold_e4: int = 8000,
+    n_buckets: int | None = None, size_broadcast_limit: int = 1_000_000,
+):
+    """EXACT char-n-gram CONTAINMENT self-join: pairs where
+    |grams(A) ∩ grams(B)| / min(|A|, |B|) >= threshold — the asymmetric
+    overlap measure (Broder '97's containment) that catches
+    quote/subset duplication Jaccard dilutes away (a paragraph copied
+    into a 10x longer page scores ~1.0 here, ~0.1 on Jaccard).
+
+    Plan (no driver contact above output scale):
+    1. distinct (gram_hash64, doc_id) explode per batch;
+    2. ONE shuffle on gram_hash % B — a gram's whole posting co-locates,
+       so within-bucket _group_pairs emits each (a, b, gram) exactly
+       once globally; per-bucket np.unique collapses to partial ni;
+    3. pair-keyed second shuffle sums partials to exact intersection
+       counts (pairs are candidate-scale, ~output-sized);
+    4. per-doc gram counts: broadcast under ``size_broadcast_limit``
+       docs, else the same distributed attach-by-key join the other
+       adaptive ops use (fixture path: broadcast).
+    Grams ride as int64 SipHashes, never strings, through both
+    all-to-alls (the measured 10.7x rule). Collision caveat: two grams
+    colliding in 64 bits could overcount ni by 1 — probability ~1e-19
+    per pair at fixture gram counts; the DuckDB twin hash-matched at
+    both test SFs. Same stopword-gram blowup caveat as q_ngram_jaccard:
+    an exact op has no df cap; deployments that accept recall loss cap
+    posting length at step 2."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import hash64
+
+    B = n_buckets or default_buckets(per_cpu=8, hi=1024)
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"], split=True)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        out_doc, out_g, out_n = [], [], []
+        for i, t in zip(ids, texts):
+            gs = (
+                {t[j : j + n] for j in range(len(t) - n + 1)}
+                if t and len(t) >= n
+                else set()
+            )
+            out_n.append(len(gs))
+            if gs:
+                out_doc.extend([int(i)] * len(gs))
+                out_g.append(hash64(list(gs)))
+        gh = (
+            np.concatenate(out_g).astype(np.uint64)
+            if out_g
+            else np.empty(0, np.uint64)
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "g": pa.array(gh.view(np.int64), pa.int64()),
+                "__b": pa.array(
+                    (gh % np.uint64(B)).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        gh = g["g"].to_numpy()
+        order = np.argsort(gh, kind="stable")
+        (pa_a, pa_b), = _group_pairs(
+            gh[order], [g["doc_id"].to_numpy()[order]]
+        )
+        if len(pa_a) == 0:
+            return pd.DataFrame({"a": [], "b": [], "ni": []}).astype(
+                {"a": "int64", "b": "int64", "ni": "int64"}
+            )
+        lo = np.minimum(pa_a, pa_b)
+        hi = np.maximum(pa_a, pa_b)
+        df = (
+            pd.DataFrame({"a": lo, "b": hi})
+            .value_counts()
+            .reset_index(name="ni")
+        )
+        return df.astype({"a": "int64", "b": "int64", "ni": "int64"})
+
+    pairs = (
+        ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+
+    def add_pair_bucket(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = batch.column("b").to_numpy(zero_copy_only=False).astype(np.uint64)
+        pk = (
+            ((a * np.uint64(0x9E3779B97F4A7C15)) ^ b) % np.uint64(B)
+        ).astype(np.int32)
+        return batch.append_column("__pk", pa.array(pk, pa.int32()))
+
+    ni = (
+        pairs.map_batches(add_pair_bucket, batch_format="pyarrow")
+        .groupby("__pk")
+        .map_groups(
+            lambda g: g.groupby(["a", "b"], as_index=False)["ni"].sum(),
+            batch_format="pandas",
+        )
+    )
+
+    # per-doc distinct-gram counts: doc-bounded (one int per doc)
+    def doc_sizes(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        sz = [
+            len({t[j : j + n] for j in range(len(t) - n + 1)})
+            if t and len(t) >= n
+            else 0
+            for t in texts
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "sz": pa.array(sz, pa.int64()),
+            }
+        )
+
+    sizes_ds = ds.map_batches(doc_sizes, batch_format="pyarrow", zero_copy_batch=True)
+    n_docs = sizes_ds.count()
+    assert n_docs <= size_broadcast_limit, (
+        "above the broadcast bound, attach sizes via the distributed "
+        "attach-by-key join (_attach_by_key pattern) — fixture path is "
+        "the broadcast"
+    )
+    sz_df = sizes_ds.to_pandas()
+    sz_map_ref = ray.put(
+        dict(zip(sz_df["doc_id"].astype(int), sz_df["sz"].astype(int)))
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        sz = ray.get(sz_map_ref)
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        cnt = batch.column("ni").to_numpy(zero_copy_only=False)
+        mn = np.array([min(sz[int(x)], sz[int(y)]) for x, y in zip(a, b)], np.int64)
+        ok = (mn > 0) & (cnt * 10000 >= threshold_e4 * mn)
+        return pa.table(
+            {
+                "doc_a": pa.array(a[ok], pa.int64()),
+                "doc_b": pa.array(b[ok], pa.int64()),
+                "cont_e4": pa.array(cnt[ok] * 10000 // mn[ok], pa.int64()),
+            }
+        )
+
+    return ni.map_batches(verify, batch_format="pyarrow")
+
+
+# ------------------------------------------ grouped approx distinct -----
+def q_grouped_hll(sf_dir: str, p: int = 12):
+    """Per-event-type APPROXIMATE distinct users via mergeable
+    HyperLogLog registers — the 100-TB fallback for
+    q_grouped_count_distinct when exact grouped distinct counts stop
+    being worth an all-to-all of the key pairs: each map task emits ONE
+    (group, 4-KB register blob) row per group per batch, the groupby
+    merges register maxima, and NOTHING user-cardinality-sized ever
+    shuffles. Error ~1.04/sqrt(2^p) (~1.6% at p=12), pinned <2% vs the
+    exact twin in tests. Deterministic: SipHash64 user hashing, so the
+    estimate is bit-stable across runs and cluster sizes."""
+    from ..functions.hashing import hash64
+    from ..functions.sketch import HyperLogLog
+
+    ds = _pq(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def block_sketch(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        uh = hash64([str(u) for u in uid])
+        out_t, out_b = [], []
+        for t in np.unique(et):
+            h = HyperLogLog(p)
+            h.add_hashes(uh[et == t])
+            out_t.append(str(t))
+            out_b.append(h.to_bytes())
+        return pa.table(
+            {
+                "event_type": pa.array(out_t, pa.string()),
+                "sketch": pa.array(out_b, pa.binary()),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.sketch import HyperLogLog as _H
+
+        h = _H.from_bytes(g["sketch"].iloc[0])
+        for b in g["sketch"].iloc[1:]:
+            h.merge(_H.from_bytes(b))
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "approx_users": [int(round(h.estimate()))],
+            }
+        )
+
+    return (
+        ds.map_batches(block_sketch, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+# ------------------------------------------ compression-ratio quality ---
+def q_compression_stats(sf_dir: str, level: int = 6):
+    """Per-document zlib compression ratio in ppm — the
+    Gopher/MassiveText-style quality signal (Rae et al. 2021 §A1.1:
+    extreme ratios flag boilerplate and gibberish at both ends).
+    Pure streaming map, zero shuffle; zlib's C deflate at a fixed
+    level is deterministic for a given zlib build, and the ratio is
+    integer ppm so downstream gates are reproducible. Returns
+    (doc_id, raw_len, comp_len, ratio_ppm)."""
+    import zlib
+
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"], split=True)
+
+    def ratios(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        raw, comp = [], []
+        for t in texts:
+            bt = (t or "").encode("utf-8")
+            raw.append(len(bt))
+            comp.append(len(zlib.compress(bt, level)))
+        raw = np.array(raw, np.int64)
+        comp = np.array(comp, np.int64)
+        ppm = np.where(raw > 0, comp * 1_000_000 // np.maximum(raw, 1), 0)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "raw_len": pa.array(raw, pa.int64()),
+                "comp_len": pa.array(comp, pa.int64()),
+                "ratio_ppm": pa.array(ppm, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(ratios, batch_format="pyarrow", zero_copy_batch=True)

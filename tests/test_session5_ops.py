@@ -1,0 +1,137 @@
+"""Round-3 session-5 operators: semantic decontamination, n-gram
+containment, transition counts, grouped HLL, compression stats.
+(The DuckDB hash checks for the three oracled queries run automatically
+via test_queries_oracle's parametrization; these tests pin the
+properties the SQL twin can't express.)"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def to_df(r):
+    return r if isinstance(r, pd.DataFrame) else r.to_pandas()
+
+
+def test_grouped_hll_error_bound(ray_session):
+    """Per-group HLL estimate within 2% of the exact grouped distinct
+    count (p=12 -> ~1.6% standard error)."""
+    from heroshi_ray.pipelines import dataops as d
+
+    est = to_df(d.q_grouped_hll(SF_DIR)).set_index("event_type")["approx_users"]
+    ev = pq.read_table(
+        os.path.join(SF_DIR, "events.parquet"), columns=["event_type", "user_id"]
+    ).to_pandas()
+    exact = ev.groupby("event_type")["user_id"].nunique()
+    assert set(est.index) == set(exact.index)
+    for t in exact.index:
+        err = abs(est[t] - exact[t]) / exact[t]
+        assert err < 0.02, f"{t}: est {est[t]} vs exact {exact[t]} (err {err:.3f})"
+
+
+def test_grouped_hll_deterministic(ray_session):
+    from heroshi_ray.pipelines import dataops as d
+
+    a = to_df(d.q_grouped_hll(SF_DIR)).sort_values("event_type").reset_index(drop=True)
+    b = to_df(d.q_grouped_hll(SF_DIR)).sort_values("event_type").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_compression_stats_exact_and_deterministic(ray_session):
+    """ratio_ppm replicates driver-side zlib exactly for every doc, and
+    repeated runs are bit-identical."""
+    import zlib
+
+    from heroshi_ray.pipelines import dataops as d
+
+    out = to_df(d.q_compression_stats(SF_DIR)).sort_values("doc_id").reset_index(drop=True)
+    docs = (
+        pq.read_table(os.path.join(SF_DIR, "documents.parquet"), columns=["doc_id", "text"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(docs)
+    sample = docs.sample(50, random_state=7)
+    by_id = out.set_index("doc_id")
+    for r in sample.itertuples():
+        bt = (r.text or "").encode("utf-8")
+        comp = len(zlib.compress(bt, 6))
+        row = by_id.loc[r.doc_id]
+        assert row["raw_len"] == len(bt)
+        assert row["comp_len"] == comp
+        assert row["ratio_ppm"] == (comp * 1_000_000 // max(len(bt), 1) if bt else 0)
+    again = to_df(d.q_compression_stats(SF_DIR)).sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, again)
+
+
+def test_containment_catches_subset_dup_jaccard_misses(ray_session, tmp_path):
+    """A paragraph quoted inside a much longer page: containment ~1.0,
+    Jaccard low — the planted pair must surface in q_containment_neardup
+    and carry cont_e4 near 10000."""
+    from heroshi_ray.pipelines import dataops as d
+
+    para = "the quick brown fox jumps over the lazy dog near the riverbank today. " * 4
+    filler = " ".join(f"unrelated filler sentence number {i} with fresh words" for i in range(60))
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array([para, para + " " + filler, filler[:300]], pa.string()),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = to_df(d.q_containment_neardup(str(tmp_path))).sort_values(["doc_a", "doc_b"])
+    pairs = set(zip(out["doc_a"], out["doc_b"]))
+    assert (1, 2) in pairs
+    row = out[(out["doc_a"] == 1) & (out["doc_b"] == 2)].iloc[0]
+    assert row["cont_e4"] >= 9900
+    # the same pair is a Jaccard MISS at the usual 0.6 bar
+    n = 12
+    g1 = {para[j : j + n] for j in range(len(para) - n + 1)}
+    t2 = para + " " + filler
+    g2 = {t2[j : j + n] for j in range(len(t2) - n + 1)}
+    jac = len(g1 & g2) / len(g1 | g2)
+    assert jac < 0.6
+
+
+def test_semantic_decontaminate_properties(ray_session):
+    """No eval vector is flagged; every flagged sim clears the bar and
+    equals the true best-eval cosine for that train vector."""
+    from heroshi_ray.pipelines import dataops as d
+    from heroshi_ray.functions.ann import as_matrix, l2_normalize
+
+    out = to_df(d.q_semantic_decontaminate(SF_DIR))
+    assert (out["vec_id"] % 41 != 0).all()
+    assert (out["eval_id"] % 41 == 0).all()
+    assert (out["cos_sim_e4"] >= 3500).all()
+    emb = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet")).to_pandas()
+    mat = l2_normalize(as_matrix(emb["embedding"].tolist()).astype(np.float64))
+    ids = emb["vec_id"].to_numpy()
+    ev = ids % 41 == 0
+    sims = mat[~ev] @ mat[ev].T
+    best = sims.max(axis=1)
+    truth = {
+        int(i): int(round(s * 10000)) for i, s in zip(ids[~ev], best)
+    }
+    for r in out.itertuples():
+        assert truth[int(r.vec_id)] == int(r.cos_sim_e4)
+
+
+def test_transition_counts_mass_conservation(ray_session):
+    """Sum of all transition counts == sum over users of (n_events - 1)."""
+    from heroshi_ray.pipelines import relational as r
+
+    out = to_df(r.q_transition_counts(SF_DIR))
+    ev = pq.read_table(
+        os.path.join(SF_DIR, "events.parquet"), columns=["user_id"]
+    ).to_pandas()
+    per_user = ev.groupby("user_id").size()
+    assert out["n"].sum() == int((per_user - 1).clip(lower=0).sum())
