@@ -4306,3 +4306,113 @@ def q_compression_stats(sf_dir: str, level: int = 6):
         )
 
     return ds.map_batches(ratios, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------ duplicated substring spans --
+def q_dup_spans(sf_dir: str, k: int = 30, n_buckets: int | None = None):
+    """EXACT cross-document duplicated-substring SPANS — the
+    substring-level dedup signal of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better", arXiv:2107.06499):
+    every maximal character range of a document covered by k-char
+    windows that appear verbatim in at least one OTHER document.
+    Chunk/paragraph dedup (q_chunk_dedup) misses copies that straddle
+    chunk boundaries; this operator marks them exactly, at any offset.
+
+    Plan (two bounded shuffles, nothing corpus-sized on the driver):
+    1. per batch, every k-char window hashed VECTORIZED: codepoint
+       array (utf-32 view, so positions are character-exact like SQL
+       substr) -> sliding_window_view -> one (m,k)·(k,) uint64
+       polynomial dot per doc; emit (h, doc_id, pos) ints only;
+    2. ONE shuffle on h % B co-locates each window's posting; windows
+       whose posting spans >= 2 distinct docs are duplicated — emit
+       their (doc_id, pos) hits (output-scale from here on);
+    3. hits shuffle on doc_id % B; per doc, sorted window starts merge
+       into maximal spans (next_start <= prev_start + k) with one
+       vectorized cumsum pass — the gaps-and-islands rule the DuckDB
+       lag()/SUM() twin applies verbatim.
+    Windows ride as uint64 polynomial hashes (FNV-prime base), never
+    strings, through the all-to-all; a 64-bit collision could bridge
+    two unrelated windows (~1e-19 at fixture gram counts — same
+    accepted caveat as q_containment_neardup; the twin hash-matched at
+    both test SFs). Returns (doc_id, span_start, span_len), 0-based."""
+    B = n_buckets or default_buckets(per_cpu=8, hi=1024)
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"], split=True)
+    pw = np.empty(k, np.uint64)
+    pw[k - 1] = 1
+    for i in range(k - 2, -1, -1):
+        pw[i] = pw[i + 1] * np.uint64(1099511628211)  # FNV64 prime, odd
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        out_doc, out_pos, out_h = [], [], []
+        for i, t in zip(ids, texts):
+            if not t or len(t) < k:
+                continue
+            cp = np.frombuffer(t.encode("utf-32-le"), np.uint32).astype(np.uint64)
+            win = np.lib.stride_tricks.sliding_window_view(cp, k)
+            with np.errstate(over="ignore"):
+                h = (win * pw).sum(axis=1, dtype=np.uint64)
+            out_h.append(h)
+            out_pos.append(np.arange(len(h), dtype=np.int64))
+            out_doc.append(np.full(len(h), int(i), np.int64))
+        if not out_h:
+            return pa.table(
+                {
+                    "h": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "pos": pa.array([], pa.int64()),
+                    "__b": pa.array([], pa.int32()),
+                }
+            )
+        h = np.concatenate(out_h)
+        return pa.table(
+            {
+                "h": pa.array(h.view(np.int64), pa.int64()),
+                "doc_id": pa.array(np.concatenate(out_doc), pa.int64()),
+                "pos": pa.array(np.concatenate(out_pos), pa.int64()),
+                "__b": pa.array((h % np.uint64(B)).astype(np.int32), pa.int32()),
+            }
+        )
+
+    def dup_hits(g: pd.DataFrame) -> pd.DataFrame:
+        nun = g.groupby("h")["doc_id"].transform("nunique")
+        out = g.loc[nun >= 2, ["doc_id", "pos"]]
+        if out.empty:
+            return pd.DataFrame({"doc_id": [], "pos": []}).astype("int64")
+        return out.reset_index(drop=True)
+
+    hits = (
+        ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(dup_hits, batch_format="pandas")
+    )
+
+    def add_doc_bucket(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "__db", pa.array((d % B).astype(np.int32), pa.int32())
+        )
+
+    def merge_spans(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "pos"])
+        doc = g["doc_id"].to_numpy()
+        pos = g["pos"].to_numpy()
+        new = np.empty(len(g), bool)
+        new[0] = True
+        new[1:] = (doc[1:] != doc[:-1]) | (pos[1:] - pos[:-1] > k)
+        idx = np.flatnonzero(new)
+        last = np.r_[idx[1:] - 1, len(pos) - 1]
+        return pd.DataFrame(
+            {
+                "doc_id": doc[idx],
+                "span_start": pos[idx],
+                "span_len": pos[last] + k - pos[idx],
+            }
+        )
+
+    return (
+        hits.map_batches(add_doc_bucket, batch_format="pyarrow")
+        .groupby("__db")
+        .map_groups(merge_spans, batch_format="pandas")
+    )
