@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_containment_neardup": d.q_containment_neardup,
         "q_transition_counts": r.q_transition_counts,
         "q_dup_spans": d.q_dup_spans,
+        "q_bigram_lift": d.q_bigram_lift,
         # the remaining TPC-H shapes (round-3 session 3) — with these
         # all 22 TPC-H query shapes are covered and oracled
         "q_min_cost_supplier": r.q_min_cost_supplier,
@@ -98,7 +99,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_funnel": r.q_funnel,
         "q_collect_values": r.q_collect_values,
         "q_bfs_distance": d.q_bfs_distance,
-        "q_train_split": d.q_train_split,
         # SQL-oracled but past the driver's 50-entry cap BY CHOICE: these
         # were hash-green in CORRECTNESS_r01 AND/OR _r02 (driver-verified),
         # so their slots go to the newer shapes above; pytest
@@ -112,10 +112,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_canonicalize": d.q_canonicalize,
         "q_quality_sample": d.q_quality_sample,
         "q_window_dedup": r.q_window_dedup,
-        # q_late_events: displaced by q_dup_spans (session 5); its
-        # block-offset prefix-MAX core keeps q_dense_rank in-window and
-        # it was hash-green when it sat inside the r2 window family.
+        # q_late_events / q_train_split: displaced by the session-5
+        # additions (q_dup_spans, q_bigram_lift). Their cores keep
+        # in-window representatives (q_dense_rank's block-offset core;
+        # q_data_mix's Knuth-hash gate) and both stay pytest-oracled.
         "q_late_events": r.q_late_events,
+        "q_train_split": d.q_train_split,
         # displaced from the window by the session-4 additions (their
         # families keep driver-stamped or in-window representatives:
         # quality counters, filtered aggregates, per-group scaling,
@@ -1041,6 +1043,31 @@ def oracle_sql() -> dict[str, str]:
               FROM events
             ) WHERE next_type IS NOT NULL
             GROUP BY prev_type, next_type
+        """,
+        # bigram lift (integer PMI-argument): HUGEINT guards the
+        # N * c_xy product exactly where the engine switches to Python
+        # ints; floor division on both sides
+        "q_bigram_lift": """
+            WITH u AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+                       FROM (SELECT unnest(string_split(text, ' ')) AS w
+                             FROM documents)
+                       GROUP BY w),
+                 n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM u),
+                 tok AS (SELECT string_split(text, ' ') AS t FROM documents),
+                 nums AS (SELECT CAST(row_number() OVER () AS BIGINT) AS i
+                          FROM lineitem
+                          QUALIFY i <= (SELECT max(len(t)) FROM tok) - 1),
+                 b AS (SELECT t[CAST(i AS INT)] AS w1,
+                              t[CAST(i AS INT)+1] AS w2
+                       FROM tok CROSS JOIN nums WHERE i <= len(t) - 1),
+                 bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt
+                        FROM b GROUP BY w1, w2 HAVING count(*) >= 5)
+            SELECT bc.w1 || ' ' || bc.w2 AS bigram, bc.cnt,
+                   CAST((10000 * CAST(n.n AS HUGEINT) * bc.cnt)
+                        // (u1.c * u2.c) AS BIGINT) AS lift_e4
+            FROM bc, n
+            JOIN u u1 ON u1.w = bc.w1
+            JOIN u u2 ON u2.w = bc.w2
         """,
         # duplicated-substring spans: every maximal range covered by
         # 30-char windows appearing verbatim in >= 2 distinct docs;

@@ -4416,3 +4416,89 @@ def q_dup_spans(sf_dir: str, k: int = 30, n_buckets: int | None = None):
         .groupby("__db")
         .map_groups(merge_spans, batch_format="pandas")
     )
+
+
+# ------------------------------------------------ bigram association ----
+def q_bigram_lift(sf_dir: str, min_count: int = 5):
+    """Bigram ASSOCIATION scores — integer lift
+    ``(10^4 * N * c_xy) // (c_x * c_y)`` for every bigram with count >=
+    ``min_count`` — the collocation / phrase-mining statistic (the
+    integer-exact stand-in for PMI: lift is PMI's argument before the
+    log, so the ranking is identical) that upgrades q_bigram_count's raw
+    counts into "are these tokens together MORE than chance".
+
+    Scale shape: ONE corpus pass emits unigram and bigram partial counts
+    together (polars explode + group_by per batch, zero Python per row);
+    one vocab-bounded groupby-sum shuffles partials, never token
+    occurrences. The unigram table is vocab-sized by definition, so it
+    broadcasts; lift is computed over the vocab-bounded bigram rows with
+    Python-int arithmetic (N * c_xy overflows int64 at 100-TB token
+    counts — the DuckDB twin needs HUGEINT for the same reason)."""
+    import polars as pl
+
+    from ray.data.aggregate import Sum
+
+    ds = _pq(sf_dir, "documents", columns=["text"], split=True)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pl.from_arrow(batch.column("text")).str.split(" ")
+        uni = (
+            pl.select(w=t)
+            .explode("w")
+            .group_by("w")
+            .len()
+            .select(key=pl.col("w"), is_bigram=pl.lit(0, pl.Int32),
+                    cnt=pl.col("len").cast(pl.Int64))
+        )
+        bi = (
+            pl.select(a=t, b=t.list.shift(-1))
+            .explode(["a", "b"])
+            .filter(pl.col("b").is_not_null())
+            .select(key=pl.col("a") + " " + pl.col("b"))
+            .group_by("key")
+            .len()
+            .select(key=pl.col("key"), is_bigram=pl.lit(1, pl.Int32),
+                    cnt=pl.col("len").cast(pl.Int64))
+        )
+        return pl.concat([uni, bi]).to_arrow()
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["key", "is_bigram"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        # vocab-bounded aggregate, consumed twice below (unigram pull +
+        # bigram lift map) — materializing it pins the corpus to ONE pass
+        .materialize()
+    )
+    # unigram side: vocab-bounded by definition — the only driver contact
+    uni_tbl = counts.filter(expr="is_bigram == 0").select_columns(
+        ["key", "cnt"]
+    ).to_pandas()
+    c_uni = dict(zip(uni_tbl["key"], uni_tbl["cnt"].astype(int)))
+    n_total = int(uni_tbl["cnt"].sum())
+    uni_ref = ray.put(c_uni)
+
+    def lift(batch: pa.Table) -> pa.Table:
+        cu = ray.get(uni_ref)
+        keys = batch.column("key").to_pylist()
+        cnt = batch.column("cnt").to_numpy(zero_copy_only=False)
+        out_k, out_c, out_l = [], [], []
+        for kk, c in zip(keys, cnt):
+            if c < min_count:
+                continue
+            w1, w2 = kk.split(" ")
+            out_k.append(kk)
+            out_c.append(int(c))
+            # Python ints: exact at any N (no int64 overflow)
+            out_l.append((10_000 * n_total * int(c)) // (cu[w1] * cu[w2]))
+        return pa.table(
+            {
+                "bigram": pa.array(out_k, pa.string()),
+                "cnt": pa.array(out_c, pa.int64()),
+                "lift_e4": pa.array(out_l, pa.int64()),
+            }
+        )
+
+    return counts.filter(expr="is_bigram == 1").map_batches(
+        lift, batch_format="pyarrow"
+    )
