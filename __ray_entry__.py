@@ -178,6 +178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data ops (rows-only: not SQL-expressible), most
         # important first — see ordering NOTE above
         "q_grouped_hll": d.q_grouped_hll,
+        "q_grouped_tdigest": d.q_grouped_tdigest,
         "q_compression_stats": d.q_compression_stats,
         "q_minhash_neardup": d.q_minhash_neardup,
         "q_simhash_neardup": d.q_simhash_neardup,

@@ -4502,3 +4502,68 @@ def q_bigram_lift(sf_dir: str, min_count: int = 5):
     return counts.filter(expr="is_bigram == 1").map_batches(
         lift, batch_format="pyarrow"
     )
+
+
+# ------------------------------------------ grouped t-digest quantiles --
+def q_grouped_tdigest(sf_dir: str, qs: tuple = (50, 90, 99)):
+    """PER-GROUP approximate quantiles via mergeable t-digests — the
+    100-TB fallback for q_percentiles' exact per-group path, exactly as
+    q_grouped_hll is for grouped exact distinct: when a single group's
+    value column stops fitting one task (billions of rows per
+    event_type), the exact bucketed sort dies, but each map task can
+    emit ONE kilobyte-scale digest per (group, batch) and the groupby
+    merges centroids. NOTHING value-column-sized shuffles; rank error
+    O(1/delta), sharpest in the tails (k1 scale function).
+    Rows-only driver check; tests pin per-group rank error vs the exact
+    per-group sort at fixture scale."""
+    from ..functions.sketch import TDigest
+
+    ds = _pq(sf_dir, "events", columns=["event_type", "value"], split=True)
+
+    def sk(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        out_t, out_m, out_w = [], [], []
+        for t in np.unique(et):
+            d = TDigest.from_values(v[et == t])
+            m, w = d.to_arrays()
+            out_t.append(str(t))
+            out_m.append(m.tolist())
+            out_w.append(w.tolist())
+        return pa.table(
+            {
+                "event_type": pa.array(out_t, pa.string()),
+                "means": pa.array(out_m, pa.list_(pa.float64())),
+                "weights": pa.array(out_w, pa.list_(pa.float64())),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        # t-digest merge is order-SENSITIVE and groupby tie order is not
+        # guaranteed across runs — a canonical sketch sort pins the merge
+        # sequence so repeated runs are bit-identical
+        order = sorted(
+            range(len(g)),
+            key=lambda i: (len(g["means"].iloc[i]), tuple(g["means"].iloc[i])),
+        )
+        acc = TDigest()
+        for i in order:
+            acc = acc.merge(
+                TDigest(means=np.asarray(g["means"].iloc[i], np.float64),
+                        weights=np.asarray(g["weights"].iloc[i], np.float64))
+            )
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]] * len(qs),
+                "q": [int(q) for q in qs],
+                "value_approx": [
+                    round(acc.quantile(q / 100.0), 4) for q in qs
+                ],
+            }
+        )
+
+    return (
+        ds.map_batches(sk, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .map_groups(merge, batch_format="pandas")
+    )

@@ -135,3 +135,38 @@ def test_transition_counts_mass_conservation(ray_session):
     ).to_pandas()
     per_user = ev.groupby("user_id").size()
     assert out["n"].sum() == int((per_user - 1).clip(lower=0).sum())
+
+
+def test_grouped_tdigest_rank_error(ray_session):
+    """Per-group t-digest quantiles land within 1.5% RANK error of the
+    exact per-group sorted values (t-digest guarantees rank, not value,
+    accuracy)."""
+    from heroshi_ray.pipelines import dataops as d
+
+    out = to_df(d.q_grouped_tdigest(SF_DIR))
+    ev = pq.read_table(
+        os.path.join(SF_DIR, "events.parquet"), columns=["event_type", "value"]
+    ).to_pandas()
+    for t, g in ev.groupby("event_type"):
+        vals = np.sort(g["value"].to_numpy())
+        sub = out[out["event_type"] == t]
+        assert len(sub) == 3, t
+        for _, row in sub.iterrows():
+            # rank of the approximate value in the exact sorted array
+            r = np.searchsorted(vals, row["value_approx"]) / len(vals)
+            assert abs(r - row["q"] / 100.0) < 0.015, (
+                f"{t} q{row['q']}: approx {row['value_approx']} sits at "
+                f"rank {r:.4f}"
+            )
+
+
+def test_grouped_tdigest_deterministic(ray_session):
+    from heroshi_ray.pipelines import dataops as d
+
+    a = to_df(d.q_grouped_tdigest(SF_DIR)).sort_values(
+        ["event_type", "q"]
+    ).reset_index(drop=True)
+    b = to_df(d.q_grouped_tdigest(SF_DIR)).sort_values(
+        ["event_type", "q"]
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
