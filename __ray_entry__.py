@@ -183,6 +183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_minhash_neardup": d.q_minhash_neardup,
         "q_simhash_neardup": d.q_simhash_neardup,
         "q_phash_neardup": d.q_phash_neardup,
+        "q_image_curate": d.q_image_curate,
         "q_image_dedup": d.q_image_dedup,
         "q_image_clusters": d.q_image_clusters,
         "q_kmeans": d.q_kmeans,

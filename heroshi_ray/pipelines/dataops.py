@@ -4567,3 +4567,106 @@ def q_grouped_tdigest(sf_dir: str, qs: tuple = (50, 90, 99)):
         .groupby("event_type")
         .map_groups(merge, batch_format="pandas")
     )
+
+
+# ------------------------------------------------ image-text curation ---
+def _ensure_curate_corpus() -> str:
+    """Larger deterministic corpus (256 rows) cached for the curation
+    gate, so every filter stage has real selectivity."""
+    import pyarrow.parquet as pq
+
+    from ..fixtures import make_corpus
+
+    cache = "/tmp/heroshi_ray_cache"
+    os.makedirs(cache, exist_ok=True)
+    path = os.path.join(cache, "corpus_curate.parquet")
+    if not os.path.exists(path):
+        tmp = path + ".tmp"
+        pq.write_table(make_corpus(256, seed=777), tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def q_image_curate(
+    sf_dir: str,
+    min_dim: int = 48,
+    max_aspect_e2: int = 150,
+    min_cap_tokens: int = 6,
+    max_cap_tokens: int = 18,
+    n_buckets: int | None = None,
+):
+    """LAION-style image-text curation gate over the BASELINE.json:15
+    corpus table (image_id, bytes, w, h, fmt, caption, phash) — the
+    composite every image+caption training pipeline runs before
+    contrastive pretraining (Schuhmann et al. 2021 §2.2 filters on
+    image size, aspect ratio and caption length; dedup by perceptual
+    hash):
+
+    1. metadata gate (pure Arrow masks, zero shuffle, prunes BEFORE any
+       byte-decode): min(w,h) >= ``min_dim``, aspect ratio
+       max(w,h)*100 <= ``max_aspect_e2``*min(w,h) (integer cross-
+       multiply — no float aspect), known codec only;
+    2. caption gate: whitespace token count in
+       [``min_cap_tokens``, ``max_cap_tokens``] (polars count, zero
+       Python per row);
+    3. exact perceptual dedup: first image_id per phash — phash is
+       already int64, so the ONE shuffle buckets on ``phash % B`` and
+       the per-bucket first-per-key is a vectorized lexsort, the
+       dedup_first layout without a hashing pass.
+
+    Rows-only driver check (captions are RNG-templated, not
+    SQL-derivable); tests pin the gate against a single-process pandas
+    replica of the same rules, including the dedup tie-break."""
+    B = n_buckets or default_buckets(per_cpu=4, hi=256)
+    ds = ray.data.read_parquet(
+        _ensure_curate_corpus(),
+        columns=["image_id", "w", "h", "fmt", "caption", "phash"],
+    )
+
+    def gate(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        w = batch.column("w").to_numpy(zero_copy_only=False).astype(np.int64)
+        h = batch.column("h").to_numpy(zero_copy_only=False).astype(np.int64)
+        fmt = batch.column("fmt").to_numpy(zero_copy_only=False)
+        lo = np.minimum(w, h)
+        hi = np.maximum(w, h)
+        ntok = (
+            pl.from_arrow(batch.column("caption"))
+            .str.count_matches(r"\S+")
+            .cast(pl.Int64)
+            .to_numpy()
+        )
+        keep = (
+            (lo >= min_dim)
+            & (hi * 100 <= max_aspect_e2 * lo)
+            & np.isin(fmt, ("png", "qpng"))
+            & (ntok >= min_cap_tokens)
+            & (ntok <= max_cap_tokens)
+        )
+        out = batch.filter(pa.array(keep))
+        ph = out.column("phash").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "image_id": out.column("image_id"),
+                "w": out.column("w"),
+                "h": out.column("h"),
+                "fmt": out.column("fmt"),
+                "n_cap_tokens": pa.array(ntok[keep], pa.int64()),
+                "phash": out.column("phash"),
+                "__b": pa.array(
+                    (ph.astype(np.uint64) % np.uint64(B)).astype(np.int32),
+                    pa.int32(),
+                ),
+            }
+        )
+
+    def first_per_phash(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["phash", "image_id"], kind="mergesort")
+        return g[~g["phash"].duplicated()].drop(columns="__b")
+
+    return (
+        ds.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(first_per_phash, batch_format="pandas")
+    )
