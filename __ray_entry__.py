@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_transition_counts": r.q_transition_counts,
         "q_dup_spans": d.q_dup_spans,
         "q_bigram_lift": d.q_bigram_lift,
+        "q_attribution": r.q_attribution,
         # the remaining TPC-H shapes (round-3 session 3) — with these
         # all 22 TPC-H query shapes are covered and oracled
         "q_min_cost_supplier": r.q_min_cost_supplier,
@@ -98,7 +99,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_market_share": r.q_market_share,
         "q_funnel": r.q_funnel,
         "q_collect_values": r.q_collect_values,
-        "q_bfs_distance": d.q_bfs_distance,
         # SQL-oracled but past the driver's 50-entry cap BY CHOICE: these
         # were hash-green in CORRECTNESS_r01 AND/OR _r02 (driver-verified),
         # so their slots go to the newer shapes above; pytest
@@ -112,12 +112,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_canonicalize": d.q_canonicalize,
         "q_quality_sample": d.q_quality_sample,
         "q_window_dedup": r.q_window_dedup,
-        # q_late_events / q_train_split: displaced by the session-5
-        # additions (q_dup_spans, q_bigram_lift). Their cores keep
-        # in-window representatives (q_dense_rank's block-offset core;
-        # q_data_mix's Knuth-hash gate) and both stay pytest-oracled.
+        # q_late_events / q_train_split / q_bfs_distance: displaced by
+        # the session-5 additions (q_dup_spans, q_bigram_lift,
+        # q_attribution). Their cores keep in-window representatives
+        # (q_dense_rank's block-offset core; q_data_mix's Knuth-hash
+        # gate; q_pagerank + q_dedup_clusters for iterative graph) and
+        # all three stay pytest-oracled.
         "q_late_events": r.q_late_events,
         "q_train_split": d.q_train_split,
+        "q_bfs_distance": d.q_bfs_distance,
         # displaced from the window by the session-4 additions (their
         # families keep driver-stamped or in-window representatives:
         # quality counters, filtered aggregates, per-group scaling,
@@ -1045,6 +1048,23 @@ def oracle_sql() -> dict[str, str]:
               FROM events
             ) WHERE next_type IS NOT NULL
             GROUP BY prev_type, next_type
+        """,
+        # last-touch attribution: purchase -> most recent click by the
+        # same user strictly within 1h; ties on ts resolve to max
+        # click event_id (the engine's merge_asof last-row rule)
+        "q_attribution": """
+            SELECT purchase_id, click_id, gap_us FROM (
+              SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+                     CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT)
+                         AS gap_us,
+                     row_number() OVER (PARTITION BY p.event_id
+                         ORDER BY c.ts DESC, c.event_id DESC) AS rn
+              FROM events p JOIN events c
+                ON c.user_id = p.user_id AND c.event_type = 'click'
+               AND c.ts <= p.ts
+               AND epoch_us(p.ts) - epoch_us(c.ts) < 3600000000
+              WHERE p.event_type = 'purchase'
+            ) WHERE rn = 1
         """,
         # bigram lift (integer PMI-argument): HUGEINT guards the
         # N * c_xy product exactly where the engine switches to Python

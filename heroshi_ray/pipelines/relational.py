@@ -4897,3 +4897,89 @@ def q_transition_counts(sf_dir: str, n_buckets: int | None = None):
             "n": pa.array(agg["n"].astype("int64"), pa.int64()),
         }
     )
+
+
+# ------------------------------------------------ last-touch attribution
+def q_attribution(sf_dir: str, window_us: int = 3_600_000_000):
+    """LAST-TOUCH ATTRIBUTION: for every 'purchase', the most recent
+    'click' by the same user STRICTLY within the preceding hour — the
+    tolerance-bounded as-of self-join every conversion pipeline runs
+    (q_asof_join's unbounded lookup + a window bound + a deterministic
+    tie-break). Purchases with no qualifying click drop out (inner
+    attribution, not left).
+
+    One bucketed shuffle on user; per bucket ONE vectorized
+    ``pd.merge_asof`` on integer epoch-µs (tolerance = window-1 µs
+    makes the inclusive tolerance a strict < window), clicks pre-sorted
+    by (ts, event_id) so equal-timestamp ties resolve to the max
+    event_id — exactly the twin's ORDER BY ts DESC, event_id DESC."""
+    ds = _pq(
+        sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+    n_bkt = np.uint64(default_buckets())
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            batch.column("event_type"),
+            value_set=pa.array(["click", "purchase"]),
+        )
+        b = batch.filter(keep)
+        us = pc.cast(b.column("ts"), pa.timestamp("us")).cast(pa.int64())
+        bk = (
+            b.column("user_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+            % n_bkt
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "user_id": b.column("user_id"),
+                "ts_us": us,
+                "event_type": b.column("event_type"),
+                "__b": pa.array(bk, pa.int32()),
+            }
+        )
+
+    def attribute(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["event_type"] == "purchase"][
+            ["event_id", "user_id", "ts_us"]
+        ]
+        right = g[g["event_type"] == "click"][["event_id", "user_id", "ts_us"]]
+        empty = pd.DataFrame(
+            {
+                "purchase_id": pd.Series(dtype="int64"),
+                "click_id": pd.Series(dtype="int64"),
+                "gap_us": pd.Series(dtype="int64"),
+            }
+        )
+        if not len(left) or not len(right):
+            return empty
+        left = left.sort_values("ts_us", kind="mergesort")
+        # ties on ts_us: merge_asof backward picks the LAST right row,
+        # so (ts_us, event_id) sort makes that the max event_id
+        right = right.sort_values(["ts_us", "event_id"], kind="mergesort")
+        right = right.assign(click_ts_us=right["ts_us"])
+        j = pd.merge_asof(
+            left,
+            right,
+            on="ts_us",
+            by="user_id",
+            direction="backward",
+            suffixes=("", "_click"),
+            tolerance=window_us - 1,
+        )
+        j = j[j["event_id_click"].notna()]
+        if not len(j):
+            return empty
+        return pd.DataFrame(
+            {
+                "purchase_id": j["event_id"].astype("int64"),
+                "click_id": j["event_id_click"].astype("int64"),
+                "gap_us": (j["ts_us"] - j["click_ts_us"]).astype("int64"),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(attribute, batch_format="pandas")
+    )
