@@ -48,7 +48,7 @@ from ..functions.text import (
     token_count_bpe,
     token_count_ws,
 )
-from ..runtime import default_buckets, join_partitions, tune_join_resources
+from ..runtime import arrow_blocks, default_buckets, join_partitions, tune_join_resources
 from ..stages.dedup import dedup_first
 
 
@@ -335,13 +335,9 @@ def q_minhash_neardup(
             }
         )
 
-    blocks = [
-        b
-        for b in ray.get(
-            joined.map_batches(verify, batch_format="pyarrow").to_arrow_refs()
-        )
-        if b.num_rows
-    ]
+    # arrow_blocks: the upstream join can surface pandas blocks
+    # (observed on the distributed-attach path at sf0.01/32cpu)
+    blocks = arrow_blocks(joined.map_batches(verify, batch_format="pyarrow"))
     if not blocks:
         return empty
     merged = pa.concat_tables(blocks, promote_options="none")
@@ -818,7 +814,7 @@ def q_embed_neardup(
         .map_groups(cell_pairs, batch_format="pandas")
     )
     pairs_ds = _dedup_pairs(pairs_ds, "vec_a", "vec_b")
-    blocks = [b for b in ray.get(pairs_ds.to_arrow_refs()) if b.num_rows]
+    blocks = arrow_blocks(pairs_ds)
     empty = pa.table(
         {
             "vec_a": pa.array([], pa.int64()),
@@ -1513,7 +1509,7 @@ def hamming_band_pairs(
             a_col,
             b_col,
         ).materialize()
-    blocks = [b for b in ray.get(pairs_ds.to_arrow_refs()) if b.num_rows]
+    blocks = arrow_blocks(pairs_ds)
     if not blocks:
         return schema.empty_table()
     # pairs here are already hamming-VERIFIED (and, on the high-dup
@@ -1971,9 +1967,7 @@ def q_ngram_jaccard(
 
         verified = joined.map_batches(verify, batch_format="pyarrow")
 
-    blocks = [
-        b for b in ray.get(verified.to_arrow_refs()) if b.num_rows
-    ]
+    blocks = arrow_blocks(verified)
     if not blocks:
         return empty
     merged = (

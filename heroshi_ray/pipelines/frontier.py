@@ -20,6 +20,7 @@ import ray
 import ray.data
 
 from ..functions.hashing import assert_uniform_hashing
+from ..runtime import arrow_blocks
 from ..stages.canonicalize import canonicalize_dataset
 from ..stages.dedup import dedup_first
 from ..stages.schedule import global_order, per_host_topk
@@ -265,7 +266,7 @@ def fused_schedule_pipeline(
         # the epoch batch is bounded by design (and checked above). An
         # all-to-all shuffle for a bounded, driver-owned batch costs more
         # than it buys.
-        blocks = [b for b in ray.get(capped.to_arrow_refs()) if b.num_rows]
+        blocks = arrow_blocks(capped)
         if not blocks:
             return capped.drop_columns(["__sh", "__hh", "__hs"])
         merged = pa.concat_tables(blocks, promote_options="none")

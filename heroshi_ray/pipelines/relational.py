@@ -29,7 +29,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from ..runtime import default_buckets, join_partitions, tune_join_resources
+from ..runtime import arrow_blocks, default_buckets, join_partitions, tune_join_resources
 from ..stages.dedup import dedup_first
 
 ROUND = 6
@@ -134,7 +134,7 @@ def q_global_topk(sf_dir: str, n: int = 100):
         return batch.take(idx)
 
     parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    blocks = [b for b in ray.get(parts.to_arrow_refs()) if b.num_rows]
+    blocks = arrow_blocks(parts)
     if not blocks:
         return parts
     merged = pa.concat_tables(blocks, promote_options="none")
@@ -811,7 +811,7 @@ def q_shipping_priority(
         )
 
     def topn_merge(parts) -> pa.Table:
-        blocks = [b for b in ray.get(parts.to_arrow_refs()) if b.num_rows]
+        blocks = arrow_blocks(parts)
         if not blocks:
             return q3_schema.empty_table()
         merged = pa.concat_tables(blocks, promote_options="none").cast(q3_schema)

@@ -123,3 +123,26 @@ def sorted_block_offsets(sorted_ds, per_block_value):
     vals = ray.get([_val.remote(r) for r in refs])
     offsets = np.concatenate([[0], np.cumsum(vals)[:-1]]).astype(np.int64)
     return refs, offsets
+
+
+def arrow_blocks(ds) -> list:
+    """Materialize a Dataset's blocks as NON-EMPTY pyarrow Tables.
+
+    ``to_arrow_refs()`` hands back whatever block format the last
+    operator produced — a native hash join or a pandas map_groups can
+    surface ``pd.DataFrame`` blocks (observed on q_minhash_neardup's
+    distributed-attach path at sf0.01/32cpu), and downstream
+    ``pa.concat_tables`` then dies on ``.num_rows``. One shared
+    normalization point instead of per-call-site defensiveness."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray
+
+    out = []
+    for b in ray.get(ds.to_arrow_refs()):
+        if isinstance(b, pd.DataFrame):
+            b = pa.Table.from_pandas(b, preserve_index=False)
+        if b.num_rows:
+            out.append(b)
+    return out

@@ -28,6 +28,7 @@ import ray
 import ray.data
 
 from ..functions.hashing import hash64
+from ..runtime import arrow_blocks
 from ..functions.robots import allowed
 
 _SHARD_COL = "__host_shard"
@@ -187,11 +188,11 @@ def budget_topk_order(
     if capped.count() > driver_merge_max:
         k1 = per_host_topk(capped, budgets_ref, n_shards=n_shards)
         sched = global_order(k1, epoch_budget)
-        blocks = [b for b in ray.get(sched.to_arrow_refs()) if b.num_rows]
+        blocks = arrow_blocks(sched)
         return (
             pa.concat_tables(blocks, promote_options="none") if blocks else None
         )
-    blocks = [b for b in ray.get(capped.to_arrow_refs()) if b.num_rows]
+    blocks = arrow_blocks(capped)
     if not blocks:
         return None
     merged = pa.concat_tables(blocks, promote_options="none").combine_chunks()
