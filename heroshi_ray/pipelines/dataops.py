@@ -1641,10 +1641,13 @@ def q_ngram_jaccard(
     — on a template-heavy corpus (where every pair shares hundreds of
     common grams) this cuts candidates by orders of magnitude versus a
     hash-ordered prefix, with zero recall loss (the lemma holds for ANY
-    fixed total order). DF is one extra explode+groupby pass, then
-    SIZE-ADAPTIVE on |vocab| (``df_broadcast_limit``):
-    - bounded gram space (char n-grams): the DF map is a broadcast
-      dict — kilobyte-scale per million docs for trigrams;
+    fixed total order). DF is one extra combiner explode pass, then
+    SIZE-ADAPTIVE on the per-block partial row count (an upper bound on
+    |vocab|; ``df_broadcast_limit``):
+    - bounded gram space (char n-grams): per-block DF partials merge on
+      the DRIVER (the map is broadcast right after, so a distributed
+      groupby first is a pure all-to-all tax — measured 11.2 of 17.8 s
+      at sf0.1) and ship as two sorted numpy arrays;
     - unbounded gram space: a distributed hash join of DF onto the
       exploded (doc, gram) rows, then a groupby(doc) prefix selection
       — nothing vocab-sized touches the driver. Both paths are
@@ -1676,8 +1679,6 @@ def q_ngram_jaccard(
     Returns (doc_a, doc_b, jac_e4), doc_a < doc_b, sorted."""
     from ray.data.aggregate import Sum
 
-    from ..functions.hashing import hash64
-
     # a single parquet file arrives as ~1 block; the gram passes are
     # CPU-bound per doc, so split the read across the cluster
     ds = ray.data.read_parquet(
@@ -1685,6 +1686,7 @@ def q_ngram_jaccard(
         columns=["doc_id", "text"],
         override_num_blocks=default_buckets(),
     )
+    pw = _poly_powers(n)
     empty = pa.table(
         {
             "doc_a": pa.array([], pa.int64()),
@@ -1694,22 +1696,23 @@ def q_ngram_jaccard(
     )
 
     def _gram_hashes(t: str) -> np.ndarray:
-        grams = list({t[i : i + n] for i in range(len(t) - n + 1)})
-        return hash64(grams).astype(np.int64) if grams else np.empty(0, np.int64)
+        # single-doc wrapper over the vectorized batch kernel (used by
+        # the per-doc caches in the verify stages). Hashes come back in
+        # uint64 order — re-sort the INT64 view, because the verify's
+        # searchsorted intersection compares as int64
+        _d, hh = _batch_distinct_grams([t], n, pw)
+        return np.sort(hh.view(np.int64))
 
     def explode_grams(batch: pa.Table) -> pa.Table:
         # partial DF inside the batch (combiner): one row per distinct
-        # gram per batch, so the groupby moves ~|vocab| rows per block
+        # gram per batch, so the groupby moves ~|vocab| rows per block.
+        # _batch_distinct_grams is already per-doc-distinct, so the
+        # unique-counts here ARE document frequencies.
         texts = batch.column("text").to_pylist()
-        hs = [_gram_hashes(t or "") for t in texts if t and len(t) >= n]
-        if not hs:
-            return pa.table(
-                {"gram": pa.array([], pa.int64()), "df": pa.array([], pa.int64())}
-            )
-        allg = np.concatenate(hs)
-        uniq, counts = np.unique(allg, return_counts=True)
+        _d, hh = _batch_distinct_grams(texts, n, pw)
+        uniq, counts = np.unique(hh, return_counts=True)
         return pa.table(
-            {"gram": pa.array(uniq, pa.int64()),
+            {"gram": pa.array(uniq.view(np.int64), pa.int64()),
              "df": pa.array(counts.astype(np.int64), pa.int64())}
         )
 
@@ -1718,42 +1721,50 @@ def q_ngram_jaccard(
          "doc_id": pa.array([], pa.int64()),
          "sz": pa.array([], pa.int64())}
     )
-    df_ds = (
-        ds.map_batches(explode_grams, batch_format="pyarrow")
-        .groupby("gram")
-        .aggregate(Sum("df", alias_name="df"))
-        .materialize()
-    )
-    n_vocab = df_ds.count()
+    df_parts = ds.map_batches(explode_grams, batch_format="pyarrow").materialize()
+    n_part_rows = df_parts.count()  # >= |vocab|; block-partial DF rows
 
-    if n_vocab <= df_broadcast_limit:
-        # bounded gram space: DF map travels as one broadcast dict
-        df_tbl = df_ds.to_pandas()  # |vocab| rows — vocab-, not corpus-sized
-        df_ref = ray.put(
-            dict(zip(df_tbl["gram"].astype(np.int64), df_tbl["df"].astype(np.int64)))
-        )
+    if n_part_rows <= df_broadcast_limit:
+        # bounded gram space: the DF map ends up broadcast to every
+        # task anyway, so a distributed groupby before the driver pull
+        # is a pure all-to-all tax — MEASURED 11.2 s of a 17.8 s total
+        # at sf0.1/32cpu for a 131k vocab. Merge the per-block partials
+        # on the driver instead (vocab-bounded rows, exact int sums)
+        # and broadcast two sorted numpy arrays — a searchsorted lookup
+        # is vectorized where a dict probe is a Python loop per gram.
+        from ..runtime import arrow_blocks as _ab
+
+        part_tbl = pa.concat_tables(_ab(df_parts), promote_options="none")
+        g_all = part_tbl.column("gram").to_numpy(zero_copy_only=False)
+        d_all = part_tbl.column("df").to_numpy(zero_copy_only=False)
+        dfk_s, inv = np.unique(g_all, return_inverse=True)
+        dfv_s = np.zeros(len(dfk_s), np.int64)
+        np.add.at(dfv_s, inv, d_all)
+        df_ref = ray.put((dfk_s, dfv_s))
 
         def prefix_rows(batch: pa.Table) -> pa.Table:
-            dfm = ray.get(df_ref)
-            ids = batch.column("doc_id").to_pylist()
+            dfk_s, dfv_s = ray.get(df_ref)
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
             texts = batch.column("text").to_pylist()
-            out_g: list[np.ndarray] = []
-            out_d: list[np.ndarray] = []
-            out_s: list[np.ndarray] = []
-            for did, t in zip(ids, texts):
-                t = t or ""
-                if len(t) < n:
-                    continue
-                h = _gram_hashes(t)
-                dfs = np.fromiter((dfm[g] for g in h), np.int64, len(h))
+            d, hh = _batch_distinct_grams(texts, n, pw)
+            if not len(d):
+                return _empty_pref
+            h_all = hh.view(np.int64)
+            dfs_all = dfv_s[np.searchsorted(dfk_s, h_all)]
+            # per-doc boundaries (d is sorted by construction)
+            bounds = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+            ends = np.r_[bounds[1:], len(d)]
+            out_g, out_d, out_s = [], [], []
+            for s0, e0 in zip(bounds, ends):
+                h = h_all[s0:e0]
+                dfs = dfs_all[s0:e0]
+                m = e0 - s0
                 order = np.lexsort((h, dfs))  # rare grams first, hash tiebreak
-                m = len(h)
                 L = m - (threshold_e4 * m + 9999) // 10000 + 1
+                did = int(ids[d[s0]])
                 out_g.append(h[order[:L]])
                 out_d.append(np.full(L, did, dtype=np.int64))
                 out_s.append(np.full(L, m, dtype=np.int64))
-            if not out_g:
-                return _empty_pref
             return pa.table(
                 {
                     "gram": pa.array(np.concatenate(out_g), pa.int64()),
@@ -1768,28 +1779,28 @@ def q_ngram_jaccard(
         # (doc, gram) rows, then select each doc's DF-ascending prefix
         # in a groupby(doc_id) — the driver never sees the vocab
         def explode_doc_grams(batch: pa.Table) -> pa.Table:
-            ids = batch.column("doc_id").to_pylist()
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
             texts = batch.column("text").to_pylist()
-            out_g, out_d, out_s = [], [], []
-            for did, t in zip(ids, texts):
-                t = t or ""
-                if len(t) < n:
-                    continue
-                h = _gram_hashes(t)
-                out_g.append(h)
-                out_d.append(np.full(len(h), did, dtype=np.int64))
-                out_s.append(np.full(len(h), len(h), dtype=np.int64))
-            if not out_g:
+            d, hh = _batch_distinct_grams(texts, n, pw)
+            if not len(d):
                 return _empty_pref
+            # per-doc sizes scattered back onto the gram rows
+            sizes = np.bincount(d, minlength=len(texts)).astype(np.int64)
             return pa.table(
                 {
-                    "gram": pa.array(np.concatenate(out_g), pa.int64()),
-                    "doc_id": pa.array(np.concatenate(out_d), pa.int64()),
-                    "sz": pa.array(np.concatenate(out_s), pa.int64()),
+                    "gram": pa.array(hh.view(np.int64), pa.int64()),
+                    "doc_id": pa.array(ids[d].astype(np.int64), pa.int64()),
+                    "sz": pa.array(sizes[d], pa.int64()),
                 }
             )
 
         tune_join_resources()
+        df_ds = (
+            df_parts.groupby("gram")
+            .aggregate(Sum("df", alias_name="df"))
+            .materialize()
+        )
+        n_vocab = df_ds.count()
         dg = ds.map_batches(explode_doc_grams, batch_format="pyarrow").materialize()
         n_dg = dg.count()
         if n_dg == 0:
@@ -1914,9 +1925,16 @@ def q_ngram_jaccard(
             b = batch.filter(
                 pc.is_in(batch.column("doc_id"), value_set=ray.get(ids_ref))
             )
-            arrs = [
-                np.sort(_gram_hashes(t or "")) for t in b.column("text").to_pylist()
-            ]
+            texts = b.column("text").to_pylist()
+            d, hh = _batch_distinct_grams(texts, n, pw)
+            h_all = hh.view(np.int64)  # per-doc slices already sorted asc
+            bounds = np.flatnonzero(np.r_[True, d[1:] != d[:-1]]) if len(d) else np.empty(0, np.int64)
+            ends = np.r_[bounds[1:], len(d)] if len(d) else np.empty(0, np.int64)
+            arrs = [np.empty(0, np.int64)] * len(texts)
+            for s0, e0 in zip(bounds, ends):
+                # uint64-order slice -> int64-order for the verify's
+                # searchsorted intersection
+                arrs[d[s0]] = np.sort(h_all[s0:e0])
             return pa.table(
                 {
                     "doc_id": b.column("doc_id"),
@@ -4061,6 +4079,46 @@ def q_semantic_decontaminate(
 
 
 # ------------------------------------------ n-gram containment ----------
+def _poly_powers(k: int) -> np.ndarray:
+    """Precomputed FNV64-prime powers for vectorized window hashing
+    (shared by q_dup_spans-style window hashing and the containment
+    explode)."""
+    pw = np.empty(k, np.uint64)
+    pw[k - 1] = 1
+    for i in range(k - 2, -1, -1):
+        pw[i] = pw[i + 1] * np.uint64(1099511628211)
+    return pw
+
+
+def _batch_distinct_grams(texts: list, n: int, pw: np.ndarray):
+    """Per-doc DISTINCT char-n-gram hashes for a whole batch with ONE
+    vectorized pass — no Python per gram. Codepoint concat (utf-32
+    view, character-exact like SQL substr) -> one sliding_window_view
+    -> one (T,n)·(n,) uint64 polynomial dot -> boundary mask -> one
+    lexsort dedup. Returns (doc_index_int64, gram_hash_uint64)."""
+    enc = [(t or "").encode("utf-32-le") for t in texts]
+    lens = np.array([len(e) >> 2 for e in enc], np.int64)
+    buf = np.frombuffer(b"".join(enc), np.uint32).astype(np.uint64)
+    if len(buf) < n:
+        return np.empty(0, np.int64), np.empty(0, np.uint64)
+    win = np.lib.stride_tricks.sliding_window_view(buf, n)
+    with np.errstate(over="ignore"):
+        h = (win * pw).sum(axis=1, dtype=np.uint64)
+    ends = np.cumsum(lens)
+    p = np.arange(len(h), dtype=np.int64)
+    doc_of = np.searchsorted(ends, p, side="right")
+    valid = p <= ends[doc_of] - n  # window fully inside its doc
+    d, hh = doc_of[valid], h[valid]
+    if not len(d):
+        return d.astype(np.int64), hh
+    order = np.lexsort((hh, d))
+    d, hh = d[order], hh[order]
+    keep = np.empty(len(d), bool)
+    keep[0] = True
+    keep[1:] = (d[1:] != d[:-1]) | (hh[1:] != hh[:-1])
+    return d[keep].astype(np.int64), hh[keep]
+
+
 def q_containment_neardup(
     sf_dir: str, n: int = 12, threshold_e4: int = 8000,
     n_buckets: int | None = None, size_broadcast_limit: int = 1_000_000,
@@ -4072,7 +4130,9 @@ def q_containment_neardup(
     into a 10x longer page scores ~1.0 here, ~0.1 on Jaccard).
 
     Plan (no driver contact above output scale):
-    1. distinct (gram_hash64, doc_id) explode per batch;
+    1. distinct (gram_hash64, doc_id) explode per batch — ONE
+       vectorized codepoint sliding-window polynomial-hash pass per
+       batch (`_batch_distinct_grams`), zero Python per gram;
     2. ONE shuffle on gram_hash % B — a gram's whole posting co-locates,
        so within-bucket _group_pairs emits each (a, b, gram) exactly
        once globally; per-bucket np.unique collapses to partial ni;
@@ -4081,42 +4141,27 @@ def q_containment_neardup(
     4. per-doc gram counts: broadcast under ``size_broadcast_limit``
        docs, else the same distributed attach-by-key join the other
        adaptive ops use (fixture path: broadcast).
-    Grams ride as int64 SipHashes, never strings, through both
-    all-to-alls (the measured 10.7x rule). Collision caveat: two grams
-    colliding in 64 bits could overcount ni by 1 — probability ~1e-19
-    per pair at fixture gram counts; the DuckDB twin hash-matched at
-    both test SFs. Same stopword-gram blowup caveat as q_ngram_jaccard:
+    Grams ride as uint64 polynomial window hashes, never strings,
+    through both all-to-alls (the measured 10.7x rule). Collision
+    caveat: two grams colliding in 64 bits could overcount ni by 1 —
+    probability ~1e-19 per pair at fixture gram counts; the DuckDB
+    twin hash-matched at both test SFs. Same stopword-gram blowup caveat as q_ngram_jaccard:
     an exact op has no df cap; deployments that accept recall loss cap
     posting length at step 2."""
     from ray.data.aggregate import Sum
 
-    from ..functions.hashing import hash64
-
     B = n_buckets or default_buckets(per_cpu=8, hi=1024)
     ds = _pq(sf_dir, "documents", columns=["doc_id", "text"], split=True)
+
+    pw = _poly_powers(n)
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         texts = batch.column("text").to_pylist()
-        out_doc, out_g, out_n = [], [], []
-        for i, t in zip(ids, texts):
-            gs = (
-                {t[j : j + n] for j in range(len(t) - n + 1)}
-                if t and len(t) >= n
-                else set()
-            )
-            out_n.append(len(gs))
-            if gs:
-                out_doc.extend([int(i)] * len(gs))
-                out_g.append(hash64(list(gs)))
-        gh = (
-            np.concatenate(out_g).astype(np.uint64)
-            if out_g
-            else np.empty(0, np.uint64)
-        )
+        d, gh = _batch_distinct_grams(texts, n, pw)
         return pa.table(
             {
-                "doc_id": pa.array(out_doc, pa.int64()),
+                "doc_id": pa.array(ids[d].astype(np.int64), pa.int64()),
                 "g": pa.array(gh.view(np.int64), pa.int64()),
                 "__b": pa.array(
                     (gh % np.uint64(B)).astype(np.int32), pa.int32()
@@ -4170,12 +4215,8 @@ def q_containment_neardup(
     def doc_sizes(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         texts = batch.column("text").to_pylist()
-        sz = [
-            len({t[j : j + n] for j in range(len(t) - n + 1)})
-            if t and len(t) >= n
-            else 0
-            for t in texts
-        ]
+        d, _gh = _batch_distinct_grams(texts, n, pw)
+        sz = np.bincount(d, minlength=len(texts)).astype(np.int64)
         return pa.table(
             {
                 "doc_id": pa.array(ids, pa.int64()),
@@ -4331,10 +4372,7 @@ def q_dup_spans(sf_dir: str, k: int = 30, n_buckets: int | None = None):
     both test SFs). Returns (doc_id, span_start, span_len), 0-based."""
     B = n_buckets or default_buckets(per_cpu=8, hi=1024)
     ds = _pq(sf_dir, "documents", columns=["doc_id", "text"], split=True)
-    pw = np.empty(k, np.uint64)
-    pw[k - 1] = 1
-    for i in range(k - 2, -1, -1):
-        pw[i] = pw[i + 1] * np.uint64(1099511628211)  # FNV64 prime, odd
+    pw = _poly_powers(k)
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
