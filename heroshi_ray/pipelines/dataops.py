@@ -1630,8 +1630,9 @@ def q_ngram_jaccard(
     global gram order (here: order by 64-bit gram hash). Only prefix
     grams are exploded and grouped, cutting candidate generation by
     ~(1-t) squared versus a full inverted index, with zero recall loss
-    (candidates and verify both operate on 64-bit gram hashes; a hash
-    collision — ~|grams|²·2⁻⁶⁴ ≈ 10⁻¹⁴ per doc — could merge two
+    (candidates and verify both operate on 64-bit polynomial gram
+    hashes; a collision — deterministic for the fixed base,
+    random-model rate ~|grams|²·2⁻⁶⁴ ≈ 10⁻¹⁴ per doc — could merge two
     distinct grams and shift a count by one; accepted and documented,
     the same trade every hash-fingerprint dedup in this module makes).
 
@@ -1734,7 +1735,10 @@ def q_ngram_jaccard(
         # is vectorized where a dict probe is a Python loop per gram.
         from ..runtime import arrow_blocks as _ab
 
-        part_tbl = pa.concat_tables(_ab(df_parts), promote_options="none")
+        _parts = _ab(df_parts)
+        if not _parts:  # no doc long enough to yield a single n-gram
+            return empty
+        part_tbl = pa.concat_tables(_parts, promote_options="none")
         g_all = part_tbl.column("gram").to_numpy(zero_copy_only=False)
         d_all = part_tbl.column("df").to_numpy(zero_copy_only=False)
         dfk_s, inv = np.unique(g_all, return_inverse=True)
@@ -4085,22 +4089,27 @@ def _poly_powers(k: int) -> np.ndarray:
     explode)."""
     pw = np.empty(k, np.uint64)
     pw[k - 1] = 1
-    for i in range(k - 2, -1, -1):
-        pw[i] = pw[i + 1] * np.uint64(1099511628211)
+    with np.errstate(over="ignore"):  # uint64 wraparound is the point
+        for i in range(k - 2, -1, -1):
+            pw[i] = pw[i + 1] * np.uint64(1099511628211)
     return pw
 
 
-def _batch_distinct_grams(texts: list, n: int, pw: np.ndarray):
-    """Per-doc DISTINCT char-n-gram hashes for a whole batch with ONE
-    vectorized pass — no Python per gram. Codepoint concat (utf-32
-    view, character-exact like SQL substr) -> one sliding_window_view
-    -> one (T,n)·(n,) uint64 polynomial dot -> boundary mask -> one
-    lexsort dedup. Returns (doc_index_int64, gram_hash_uint64)."""
+def _batch_window_hashes(texts: list, n: int, pw: np.ndarray):
+    """EVERY char-n-gram window of a whole batch as (doc_index, pos,
+    hash) with ONE vectorized pass — no Python per gram. Codepoint
+    concat (utf-32 view, character-exact like SQL substr) -> one
+    sliding_window_view -> one (T,n)·(n,) uint64 polynomial dot ->
+    boundary mask. Positions are 0-based within each doc."""
     enc = [(t or "").encode("utf-32-le") for t in texts]
     lens = np.array([len(e) >> 2 for e in enc], np.int64)
     buf = np.frombuffer(b"".join(enc), np.uint32).astype(np.uint64)
     if len(buf) < n:
-        return np.empty(0, np.int64), np.empty(0, np.uint64)
+        return (
+            np.empty(0, np.int64),
+            np.empty(0, np.int64),
+            np.empty(0, np.uint64),
+        )
     win = np.lib.stride_tricks.sliding_window_view(buf, n)
     with np.errstate(over="ignore"):
         h = (win * pw).sum(axis=1, dtype=np.uint64)
@@ -4108,15 +4117,24 @@ def _batch_distinct_grams(texts: list, n: int, pw: np.ndarray):
     p = np.arange(len(h), dtype=np.int64)
     doc_of = np.searchsorted(ends, p, side="right")
     valid = p <= ends[doc_of] - n  # window fully inside its doc
-    d, hh = doc_of[valid], h[valid]
+    d, hh = doc_of[valid].astype(np.int64), h[valid]
+    pos = p[valid] - (ends - lens)[d]
+    return d, pos.astype(np.int64), hh
+
+
+def _batch_distinct_grams(texts: list, n: int, pw: np.ndarray):
+    """Per-doc DISTINCT gram hashes: `_batch_window_hashes` + one
+    lexsort dedup (positions dropped). Returns rows sorted by
+    (doc_index, uint64 hash): (doc_index_int64, gram_hash_uint64)."""
+    d, _pos, hh = _batch_window_hashes(texts, n, pw)
     if not len(d):
-        return d.astype(np.int64), hh
+        return d, hh
     order = np.lexsort((hh, d))
     d, hh = d[order], hh[order]
     keep = np.empty(len(d), bool)
     keep[0] = True
     keep[1:] = (d[1:] != d[:-1]) | (hh[1:] != hh[:-1])
-    return d[keep].astype(np.int64), hh[keep]
+    return d[keep], hh[keep]
 
 
 def q_containment_neardup(
@@ -4143,9 +4161,13 @@ def q_containment_neardup(
        adaptive ops use (fixture path: broadcast).
     Grams ride as uint64 polynomial window hashes, never strings,
     through both all-to-alls (the measured 10.7x rule). Collision
-    caveat: two grams colliding in 64 bits could overcount ni by 1 —
-    probability ~1e-19 per pair at fixture gram counts; the DuckDB
-    twin hash-matched at both test SFs. Same stopword-gram blowup caveat as q_ngram_jaccard:
+    caveat: the fixed-base polynomial hash (mod 2^64) makes collisions
+    DETERMINISTIC, not random — two grams collide iff the base
+    annihilates their codepoint difference vector, which is
+    constructible in principle though vanishing for natural text
+    (random-model rate ~1e-19 per pair at fixture gram counts); a
+    collision overcounts ni by 1. The DuckDB twin hash-matched at both
+    test SFs. Same stopword-gram blowup caveat as q_ngram_jaccard:
     an exact op has no df cap; deployments that accept recall loss cap
     posting length at step 2."""
     from ray.data.aggregate import Sum
@@ -4354,10 +4376,10 @@ def q_dup_spans(sf_dir: str, k: int = 30, n_buckets: int | None = None):
     chunk boundaries; this operator marks them exactly, at any offset.
 
     Plan (two bounded shuffles, nothing corpus-sized on the driver):
-    1. per batch, every k-char window hashed VECTORIZED: codepoint
-       array (utf-32 view, so positions are character-exact like SQL
-       substr) -> sliding_window_view -> one (m,k)·(k,) uint64
-       polynomial dot per doc; emit (h, doc_id, pos) ints only;
+    1. per batch, every k-char window hashed VECTORIZED via the shared
+       `_batch_window_hashes` kernel (ONE codepoint concat +
+       sliding_window_view + uint64 polynomial dot for the whole
+       batch); emit (h, doc_id, pos) ints only;
     2. ONE shuffle on h % B co-locates each window's posting; windows
        whose posting spans >= 2 distinct docs are duplicated — emit
        their (doc_id, pos) hits (output-scale from here on);
@@ -4367,9 +4389,11 @@ def q_dup_spans(sf_dir: str, k: int = 30, n_buckets: int | None = None):
        lag()/SUM() twin applies verbatim.
     Windows ride as uint64 polynomial hashes (FNV-prime base), never
     strings, through the all-to-all; a 64-bit collision could bridge
-    two unrelated windows (~1e-19 at fixture gram counts — same
-    accepted caveat as q_containment_neardup; the twin hash-matched at
-    both test SFs). Returns (doc_id, span_start, span_len), 0-based."""
+    two unrelated windows. As in q_containment_neardup, fixed-base
+    polynomial collisions are deterministic rather than random
+    (constructible in principle; random-model rate ~1e-19 at fixture
+    gram counts) — the twin hash-matched at both test SFs. Returns
+    (doc_id, span_start, span_len), 0-based."""
     B = n_buckets or default_buckets(per_cpu=8, hi=1024)
     ds = _pq(sf_dir, "documents", columns=["doc_id", "text"], split=True)
     pw = _poly_powers(k)
@@ -4377,32 +4401,12 @@ def q_dup_spans(sf_dir: str, k: int = 30, n_buckets: int | None = None):
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         texts = batch.column("text").to_pylist()
-        out_doc, out_pos, out_h = [], [], []
-        for i, t in zip(ids, texts):
-            if not t or len(t) < k:
-                continue
-            cp = np.frombuffer(t.encode("utf-32-le"), np.uint32).astype(np.uint64)
-            win = np.lib.stride_tricks.sliding_window_view(cp, k)
-            with np.errstate(over="ignore"):
-                h = (win * pw).sum(axis=1, dtype=np.uint64)
-            out_h.append(h)
-            out_pos.append(np.arange(len(h), dtype=np.int64))
-            out_doc.append(np.full(len(h), int(i), np.int64))
-        if not out_h:
-            return pa.table(
-                {
-                    "h": pa.array([], pa.int64()),
-                    "doc_id": pa.array([], pa.int64()),
-                    "pos": pa.array([], pa.int64()),
-                    "__b": pa.array([], pa.int32()),
-                }
-            )
-        h = np.concatenate(out_h)
+        d, pos, h = _batch_window_hashes(texts, k, pw)
         return pa.table(
             {
                 "h": pa.array(h.view(np.int64), pa.int64()),
-                "doc_id": pa.array(np.concatenate(out_doc), pa.int64()),
-                "pos": pa.array(np.concatenate(out_pos), pa.int64()),
+                "doc_id": pa.array(ids[d].astype(np.int64), pa.int64()),
+                "pos": pa.array(pos, pa.int64()),
                 "__b": pa.array((h % np.uint64(B)).astype(np.int32), pa.int32()),
             }
         )
@@ -4576,7 +4580,12 @@ def q_grouped_tdigest(sf_dir: str, qs: tuple = (50, 90, 99)):
         # sequence so repeated runs are bit-identical
         order = sorted(
             range(len(g)),
-            key=lambda i: (len(g["means"].iloc[i]), tuple(g["means"].iloc[i])),
+            key=lambda i: (
+                len(g["means"].iloc[i]),
+                tuple(g["means"].iloc[i]),
+                tuple(g["weights"].iloc[i]),  # identical means, different
+                # weights would otherwise tie back to arrival order
+            ),
         )
         acc = TDigest()
         for i in order:
@@ -4611,10 +4620,26 @@ def _ensure_curate_corpus() -> str:
 
     cache = "/tmp/heroshi_ray_cache"
     os.makedirs(cache, exist_ok=True)
-    path = os.path.join(cache, "corpus_curate.parquet")
+    path = os.path.join(cache, "corpus_curate_v2.parquet")
     if not os.path.exists(path):
+        base = make_corpus(256, seed=777)
+        # plant one foreign-codec row so the fmt gate has REAL
+        # selectivity (make_corpus only emits png/qpng — without this
+        # the codec predicate would be dead code the tests can't see)
+        row0 = {c: base.column(c).to_pylist()[:1] for c in base.column_names}
+        row0["image_id"] = ["imgforeign"]
+        row0["fmt"] = ["tiff"]
+        tbl = pa.concat_tables(
+            [
+                base,
+                pa.table(
+                    {c: row0[c] for c in base.column_names},
+                    schema=base.schema,
+                ),
+            ]
+        )
         tmp = path + ".tmp"
-        pq.write_table(make_corpus(256, seed=777), tmp)
+        pq.write_table(tbl, tmp)
         os.replace(tmp, path)
     return path
 

@@ -207,6 +207,8 @@ def test_image_curate_matches_replica(ray_session):
     assert len(out) > 0 and len(out) < len(corpus), (
         "gate must have real selectivity"
     )
+    # the planted foreign-codec row must be rejected by the fmt gate
+    assert "imgforeign" not in set(out["image_id"])
     pd.testing.assert_frame_equal(
         out[["image_id", "w", "h", "fmt", "n_cap_tokens", "phash"]],
         rep[["image_id", "w", "h", "fmt", "n_cap_tokens", "phash"]],
