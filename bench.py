@@ -229,6 +229,7 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         "q_grouped_tdigest",
         "q_image_curate",
         "q_attribution",
+        "q_dup_span_removal",
     ]
     # per-query best-of-2 with the same rationale as the headline reps.
     # The two sub-2 s fixed-overhead-dominated queries get extra reps:

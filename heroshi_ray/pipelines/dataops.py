@@ -4727,3 +4727,145 @@ def q_image_curate(
         .groupby("__b")
         .map_groups(first_per_phash, batch_format="pandas")
     )
+
+
+# ------------------------------------------ duplicated-span REMOVAL -----
+def q_dup_span_removal(
+    sf_dir: str,
+    k: int = 30,
+    n_buckets: int | None = None,
+    span_broadcast_limit: int = 2_000_000,
+):
+    """Substring-dedup REMOVAL (the apply step of Lee et al. 2022,
+    arXiv:2107.06499 §3: keep ONE occurrence of every duplicated
+    substring corpus-wide, cut the rest): for each k-char window
+    appearing verbatim in >= 2 distinct documents, the globally FIRST
+    occurrence (lexicographic min (doc_id, pos)) is the keeper; every
+    other occurrence is marked, marks merge into maximal spans
+    (q_dup_spans' gaps-and-islands rule), and the spans are cut out of
+    the text. Returns (doc_id, clean_text) for EVERY document.
+
+    Plan: the q_dup_spans posting layout end-to-end — shared
+    `_batch_window_hashes` explode, ONE posting shuffle on h % B
+    (per-gram owner selection is a vectorized first-of-run inside the
+    bucket), hits shuffle on doc % B for the span merge. The cut step
+    broadcasts the span table under ``span_broadcast_limit`` rows and
+    applies per-doc slicing in a streaming map (Python only for the
+    affected docs); above the bound the documented fallback is the
+    spans⋈documents hash join + groupby(doc) reconstruction. Span
+    volume is the published algorithm's removal mass — at web dup
+    rates it is corpus-sized, which is exactly when the join fork
+    applies."""
+    B = n_buckets or default_buckets(per_cpu=8, hi=1024)
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"], split=True)
+    pw = _poly_powers(k)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        d, pos, h = _batch_window_hashes(texts, k, pw)
+        return pa.table(
+            {
+                "h": pa.array(h.view(np.int64), pa.int64()),
+                "doc_id": pa.array(ids[d].astype(np.int64), pa.int64()),
+                "pos": pa.array(pos, pa.int64()),
+                "__b": pa.array((h % np.uint64(B)).astype(np.int32), pa.int32()),
+            }
+        )
+
+    def removal_hits(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", "doc_id", "pos"], kind="mergesort")
+        h = g["h"].to_numpy()
+        d = g["doc_id"].to_numpy()
+        new_run = np.empty(len(g), bool)
+        new_run[0] = True
+        new_run[1:] = h[1:] != h[:-1]
+        run_id = np.cumsum(new_run) - 1
+        # distinct docs per run: count doc transitions within runs
+        doc_change = np.empty(len(g), bool)
+        doc_change[0] = True
+        doc_change[1:] = new_run[1:] | (d[1:] != d[:-1])
+        ndocs = np.bincount(run_id[doc_change])
+        dup_run = ndocs >= 2
+        # keeper = first row of each run (lexicographic min (doc, pos))
+        mask = dup_run[run_id] & ~new_run
+        out = g.loc[mask, ["doc_id", "pos"]]
+        if out.empty:
+            return pd.DataFrame({"doc_id": [], "pos": []}).astype("int64")
+        return out.reset_index(drop=True)
+
+    hits = (
+        ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(removal_hits, batch_format="pandas")
+    )
+
+    def add_doc_bucket(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "__db", pa.array((d % B).astype(np.int32), pa.int32())
+        )
+
+    def merge_spans(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "pos"])
+        doc = g["doc_id"].to_numpy()
+        pos = g["pos"].to_numpy()
+        new = np.empty(len(g), bool)
+        new[0] = True
+        new[1:] = (doc[1:] != doc[:-1]) | (pos[1:] - pos[:-1] > k)
+        idx = np.flatnonzero(new)
+        last = np.r_[idx[1:] - 1, len(pos) - 1]
+        return pd.DataFrame(
+            {
+                "doc_id": doc[idx],
+                "s": pos[idx],
+                "e": pos[last] + k,
+            }
+        )
+
+    spans_ds = (
+        hits.map_batches(add_doc_bucket, batch_format="pyarrow")
+        .groupby("__db")
+        .map_groups(merge_spans, batch_format="pandas")
+        .materialize()
+    )
+    n_spans = spans_ds.count()
+    assert n_spans <= span_broadcast_limit, (
+        "above the broadcast bound, attach spans via the documented "
+        "spans join documents hash join + groupby(doc) reconstruction"
+    )
+    sp = spans_ds.to_pandas()
+    span_map: dict[int, list] = {}
+    for doc, s, e in zip(
+        sp["doc_id"].astype(int), sp["s"].astype(int), sp["e"].astype(int)
+    ):
+        span_map.setdefault(doc, []).append((s, e))
+    for v in span_map.values():
+        v.sort()
+    span_ref = ray.put(span_map)
+
+    def cut(batch: pa.Table) -> pa.Table:
+        sm = ray.get(span_ref)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        out = []
+        for i, t in zip(ids, texts):
+            sp_list = sm.get(int(i))
+            if not sp_list:
+                out.append(t or "")
+                continue
+            t = t or ""
+            pieces, prev = [], 0
+            for s, e in sp_list:
+                pieces.append(t[prev:s])
+                prev = e
+            pieces.append(t[prev:])
+            out.append("".join(pieces))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids.astype(np.int64), pa.int64()),
+                "clean_text": pa.array(out, pa.string()),
+            }
+        )
+
+    return ds.map_batches(cut, batch_format="pyarrow", zero_copy_batch=True)
