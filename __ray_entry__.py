@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_transition_counts": r.q_transition_counts,
         "q_dup_spans": d.q_dup_spans,
         "q_dup_span_removal": d.q_dup_span_removal,
+        "q_ann_range": d.q_ann_range,
         "q_bigram_lift": d.q_bigram_lift,
         "q_attribution": r.q_attribution,
         # the remaining TPC-H shapes (round-3 session 3) — with these
@@ -98,7 +99,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_triangle_count": d.q_triangle_count,
         "q_skew_join": r.q_skew_join,
         "q_market_share": r.q_market_share,
-        "q_funnel": r.q_funnel,
         # SQL-oracled but past the driver's 50-entry cap BY CHOICE: these
         # were hash-green in CORRECTNESS_r01 AND/OR _r02 (driver-verified),
         # so their slots go to the newer shapes above; pytest
@@ -121,10 +121,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_late_events": r.q_late_events,
         "q_train_split": d.q_train_split,
         "q_bfs_distance": d.q_bfs_distance,
-        # q_collect_values: displaced by q_dup_span_removal; its
-        # bucketed ordered-group core keeps q_interarrival/q_rolling_sum
-        # in-family and it stays pytest-oracled.
+        # q_collect_values / q_funnel: displaced by q_dup_span_removal
+        # and q_ann_range; their bucketed-ordered-group / per-user-min
+        # cores keep q_interarrival, q_rolling_sum and
+        # q_transition_counts in-window, and both stay pytest-oracled.
         "q_collect_values": r.q_collect_values,
+        "q_funnel": r.q_funnel,
         # displaced from the window by the session-4 additions (their
         # families keep driver-stamped or in-window representatives:
         # quality counters, filtered aggregates, per-group scaling,
@@ -1017,6 +1019,18 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings t, embeddings e
               WHERE t.vec_id % 41 <> 0 AND e.vec_id % 41 = 0
             ) WHERE rn = 1 AND cos_sim_e4 >= 3500
+        """,
+        # fixed-radius cosine range search over the same eval split as
+        # the semantic decontaminate twin
+        "q_ann_range": """
+            SELECT t.vec_id, e.vec_id AS query_id,
+                   CAST(round(list_cosine_similarity(t.embedding,
+                              e.embedding) * 10000) AS BIGINT)
+                       AS cos_sim_e4
+            FROM embeddings t, embeddings e
+            WHERE t.vec_id % 41 <> 0 AND e.vec_id % 41 = 0
+              AND round(list_cosine_similarity(t.embedding, e.embedding)
+                        * 10000) >= 3500
         """,
         # char-12-gram CONTAINMENT (|A∩B| / min(|A|,|B|)) >= 0.8; same
         # no-fixed-cap gram-position trick as q_ngram_jaccard's oracle

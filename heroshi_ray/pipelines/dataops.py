@@ -4869,3 +4869,68 @@ def q_dup_span_removal(
         )
 
     return ds.map_batches(cut, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------------ ANN range search ------
+def q_ann_range(sf_dir: str, eval_mod: int = 41, threshold_e4: int = 3500):
+    """RANGE (radius) similarity search: ALL (train vector, query)
+    pairs with cosine >= threshold — top-k's fixed-radius sibling
+    (dedup-by-similarity, recall-set construction, near-neighbor
+    counting all want every match, not the best k). Query set =
+    vec_id % ``eval_mod`` == 0, as in q_semantic_decontaminate.
+
+    Scale layout: the query matrix broadcasts once (queries are
+    request-sized by definition); the corpus side streams through ONE
+    map_batches float64 matmul + threshold mask per batch — no
+    shuffle, no corpus-side materialization, output rows only. Same
+    e4-rounding parity recipe as the decontaminate twin (np.round vs
+    DuckDB round absorbs last-ulp summation-order drift except exactly
+    at .5 boundaries; hash-matched at both test SFs)."""
+    ds = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"], split=True)
+
+    def eval_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        return batch.take(pa.array(np.flatnonzero(ids % eval_mod == 0)))
+
+    ev_df = (
+        ds.map_batches(eval_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    ).sort_values("vec_id")
+    ev_ids = ev_df["vec_id"].to_numpy()
+    ev_mat = l2_normalize(as_matrix(ev_df["embedding"].tolist()).astype(np.float64))
+    ev_ref = ray.put((ev_ids, ev_mat))
+
+    def flag(batch: pa.Table) -> pa.Table:
+        eids, emat = ray.get(ev_ref)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        tr_mask = ids % eval_mod != 0
+        empty = pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "query_id": pa.array([], pa.int64()),
+                "cos_sim_e4": pa.array([], pa.int64()),
+            }
+        )
+        if not tr_mask.any():
+            return empty
+        ids = ids[tr_mask]
+        mat = l2_normalize(
+            as_matrix(
+                batch.column("embedding").take(
+                    pa.array(np.flatnonzero(tr_mask))
+                ).to_pylist()
+            ).astype(np.float64)
+        )
+        e4 = np.round((mat @ emat.T) * 10000).astype(np.int64)
+        ti, qi = np.nonzero(e4 >= threshold_e4)
+        if not len(ti):
+            return empty
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[ti], pa.int64()),
+                "query_id": pa.array(eids[qi], pa.int64()),
+                "cos_sim_e4": pa.array(e4[ti, qi], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
