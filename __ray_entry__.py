@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_dup_spans": d.q_dup_spans,
         "q_dup_span_removal": d.q_dup_span_removal,
         "q_ann_range": d.q_ann_range,
+        "q_entropy": d.q_entropy,
         "q_bigram_lift": d.q_bigram_lift,
         "q_attribution": r.q_attribution,
         # the remaining TPC-H shapes (round-3 session 3) — with these
@@ -98,7 +99,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_quantize_embeddings": d.q_quantize_embeddings,
         "q_triangle_count": d.q_triangle_count,
         "q_skew_join": r.q_skew_join,
-        "q_market_share": r.q_market_share,
         # SQL-oracled but past the driver's 50-entry cap BY CHOICE: these
         # were hash-green in CORRECTNESS_r01 AND/OR _r02 (driver-verified),
         # so their slots go to the newer shapes above; pytest
@@ -127,6 +127,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # q_transition_counts in-window, and both stay pytest-oracled.
         "q_collect_values": r.q_collect_values,
         "q_funnel": r.q_funnel,
+        # q_market_share: displaced by q_entropy; ten other TPC-H
+        # composites stay in-window and it stays pytest-oracled (with
+        # its hash-join fork equivalence test).
+        "q_market_share": r.q_market_share,
         # displaced from the window by the session-4 additions (their
         # families keep driver-stamped or in-window representatives:
         # quality counters, filtered aggregates, per-group scaling,
@@ -1019,6 +1023,14 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings t, embeddings e
               WHERE t.vec_id % 41 <> 0 AND e.vec_id % 41 = 0
             ) WHERE rn = 1 AND cos_sim_e4 >= 3500
+        """,
+        # per-doc char entropy, e4 bits (DuckDB entropy() is log2)
+        "q_entropy": """
+            SELECT doc_id,
+                   CAST(round(entropy(c) * 10000) AS BIGINT) AS entropy_e4
+            FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
+                  FROM documents)
+            GROUP BY doc_id
         """,
         # fixed-radius cosine range search over the same eval split as
         # the semantic decontaminate twin

@@ -231,6 +231,7 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         "q_attribution",
         "q_dup_span_removal",
         "q_ann_range",
+        "q_entropy",
     ]
     # per-query best-of-2 with the same rationale as the headline reps.
     # The two sub-2 s fixed-overhead-dominated queries get extra reps:

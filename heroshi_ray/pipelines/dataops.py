@@ -4934,3 +4934,38 @@ def q_ann_range(sf_dir: str, eval_mod: int = 41, threshold_e4: int = 3500):
         )
 
     return ds.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------------ char-entropy quality --
+def q_entropy(sf_dir: str):
+    """Per-document character Shannon entropy in fixed-point e4 bits —
+    the information-density quality signal next to
+    q_compression_stats' zlib ratio (low entropy = repetitive
+    boilerplate, abnormally high = binary junk / encoding damage).
+    Pure streaming map, zero shuffle. Formula is the one-pass identity
+    H = log2(N) - Σ c·log2(c) / N over the doc's codepoint counts;
+    e4 rounding absorbs last-ulp summation-order drift vs the DuckDB
+    ``entropy()`` twin (same parity recipe as the cosine e4 ops;
+    hash-matched at both test SFs)."""
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"], split=True)
+
+    def ent(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        out = np.zeros(len(texts), np.int64)
+        for i, t in enumerate(texts):
+            cp = np.frombuffer((t or "").encode("utf-32-le"), np.uint32)
+            if not len(cp):
+                continue
+            cnt = np.unique(cp, return_counts=True)[1].astype(np.float64)
+            N = cnt.sum()
+            H = np.log2(N) - (cnt * np.log2(cnt)).sum() / N
+            out[i] = int(np.round(H * 10000))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids.astype(np.int64), pa.int64()),
+                "entropy_e4": pa.array(out, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(ent, batch_format="pyarrow", zero_copy_batch=True)
