@@ -104,7 +104,17 @@ class GateAndCap:
         self.n_buckets = n_buckets
         self.budget = per_host_budget
         self.robots_ref = robots_ref
-        self._vr = None
+
+    @staticmethod
+    def _empty_out(batch: pa.Table) -> pa.Table:
+        """Empty table in the GATE OUTPUT schema — returning the input
+        schema from an all-filtered block produced mixed-schema
+        datasets and crashed the downstream __hs groupby (reproduced
+        in review)."""
+        out = batch.select(["url", "surt", "host", "priority", "depth"]).slice(0, 0)
+        out = out.append_column("__sh", pa.array([], pa.int64()))
+        out = out.append_column("__hh", pa.array([], pa.int64()))
+        return out.append_column("__hs", pa.array([], pa.int32()))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..functions.hashing import hash64
@@ -116,18 +126,21 @@ class GateAndCap:
             # consume cuckoo capacity nor count as scheduled; a later
             # robots change can re-admit them (matches the crawl loop,
             # which re-gates every epoch).
-            if self._vr is None:
-                from ..stages.schedule import VectorRobots
+            # per-worker-process cache keyed on the broadcast ref: a
+            # per-instance cache is useless here because map_batches
+            # re-deserializes this callable into every task, which
+            # rebuilt the pattern/host index once per BLOCK
+            from ..stages.schedule import vector_robots_for
 
-                self._vr = VectorRobots(ray.get(self.robots_ref))
+            vr = vector_robots_for(self.robots_ref)
             # Arrow columns go straight in — no numpy-object
             # materialization of 150k urls/hosts per block
-            m = self._vr.mask(batch.column("url"), batch.column("host"))
+            m = vr.mask(batch.column("url"), batch.column("host"))
             if not m.all():
                 batch = batch.filter(pa.array(m))
         n = batch.num_rows
         if n == 0:
-            return batch
+            return self._empty_out(batch)
         sh = hash64(batch.column("surt"))
         hh = hash64(batch.column("host"))
         keep = np.sort(np.unique(sh, return_index=True)[1])  # in-batch dedup
@@ -135,15 +148,16 @@ class GateAndCap:
         shard_ids = keys % np.uint64(self.n_shards)
         mask = np.zeros(len(keys), dtype=bool)
         refs, idxs = [], []
-        import hashlib
+        from ..state.seen import idem_token
 
         for s in np.unique(shard_ids):
             idx = np.flatnonzero(shard_ids == s)
-            # content-digest token: a Ray-retried task re-asks with the
-            # same token and gets the SAME admission answer replayed —
-            # without it the retry finds its keys inserted and silently
-            # drops the whole block (see SeenShard docstring)
-            tok = hashlib.blake2b(keys[idx].tobytes(), digest_size=16).digest()
+            # retry-stable token (task id + key digest): a Ray-retried
+            # task re-asks with the same token and gets the SAME
+            # admission answer replayed; a content-only token would
+            # also replay for a DIFFERENT caller with identical keys
+            # and re-admit them (reproduced in review)
+            tok = idem_token(keys[idx].tobytes())
             refs.append(self.shards[int(s)].check_and_add.remote(keys[idx], tok))
             idxs.append(idx)
         # Non-blocking wait: a worker that blocks in ray.get releases its
@@ -164,7 +178,7 @@ class GateAndCap:
             mask[idx] = res
         keep = keep[mask]
         if len(keep) == 0:
-            return batch.slice(0, 0)
+            return self._empty_out(batch)
         prio = batch.column("priority").to_numpy(zero_copy_only=False)[keep]
         sel = np.sort(keep[_local_topk(hh[keep], prio, sh[keep], self.budget)])
         # budget-capped rows travel to the merge with only the columns the
@@ -256,10 +270,25 @@ def fused_schedule_pipeline(
             topped = capped.groupby("__hs").map_groups(
                 final_topk, batch_format="pyarrow"
             )
-            ordered = topped.sort(["priority", "__sh"], descending=[True, False]).limit(
-                epoch_budget
+
+            def add_biased(b: pa.Table) -> pa.Table:
+                # the driver merge orders __sh as UNSIGNED 64-bit; a
+                # ds.sort on the int64 view would order negatives first
+                # and select a DIFFERENT epoch_budget subset (reproduced
+                # in review). Flipping the top bit maps uint64 order
+                # onto int64 order exactly.
+                sh = b.column("__sh").to_numpy(zero_copy_only=False).view(np.uint64)
+                return b.append_column(
+                    "__shb",
+                    pa.array((sh ^ np.uint64(1 << 63)).view(np.int64), pa.int64()),
+                )
+
+            ordered = (
+                topped.map_batches(add_biased, batch_format="pyarrow")
+                .sort(["priority", "__shb"], descending=[True, False])
+                .limit(epoch_budget)
             )
-            return ordered.drop_columns(["__sh", "__hh", "__hs"])
+            return ordered.drop_columns(["__sh", "__hh", "__hs", "__shb"])
         # Final merge on the driver — this is heroshi's manager assembling
         # one crawl-queue handout: the input here is the budget-capped
         # stream (<= hosts x budget rows per block), NOT the frontier, and

@@ -117,14 +117,15 @@ class SyntheticFetcher:
                 hdr.append(("location", chain[0]))
             headers.append(hdr)
         if self.counters is not None:
-            import hashlib
+            from ..state.seen import idem_token
 
             ok = int(success.sum())
-            # content-digest token: a Ray-retried task re-reports with the
-            # same token and the counters actor drops the duplicate
-            tok = hashlib.blake2b(
-                "\n".join(urls).encode(), digest_size=16
-            ).digest()
+            # retry-stable token (task id + url digest): a Ray-retried
+            # task re-reports with the same token and the counters actor
+            # drops the duplicate; a content-only token would also drop
+            # a later LEGITIMATE re-fetch of the same url batch (e.g. a
+            # retry epoch), undercounting fetch_ok/fetch_err
+            tok = idem_token("\n".join(urls).encode())
             self.counters.add.remote(_token=tok, fetch_ok=ok, fetch_err=n - ok)
         return pa.table(
             {

@@ -54,7 +54,7 @@ class ImageDecodeStage:
         for i, (b, f) in enumerate(zip(blobs, fmts)):
             try:
                 px = decode_image(b, f)
-            except NotImplementedError:
+            except (ValueError, NotImplementedError):
                 if self.strict:
                     raise
                 # deterministic fake: flat gray at the declared size
@@ -100,7 +100,7 @@ class ImageFeatureStage:
         for i, (b, f) in enumerate(zip(blobs, fmts)):
             try:
                 px = decode_image(b, f)
-            except NotImplementedError:
+            except (ValueError, NotImplementedError):
                 if self.strict:
                     raise
                 px = np.full((hs[i], ws[i], 3), 128, np.uint8)

@@ -52,6 +52,21 @@ _ALLOWED_COL = "__allowed"
 _VR_CACHE: dict = {}
 
 
+def vector_robots_for(robots_ref):
+    """Per-worker-process VectorRobots for a broadcast robots ref —
+    the pattern/host index is built once per process per robots table
+    (shared by mark_robots and the flagship GateAndCap; a per-instance
+    cache would rebuild it per task because map_batches re-deserializes
+    the callable into every task)."""
+    key = robots_ref.hex() if hasattr(robots_ref, "hex") else id(robots_ref)
+    vr = _VR_CACHE.get(key)
+    if vr is None:
+        if len(_VR_CACHE) > 8:
+            _VR_CACHE.clear()
+        vr = _VR_CACHE[key] = VectorRobots(ray.get(robots_ref))
+    return vr
+
+
 def mark_robots(ds: "ray.data.Dataset", robots_ref) -> "ray.data.Dataset":
     """ONE robots pass: append a boolean ``__allowed`` column using the
     broadcast parsed-robots dict {host: Rules}. Hosts absent from the
@@ -63,12 +78,7 @@ def mark_robots(ds: "ray.data.Dataset", robots_ref) -> "ray.data.Dataset":
     epoch at 120k pending rows."""
 
     def gate(batch: pa.Table) -> pa.Table:
-        key = robots_ref.hex() if hasattr(robots_ref, "hex") else id(robots_ref)
-        vr = _VR_CACHE.get(key)
-        if vr is None:
-            if len(_VR_CACHE) > 8:
-                _VR_CACHE.clear()
-            vr = _VR_CACHE[key] = VectorRobots(ray.get(robots_ref))
+        vr = vector_robots_for(robots_ref)
         mask = vr.mask(batch.column("url"), batch.column("host"))
         return batch.append_column(_ALLOWED_COL, pa.array(mask))
 

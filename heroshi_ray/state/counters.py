@@ -39,6 +39,9 @@ class CountersActor:
     def flush(self) -> dict[str, int]:
         out = dict(self.counts)
         self.counts = defaultdict(int)
+        # commit point: clear the replay log like SeenShard.save does —
+        # a later epoch re-reporting byte-identical content must count
+        self._seen.clear()
         return out
 
     def snapshot(self) -> dict[str, int]:

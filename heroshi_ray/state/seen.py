@@ -28,6 +28,29 @@ from ..functions.hashing import hash64
 from .cuckoo import CuckooFilter
 
 
+def idem_token(payload: bytes) -> bytes:
+    """Retry-stable idempotency token: blake2b over (task identity,
+    payload). Inside a Ray task the task id is STABLE ACROSS RETRIES,
+    so a retried task replays its original admission answer; on the
+    driver there is no retry, so a random salt makes every call a
+    fresh operation. Content alone must NOT be the token — two
+    legitimate calls with identical key content would replay the first
+    answer and re-admit already-seen keys (reproduced in review).
+    Residual caveat: two identical-content batches within ONE task
+    share a token; that requires a block to contain >=2 bit-identical
+    batches, and the consequence is bounded to double-admission of
+    rows that were exact duplicates anyway."""
+    import hashlib
+
+    tid = None
+    try:
+        tid = ray.get_runtime_context().get_task_id()
+    except Exception:
+        tid = None
+    salt = bytes.fromhex(tid) if tid else os.urandom(16)
+    return hashlib.blake2b(salt + payload, digest_size=16).digest()
+
+
 @ray.remote(num_cpus=0.1)
 class SeenShard:
     """One cuckoo-filter shard. ~2 bytes/key: size capacity per shard so
@@ -104,10 +127,9 @@ class SeenSet:
         """Test-and-set a list of surts across the pool; returns bool mask
         (True = new). One RPC per shard actually touched, issued in
         parallel, results scattered back to input order. Each RPC carries
-        a content digest token so shard admission is idempotent when Ray
+        a retry-stable token (task identity + key digest, see
+        ``idem_token``) so shard admission is idempotent when Ray
         retries the calling task (see SeenShard)."""
-        import hashlib
-
         if len(surts) == 0:
             return np.zeros(0, dtype=bool)
         keys, shard_ids = SeenSet._route(shards, surts)
@@ -115,7 +137,7 @@ class SeenSet:
         refs, idxs = [], []
         for s in np.unique(shard_ids):
             idx = np.flatnonzero(shard_ids == s)
-            tok = hashlib.blake2b(keys[idx].tobytes(), digest_size=16).digest()
+            tok = idem_token(keys[idx].tobytes())
             refs.append(shards[int(s)].check_and_add.remote(keys[idx], tok))
             idxs.append(idx)
         for idx, res in zip(idxs, ray.get(refs)):
@@ -157,8 +179,9 @@ class SeenSet:
         shards = self.shards  # closure-capture handles
 
         def gate(batch: pa.Table) -> pa.Table:
-            surts = batch.column(surt_col).to_pylist()
-            mask = SeenSet.check_and_add_routed(shards, surts)
+            # Arrow column goes straight into hash64 (Arrow-native,
+            # ~7-8x faster than a to_pylist materialization)
+            mask = SeenSet.check_and_add_routed(shards, batch.column(surt_col))
             return batch.filter(pa.array(mask))
 
         return ds.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
