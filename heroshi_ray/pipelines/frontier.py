@@ -144,38 +144,12 @@ class GateAndCap:
         sh = hash64(batch.column("surt"))
         hh = hash64(batch.column("host"))
         keep = np.sort(np.unique(sh, return_index=True)[1])  # in-batch dedup
-        keys = sh[keep]
-        shard_ids = keys % np.uint64(self.n_shards)
-        mask = np.zeros(len(keys), dtype=bool)
-        refs, idxs = [], []
-        from ..state.seen import idem_token
+        # shared routing/token/scatter core (state.seen); poll=True keeps
+        # this task's CPU slot held during the shard RPC (raylet would
+        # otherwise backfill it with a fresh worker — import storm)
+        from ..state.seen import SeenSet as _SS
 
-        for s in np.unique(shard_ids):
-            idx = np.flatnonzero(shard_ids == s)
-            # retry-stable token (task id + key digest): a Ray-retried
-            # task re-asks with the same token and gets the SAME
-            # admission answer replayed; a content-only token would
-            # also replay for a DIFFERENT caller with identical keys
-            # and re-admit them (reproduced in review)
-            tok = idem_token(keys[idx].tobytes())
-            refs.append(self.shards[int(s)].check_and_add.remote(keys[idx], tok))
-            idxs.append(idx)
-        # Non-blocking wait: a worker that blocks in ray.get releases its
-        # CPU slot and the raylet backfills it with a FRESH worker process
-        # (import storm, highly variable wall time). Polling with
-        # timeout=0 + a short sleep keeps the slot held — the wait is
-        # ~10ms of shard latency, far cheaper than a worker spawn.
-        import time as _time
-
-        pending_refs = list(refs)
-        while pending_refs:
-            _, pending_refs = ray.wait(
-                pending_refs, num_returns=len(pending_refs), timeout=0
-            )
-            if pending_refs:
-                _time.sleep(0.002)
-        for idx, res in zip(idxs, ray.get(refs)):
-            mask[idx] = res
+        mask = _SS.check_and_add_keys(self.shards, sh[keep], poll=True)
         keep = keep[mask]
         if len(keep) == 0:
             return self._empty_out(batch)
@@ -227,6 +201,17 @@ def fused_schedule_pipeline(
     stages.dedup D1 when deterministic lineage matters — SURVEY.md §2.7).
     All sorting is numpy lexsort on precomputed int64 hashes; no string
     sorts anywhere in the hot path.
+
+    SEMANTICS NOTE (single-epoch scheduler): admission to the seen set
+    happens at the gate, BEFORE the per-host budget cap — i.e. "seen" =
+    "admitted to this handout's candidate pool", and budget-capped rows
+    are dropped, not deferred. This is the right contract for the
+    BASELINE metric (URLs scheduled+deduped per second, one handout)
+    but it means a persistent ``seen=`` pool reused across calls will
+    never re-admit rows capped in an earlier call. The multi-epoch
+    crawl engine (pipelines.crawl.run_epoch) has the deferring
+    semantics: its frontier KEEPS politeness-capped rows pending, and
+    the seen set gates only new-candidate admission.
     """
     # Fail fast if worker polars versions diverge (hash64 routing would
     # silently split seen-set shards). Cached after the first pass.

@@ -123,26 +123,47 @@ class SeenSet:
         return keys, (keys % np.uint64(len(shards))).astype(np.int64)
 
     @staticmethod
-    def check_and_add_routed(shards, surts) -> np.ndarray:
-        """Test-and-set a list of surts across the pool; returns bool mask
-        (True = new). One RPC per shard actually touched, issued in
-        parallel, results scattered back to input order. Each RPC carries
-        a retry-stable token (task identity + key digest, see
-        ``idem_token``) so shard admission is idempotent when Ray
-        retries the calling task (see SeenShard)."""
-        if len(surts) == 0:
-            return np.zeros(0, dtype=bool)
-        keys, shard_ids = SeenSet._route(shards, surts)
-        out = np.zeros(len(surts), dtype=bool)
+    def check_and_add_keys(shards, keys: np.ndarray, poll: bool = False) -> np.ndarray:
+        """Test-and-set for PRE-HASHED uint64 keys: route key % n_shards,
+        ONE RPC per shard actually touched (retry-stable ``idem_token``
+        each), results scattered back to input order. ``poll=True`` waits
+        with non-blocking ray.wait + sleep instead of ray.get — the hot
+        flagship gate uses it because a map task blocking in ray.get
+        releases its CPU slot and the raylet backfills it with a fresh
+        worker (import storm; see GateAndCap docstring)."""
+        out = np.zeros(len(keys), dtype=bool)
+        if not len(keys):
+            return out
+        shard_ids = keys % np.uint64(len(shards))
         refs, idxs = [], []
         for s in np.unique(shard_ids):
             idx = np.flatnonzero(shard_ids == s)
             tok = idem_token(keys[idx].tobytes())
             refs.append(shards[int(s)].check_and_add.remote(keys[idx], tok))
             idxs.append(idx)
+        if poll:
+            import time as _time
+
+            pending = list(refs)
+            while pending:
+                _, pending = ray.wait(
+                    pending, num_returns=len(pending), timeout=0
+                )
+                if pending:
+                    _time.sleep(0.002)
         for idx, res in zip(idxs, ray.get(refs)):
             out[idx] = res
         return out
+
+    @staticmethod
+    def check_and_add_routed(shards, surts) -> np.ndarray:
+        """Test-and-set a list of surts across the pool; returns bool mask
+        (True = new). Hashes then delegates to ``check_and_add_keys``
+        (the single copy of the routing/token/scatter logic)."""
+        if len(surts) == 0:
+            return np.zeros(0, dtype=bool)
+        keys = hash64(surts)
+        return SeenSet.check_and_add_keys(shards, keys)
 
     def check_and_add(self, surts) -> np.ndarray:
         return self.check_and_add_routed(self.shards, surts)
