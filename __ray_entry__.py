@@ -35,6 +35,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from heroshi_ray.pipelines import dataops as d
     from heroshi_ray.pipelines import relational as r
+    from heroshi_ray.pipelines import webops as w
     from heroshi_ray.pipelines.frontier import run_flagship
 
     # NOTE on ordering: the driver records at most the FIRST 50 entries in
@@ -211,6 +212,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_tdigest_quantiles": d.q_tdigest_quantiles,
         "q_text_stats": d.q_text_stats,
         "q_fingerprint": d.q_fingerprint,
+        # round-3 crawl-web scheduler brain (oracled via pytest harness;
+        # outside the driver's 50-entry CORRECTNESS window by ordering)
+        "q_sitemap_extract": w.q_sitemap_extract,
+        "q_trap_detect": w.q_trap_detect,
+        "q_recrawl_schedule": w.q_recrawl_schedule,
+        "q_host_quota": w.q_host_quota,
     }
 
 
@@ -1839,5 +1846,86 @@ def oracle_sql() -> dict[str, str]:
             SELECT dev.event_id, dev.event_type, dev.v_e2
             FROM dev JOIN mad USING (event_type)
             WHERE dev.d > 3 * mad.mad
+        """,
+        # round-3 crawl-web scheduler brain
+        "q_sitemap_extract": """
+            SELECT 'http://host' || (o_custkey % 50) || '.example/o/'
+                     || o_orderkey AS loc,
+                   'host' || (o_custkey % 50) || '.example' AS host,
+                   strftime(o_orderdate, '%Y-%m-%d') AS lastmod,
+                   CAST(o_orderkey % 10 AS BIGINT) AS priority_e1
+            FROM orders
+        """,
+        "q_trap_detect": """
+            WITH u AS (
+              SELECT DISTINCT
+                     'h' || (l_suppkey % 64) || '.example' AS host,
+                     'http://h' || (l_suppkey % 64) || '.example' ||
+                     CASE WHEN l_linenumber % 2 = 1
+                          THEN '/item/' || l_partkey
+                          ELSE '/p' || l_partkey || '/v' || l_orderkey
+                     END AS url
+              FROM lineitem
+            ), c AS (
+              SELECT host,
+                     COUNT(DISTINCT url) AS n_urls,
+                     COUNT(DISTINCT regexp_replace(url, '[0-9]+', '{N}', 'g'))
+                       AS n_templates
+              FROM u GROUP BY host
+            )
+            SELECT host, n_urls, n_templates,
+                   n_urls * 100 // n_templates AS ratio_e2,
+                   CAST(n_urls * 100 // n_templates >= 10000 AS BIGINT)
+                     AS is_trap
+            FROM c
+        """,
+        "q_recrawl_schedule": """
+            WITH h AS (
+              SELECT user_id, ts, value,
+                     LAG(value) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS pv
+              FROM events
+            ), a AS (
+              SELECT user_id,
+                     COUNT(*) AS n_fetches,
+                     SUM(CASE WHEN pv IS NOT NULL AND value <> pv
+                              THEN 1 ELSE 0 END) AS n_changes,
+                     (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000
+                       AS span_s
+              FROM h GROUP BY user_id
+            )
+            SELECT user_id,
+                   CAST(n_fetches AS BIGINT) AS n_fetches,
+                   CAST(n_changes AS BIGINT) AS n_changes,
+                   CAST(CASE WHEN n_changes > 0
+                        THEN LEAST(GREATEST(span_s // n_changes, 3600),
+                                   2592000)
+                        ELSE 2592000 END AS BIGINT) AS next_s
+            FROM a
+        """,
+        "q_host_quota": """
+            WITH d AS (
+              SELECT 'h' || (l_suppkey % 64) || '.example' AS host,
+                     COUNT(*) AS demand
+              FROM lineitem GROUP BY 1
+            ), g AS (SELECT SUM(demand) // 3 AS budget FROM d),
+            s AS (
+              SELECT host, demand,
+                     COALESCE(SUM(demand) OVER (
+                       ORDER BY demand, host
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS before_sum,
+                     ROW_NUMBER() OVER (ORDER BY demand, host) AS rn,
+                     COUNT(*) OVER () AS n
+              FROM d
+            ), lvl AS (
+              SELECT MAX(LEAST(GREATEST(budget - before_sum, 0)
+                               // (n - rn + 1), demand)) AS level
+              FROM s, g
+            )
+            SELECT s.host,
+                   CAST(s.demand AS BIGINT) AS demand,
+                   CAST(LEAST(s.demand, lvl.level) AS BIGINT) AS alloc
+            FROM s, lvl
         """,
     }

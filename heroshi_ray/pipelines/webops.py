@@ -1,0 +1,324 @@
+"""Crawl-web operators beyond the frontier core: sitemap ingestion,
+crawl-trap detection, adaptive recrawl scheduling, and fair-share host
+budget allocation.
+
+These are the scheduler-brain features a production crawler layers on
+top of seen/politeness/priority (heroshi's manager holds equivalent
+host-level state; no reference code exists to cite — SURVEY.md §0, so
+semantics follow the public specs/literature named per operator). All
+four are deterministic and DuckDB-oracled: the synthetic URL/fetch-
+history feeds are fixed string templates over the testdata tables, so
+the SQL twin reconstructs the expected output with plain string/window
+arithmetic while the engine runs the real parsing/counting path.
+
+Scale notes (100 TB):
+- q_sitemap_extract never shuffles: documents are built and parsed
+  inside one map_batches chain; output streams.
+- q_trap_detect uses the salted two-level exact-distinct layout
+  (q_grouped_count_distinct's): per-batch local dedup, ONE shuffle on
+  (host, kind, salt) so a trap host's URL space never lands in one
+  group, per-salt vectorized nunique, tiny (host,kind) sum.
+- q_recrawl_schedule buckets by user hash; per-bucket work is a numpy
+  lexsort + segment reduction. One shuffle, payload = 4 columns.
+- q_host_quota reduces to per-host counts (combiner groupby). The
+  waterline solve touches only the host-count table — the operator's
+  OUTPUT — so driver contact is output-scale by construction.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ..functions.hashing import hash64
+from ..functions.sitemap import parse_urlset
+from ..runtime import default_buckets
+from .dataops import _pq
+
+_XML_HEAD = (
+    '<?xml version="1.0" encoding="UTF-8"?>\n'
+    '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+)
+
+
+# ------------------------------------------------------------ sitemaps ---
+def q_sitemap_extract(sf_dir: str):
+    """Sitemap ingestion (sitemaps.org protocol): synthesize per-host
+    `<urlset>` XML documents from the orders table (fixed template:
+    host from o_custkey, loc from o_orderkey, lastmod from o_orderdate,
+    priority from o_orderkey%10), then run the REAL namespace-aware XML
+    parser over them. The oracle reconstructs the expected rows with
+    string concatenation — the build->parse round trip is what's
+    checked. Zero shuffle: docs are assembled per batch per host and
+    parsed in the next map; document boundaries don't affect the output
+    set."""
+    ds = _pq(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+
+    def build_docs(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        host = "host" + (df["o_custkey"] % 50).astype(str) + ".example"
+        entry = (
+            "<url><loc>http://"
+            + host
+            + "/o/"
+            + df["o_orderkey"].astype(str)
+            + "</loc><lastmod>"
+            + df["o_orderdate"].dt.strftime("%Y-%m-%d")
+            + "</lastmod><priority>0."
+            + (df["o_orderkey"] % 10).astype(str)
+            + "</priority></url>"
+        )
+        docs = entry.groupby(host.to_numpy()).apply("\n".join)
+        xml = _XML_HEAD + docs + "\n</urlset>"
+        return pa.table({"xml": pa.array(xml.to_numpy(), pa.string())})
+
+    def parse_docs(batch: pa.Table) -> pa.Table:
+        locs, hosts, lastmods, prios = [], [], [], []
+        for xml in batch.column("xml").to_pylist():
+            for loc, host, lastmod, pe1 in parse_urlset(xml):
+                locs.append(loc)
+                hosts.append(host)
+                lastmods.append(lastmod)
+                prios.append(pe1)
+        return pa.table(
+            {
+                "loc": pa.array(locs, pa.string()),
+                "host": pa.array(hosts, pa.string()),
+                "lastmod": pa.array(lastmods, pa.string()),
+                "priority_e1": pa.array(prios, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(build_docs, batch_format="pyarrow").map_batches(
+        parse_docs, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------- trap detect ---
+def q_trap_detect(
+    sf_dir: str, n_hosts: int = 64, trap_ratio_e2: int = 10_000
+):
+    """Crawl-trap detection: hosts whose distinct-URL space explodes
+    relative to its distinct URL-TEMPLATE space (digit runs collapsed
+    to `{N}`) are URL-generating traps — calendars, faceted search,
+    session-id paths (the standard heuristic in crawler literature,
+    e.g. Heydon & Najork, "Mercator: A scalable, extensible Web
+    crawler", 1999 §4.2's URL-space concerns). A host is flagged when
+    distinct_urls/distinct_templates >= trap_ratio_e2/100.
+
+    Exact distinct counts via the salted two-level layout: per-batch
+    dedup, shuffle on (host, kind, key-salt) — disjoint key ranges per
+    salt, so per-salt nunique sums are exact and no single group ever
+    holds a trap host's full URL set. Output is host-count-sized."""
+    from ray.data.aggregate import Sum
+
+    B = default_buckets()
+    ds = _pq(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
+    )
+
+    def to_keys(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = batch.to_pandas()
+        host = "h" + (df["l_suppkey"] % n_hosts).astype(str) + ".example"
+        odd = (df["l_linenumber"] % 2).to_numpy() == 1
+        path = np.where(
+            odd,
+            "/item/" + df["l_partkey"].astype(str),
+            "/p" + df["l_partkey"].astype(str) + "/v" + df["l_orderkey"].astype(str),
+        )
+        url = "http://" + host + path
+        sub = pd.DataFrame({"host": host, "url": url}).drop_duplicates("url")
+        tmpl = (
+            pl.Series(sub["url"].to_numpy())
+            .str.replace_all(r"[0-9]+", "{N}")
+            .to_numpy()
+        )
+        # kind 0 rows count distinct urls, kind 1 rows distinct templates
+        both = pd.concat(
+            [
+                pd.DataFrame({"host": sub["host"], "kind": 0, "key": sub["url"]}),
+                pd.DataFrame(
+                    {"host": sub["host"], "kind": 1, "key": tmpl}
+                ).drop_duplicates(),
+            ]
+        )
+        salt = (hash64(both["key"].tolist()) % np.uint64(B)).astype(np.int32)
+        return pa.table(
+            {
+                "host": pa.array(both["host"].to_numpy(), pa.string()),
+                "kind": pa.array(both["kind"].to_numpy(), pa.int32()),
+                "key": pa.array(both["key"].to_numpy(), pa.string()),
+                "__salt": pa.array(salt, pa.int32()),
+            }
+        )
+
+    def nunique(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "host": [g["host"].iloc[0]],
+                "kind": np.array([g["kind"].iloc[0]], np.int32),
+                "n": np.array([g["key"].nunique()], np.int64),
+            }
+        )
+
+    counts = (
+        ds.map_batches(to_keys, batch_format="pyarrow")
+        .groupby(["host", "kind", "__salt"])
+        .map_groups(nunique, batch_format="pandas")
+        .groupby(["host", "kind"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # host-count-sized (2 rows per host)
+    )
+    wide = counts.pivot(index="host", columns="kind", values="n").reset_index()
+    n_urls = wide[0].astype(np.int64)
+    n_tmpl = wide[1].astype(np.int64)
+    ratio = n_urls * 100 // n_tmpl
+    return pa.table(
+        {
+            "host": pa.array(wide["host"], pa.string()),
+            "n_urls": pa.array(n_urls, pa.int64()),
+            "n_templates": pa.array(n_tmpl, pa.int64()),
+            "ratio_e2": pa.array(ratio, pa.int64()),
+            "is_trap": pa.array(
+                (ratio >= trap_ratio_e2).astype(np.int64), pa.int64()
+            ),
+        }
+    )
+
+
+# ------------------------------------------------------ recrawl schedule ---
+def q_recrawl_schedule(
+    sf_dir: str,
+    min_interval_s: int = 3_600,
+    max_interval_s: int = 2_592_000,
+    n_buckets: int | None = None,
+):
+    """Adaptive revisit scheduling (D4's policy core): estimate each
+    page's change rate from its fetch history and set the next revisit
+    interval to span/changes, clamped — the uniform-allocation shape of
+    Cho & Garcia-Molina, "Effective page refresh policies for web
+    crawlers" (TODS 2003). The events table stands in as fetch history
+    (user_id = page, ts = fetch time, value = content signature); a
+    change is value != previous value in (ts, event_id) order.
+
+    One shuffle on a user-hash bucket; per-bucket work is a pandas
+    sort + shift + segment sum over that bucket's rows only. Integer
+    arithmetic end-to-end (epoch seconds, floor division) so the
+    DuckDB window twin hash-matches."""
+    B = n_buckets or default_buckets()
+    ds = _pq(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        b = (u.astype(np.uint64) % np.uint64(B)).astype(np.int32)
+        return batch.append_column("__b", pa.array(b, pa.int32()))
+
+    def schedule(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        pv = g.groupby("user_id", sort=False)["value"].shift()
+        changed = pv.notna() & (g["value"] != pv)
+        ts_us = g["ts"].astype("int64").to_numpy()
+        agg = pd.DataFrame(
+            {
+                "user_id": g["user_id"],
+                "changed": changed.astype(np.int64),
+                "ts_us": ts_us,
+            }
+        ).groupby("user_id", sort=False)
+        out = agg.agg(
+            n_fetches=("changed", "size"),
+            n_changes=("changed", "sum"),
+            first_us=("ts_us", "min"),
+            last_us=("ts_us", "max"),
+        ).reset_index()
+        # span floors AFTER differencing (us diff // 1e6), matching the
+        # oracle's (epoch_us(MAX)-epoch_us(MIN)) // 1000000
+        span = (out["last_us"] - out["first_us"]) // 1_000_000
+        next_s = np.where(
+            out["n_changes"] > 0,
+            np.clip(span // np.maximum(out["n_changes"], 1), min_interval_s, max_interval_s),
+            max_interval_s,
+        )
+        return pd.DataFrame(
+            {
+                "user_id": out["user_id"].astype("int64"),
+                "n_fetches": out["n_fetches"].astype("int64"),
+                "n_changes": out["n_changes"].astype("int64"),
+                "next_s": next_s.astype("int64"),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(schedule, batch_format="pandas")
+    )
+
+
+# ----------------------------------------------------------- host quota ---
+def q_host_quota(sf_dir: str, n_hosts: int = 64, budget_frac_den: int = 3):
+    """Fair-share crawl budget allocation across hosts: exact integer
+    max-min fairness (water-filling — Bertsekas & Gallager, "Data
+    Networks" §6.5.2's max-min allocation, integer waterline variant).
+    Given per-host URL demands and a global fetch budget
+    G = total_demand // budget_frac_den, find the largest integer level
+    L with sum(min(demand, L)) <= G and allocate min(demand, L) — small
+    hosts get everything they ask for, hot hosts are capped at the
+    waterline, no host can starve another (the politeness scheduler's
+    budget input).
+
+    Demands reduce via a combiner groupby (ints only through the
+    shuffle); the waterline solve runs on the host-count table, which
+    IS this operator's output, so driver contact is output-scale."""
+    from ray.data.aggregate import Sum
+
+    ds = _pq(sf_dir, "lineitem", columns=["l_suppkey"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+        cnt = np.bincount(sk % n_hosts, minlength=n_hosts)
+        nz = np.nonzero(cnt)[0]
+        return pa.table(
+            {
+                "hk": pa.array(nz.astype(np.int64), pa.int64()),
+                "demand": pa.array(cnt[nz].astype(np.int64), pa.int64()),
+            }
+        )
+
+    d = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("hk")
+        .aggregate(Sum("demand", alias_name="demand"))
+        .to_pandas()  # host-count-sized = output-sized
+    )
+    hosts = ("h" + d["hk"].astype(str) + ".example").to_numpy()
+    demand = d["demand"].to_numpy().astype(np.int64)
+    total = int(demand.sum())
+    budget = total // budget_frac_den
+    n = len(demand)
+    order = np.lexsort((hosts, demand))
+    ds_sorted = demand[order]
+    before = np.concatenate(([0], np.cumsum(ds_sorted)[:-1]))
+    rn = np.arange(1, n + 1, dtype=np.int64)
+    cand = np.minimum(
+        np.maximum(budget - before, 0) // (n - rn + 1), ds_sorted
+    )
+    level = int(cand.max()) if n else 0
+    alloc = np.minimum(demand, level)
+    return pa.table(
+        {
+            "host": pa.array(hosts, pa.string()),
+            "demand": pa.array(demand, pa.int64()),
+            "alloc": pa.array(alloc, pa.int64()),
+        }
+    )
