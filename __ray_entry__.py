@@ -208,6 +208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ann_persistent": d.q_ann_persistent,
         "q_image_decode": d.q_image_decode,
         "q_image_features": d.q_image_features,
+        "q_caption_align": d.q_caption_align,
         "q_approx_distinct": d.q_approx_distinct,
         "q_tdigest_quantiles": d.q_tdigest_quantiles,
         "q_text_stats": d.q_text_stats,

@@ -1339,6 +1339,35 @@ def q_image_decode(sf_dir: str):
     return out
 
 
+def q_caption_align(sf_dir: str, keep_e4: int = 0):
+    """CLIP-score-shaped image-text alignment filtering (the LAION
+    curation step q_image_curate's metadata gates precede): actor-pool
+    batched scoring — projection weights load once per actor — then a
+    pure-Arrow keep flag at the threshold. Rows-only driver check;
+    tests pin the scores against the composed pure functions
+    (text_embed64/image_embed64) computed without Ray."""
+    from ..stages.multimodal import AlignmentScoreStage
+
+    ds = ray.data.read_parquet(_ensure_corpus64())
+    scored = ds.map_batches(
+        AlignmentScoreStage,
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=(1, 2),
+        num_cpus=0.5,
+    )
+
+    def flag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "keep",
+            pc.cast(
+                pc.greater_equal(batch.column("align_e4"), keep_e4), pa.int64()
+            ),
+        )
+
+    return scored.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_image_features(sf_dir: str):
     """Image feature extraction (multimodal embedding shape): actor-pool
     map_batches computing real histogram/mean/std features per image

@@ -1,0 +1,153 @@
+"""WebDataset-style tar shard export/import for the image+caption corpus.
+
+The standard interchange format for large-scale image-text training
+data is sharded POSIX tar: each sample is a basename-grouped member
+set ({key}.{fmt} image bytes + {key}.json metadata), shards are a few
+hundred MB, and trainers stream them sequentially (the public
+WebDataset convention — webdataset.github.io; also the layout LAION
+distributes). This module gives the engine that sink/source pair:
+
+- ``write_tar_shards``: Dataset(CORPUS schema) -> shard-*.tar files.
+  Implemented as a ``map_batches`` stage (``batch_size`` = samples per
+  shard) whose tasks each serialize ONE shard and return a manifest
+  row — bytes never gather on the driver, shards write in parallel,
+  and the manifest (path, n_samples, n_bytes, key range) comes back as
+  a small Dataset. Shard names derive from the shard's min image_id
+  (content-addressed, not task-ordinal), so a re-run overwrites the
+  same files idempotently instead of duplicating; writes are
+  tmp+rename atomic, and an existing complete shard is skipped —
+  the resumable-output contract the parquet sinks follow.
+- ``read_tar_shards``: read_binary_files over the shard dir ->
+  per-file tar parse back to CORPUS rows (one flat_map-shaped
+  map_batches; each task holds one shard in memory, which is the
+  shard-size bound, not the corpus).
+
+Determinism note: tar member mtimes are pinned to 0 and members are
+written in sorted-key order, so identical input produces byte-identical
+shards (tested by digest in tests/test_tar_shards.py).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import tarfile
+
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ..schemas import CORPUS
+
+_META_COLS = ("w", "h", "fmt", "caption", "phash")
+
+
+def _shard_bytes(rows: list[dict]) -> bytes:
+    """Serialize one shard: sorted-key order, mtime 0, PAX-free ustar."""
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+        for r in sorted(rows, key=lambda r: r["image_id"]):
+            key = r["image_id"]
+            img = r["bytes"]
+            info = tarfile.TarInfo(name=f"{key}.{r['fmt']}")
+            info.size = len(img)
+            info.mtime = 0
+            tf.addfile(info, io.BytesIO(img))
+            meta = json.dumps(
+                {c: r[c] for c in _META_COLS}, sort_keys=True
+            ).encode()
+            jinfo = tarfile.TarInfo(name=f"{key}.json")
+            jinfo.size = len(meta)
+            jinfo.mtime = 0
+            tf.addfile(jinfo, io.BytesIO(meta))
+    return buf.getvalue()
+
+
+def write_tar_shards(
+    ds: "ray.data.Dataset", out_dir: str, samples_per_shard: int = 256
+) -> "ray.data.Dataset":
+    """Write CORPUS-schema ``ds`` as WebDataset-style tar shards under
+    ``out_dir``; returns the manifest Dataset (one row per shard)."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_shard(batch: pa.Table) -> pa.Table:
+        rows = batch.to_pylist()
+        if not rows:
+            return pa.table(
+                {
+                    "shard": pa.array([], pa.string()),
+                    "n_samples": pa.array([], pa.int64()),
+                    "n_bytes": pa.array([], pa.int64()),
+                    "key_min": pa.array([], pa.string()),
+                    "key_max": pa.array([], pa.string()),
+                }
+            )
+        keys = sorted(r["image_id"] for r in rows)
+        path = os.path.join(out_dir, f"shard-{keys[0]}.tar")
+        data = _shard_bytes(rows)
+        # resumable: skip an existing complete shard (same name = same
+        # key range under deterministic input partitioning)
+        if not (os.path.exists(path) and os.path.getsize(path) == len(data)):
+            tmp = f"{path}.tmp.{os.getpid()}"
+            with open(tmp, "wb") as f:
+                f.write(data)
+            os.replace(tmp, path)
+        return pa.table(
+            {
+                "shard": pa.array([os.path.basename(path)], pa.string()),
+                "n_samples": pa.array([len(rows)], pa.int64()),
+                "n_bytes": pa.array([len(data)], pa.int64()),
+                "key_min": pa.array([keys[0]], pa.string()),
+                "key_max": pa.array([keys[-1]], pa.string()),
+            }
+        )
+
+    return ds.map_batches(
+        write_shard, batch_format="pyarrow", batch_size=samples_per_shard
+    )
+
+
+def read_tar_shards(shard_dir: str) -> "ray.data.Dataset":
+    """Read WebDataset-style shards back into a CORPUS-schema Dataset."""
+    files = ray.data.read_binary_files(
+        shard_dir, file_extensions=["tar"], include_paths=True
+    )
+
+    def parse_shard(batch: pa.Table) -> pa.Table:
+        ids, blobs, ws, hs, fmts, caps, phs = [], [], [], [], [], [], []
+        for blob in batch.column("bytes").to_pylist():
+            with tarfile.open(fileobj=io.BytesIO(blob)) as tf:
+                samples: dict[str, dict] = {}
+                for m in tf.getmembers():
+                    key, ext = m.name.rsplit(".", 1)
+                    body = tf.extractfile(m).read()
+                    s = samples.setdefault(key, {})
+                    if ext == "json":
+                        s.update(json.loads(body))
+                    else:
+                        s["bytes"] = body
+            for key in sorted(samples):
+                s = samples[key]
+                ids.append(key)
+                blobs.append(s["bytes"])
+                ws.append(s["w"])
+                hs.append(s["h"])
+                fmts.append(s["fmt"])
+                caps.append(s["caption"])
+                phs.append(s["phash"])
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "bytes": pa.array(blobs, pa.binary()),
+                "w": pa.array(ws, pa.int32()),
+                "h": pa.array(hs, pa.int32()),
+                "fmt": pa.array(fmts, pa.string()),
+                "caption": pa.array(caps, pa.string()),
+                "phash": pa.array(phs, pa.int64()),
+            },
+            schema=CORPUS,
+        )
+
+    return files.map_batches(parse_shard, batch_format="pyarrow", batch_size=4)

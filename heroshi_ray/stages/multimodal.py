@@ -177,3 +177,82 @@ class VideoFrameSampleStage:
                 "frame_png": pa.array(out_png, pa.binary()),
             }
         )
+
+
+# ------------------------------------------------- image-text alignment ---
+ALIGN_DIM = 64
+
+
+def text_embed64(captions, dim: int = ALIGN_DIM) -> np.ndarray:
+    """Deterministic caption embedding: hashed char-3-gram bag with the
+    sign trick (feature hashing — Weinberger et al., "Feature hashing
+    for large scale multitask learning", ICML 2009), L2-normalized.
+    Vectorized: ONE hash64 call over the batch's flattened gram list,
+    then a segment scatter-add — no per-gram Python hashing."""
+    from ..functions.hashing import hash64
+
+    grams: list[str] = []
+    bounds = [0]
+    for c in captions:
+        c = f" {c.lower()} "
+        grams.extend(c[i : i + 3] for i in range(max(len(c) - 2, 1)))
+        bounds.append(len(grams))
+    out = np.zeros((len(captions), dim), np.float64)
+    if grams:
+        h = hash64(grams)
+        d = (h % np.uint64(dim)).astype(np.int64)
+        sign = np.where((h >> np.uint64(32)) & np.uint64(1), 1.0, -1.0)
+        row = np.repeat(
+            np.arange(len(captions)), np.diff(np.asarray(bounds, np.int64))
+        )
+        np.add.at(out, (row, d), sign)
+    n = np.linalg.norm(out, axis=1, keepdims=True)
+    return out / np.where(n == 0, 1.0, n)
+
+
+def image_embed64(feats: np.ndarray, proj: np.ndarray) -> np.ndarray:
+    """Project the 30-float histogram/moment features through the model
+    matrix and L2-normalize."""
+    v = feats @ proj
+    n = np.linalg.norm(v, axis=1, keepdims=True)
+    return v / np.where(n == 0, 1.0, n)
+
+
+def make_align_proj(seed: int = 0x0A11C4, dim: int = ALIGN_DIM) -> np.ndarray:
+    """The alignment 'model': a fixed seeded Gaussian projection from
+    the 30-dim image features into the shared space. A trained CLIP
+    image tower slots in behind the same (load-once, batch-matmul)
+    interface."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((30, dim)).astype(np.float64)
+
+
+class AlignmentScoreStage:
+    """CLIP-score-shaped image-text alignment over the corpus schema:
+    embed image (feature extract -> projection) and caption (hashed
+    3-gram bag) into a shared space, score = cosine, emitted as e4
+    fixed-point. The batched-model-inference stage shape: weights
+    (projection matrix) load once per actor in ``__init__``; ``__call__``
+    is two matmuls + a rowwise dot per batch. Real CLIP towers replace
+    ``make_align_proj``/``text_embed64`` behind the same interface
+    (Radford et al. 2021's score is the same cosine; LAION's curation
+    gate keeps pairs above a threshold — Schuhmann et al. 2021 §2.2)."""
+
+    def __init__(self, seed: int = 0x0A11C4):
+        self.proj = make_align_proj(seed)
+        self._feat = ImageFeatureStage()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats_tbl = self._feat(batch)
+        feats = np.asarray(feats_tbl.column("features").to_pylist(), np.float64)
+        iv = image_embed64(feats, self.proj)
+        tv = text_embed64(batch.column("caption").to_pylist())
+        cos = np.sum(iv * tv, axis=1)
+        return pa.table(
+            {
+                "image_id": batch.column("image_id"),
+                "align_e4": pa.array(
+                    np.round(cos * 10_000).astype(np.int64), pa.int64()
+                ),
+            }
+        )

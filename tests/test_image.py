@@ -77,3 +77,52 @@ def test_hash64_deterministic():
     assert a[0] != a[1]
     s = shard_of(["http://x/"] * 3, 64)
     assert (s >= 0).all() and (s < 64).all() and len(set(s.tolist())) == 1
+
+
+def test_alignment_score_stage_matches_pure_composition(ray_session):
+    """AlignmentScoreStage through Ray == composing the pure embedding
+    functions without Ray, exactly (same ops, same order)."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray
+    from heroshi_ray.fixtures import make_corpus
+    from heroshi_ray.pipelines.dataops import q_caption_align
+    from heroshi_ray.stages.multimodal import (
+        AlignmentScoreStage,
+        ImageFeatureStage,
+        image_embed64,
+        make_align_proj,
+        text_embed64,
+    )
+
+    corpus = make_corpus(48, seed=11)
+    got = (
+        ray.data.from_arrow(corpus)
+        .map_batches(
+            AlignmentScoreStage,
+            batch_format="pyarrow",
+            batch_size=16,
+            concurrency=2,
+        )
+        .to_pandas()
+        .set_index("image_id")["align_e4"]
+    )
+
+    feats = np.asarray(
+        ImageFeatureStage()(corpus).column("features").to_pylist(), np.float64
+    )
+    iv = image_embed64(feats, make_align_proj())
+    tv = text_embed64(corpus.column("caption").to_pylist())
+    want = np.round(np.sum(iv * tv, axis=1) * 10_000).astype(np.int64)
+    ids = corpus.column("image_id").to_pylist()
+    assert len(got) == len(ids)
+    for i, w in zip(ids, want):
+        assert got[i] == w, i
+    # scores are bounded cosines
+    assert got.abs().max() <= 10_000
+
+    # the query wrapper flags at the threshold
+    df = q_caption_align("/root/testdata/sf0.001").to_pandas()
+    assert set(df.columns) == {"image_id", "align_e4", "keep"}
+    assert ((df["keep"] == 1) == (df["align_e4"] >= 0)).all()

@@ -1,0 +1,63 @@
+"""WebDataset-style tar shard sink/source: roundtrip equality,
+deterministic bytes, resumable overwrite, manifest accounting."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pyarrow as pa
+import pytest
+
+import ray
+
+from heroshi_ray.fixtures import make_corpus
+from heroshi_ray.sources.tarshards import read_tar_shards, write_tar_shards
+
+
+@pytest.fixture(scope="module")
+def corpus() -> pa.Table:
+    return make_corpus(40, seed=7)
+
+
+def _sorted_pylist(t: pa.Table):
+    return sorted(t.to_pylist(), key=lambda r: r["image_id"])
+
+
+def test_roundtrip_and_manifest(ray_session, corpus, tmp_path):
+    out = str(tmp_path / "shards")
+    ds = ray.data.from_arrow(corpus).repartition(4)
+    manifest = write_tar_shards(ds, out, samples_per_shard=16).to_pandas()
+    assert manifest["n_samples"].sum() == corpus.num_rows
+    files = sorted(f for f in os.listdir(out) if f.endswith(".tar"))
+    assert set(manifest["shard"]) == set(files)
+    for row in manifest.itertuples():
+        assert os.path.getsize(os.path.join(out, row.shard)) == row.n_bytes
+        assert row.key_min <= row.key_max
+
+    back = read_tar_shards(out)
+    got = _sorted_pylist(pa.Table.from_pandas(back.to_pandas()))
+    want = _sorted_pylist(corpus)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        for col in ("image_id", "bytes", "w", "h", "fmt", "caption", "phash"):
+            assert g[col] == w[col], (g["image_id"], col)
+
+
+def test_deterministic_and_resumable(ray_session, corpus, tmp_path):
+    out = str(tmp_path / "shards")
+    ds = ray.data.from_arrow(corpus)  # single block: stable batching
+    write_tar_shards(ds, out, samples_per_shard=16).materialize()
+    digests = {
+        f: hashlib.sha256(open(os.path.join(out, f), "rb").read()).hexdigest()
+        for f in os.listdir(out)
+    }
+    mtimes = {f: os.path.getmtime(os.path.join(out, f)) for f in digests}
+    # second run: same bytes, existing complete shards skipped (mtime kept)
+    write_tar_shards(
+        ray.data.from_arrow(corpus), out, samples_per_shard=16
+    ).materialize()
+    for f, d in digests.items():
+        p = os.path.join(out, f)
+        assert hashlib.sha256(open(p, "rb").read()).hexdigest() == d
+        assert os.path.getmtime(p) == mtimes[f], "complete shard rewritten"
