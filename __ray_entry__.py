@@ -219,6 +219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_trap_detect": w.q_trap_detect,
         "q_recrawl_schedule": w.q_recrawl_schedule,
         "q_host_quota": w.q_host_quota,
+        "q_lm_score": d.q_lm_score,
     }
 
 
@@ -1903,6 +1904,28 @@ def oracle_sql() -> dict[str, str]:
                                    2592000)
                         ELSE 2592000 END AS BIGINT) AS next_s
             FROM a
+        """,
+        "q_lm_score": """
+            WITH bg AS (
+              SELECT doc_id,
+                     LEAST(ord(substring(text, i, 1)), 128) AS a,
+                     LEAST(ord(substring(text, i + 1, 1)), 128) AS b
+              FROM (
+                SELECT doc_id, text,
+                       unnest(generate_series(1, length(text) - 1)) AS i
+                FROM documents WHERE length(text) >= 2
+              )
+            ), cnt AS (
+              SELECT a, b, COUNT(*) AS c FROM bg GROUP BY a, b
+            ), rowc AS (
+              SELECT a, SUM(c) AS ra FROM cnt GROUP BY a
+            )
+            SELECT bg.doc_id,
+                   CAST(round(SUM(ln(rowc.ra + 129.0) - ln(cnt.c + 1.0))
+                              / COUNT(*) * 10000) AS BIGINT) AS nll_e4
+            FROM bg
+            JOIN cnt USING (a, b) JOIN rowc USING (a)
+            GROUP BY bg.doc_id
         """,
         "q_host_quota": """
             WITH d AS (

@@ -232,6 +232,12 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         "q_dup_span_removal",
         "q_ann_range",
         "q_entropy",
+        "q_sitemap_extract",
+        "q_trap_detect",
+        "q_recrawl_schedule",
+        "q_host_quota",
+        "q_caption_align",
+        "q_lm_score",
     ]
     # per-query best-of-2 with the same rationale as the headline reps.
     # The two sub-2 s fixed-overhead-dominated queries get extra reps:

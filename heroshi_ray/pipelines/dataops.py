@@ -4998,3 +4998,81 @@ def q_entropy(sf_dir: str):
         )
 
     return ds.map_batches(ent, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_lm_score(sf_dir: str, V: int = 129):
+    """Per-doc mean negative log-likelihood under a char-bigram LM
+    trained ON the corpus itself, Laplace-smoothed — the perplexity
+    quality filter of CCNet (Wenzek et al. 2020 §3.3) with the bigram
+    LM standing in for the 5-gram KenLM model; the dataflow is the real
+    one: ONE distributed count pass -> model broadcast (V² int64 =
+    ~130 KB via ray.put, read once per task) -> one vectorized scoring
+    pass. Codepoints clamp at 128 ('other' bucket) so V is fixed.
+
+    nll = Σ [ln(rowcount_a + V) - ln(count_ab + 1)] / n_bigrams, e4
+    fixed-point; every bigram scored was seen in training (same
+    corpus), so the DuckDB twin's count join never misses. e4 rounding
+    absorbs summation-order ulp drift (q_entropy's parity recipe).
+    The count shuffle is key-bounded at V² regardless of corpus size;
+    docs shorter than 2 chars have no bigrams and are excluded (the
+    twin's GROUP BY does the same)."""
+    from ray.data.aggregate import Sum
+
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"], split=True)
+
+    def _cp(t: str) -> np.ndarray:
+        cp = np.frombuffer((t or "").encode("utf-32-le"), np.uint32)
+        return np.minimum(cp, V - 1).astype(np.int64)
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        parts = []
+        for t in batch.column("text").to_pylist():
+            cp = _cp(t)
+            if len(cp) >= 2:
+                parts.append(cp[:-1] * V + cp[1:])
+        if not parts:
+            return pa.table(
+                {"idx": pa.array([], pa.int64()), "c": pa.array([], pa.int64())}
+            )
+        c = np.bincount(np.concatenate(parts), minlength=V * V)
+        nz = np.nonzero(c)[0]
+        return pa.table(
+            {
+                "idx": pa.array(nz, pa.int64()),
+                "c": pa.array(c[nz], pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("idx")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()  # <= V*V rows, corpus-size-independent
+    )
+    C = np.zeros(V * V, np.int64)
+    C[counts["idx"].to_numpy()] = counts["c"].to_numpy()
+    C2 = C.reshape(V, V)
+    log_num = np.log(C2 + 1.0)  # ln(count_ab + 1)
+    log_den = np.log(C2.sum(axis=1) + float(V))  # ln(rowcount_a + V)
+    model = ray.put((log_num, log_den))
+
+    def score(batch: pa.Table) -> pa.Table:
+        ln_num, ln_den = ray.get(model)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        out_id, out_nll = [], []
+        for i, t in enumerate(batch.column("text").to_pylist()):
+            cp = _cp(t)
+            if len(cp) < 2:
+                continue
+            a, b = cp[:-1], cp[1:]
+            s = (ln_den[a] - ln_num[a, b]).sum()
+            out_id.append(int(ids[i]))
+            out_nll.append(int(np.round(s / (len(cp) - 1) * 10_000)))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "nll_e4": pa.array(out_nll, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
