@@ -220,6 +220,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_recrawl_schedule": w.q_recrawl_schedule,
         "q_host_quota": w.q_host_quota,
         "q_lm_score": d.q_lm_score,
+        "q_gopher_gate": d.q_gopher_gate,
+        "q_dsir_weights": d.q_dsir_weights,
     }
 
 
@@ -1925,6 +1927,70 @@ def oracle_sql() -> dict[str, str]:
                               / COUNT(*) * 10000) AS BIGINT) AS nll_e4
             FROM bg
             JOIN cnt USING (a, b) JOIN rowc USING (a)
+            GROUP BY bg.doc_id
+        """,
+        "q_gopher_gate": r"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     regexp_extract_all(text, '\S+') AS toks
+              FROM documents
+            ), c AS (
+              SELECT doc_id,
+                     CAST(len(toks) AS BIGINT) AS n_words,
+                     CAST(length(regexp_replace(text, '\s', '', 'g'))
+                          AS BIGINT) AS wchars,
+                     CAST(length(text) - length(replace(text, '#', ''))
+                          + (length(text)
+                             - length(replace(text, '...', ''))) // 3
+                          AS BIGINT) AS n_sym,
+                     CAST(len(list_filter(toks,
+                          x -> regexp_matches(x, '[A-Za-z]')))
+                          AS BIGINT) AS n_alpha,
+                     CAST(len(list_filter(toks,
+                          x -> lower(x) IN ('the','be','to','of','and',
+                                            'that','have','with')))
+                          AS BIGINT) AS n_stop
+              FROM t
+            )
+            SELECT doc_id, n_words, wchars, n_sym, n_alpha, n_stop,
+                   CAST(n_words BETWEEN 8 AND 50000
+                        AND 2 * n_words <= wchars
+                        AND wchars <= 12 * n_words
+                        AND 10 * n_sym <= n_words
+                        AND 5 * n_alpha >= 4 * n_words
+                        AND n_stop >= 2 AS BIGINT) AS keep
+            FROM c
+        """,
+        "q_dsir_weights": """
+            WITH bg AS (
+              SELECT doc_id, lang,
+                     LEAST(ord(substring(text, i, 1)), 128) AS a,
+                     LEAST(ord(substring(text, i + 1, 1)), 128) AS b
+              FROM (
+                SELECT doc_id, lang, text,
+                       unnest(generate_series(1, length(text) - 1)) AS i
+                FROM documents WHERE length(text) >= 2
+              )
+            ), cs AS (
+              SELECT a, b, COUNT(*) AS c FROM bg GROUP BY a, b
+            ), ct AS (
+              SELECT a, b, COUNT(*) AS c FROM bg
+              WHERE lang = 'en' GROUP BY a, b
+            ), rs AS (
+              SELECT a, SUM(c) AS r FROM cs GROUP BY a
+            ), rt AS (
+              SELECT a, SUM(c) AS r FROM ct GROUP BY a
+            )
+            SELECT bg.doc_id,
+                   CAST(round(SUM(
+                        (ln(COALESCE(ct.c, 0) + 1.0)
+                         - ln(COALESCE(rt.r, 0) + 129.0))
+                      - (ln(cs.c + 1.0) - ln(rs.r + 129.0))
+                     ) / COUNT(*) * 10000) AS BIGINT) AS dsir_e4
+            FROM bg
+            LEFT JOIN ct USING (a, b)
+            LEFT JOIN rt USING (a)
+            JOIN cs USING (a, b) JOIN rs USING (a)
             GROUP BY bg.doc_id
         """,
         "q_host_quota": """

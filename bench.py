@@ -238,6 +238,8 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         "q_host_quota",
         "q_caption_align",
         "q_lm_score",
+        "q_gopher_gate",
+        "q_dsir_weights",
     ]
     # per-query best-of-2 with the same rationale as the headline reps.
     # The two sub-2 s fixed-overhead-dominated queries get extra reps:

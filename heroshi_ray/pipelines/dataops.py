@@ -5076,3 +5076,171 @@ def q_lm_score(sf_dir: str, V: int = 129):
         )
 
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# Gopher A1.1's "contains >= 2 of" stop list (Rae et al. 2021) — fixed
+# here so the DuckDB twin can inline the identical literal set.
+GOPHER_STOP8 = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def q_gopher_gate(sf_dir: str):
+    """Gopher/MassiveText rule-based quality gate (Rae et al. 2021,
+    Appendix A1.1), integer-exact so it hash-checks against the DuckDB
+    twin. Per doc: whitespace-token count, non-whitespace char count,
+    symbol count ('#' + non-overlapping '...'), count of tokens
+    containing an alphabetic char, count of tokens in the 8-word Gopher
+    stop set — then the composite keep flag:
+
+      R1 word count in [8, 50000]
+      R2 mean word length in [2, 12]   (2*n_words <= wchars <= 12*n_words)
+      R3 symbol-to-word ratio <= 0.1   (10*n_sym <= n_words)
+      R4 >= 80% of words alphabetic    (5*n_alpha >= 4*n_words)
+      R5 >= 2 stop-set hits
+
+    All ratios are cross-multiplied so no float ever crosses the
+    comparison; fully vectorized (polars regex + list kernels), pure
+    streaming map, zero shuffle."""
+    import polars as pl
+
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    stop = list(GOPHER_STOP8)
+
+    def gate(batch: pa.Table) -> pa.Table:
+        s = pl.from_arrow(batch.column("text")).rename("t")
+        toks = s.str.extract_all(r"\S+")
+        d = pl.select(
+            n_words=toks.list.len().cast(pl.Int64),
+            wchars=s.str.count_matches(r"\S").cast(pl.Int64),
+            n_sym=(
+                s.str.count_matches("#", literal=True)
+                + s.str.count_matches(r"\.\.\.")
+            ).cast(pl.Int64),
+            n_alpha=toks.list.eval(pl.element().str.contains("[A-Za-z]"))
+            .list.sum()
+            .fill_null(0)
+            .cast(pl.Int64),
+            n_stop=toks.list.eval(pl.element().str.to_lowercase().is_in(stop))
+            .list.sum()
+            .fill_null(0)
+            .cast(pl.Int64),
+        )
+        d = d.with_columns(
+            keep=(
+                (pl.col("n_words") >= 8)
+                & (pl.col("n_words") <= 50_000)
+                & (2 * pl.col("n_words") <= pl.col("wchars"))
+                & (pl.col("wchars") <= 12 * pl.col("n_words"))
+                & (10 * pl.col("n_sym") <= pl.col("n_words"))
+                & (5 * pl.col("n_alpha") >= 4 * pl.col("n_words"))
+                & (pl.col("n_stop") >= 2)
+            ).cast(pl.Int64)
+        ).to_arrow()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_words": d.column("n_words"),
+                "wchars": d.column("wchars"),
+                "n_sym": d.column("n_sym"),
+                "n_alpha": d.column("n_alpha"),
+                "n_stop": d.column("n_stop"),
+                "keep": d.column("keep"),
+            }
+        )
+
+    return ds.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_dsir_weights(sf_dir: str, target_lang: str = "en", V: int = 129):
+    """DSIR importance weights (Xie et al. 2023, Data Selection via
+    Importance Resampling): per-doc log-likelihood ratio between a
+    TARGET-domain bag-of-features model (docs with lang == target_lang)
+    and the SOURCE model (the whole corpus), with char bigrams standing
+    in for DSIR's hashed word n-grams. The dataflow is the production
+    one: ONE count pass over the corpus emitting (bigram, c_source,
+    c_target) partials — the shuffle is key-bounded at V² regardless of
+    corpus size — then both Laplace-smoothed models are derived on the
+    driver (2x V² int64 ≈ 260 KB) and broadcast once via ray.put for a
+    single vectorized scoring pass.
+
+      w(doc) = Σ_bigrams [ (ln(c_t+1) - ln(r_t+V)) - (ln(c_s+1) - ln(r_s+V)) ]
+               / n_bigrams, e4 fixed-point
+
+    Bigrams absent from the target model contribute ln(1)=0 / ln(V)
+    exactly as the twin's COALESCE(.,0) does; e4 rounding absorbs
+    summation-order ulp drift (q_lm_score's parity recipe)."""
+    from ray.data.aggregate import Sum
+
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text", "lang"], split=True)
+
+    def _cp(t: str) -> np.ndarray:
+        cp = np.frombuffer((t or "").encode("utf-32-le"), np.uint32)
+        return np.minimum(cp, V - 1).astype(np.int64)
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        langs = batch.column("lang").to_pylist()
+        src, tgt = [], []
+        for t, lg in zip(batch.column("text").to_pylist(), langs):
+            cp = _cp(t)
+            if len(cp) >= 2:
+                bg = cp[:-1] * V + cp[1:]
+                src.append(bg)
+                if lg == target_lang:
+                    tgt.append(bg)
+        if not src:
+            return pa.table(
+                {
+                    "idx": pa.array([], pa.int64()),
+                    "cs": pa.array([], pa.int64()),
+                    "ct": pa.array([], pa.int64()),
+                }
+            )
+        cs = np.bincount(np.concatenate(src), minlength=V * V)
+        ct = (
+            np.bincount(np.concatenate(tgt), minlength=V * V)
+            if tgt
+            else np.zeros(V * V, np.int64)
+        )
+        nz = np.nonzero(cs)[0]  # ct's support is a subset of cs's
+        return pa.table(
+            {
+                "idx": pa.array(nz, pa.int64()),
+                "cs": pa.array(cs[nz], pa.int64()),
+                "ct": pa.array(ct[nz], pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("idx")
+        .aggregate(Sum("cs", alias_name="cs"), Sum("ct", alias_name="ct"))
+        .to_pandas()  # <= V*V rows, corpus-size-independent
+    )
+    CS = np.zeros(V * V, np.int64)
+    CT = np.zeros(V * V, np.int64)
+    CS[counts["idx"].to_numpy()] = counts["cs"].to_numpy()
+    CT[counts["idx"].to_numpy()] = counts["ct"].to_numpy()
+    CS2, CT2 = CS.reshape(V, V), CT.reshape(V, V)
+    # per-bigram log term of each model, row-normalized with +V smoothing
+    lt = np.log(CT2 + 1.0) - np.log(CT2.sum(axis=1) + float(V))[:, None]
+    ls = np.log(CS2 + 1.0) - np.log(CS2.sum(axis=1) + float(V))[:, None]
+    model = ray.put(lt - ls)
+
+    def score(batch: pa.Table) -> pa.Table:
+        ratio = ray.get(model)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        out_id, out_w = [], []
+        for i, t in enumerate(batch.column("text").to_pylist()):
+            cp = _cp(t)
+            if len(cp) < 2:
+                continue
+            s = ratio[cp[:-1], cp[1:]].sum()
+            out_id.append(int(ids[i]))
+            out_w.append(int(np.round(s / (len(cp) - 1) * 10_000)))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "dsir_e4": pa.array(out_w, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
