@@ -222,6 +222,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_lm_score": d.q_lm_score,
         "q_gopher_gate": d.q_gopher_gate,
         "q_dsir_weights": d.q_dsir_weights,
+        "q_url_strip_params": w.q_url_strip_params,
+        "q_mirror_detect": w.q_mirror_detect,
+        "q_minhash_sig": d.q_minhash_sig,
+        "q_simhash_sig": d.q_simhash_sig,
+        "q_aspect_bucket": d.q_aspect_bucket,
     }
 
 
@@ -1928,6 +1933,118 @@ def oracle_sql() -> dict[str, str]:
             FROM bg
             JOIN cnt USING (a, b) JOIN rowc USING (a)
             GROUP BY bg.doc_id
+        """,
+        "q_url_strip_params": r"""
+            WITH u AS (
+              SELECT 'h' || (user_id % 40) || '.example' AS host,
+                     'http://h' || (user_id % 40) || '.example/p/'
+                     || (event_id % 500)
+                     || '?utm_source=s' || (event_id % 5)
+                     || '&id=' || (event_id % 7)
+                     || '&gclid=g' || event_id AS url
+              FROM events
+            ), c AS (
+              SELECT host,
+                     regexp_replace(regexp_replace(url,
+                         '(utm_[a-z]+|gclid|fbclid|ref)=[^&]*&?', '', 'g'),
+                         '[?&]+$', '', 'g') AS canon
+              FROM u
+            )
+            SELECT host,
+                   CAST(count(*) AS BIGINT) AS n_raw,
+                   CAST(count(DISTINCT canon) AS BIGINT) AS n_canon,
+                   CAST(count(*) * 100 // count(DISTINCT canon)
+                        AS BIGINT) AS inflation_e2
+            FROM c GROUP BY host
+        """,
+        "q_mirror_detect": """
+            WITH f AS (
+              SELECT DISTINCT (user_id % 24) AS hk,
+                     (user_id % 8) * 100 + (event_id % 20) AS fp
+              FROM events
+            ), s AS (
+              SELECT hk, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(fp) AS BIGINT) AS sm,
+                     CAST(bit_xor((fp * 2654435761)
+                          % 9223372036854775807) AS BIGINT) AS bx
+              FROM f GROUP BY hk
+            )
+            SELECT 'm' || a.hk || '.example' AS host_a,
+                   'm' || b.hk || '.example' AS host_b
+            FROM s a JOIN s b
+              ON a.n = b.n AND a.sm = b.sm AND a.bx = b.bx
+            WHERE 'm' || a.hk || '.example' < 'm' || b.hk || '.example'
+        """,
+        "q_minhash_sig": r"""
+            WITH w AS (
+              SELECT DISTINCT doc_id,
+                     unnest(regexp_extract_all(text, '\S+')) AS word
+              FROM documents
+            ), h AS (
+              SELECT doc_id,
+                     list_reduce(
+                       list_prepend(CAST(7 AS BIGINT),
+                         list_transform(regexp_extract_all(word, '.'),
+                                        c -> CAST(ord(c) AS BIGINT))),
+                       (a, b) -> (a * 31 + b) % 1000000007) AS hw
+              FROM w
+            ), p AS (
+              SELECT unnest(generate_series(0, 15)) AS j
+            )
+            SELECT doc_id, CAST(j AS BIGINT) AS perm,
+                   CAST(MIN((((2654435761 * (j + 1)) % 1000000007) * hw
+                             + ((40503 * (j + 1) + 17) % 1000000007))
+                            % 1000000007) AS BIGINT) AS sig
+            FROM h CROSS JOIN p
+            GROUP BY doc_id, j
+        """,
+        "q_simhash_sig": r"""
+            WITH w AS (
+              SELECT DISTINCT doc_id,
+                     unnest(regexp_extract_all(text, '\S+')) AS word
+              FROM documents
+            ), h AS (
+              SELECT doc_id,
+                     (list_reduce(
+                        list_prepend(CAST(7 AS BIGINT),
+                          list_transform(regexp_extract_all(word, '.'),
+                                         c -> CAST(ord(c) AS BIGINT))),
+                        (a, b) -> (a * 31 + b) % 1000000007) * 48271)
+                     % 2305843009213693951 AS h2
+              FROM w
+            ), b AS (
+              SELECT unnest(generate_series(0, 31)) AS t
+            ), maj AS (
+              SELECT doc_id, t,
+                     SUM(CASE WHEN (h2 >> t) & 1 = 1
+                         THEN 1 ELSE -1 END) AS s
+              FROM h CROSS JOIN b GROUP BY doc_id, t
+            )
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN s > 0
+                        THEN (CAST(1 AS BIGINT) << t)
+                        ELSE 0 END) AS BIGINT) AS simhash
+            FROM maj GROUP BY doc_id
+        """,
+        "q_aspect_bucket": """
+            WITH d AS (
+              SELECT p_partkey AS image_id,
+                     64 + (p_partkey % 13) * 32 AS w,
+                     64 + (p_partkey % 7) * 48 AS h
+              FROM part
+            ), l AS (
+              SELECT unnest([50, 75, 100, 133, 150, 200]) AS r
+            )
+            SELECT image_id, CAST(w AS BIGINT) AS w,
+                   CAST(h AS BIGINT) AS h,
+                   CAST(r AS BIGINT) AS bucket_r_e2
+            FROM (
+              SELECT image_id, w, h, r,
+                     row_number() OVER (
+                       PARTITION BY image_id
+                       ORDER BY abs(100 * w - r * h), r) AS rn
+              FROM d CROSS JOIN l
+            ) WHERE rn = 1
         """,
         "q_gopher_gate": r"""
             WITH t AS (

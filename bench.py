@@ -240,6 +240,11 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         "q_lm_score",
         "q_gopher_gate",
         "q_dsir_weights",
+        "q_url_strip_params",
+        "q_mirror_detect",
+        "q_minhash_sig",
+        "q_simhash_sig",
+        "q_aspect_bucket",
     ]
     # per-query best-of-2 with the same rationale as the headline reps.
     # The two sub-2 s fixed-overhead-dominated queries get extra reps:

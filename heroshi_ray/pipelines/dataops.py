@@ -5244,3 +5244,163 @@ def q_dsir_weights(sf_dir: str, target_lang: str = "en", V: int = 129):
         )
 
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_minhash_sig(sf_dir: str, n_perms: int = 16, P: int = 1_000_000_007):
+    """MinHash signatures over distinct whitespace-word sets (Broder
+    1997), HASH-CHECKED end-to-end against a DuckDB twin — the exact
+    integer pin for the hash math under q_minhash_neardup's LSH (which
+    stays rows-only because its banding uses xxhash). Word hash is a
+    31-base Horner fold of codepoints mod P seeded at 7; permutation j
+    is the affine map (a_j*h + b_j) mod P with a_j, b_j derived from j
+    by fixed integer formulas, so the SQL twin reconstructs every
+    constant. sig[doc, j] = min over the doc's DISTINCT words.
+
+    Vectorized: one padded-matrix Horner pass per batch (no per-word
+    Python), then an (n_words x n_perms) affine map + np.minimum.at
+    segment-min per doc. Pure streaming map, zero shuffle; int64 never
+    overflows (a_j, h < P = 1e9+7, so a_j*h + b_j < 2^63). Docs with no
+    words emit no rows (the twin's unnest does the same)."""
+    import polars as pl
+
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    j = np.arange(n_perms, dtype=np.int64)
+    A = (2654435761 * (j + 1)) % P
+    Bc = (40503 * (j + 1) + 17) % P
+
+    def sig(batch: pa.Table) -> pa.Table:
+        s = pl.from_arrow(batch.column("text")).rename("t")
+        toks = s.str.extract_all(r"\S+").list.unique()
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        counts = toks.list.len().fill_null(0).to_numpy().astype(np.int64)
+        flat = toks.explode().drop_nulls()
+        words = flat.to_list()
+        if not words:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "perm": pa.array([], pa.int64()),
+                    "sig": pa.array([], pa.int64()),
+                }
+            )
+        # padded-matrix Horner: h = fold(acc*31 + cp) mod P, acc0 = 7
+        maxlen = max(len(w) for w in words)
+        mat = np.zeros((len(words), maxlen), np.int64)
+        lens = np.empty(len(words), np.int64)
+        for i, w in enumerate(words):
+            cp = np.frombuffer(w.encode("utf-32-le"), np.uint32)
+            mat[i, : len(cp)] = cp
+            lens[i] = len(cp)
+        h = np.full(len(words), 7, np.int64)
+        for col in range(maxlen):
+            active = lens > col
+            h[active] = (h[active] * 31 + mat[active, col]) % P
+        doc_idx = np.repeat(np.arange(len(ids)), counts)
+        vals = (h[:, None] * A[None, :] + Bc[None, :]) % P
+        out = np.full((len(ids), n_perms), P, np.int64)
+        np.minimum.at(out, doc_idx, vals)
+        nz = counts > 0
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(ids[nz], n_perms), pa.int64()),
+                "perm": pa.array(np.tile(j, int(nz.sum())), pa.int64()),
+                "sig": pa.array(out[nz].ravel(), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(sig, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_simhash_sig(sf_dir: str, n_bits: int = 32):
+    """SimHash signatures over distinct whitespace-word sets (Charikar
+    2002), HASH-CHECKED against a DuckDB twin — the exact integer pin
+    for the bit-majority math under q_simhash_neardup (which stays
+    rows-only because its production path uses xxhash). Word hash =
+    q_minhash_sig's Horner fold mod 1e9+7, widened to 61 bits by one
+    affine step mod 2^61-1; signature bit t is 1 iff the +1/-1 majority
+    over the doc's DISTINCT words at bit t is strictly positive.
+
+    Vectorized: padded-matrix Horner, then an (n_words x n_bits) bit
+    unpack + np.add.at segment majority. Pure streaming map, zero
+    shuffle. Docs with no words emit no rows."""
+    import polars as pl
+
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    P = 1_000_000_007
+    M61 = 2305843009213693951
+    t = np.arange(n_bits, dtype=np.int64)
+
+    def sig(batch: pa.Table) -> pa.Table:
+        s = pl.from_arrow(batch.column("text")).rename("t")
+        toks = s.str.extract_all(r"\S+").list.unique()
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        counts = toks.list.len().fill_null(0).to_numpy().astype(np.int64)
+        words = toks.explode().drop_nulls().to_list()
+        if not words:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "simhash": pa.array([], pa.int64()),
+                }
+            )
+        maxlen = max(len(w) for w in words)
+        mat = np.zeros((len(words), maxlen), np.int64)
+        lens = np.empty(len(words), np.int64)
+        for i, w in enumerate(words):
+            cp = np.frombuffer(w.encode("utf-32-le"), np.uint32)
+            mat[i, : len(cp)] = cp
+            lens[i] = len(cp)
+        h = np.full(len(words), 7, np.int64)
+        for col in range(maxlen):
+            active = lens > col
+            h[active] = (h[active] * 31 + mat[active, col]) % P
+        h2 = (h * 48271) % M61
+        pm = (((h2[:, None] >> t[None, :]) & 1) * 2 - 1).astype(np.int64)
+        doc_idx = np.repeat(np.arange(len(ids)), counts)
+        maj = np.zeros((len(ids), n_bits), np.int64)
+        np.add.at(maj, doc_idx, pm)
+        simhash = ((maj > 0).astype(np.int64) << t[None, :]).sum(axis=1)
+        nz = counts > 0
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[nz], pa.int64()),
+                "simhash": pa.array(simhash[nz], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(sig, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_aspect_bucket(sf_dir: str):
+    """Aspect-ratio bucketing for image-training batch assembly (the
+    NovelAI/SDXL bucketing scheme: every image joins the ladder bucket
+    nearest its aspect ratio so batches need no distorting resize).
+    Image dims are synthesized from the part table by a fixed template
+    (the established build->kernel->check pattern: the DuckDB twin
+    reconstructs the dims by string-free integer arithmetic and applies
+    the same argmin rule, so what is hash-checked is the bucketing
+    KERNEL). Nearest bucket by |100*w - r*h| with ties to the smaller
+    r — cross-multiplied, no float ever computed. Pure streaming map,
+    zero shuffle; the same kernel serves the real corpus table via
+    (w, h) columns."""
+    ds = _pq(sf_dir, "part", columns=["p_partkey"])
+    ladder = np.array([50, 75, 100, 133, 150, 200], np.int64)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        pk = batch.column("p_partkey").to_numpy(zero_copy_only=False)
+        w = 64 + (pk % 13) * 32
+        h = 64 + (pk % 7) * 48
+        # argmin over the ladder; ladder is ascending so np.argmin's
+        # first-match tie-break IS the smaller-r rule
+        diff = np.abs(100 * w[:, None] - ladder[None, :] * h[:, None])
+        b = ladder[np.argmin(diff, axis=1)]
+        return pa.table(
+            {
+                "image_id": pa.array(pk.astype(np.int64), pa.int64()),
+                "w": pa.array(w.astype(np.int64), pa.int64()),
+                "h": pa.array(h.astype(np.int64), pa.int64()),
+                "bucket_r_e2": pa.array(b, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)

@@ -322,3 +322,192 @@ def q_host_quota(sf_dir: str, n_hosts: int = 64, budget_frac_den: int = 3):
             "alloc": pa.array(alloc, pa.int64()),
         }
     )
+
+
+# ------------------------------------------------- tracking-param strip ---
+def q_url_strip_params(sf_dir: str, n_hosts: int = 40):
+    """Tracking-parameter canonicalization (the URL-normalization rule
+    every production crawler adds on top of RFC 3986: drop utm_*,
+    gclid, fbclid, ref query params, which explode the URL space
+    without changing content). Synthesizes raw URLs from the events
+    table (fixed template: every raw URL is unique thanks to a
+    per-event gclid value), strips tracking params with ONE compiled
+    regex pass, and reports per host the raw URL count vs the distinct
+    canonical count — the "dup inflation" a crawler avoids by
+    canonicalizing before the seen-set.
+
+    Layout: raw counts are a pure combiner groupby (no URL strings
+    shuffle); distinct canonical counts use the salted two-level
+    exact-distinct layout (q_trap_detect's), so a hot host's canonical
+    space never lands in one group. Output is host-count-sized."""
+    import polars as pl
+
+    from ray.data.aggregate import Sum
+
+    B = default_buckets()
+    ds = _pq(sf_dir, "events", columns=["event_id", "user_id"])
+    strip_re = r"(utm_[a-z]+|gclid|fbclid|ref)=[^&]*&?"
+
+    def to_canon(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        host = "h" + (df["user_id"] % n_hosts).astype(str) + ".example"
+        raw = (
+            "http://"
+            + host
+            + "/p/"
+            + (df["event_id"] % 500).astype(str)
+            + "?utm_source=s"
+            + (df["event_id"] % 5).astype(str)
+            + "&id="
+            + (df["event_id"] % 7).astype(str)
+            + "&gclid=g"
+            + df["event_id"].astype(str)
+        )
+        canon = (
+            pl.Series(raw.to_numpy())
+            .str.replace_all(strip_re, "")
+            .str.replace_all(r"[?&]+$", "")
+            .to_numpy()
+        )
+        sub = pd.DataFrame({"host": host, "canon": canon}).drop_duplicates()
+        salt = (hash64(sub["canon"].tolist()) % np.uint64(B)).astype(np.int32)
+        return pa.table(
+            {
+                "host": pa.array(sub["host"].to_numpy(), pa.string()),
+                "canon": pa.array(sub["canon"].to_numpy(), pa.string()),
+                "__salt": pa.array(salt, pa.int32()),
+            }
+        )
+
+    def nunique(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "host": [g["host"].iloc[0]],
+                "n": np.array([g["canon"].nunique()], np.int64),
+            }
+        )
+
+    n_canon = (
+        ds.map_batches(to_canon, batch_format="pyarrow")
+        .groupby(["host", "__salt"])
+        .map_groups(nunique, batch_format="pandas")
+        .groupby("host")
+        .aggregate(Sum("n", alias_name="n_canon"))
+        .to_pandas()  # host-count-sized
+    )
+
+    def raw_partial(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        cnt = np.bincount(uid % n_hosts, minlength=n_hosts)
+        nz = np.nonzero(cnt)[0]
+        return pa.table(
+            {
+                "hk": pa.array(nz.astype(np.int64), pa.int64()),
+                "c": pa.array(cnt[nz].astype(np.int64), pa.int64()),
+            }
+        )
+
+    n_raw = (
+        ds.map_batches(raw_partial, batch_format="pyarrow")
+        .groupby("hk")
+        .aggregate(Sum("c", alias_name="n_raw"))
+        .to_pandas()
+    )
+    n_raw["host"] = "h" + n_raw["hk"].astype(str) + ".example"
+    out = n_raw.merge(n_canon, on="host")  # host-count-sized driver join
+    inflation = (
+        out["n_raw"].to_numpy().astype(np.int64) * 100
+        // out["n_canon"].to_numpy().astype(np.int64)
+    )
+    return pa.table(
+        {
+            "host": pa.array(out["host"].to_numpy(), pa.string()),
+            "n_raw": pa.array(out["n_raw"].to_numpy().astype(np.int64), pa.int64()),
+            "n_canon": pa.array(
+                out["n_canon"].to_numpy().astype(np.int64), pa.int64()
+            ),
+            "inflation_e2": pa.array(inflation, pa.int64()),
+        }
+    )
+
+
+# ------------------------------------------------------- mirror hosts ---
+def q_mirror_detect(sf_dir: str, n_hosts: int = 24, n_classes: int = 8):
+    """Mirrored-host detection (Bharat & Broder, "Mirror, mirror on the
+    Web", WWW'99 shape): two hosts are mirrors when their DISTINCT
+    content-fingerprint sets are equal — a crawler collapses mirrors to
+    fetch each content set once. Set equality is decided by a
+    3-component set sketch (distinct count, sum, bit-XOR of a
+    multiplied fingerprint hash), which is combinable across partitions
+    — the full fingerprint set of a host never assembles in one place.
+    The DuckDB twin joins on the identical 3-tuple, so even a sketch
+    collision (astronomically unlikely, and impossible for this
+    fixture's fp space) cannot diverge engine from oracle.
+
+    Layout: per-batch distinct (host, fp) pairs, ONE shuffle on
+    (host, fp-salt) — disjoint fp ranges per salt, so per-salt partial
+    (n, sum, xor) triples combine exactly — then a host-count-sized
+    rollup and an output-scale pair join. Fingerprints are synthesized
+    from events with a fixed template (content class = user_id %
+    n_classes), so hosts u, u+n_classes, ... are planted mirrors."""
+    ds = _pq(sf_dir, "events", columns=["event_id", "user_id"])
+    B = default_buckets()
+
+    def to_pairs(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        hk = uid % n_hosts
+        fp = (uid % n_classes) * 100 + eid % 20
+        sub = pd.DataFrame({"hk": hk, "fp": fp}).drop_duplicates()
+        return pa.table(
+            {
+                "hk": pa.array(sub["hk"].to_numpy().astype(np.int64), pa.int64()),
+                "fp": pa.array(sub["fp"].to_numpy().astype(np.int64), pa.int64()),
+                "__salt": pa.array(
+                    (sub["fp"].to_numpy() % B).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+    def sketch(g: pd.DataFrame) -> pd.DataFrame:
+        fp = np.unique(g["fp"].to_numpy().astype(np.int64))
+        hx = fp * np.int64(2654435761) % np.int64(9223372036854775807)
+        return pd.DataFrame(
+            {
+                "hk": g["hk"].iloc[:1].to_numpy().astype(np.int64),
+                "n": np.array([len(fp)], np.int64),
+                "sm": np.array([fp.sum()], np.int64),
+                "bx": np.array([np.bitwise_xor.reduce(hx)], np.int64),
+            }
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "hk": g["hk"].iloc[:1].to_numpy().astype(np.int64),
+                "n": np.array([g["n"].sum()], np.int64),
+                "sm": np.array([g["sm"].sum()], np.int64),
+                "bx": np.array(
+                    [np.bitwise_xor.reduce(g["bx"].to_numpy().astype(np.int64))],
+                    np.int64,
+                ),
+            }
+        )
+
+    s = (
+        ds.map_batches(to_pairs, batch_format="pyarrow")
+        .groupby(["hk", "__salt"])
+        .map_groups(sketch, batch_format="pandas")
+        .groupby("hk")
+        .map_groups(combine, batch_format="pandas")
+        .to_pandas()  # host-count-sized = output-scale
+    )
+    s["host"] = "m" + s["hk"].astype(str) + ".example"
+    m = s.merge(s, on=["n", "sm", "bx"], suffixes=("_a", "_b"))
+    m = m[m["host_a"] < m["host_b"]].sort_values(["host_a", "host_b"])
+    return pa.table(
+        {
+            "host_a": pa.array(m["host_a"].to_numpy(), pa.string()),
+            "host_b": pa.array(m["host_b"].to_numpy(), pa.string()),
+        }
+    )
