@@ -227,6 +227,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_minhash_sig": d.q_minhash_sig,
         "q_simhash_sig": d.q_simhash_sig,
         "q_aspect_bucket": d.q_aspect_bucket,
+        "q_frontier_compact": w.q_frontier_compact,
+        "q_percentile_interp": r.q_percentile_interp,
     }
 
 
@@ -2045,6 +2047,46 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY abs(100 * w - r * h), r) AS rn
               FROM d CROSS JOIN l
             ) WHERE rn = 1
+        """,
+        "q_frontier_compact": """
+            WITH f AS (
+              SELECT 'com,h' || (l_suppkey % 64) || ')/p'
+                     || (l_partkey % 997) AS surt,
+                     CAST(l_orderkey % 9973 AS BIGINT) AS priority,
+                     CAST(l_orderkey AS BIGINT) AS src_okey,
+                     CAST(l_linenumber % 8 AS BIGINT) AS depth
+              FROM lineitem
+            )
+            SELECT surt, priority, src_okey, depth,
+                   CAST(n AS BIGINT) AS n_merged
+            FROM (
+              SELECT surt, priority, src_okey, depth,
+                     row_number() OVER (
+                       PARTITION BY surt
+                       ORDER BY priority DESC, src_okey, depth) AS rn,
+                     count(*) OVER (PARTITION BY surt) AS n
+              FROM f
+            ) WHERE rn = 1
+        """,
+        "q_percentile_interp": """
+            WITH v AS (
+              SELECT user_id, CAST(round(value * 100) AS BIGINT) AS v_e2,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY round(value * 100)) - 1
+                       AS rk,
+                     count(*) OVER (PARTITION BY user_id) AS n
+              FROM events
+            )
+            SELECT user_id,
+                   CAST(MAX(CASE WHEN rk = ((n - 1) * 90) // 100
+                            THEN v_e2 END) * 100
+                        + (MAX(CASE WHEN rk = LEAST(((n - 1) * 90) // 100
+                                                    + 1, n - 1)
+                               THEN v_e2 END)
+                           - MAX(CASE WHEN rk = ((n - 1) * 90) // 100
+                                 THEN v_e2 END))
+                          * (((n - 1) * 90) % 100) AS BIGINT) AS p90_e4
+            FROM v GROUP BY user_id, n
         """,
         "q_gopher_gate": r"""
             WITH t AS (

@@ -4983,3 +4983,47 @@ def q_attribution(sf_dir: str, window_us: int = 3_600_000_000):
         .groupby("__b")
         .map_groups(attribute, batch_format="pandas")
     )
+
+
+def q_percentile_interp(sf_dir: str, q: int = 90, n_buckets: int | None = None):
+    """Exact INTERPOLATED per-group percentile (quantile_cont's linear
+    rule: k = (n-1)*q/100, result = v[floor k] + frac(k)*(v[ceil k] -
+    v[floor k])) — q_percentiles' discrete pick upgraded to the
+    interpolating definition, kept integer-exact: values in e2 cents,
+    frac(k) = ((n-1)*q) % 100 over 100, so the result in e4 is
+    lo_e2*100 + (hi_e2-lo_e2)*rem with no float anywhere. The DuckDB
+    twin reconstructs the same two order statistics via row_number and
+    applies the identical integer formula, so the check is bit-exact
+    (DuckDB's own quantile_cont would return a double).
+
+    Same layout as q_percentiles: ONE bucketed shuffle on
+    hash(user)%B, per-bucket vectorized sort + two index picks."""
+    B = n_buckets or default_buckets()
+    ds = _pq(sf_dir, "events", columns=["event_id", "user_id", "value"])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = (
+            batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+            % np.uint64(B)
+        ).astype(np.int32)
+        return batch.append_column("__b", pa.array(b, pa.int32()))
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for uid, gg in g.groupby("user_id", sort=False):
+            v = np.sort(
+                (gg["value"].to_numpy() * 100).round().astype(np.int64)
+            )
+            n = len(v)
+            k = (n - 1) * q
+            lo = int(v[k // 100])
+            hi = int(v[min(k // 100 + 1, n - 1)])
+            rem = k % 100
+            rows.append((uid, lo * 100 + (hi - lo) * rem))
+        return pd.DataFrame(rows, columns=["user_id", f"p{q}_e4"]).astype("int64")
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(pick, batch_format="pandas")
+    )

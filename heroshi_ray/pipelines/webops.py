@@ -511,3 +511,75 @@ def q_mirror_detect(sf_dir: str, n_hosts: int = 24, n_classes: int = 8):
             "host_b": pa.array(m["host_b"].to_numpy(), pa.string()),
         }
     )
+
+
+# ------------------------------------------------- frontier compaction ---
+def q_frontier_compact(sf_dir: str, n_hosts: int = 64):
+    """Frontier-checkpoint compaction: a long crawl accumulates many
+    records per SURT across epochs (rediscoveries at different
+    priorities/depths); compaction keeps ONE winner per surt — highest
+    priority, ties to the oldest discovery — plus the merge count, so
+    checkpoint reads stay O(live frontier) instead of O(history). The
+    record feed is synthesized from lineitem by a fixed template so the
+    DuckDB twin (row_number + count window) hash-checks the exact
+    winner set.
+
+    Layout: ONE shuffle on hash(surt)%B (the frontier's standing
+    partition key), per-bucket vectorized lexsort + first-per-key +
+    segment counts. No global sort, no driver contact beyond the
+    output."""
+    B = default_buckets()
+    ds = _pq(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
+    )
+
+    def to_records(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        surt = (
+            "com,h"
+            + (df["l_suppkey"] % n_hosts).astype(str)
+            + ")/p"
+            + (df["l_partkey"] % 997).astype(str)
+        )
+        return pa.table(
+            {
+                "surt": pa.array(surt.to_numpy(), pa.string()),
+                "pri": pa.array(
+                    (df["l_orderkey"] % 9973).to_numpy().astype(np.int64),
+                    pa.int64(),
+                ),
+                "okey": pa.array(
+                    df["l_orderkey"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "depth": pa.array(
+                    (df["l_linenumber"] % 8).to_numpy().astype(np.int64),
+                    pa.int64(),
+                ),
+                "__b": pa.array(
+                    (hash64(surt.tolist()) % np.uint64(B)).astype(np.int32),
+                    pa.int32(),
+                ),
+            }
+        )
+
+    def compact(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["surt", "pri", "okey", "depth"],
+            ascending=[True, False, True, True],
+            kind="mergesort",
+        )
+        n = g.groupby("surt", sort=False)["pri"].transform("size")
+        first = ~g["surt"].duplicated()
+        out = g.loc[first, ["surt", "pri", "okey", "depth"]].copy()
+        out["n_merged"] = n[first].to_numpy().astype(np.int64)
+        return out.rename(
+            columns={"pri": "priority", "okey": "src_okey"}
+        ).reset_index(drop=True)
+
+    return (
+        ds.map_batches(to_records, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(compact, batch_format="pandas")
+    )
