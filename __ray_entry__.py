@@ -33,6 +33,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    from heroshi_ray.pipelines import curation as c
     from heroshi_ray.pipelines import dataops as d
     from heroshi_ray.pipelines import relational as r
     from heroshi_ray.pipelines import webops as w
@@ -229,6 +230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_aspect_bucket": d.q_aspect_bucket,
         "q_frontier_compact": w.q_frontier_compact,
         "q_percentile_interp": r.q_percentile_interp,
+        "q_curate_shards": c.q_curate_shards,
     }
 
 

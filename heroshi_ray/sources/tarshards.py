@@ -66,26 +66,37 @@ def _shard_bytes(rows: list[dict]) -> bytes:
 
 
 def write_tar_shards(
-    ds: "ray.data.Dataset", out_dir: str, samples_per_shard: int = 256
+    ds: "ray.data.Dataset",
+    out_dir: str,
+    samples_per_shard: int = 256,
+    partition_col: str | None = None,
 ) -> "ray.data.Dataset":
     """Write CORPUS-schema ``ds`` as WebDataset-style tar shards under
-    ``out_dir``; returns the manifest Dataset (one row per shard)."""
+    ``out_dir``; returns the manifest Dataset (one row per shard).
+
+    With ``partition_col`` set (e.g. an aspect-bucket id), each batch
+    is split by that column and every part lands in its own
+    ``out_dir/<col>=<value>/`` subdirectory — shards are then PURE in
+    the partition value (the property bucketed training loaders
+    require) and a failed run resumes per partition directory. The
+    column is carried in the manifest, not in the tar members."""
     os.makedirs(out_dir, exist_ok=True)
 
-    def write_shard(batch: pa.Table) -> pa.Table:
-        rows = batch.to_pylist()
-        if not rows:
-            return pa.table(
-                {
-                    "shard": pa.array([], pa.string()),
-                    "n_samples": pa.array([], pa.int64()),
-                    "n_bytes": pa.array([], pa.int64()),
-                    "key_min": pa.array([], pa.string()),
-                    "key_max": pa.array([], pa.string()),
-                }
-            )
+    _empty = pa.table(
+        {
+            "shard": pa.array([], pa.string()),
+            "n_samples": pa.array([], pa.int64()),
+            "n_bytes": pa.array([], pa.int64()),
+            "key_min": pa.array([], pa.string()),
+            "key_max": pa.array([], pa.string()),
+            "partition": pa.array([], pa.string()),
+        }
+    )
+
+    def _write_one(rows: list[dict], subdir: str, part_label: str) -> dict:
         keys = sorted(r["image_id"] for r in rows)
-        path = os.path.join(out_dir, f"shard-{keys[0]}.tar")
+        os.makedirs(subdir, exist_ok=True)
+        path = os.path.join(subdir, f"shard-{keys[0]}.tar")
         data = _shard_bytes(rows)
         # resumable: skip an existing complete shard (same name = same
         # key range under deterministic input partitioning)
@@ -94,13 +105,47 @@ def write_tar_shards(
             with open(tmp, "wb") as f:
                 f.write(data)
             os.replace(tmp, path)
+        return {
+            "shard": os.path.relpath(path, out_dir),
+            "n_samples": len(rows),
+            "n_bytes": len(data),
+            "key_min": keys[0],
+            "key_max": keys[-1],
+            "partition": part_label,
+        }
+
+    def write_shard(batch: pa.Table) -> pa.Table:
+        rows = batch.to_pylist()
+        if not rows:
+            return _empty
+        out = []
+        if partition_col is None:
+            out.append(_write_one([
+                {k: v for k, v in r.items()} for r in rows
+            ], out_dir, ""))
+        else:
+            parts: dict[str, list[dict]] = {}
+            for r in rows:
+                parts.setdefault(str(r[partition_col]), []).append(r)
+            for val in sorted(parts):
+                sub = os.path.join(out_dir, f"{partition_col}={val}")
+                clean = [
+                    {k: v for k, v in r.items() if k != partition_col}
+                    for r in parts[val]
+                ]
+                out.append(_write_one(clean, sub, val))
         return pa.table(
             {
-                "shard": pa.array([os.path.basename(path)], pa.string()),
-                "n_samples": pa.array([len(rows)], pa.int64()),
-                "n_bytes": pa.array([len(data)], pa.int64()),
-                "key_min": pa.array([keys[0]], pa.string()),
-                "key_max": pa.array([keys[-1]], pa.string()),
+                "shard": pa.array([o["shard"] for o in out], pa.string()),
+                "n_samples": pa.array(
+                    [o["n_samples"] for o in out], pa.int64()
+                ),
+                "n_bytes": pa.array([o["n_bytes"] for o in out], pa.int64()),
+                "key_min": pa.array([o["key_min"] for o in out], pa.string()),
+                "key_max": pa.array([o["key_max"] for o in out], pa.string()),
+                "partition": pa.array(
+                    [o["partition"] for o in out], pa.string()
+                ),
             }
         )
 
