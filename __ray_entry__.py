@@ -231,6 +231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_frontier_compact": w.q_frontier_compact,
         "q_percentile_interp": r.q_percentile_interp,
         "q_curate_shards": c.q_curate_shards,
+        "q_hits": d.q_hits,
     }
 
 
@@ -2089,6 +2090,37 @@ def oracle_sql() -> dict[str, str]:
                                  THEN v_e2 END))
                           * (((n - 1) * 90) % 100) AS BIGINT) AS p90_e4
             FROM v GROUP BY user_id, n
+        """,
+        "q_hits": """
+            WITH nn AS (SELECT count(*) AS n FROM customer),
+            nodes AS (SELECT c_custkey AS node FROM customer),
+            edges AS (SELECT o_custkey AS src,
+                             o_orderkey % (SELECT n FROM nn) AS dst,
+                             CAST(count(*) AS BIGINT) AS cnt
+                      FROM orders GROUP BY 1, 2),
+            a1 AS (SELECT n.node, COALESCE(SUM(e.cnt), 0) AS v
+                   FROM nodes n LEFT JOIN edges e ON e.dst = n.node
+                   GROUP BY n.node),
+            a1s AS (SELECT node, v * 1000000
+                          // GREATEST((SELECT MAX(v) FROM a1), 1) AS v
+                    FROM a1),
+            h1 AS (SELECT n.node, COALESCE(SUM(e.cnt * s.v), 0) AS v
+                   FROM nodes n LEFT JOIN edges e ON e.src = n.node
+                                LEFT JOIN a1s s ON s.node = e.dst
+                   GROUP BY n.node),
+            h1s AS (SELECT node, v * 1000000
+                          // GREATEST((SELECT MAX(v) FROM h1), 1) AS v
+                    FROM h1),
+            a2 AS (SELECT n.node, COALESCE(SUM(e.cnt * s.v), 0) AS v
+                   FROM nodes n LEFT JOIN edges e ON e.dst = n.node
+                                LEFT JOIN h1s s ON s.node = e.src
+                   GROUP BY n.node),
+            a2s AS (SELECT node, v * 1000000
+                          // GREATEST((SELECT MAX(v) FROM a2), 1) AS v
+                    FROM a2)
+            SELECT a2s.node AS custkey, CAST(a2s.v AS BIGINT) AS auth_e6,
+                   CAST(h1s.v AS BIGINT) AS hub_e6
+            FROM a2s JOIN h1s ON h1s.node = a2s.node
         """,
         "q_gopher_gate": r"""
             WITH t AS (

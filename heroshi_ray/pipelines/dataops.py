@@ -5404,3 +5404,206 @@ def q_aspect_bucket(sf_dir: str):
         )
 
     return ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_hits(
+    sf_dir: str,
+    broadcast_limit: int = 2_000_000,
+    force_distributed: bool = False,
+):
+    """HITS hubs & authorities (Kleinberg, JACM 1999) over q_pagerank's
+    deterministic customer link graph — the third link-analysis member
+    (with PageRank and BFS) of the crawl-prioritization family: a
+    crawler boosts authority pages for fetch and hub pages for
+    DISCOVERY. Two power-iteration rounds, all int64 fixed-point:
+    instead of L2 normalization (float, summation-order-dependent),
+    each round rescales by the GLOBAL MAX to e6 with floor division —
+    the DuckDB unrolled twin applies the identical rule, so the check
+    is bit-exact.
+
+      a1 = in-cnt sums            -> a1s = a1*10^6 // max(a1)
+      h1[u] = Σ_{u->v} cnt*a1s[v] -> h1s = h1*10^6 // max(h1)
+      a2[v] = Σ_{u->v} cnt*h1s[u] -> a2s = a2*10^6 // max(a2)
+
+    Output (custkey, auth_e6, hub_e6). Scale shape is q_pagerank's:
+    edges pre-aggregate to (src, dst, cnt); per round ONE join of the
+    score vector into edges + one groupby-sum; the max is a scalar
+    aggregate. Below ``broadcast_limit`` nodes the vector rides
+    ray.put; above (or force_distributed) it stays a Dataset and both
+    joins are distributed hash joins (fork equivalence-tested)."""
+    import pyarrow.parquet as pq_mod
+
+    from ray.data.aggregate import Max, Sum
+
+    cust = pq_mod.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"]
+    )
+    n_nodes = cust.num_rows
+    nodes = cust.column("c_custkey").to_numpy()
+    E6 = np.int64(10**6)
+
+    orders = _pq(sf_dir, "orders", columns=["o_custkey", "o_orderkey"], split=True)
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        src = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        dst = batch.column("o_orderkey").to_numpy(zero_copy_only=False) % n_nodes
+        key = src.astype(np.int64) * n_nodes + dst
+        u, c = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "src": pa.array((u // n_nodes).astype(np.int64), pa.int64()),
+                "dst": pa.array((u % n_nodes).astype(np.int64), pa.int64()),
+                "cnt": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    edges = (
+        orders.map_batches(to_edges, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["src", "dst"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .materialize()
+    )
+
+    if n_nodes <= broadcast_limit and not force_distributed:
+
+        def spread(vec: np.ndarray, from_col: str, to_col: str) -> np.ndarray:
+            ref = ray.put(vec)
+
+            def contrib(batch: pa.Table, _ref=ref) -> pa.Table:
+                v = ray.get(_ref)
+                f = batch.column(from_col).to_numpy(zero_copy_only=False)
+                t = batch.column(to_col).to_numpy(zero_copy_only=False)
+                c = batch.column("cnt").to_numpy(zero_copy_only=False)
+                w = c * v[f]
+                u, inv = np.unique(t, return_inverse=True)
+                agg = np.zeros(len(u), dtype=np.int64)
+                np.add.at(agg, inv, w)
+                return pa.table(
+                    {"k": pa.array(u, pa.int64()), "c": pa.array(agg, pa.int64())}
+                )
+
+            rows = (
+                edges.map_batches(contrib, batch_format="pyarrow")
+                .groupby("k")
+                .aggregate(Sum("c", alias_name="c"))
+                .take_all()
+            )  # O(n_nodes) rows in the broadcast regime
+            out = np.zeros(n_nodes, dtype=np.int64)
+            for r in rows:
+                out[r["k"]] = r["c"]
+            return out
+
+        def rescale(v: np.ndarray) -> np.ndarray:
+            return v * E6 // max(int(v.max()), 1)
+
+        a1s = rescale(spread(np.ones(n_nodes, np.int64), "src", "dst"))
+        h1s = rescale(spread(a1s, "dst", "src"))
+        a2s = rescale(spread(h1s, "src", "dst"))
+        return pa.table(
+            {
+                "custkey": pa.array(nodes.astype(np.int64), pa.int64()),
+                "auth_e6": pa.array(a2s, pa.int64()),
+                "hub_e6": pa.array(h1s, pa.int64()),
+            }
+        )
+
+    # ---- distributed path: score vectors never leave the cluster ----
+    tune_join_resources()
+    nparts = join_partitions(8)
+    nodes_ds = ray.data.from_arrow(
+        pa.table({"node": pa.array(nodes.astype(np.int64), pa.int64())})
+    ).repartition(nparts).materialize()
+
+    def spread_ds(vec_ds, from_col: str, to_col: str):
+        """vec_ds: (node, v). Returns (node, v) = Σ cnt * v[from] per to."""
+        contrib = (
+            edges.repartition(nparts)
+            .join(
+                vec_ds.map_batches(
+                    lambda b, _f=from_col: pa.table(
+                        {_f: b.column("node"), "v": b.column("v")}
+                    ),
+                    batch_format="pyarrow",
+                ).repartition(nparts),
+                join_type="inner",
+                num_partitions=nparts,
+                on=(from_col,),
+            )
+            .map_batches(
+                lambda b, _t=to_col: pa.table(
+                    {
+                        "node": b.column(_t),
+                        "c": pc.multiply(b.column("cnt"), b.column("v")),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        zeros = nodes_ds.map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b.column("node"),
+                    "c": pa.array(np.zeros(b.num_rows, np.int64), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        return (
+            contrib.union(zeros)
+            .groupby("node")
+            .aggregate(Sum("c", alias_name="v"))
+            .materialize()
+        )
+
+    def rescale_ds(vec_ds):
+        mx = max(int(vec_ds.max("v")), 1)  # scalar aggregate to the driver
+
+        def scale(b: pa.Table, _m=mx) -> pa.Table:
+            v = b.column("v").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {"node": b.column("node"), "v": pa.array(v * E6 // _m, pa.int64())}
+            )
+
+        return vec_ds.map_batches(scale, batch_format="pyarrow").materialize()
+
+    ones = nodes_ds.map_batches(
+        lambda b: pa.table(
+            {
+                "node": b.column("node"),
+                "v": pa.array(np.ones(b.num_rows, np.int64), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    a1s = rescale_ds(spread_ds(ones, "src", "dst"))
+    h1s = rescale_ds(spread_ds(a1s, "dst", "src"))
+    a2s = rescale_ds(spread_ds(h1s, "src", "dst"))
+    joined = (
+        a2s.map_batches(
+            lambda b: pa.table({"node": b.column("node"), "auth_e6": b.column("v")}),
+            batch_format="pyarrow",
+        )
+        .repartition(nparts)
+        .join(
+            h1s.map_batches(
+                lambda b: pa.table(
+                    {"node": b.column("node"), "hub_e6": b.column("v")}
+                ),
+                batch_format="pyarrow",
+            ).repartition(nparts),
+            join_type="inner",
+            num_partitions=nparts,
+            on=("node",),
+        )
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "custkey": b.column("node"),
+                    "auth_e6": b.column("auth_e6"),
+                    "hub_e6": b.column("hub_e6"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    return joined

@@ -494,3 +494,22 @@ def test_large_orders_distributed_fork(ray_session):
     ca = a[sorted(a.columns)].sort_values(sorted(a.columns)).reset_index(drop=True)
     cb = b[sorted(b.columns)].sort_values(sorted(b.columns)).reset_index(drop=True)
     pd.testing.assert_frame_equal(ca, cb, check_dtype=False, check_exact=True)
+
+
+def test_hits_distributed_path_equals_broadcast(ray_session):
+    """q_hits' Dataset-resident score-vector path (the 100-TB regime)
+    must reproduce the broadcast path bit-for-bit — all arithmetic is
+    int64 fixed-point with a global-max rescale, so equality is exact."""
+    import pandas as pd
+
+    from heroshi_ray.pipelines.dataops import q_hits
+
+    def norm(res):
+        df = res.to_pandas() if hasattr(res, "to_pandas") else res
+        return df.sort_values("custkey").reset_index(drop=True).astype("int64")
+
+    a = norm(q_hits(SF_DIR))
+    b = norm(q_hits(SF_DIR, force_distributed=True))
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+    # rescale invariant: every round tops out at exactly e6
+    assert a["auth_e6"].max() == 10**6 and a["hub_e6"].max() == 10**6
