@@ -232,6 +232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_percentile_interp": r.q_percentile_interp,
         "q_curate_shards": c.q_curate_shards,
         "q_hits": d.q_hits,
+        "q_ann_filtered": d.q_ann_filtered,
     }
 
 
@@ -2121,6 +2122,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT a2s.node AS custkey, CAST(a2s.v AS BIGINT) AS auth_e6,
                    CAST(h1s.v AS BIGINT) AS hub_e6
             FROM a2s JOIN h1s ON h1s.node = a2s.node
+        """,
+        "q_ann_filtered": """
+            SELECT query_id, vec_id, cos_sim_e4 FROM (
+                SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+                       CAST(round(list_cosine_similarity(e.embedding,
+                                                         q.embedding)
+                                  * 10000) AS BIGINT) AS cos_sim_e4,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(e.embedding,
+                                                           q.embedding)
+                                    DESC, e.vec_id) AS rn
+                FROM embeddings q, embeddings e
+                WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id
+                  AND e.label = q.label
+            ) WHERE rn <= 3
         """,
         "q_gopher_gate": r"""
             WITH t AS (

@@ -604,13 +604,14 @@ def q_tfidf(sf_dir: str, terms: tuple = ("table", "hash", "sort")):
 
 
 # ---------------------------------------------------------------- ANN ---
-def _query_matrix(sf_dir: str, n_queries: int):
+def _query_matrix(sf_dir: str, n_queries: int, with_label: bool = False):
     """First ``n_queries`` vectors by vec_id, selected with a distributed
     per-block partial min-n + tiny driver merge (the q_global_topk
     pattern). Each block contributes at most n_queries rows to the
     driver, so this never materializes the embeddings table — at 100 TB
     the driver sees O(blocks * n_queries) rows, not the corpus."""
-    ds = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"], split=True)
+    cols = ["vec_id", "embedding"] + (["label"] if with_label else [])
+    ds = _pq(sf_dir, "embeddings", columns=cols, split=True)
 
     def partial_min(batch: pa.Table) -> pa.Table:
         order = pc.sort_indices(batch, sort_keys=[("vec_id", "ascending")])
@@ -622,6 +623,12 @@ def _query_matrix(sf_dir: str, n_queries: int):
         .sort_values("vec_id")
         .head(n_queries)
     )
+    if with_label:
+        return (
+            df["vec_id"].to_numpy(),
+            as_matrix(df["embedding"].tolist()),
+            df["label"].to_numpy().astype(np.int64),
+        )
     return df["vec_id"].to_numpy(), as_matrix(df["embedding"].tolist())
 
 
@@ -5607,3 +5614,48 @@ def q_hits(
         )
     )
     return joined
+
+
+def q_ann_filtered(sf_dir: str, n_queries: int = 5, k: int = 3):
+    """METADATA-FILTERED exact vector search (the production "where
+    label = X" ANN shape — e.g. same-language / same-source neighbor
+    lookup): top-k cosine per query AMONG VECTORS SHARING THE QUERY'S
+    LABEL. Same layout as q_ann_knn — broadcast query matrix, per-batch
+    matmul + vectorized label mask + partial top-k, (n_queries × k ×
+    blocks)-row driver merge — the filter applies INSIDE the scan, so
+    a selective label prunes compute before any sort. With a
+    partitioned index (q_ann_persistent) the filter becomes partition
+    pruning; here the brute path doubles as its exactness oracle."""
+    qids, qmat, qlab = _query_matrix(sf_dir, n_queries, with_label=True)
+    q_ref = ray.put((qids, l2_normalize(qmat.astype(np.float64)), qlab))
+    ds = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qids_, qn, qlab_ = ray.get(q_ref)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        labs = batch.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = l2_normalize(
+            as_matrix(batch.column("embedding").to_pylist()).astype(np.float64)
+        )
+        sims = mat @ qn.T  # (n, nq)
+        out_q, out_v, out_s = [], [], []
+        for j, qid in enumerate(qids_):
+            mask = (ids != qid) & (labs == qlab_[j])
+            if not mask.any():
+                continue
+            s = sims[mask, j]
+            mids = ids[mask]
+            order = np.lexsort((mids, -s))[:k]
+            out_q.extend([qid] * len(order))
+            out_v.extend(mids[order].tolist())
+            out_s.extend(s[order].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "cos_sim_raw": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return _merge_topk(parts, k)
