@@ -233,6 +233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_curate_shards": c.q_curate_shards,
         "q_hits": d.q_hits,
         "q_ann_filtered": d.q_ann_filtered,
+        "q_bm25": d.q_bm25,
     }
 
 
@@ -2138,6 +2139,38 @@ def oracle_sql() -> dict[str, str]:
                 WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id
                   AND e.label = q.label
             ) WHERE rn <= 3
+        """,
+        "q_bm25": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z]+') AS toks
+              FROM documents
+            ), e AS (
+              SELECT doc_id, len(toks) AS dl,
+                     len(list_filter(toks, x -> x = 'data')) AS tf0,
+                     len(list_filter(toks, x -> x = 'join')) AS tf1,
+                     len(list_filter(toks, x -> x = 'stream')) AS tf2
+              FROM d
+            ), g AS (
+              SELECT count(*) AS n, SUM(dl) AS sdl,
+                     SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+                     SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+                     SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+              FROM e
+            )
+            SELECT doc_id,
+              CAST(round((
+                  ln(1 + (g.n - g.df0 + 0.5) / (g.df0 + 0.5))
+                    * (e.tf0 * 2.2)
+                    / (e.tf0 + 1.2 * (0.25 + 0.75 * e.dl / (g.sdl / g.n)))
+                + ln(1 + (g.n - g.df1 + 0.5) / (g.df1 + 0.5))
+                    * (e.tf1 * 2.2)
+                    / (e.tf1 + 1.2 * (0.25 + 0.75 * e.dl / (g.sdl / g.n)))
+                + ln(1 + (g.n - g.df2 + 0.5) / (g.df2 + 0.5))
+                    * (e.tf2 * 2.2)
+                    / (e.tf2 + 1.2 * (0.25 + 0.75 * e.dl / (g.sdl / g.n)))
+              ) * 10000) AS BIGINT) AS bm25_e4
+            FROM e, g
         """,
         "q_gopher_gate": r"""
             WITH t AS (

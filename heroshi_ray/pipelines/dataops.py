@@ -5659,3 +5659,86 @@ def q_ann_filtered(sf_dir: str, n_queries: int = 5, k: int = 3):
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     return _merge_topk(parts, k)
+
+
+def q_bm25(sf_dir: str, terms: tuple = ("data", "join", "stream")):
+    """Okapi BM25 retrieval scoring (Robertson & Zaragoza 2009, k1=1.2,
+    b=0.75) of every document against a fixed conjunctive query — the
+    ranking function behind classic search and the standard lexical
+    retriever in RAG stacks (q_tfidf's stronger sibling: BM25 adds tf
+    saturation and doc-length normalization). Tokens are lowercase
+    [a-z]+ runs; tf/df/dl all integer-exact.
+
+    Dataflow: ONE combiner stats pass (per-batch partials of N, Σdl and
+    per-term document frequencies — a |terms|+2-column row per batch,
+    corpus-size-independent shuffle), scalars broadcast in the closure,
+    then one vectorized scoring pass. The float BM25 expression is
+    written identically on both sides and rounded e4 (the q_lm_score
+    ulp-parity recipe); docs score 0 when no query term appears —
+    including empty docs — and every doc_id is returned."""
+    import polars as pl
+
+    from ray.data.aggregate import Sum
+
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"], split=True)
+    k1, b = 1.2, 0.75
+
+    def stats(batch: pa.Table) -> pa.Table:
+        s = pl.from_arrow(batch.column("text")).rename("t")
+        toks = s.str.to_lowercase().str.extract_all(r"[a-z]+")
+        dl = toks.list.len().fill_null(0).cast(pl.Int64)
+        cols = {
+            "n": pa.array([len(s)], pa.int64()),
+            "sdl": pa.array([int(dl.sum())], pa.int64()),
+        }
+        for i, t in enumerate(terms):
+            tf = (
+                toks.list.eval(pl.element() == t)
+                .list.sum()
+                .fill_null(0)
+                .cast(pl.Int64)
+            )
+            cols[f"df{i}"] = pa.array([int((tf > 0).sum())], pa.int64())
+        return pa.table(cols)
+
+    g = (
+        ds.map_batches(stats, batch_format="pyarrow")
+        .sum(["n", "sdl"] + [f"df{i}" for i in range(len(terms))])
+    )
+    N = int(g["sum(n)"])
+    avgdl = g["sum(sdl)"] / N  # float, same expression as the twin
+    idf = [
+        np.log(1.0 + (N - int(g[f"sum(df{i})"]) + 0.5) / (int(g[f"sum(df{i})"]) + 0.5))
+        for i in range(len(terms))
+    ]
+
+    def score(batch: pa.Table) -> pa.Table:
+        s = pl.from_arrow(batch.column("text")).rename("t")
+        toks = s.str.to_lowercase().str.extract_all(r"[a-z]+")
+        dl = toks.list.len().fill_null(0).cast(pl.Int64).to_numpy().astype(np.float64)
+        total = np.zeros(len(s), np.float64)
+        for i, t in enumerate(terms):
+            tf = (
+                toks.list.eval(pl.element() == t)
+                .list.sum()
+                .fill_null(0)
+                .cast(pl.Int64)
+                .to_numpy()
+                .astype(np.float64)
+            )
+            # literals 2.2 / 1.2 / 0.25 / 0.75 match the twin's text
+            # exactly — computing k1+1 or 1-b here could round to a
+            # DIFFERENT double than the SQL literal and break e4 parity
+            total = total + idf[i] * (tf * 2.2) / (
+                tf + 1.2 * (0.25 + 0.75 * dl / avgdl)
+            )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "bm25_e4": pa.array(
+                    np.round(total * 10_000).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
