@@ -6,6 +6,7 @@ fixtures  --out DIR [--hosts N --pages N --images N --seeds N --seed S]
 crawl     --fixtures DIR --workdir DIR [--epochs N --budget N] [--no-resume]
 verify    --workdir DIR --fixtures DIR
 schedule  --sf-dir DIR [--budget N]
+curate    --corpus PATH --out DIR [--samples-per-shard N]
 
 These own a Ray session (ray.init / ray.shutdown); the library itself
 never initialises Ray (driver contract, __ray_entry__.py).
@@ -67,6 +68,11 @@ def main(argv=None) -> int:
     s = sub.add_parser("schedule")
     s.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     s.add_argument("--budget", type=int, default=64)
+
+    cu = sub.add_parser("curate")
+    cu.add_argument("--corpus", required=True)
+    cu.add_argument("--out", required=True)
+    cu.add_argument("--samples-per-shard", type=int, default=256)
 
     args = p.parse_args(argv)
 
@@ -144,6 +150,23 @@ def main(argv=None) -> int:
 
             out = run_flagship(args.sf_dir, per_host_budget=args.budget)
             print(json.dumps({"scheduled": out.count()}))
+        elif args.cmd == "curate":
+            from .pipelines.curation import curate_to_shards
+
+            m = curate_to_shards(
+                args.corpus, args.out,
+                samples_per_shard=args.samples_per_shard,
+            ).to_pandas()
+            print(
+                json.dumps(
+                    {
+                        "shards": int(len(m)),
+                        "samples": int(m["n_samples"].sum()),
+                        "bytes": int(m["n_bytes"].sum()),
+                        "buckets": sorted(m["partition"].unique().tolist()),
+                    }
+                )
+            )
     finally:
         ray.shutdown()
     return 0
