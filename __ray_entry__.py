@@ -234,6 +234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_hits": d.q_hits,
         "q_ann_filtered": d.q_ann_filtered,
         "q_bm25": d.q_bm25,
+        "q_cooccur_pairs": d.q_cooccur_pairs,
     }
 
 
@@ -2171,6 +2172,22 @@ def oracle_sql() -> dict[str, str]:
                     / (e.tf2 + 1.2 * (0.25 + 0.75 * e.dl / (g.sdl / g.n)))
               ) * 10000) AS BIGINT) AS bm25_e4
             FROM e, g
+        """,
+        "q_cooccur_pairs": r"""
+            WITH w AS (
+              SELECT DISTINCT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z]{5,}'))
+                       AS word
+              FROM documents
+            ), nn AS (
+              SELECT count(DISTINCT doc_id) AS n FROM documents
+            )
+            SELECT a.word AS w1, b.word AS w2,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM w a JOIN w b
+              ON a.doc_id = b.doc_id AND a.word < b.word
+            GROUP BY a.word, b.word
+            HAVING count(*) >= GREATEST((SELECT n FROM nn) // 10, 1)
         """,
         "q_gopher_gate": r"""
             WITH t AS (

@@ -251,6 +251,7 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         "q_hits",
         "q_ann_filtered",
         "q_bm25",
+        "q_cooccur_pairs",
     ]
     # per-query best-of-2 with the same rationale as the headline reps.
     # The two sub-2 s fixed-overhead-dominated queries get extra reps:

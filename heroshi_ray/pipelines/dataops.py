@@ -5742,3 +5742,88 @@ def q_bm25(sf_dir: str, terms: tuple = ("data", "join", "stream")):
         )
 
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_cooccur_pairs(sf_dir: str, min_len: int = 5, sup_den: int = 10):
+    """Frequent co-occurring word PAIRS (the market-basket / collocation
+    -network shape — Agrawal & Srikant's frequent-itemset problem at
+    size 2, counted exactly): all unordered pairs of distinct content
+    words (lowercase [a-z]+ runs of length >= ``min_len``) appearing in
+    the same document, kept when their document support reaches
+    N_docs // ``sup_den``. Support counts DOCUMENTS (per-doc distinct),
+    not occurrences.
+
+    Layout: per batch, words map to batch-local vocab ids (np.unique),
+    per-doc sorted-distinct pairs explode via triu indices into int64
+    pair keys and pre-aggregate (combiner) BEFORE the one pair-key
+    groupby shuffle; the support threshold is computed from a combiner
+    doc count. Pair volume is quadratic in per-doc distinct words but
+    linear in corpus size — the standard frequent-pairs cost. Output
+    (w1, w2, n_docs), w1 < w2."""
+    import polars as pl
+
+    from ray.data.aggregate import Sum
+
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"], split=True)
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        s = pl.from_arrow(batch.column("text")).rename("t")
+        toks = (
+            s.str.to_lowercase()
+            .str.extract_all(r"[a-z]{%d,}" % min_len)
+            .list.unique()
+        )
+        counts = toks.list.len().fill_null(0).to_numpy().astype(np.int64)
+        words = np.asarray(toks.explode().drop_nulls().to_list(), dtype=object)
+        if len(words) == 0:
+            return pa.table(
+                {
+                    "w1": pa.array([], pa.string()),
+                    "w2": pa.array([], pa.string()),
+                    "c": pa.array([], pa.int64()),
+                }
+            )
+        vocab, ids = np.unique(words, return_inverse=True)
+        nv = len(vocab)
+        doc_ofs = np.concatenate(([0], np.cumsum(counts)))
+        keys = []
+        for i in range(len(counts)):
+            w = np.sort(ids[doc_ofs[i] : doc_ofs[i + 1]].astype(np.int64))
+            if len(w) < 2:
+                continue
+            a, b = np.triu_indices(len(w), k=1)
+            keys.append(w[a] * nv + w[b])  # w sorted asc => w1 < w2
+        if not keys:
+            return pa.table(
+                {
+                    "w1": pa.array([], pa.string()),
+                    "w2": pa.array([], pa.string()),
+                    "c": pa.array([], pa.int64()),
+                }
+            )
+        u, c = np.unique(np.concatenate(keys), return_counts=True)
+        return pa.table(
+            {
+                "w1": pa.array(vocab[(u // nv)], pa.string()),
+                "w2": pa.array(vocab[(u % nv)], pa.string()),
+                "c": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def ndocs(batch: pa.Table) -> pa.Table:
+        return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
+
+    n_docs = int(ds.map_batches(ndocs, batch_format="pyarrow").sum("n"))
+    minsup = max(n_docs // sup_den, 1)
+
+    counts = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("c", alias_name="n_docs"))
+    )
+    def sup_gate(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.greater_equal(batch.column("n_docs"), pa.scalar(minsup, pa.int64()))
+        )
+
+    return counts.map_batches(sup_gate, batch_format="pyarrow", zero_copy_batch=True)
