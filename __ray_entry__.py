@@ -235,6 +235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ann_filtered": d.q_ann_filtered,
         "q_bm25": d.q_bm25,
         "q_cooccur_pairs": d.q_cooccur_pairs,
+        "q_dup_rate_by_source": d.q_dup_rate_by_source,
     }
 
 
@@ -2188,6 +2189,19 @@ def oracle_sql() -> dict[str, str]:
               ON a.doc_id = b.doc_id AND a.word < b.word
             GROUP BY a.word, b.word
             HAVING count(*) >= GREATEST((SELECT n FROM nn) // 10, 1)
+        """,
+        "q_dup_rate_by_source": """
+            WITH d AS (
+              SELECT source,
+                     CASE WHEN doc_id % 7 = 0 THEN 'dup-' || source
+                          ELSE text END AS text
+              FROM documents
+            )
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT text) AS BIGINT) AS n_distinct,
+                   CAST((count(*) - count(DISTINCT text)) * 10000
+                        // count(*) AS BIGINT) AS dup_rate_e4
+            FROM d GROUP BY source
         """,
         "q_gopher_gate": r"""
             WITH t AS (

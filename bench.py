@@ -252,6 +252,7 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         "q_ann_filtered",
         "q_bm25",
         "q_cooccur_pairs",
+        "q_dup_rate_by_source",
     ]
     # per-query best-of-2 with the same rationale as the headline reps.
     # The two sub-2 s fixed-overhead-dominated queries get extra reps:

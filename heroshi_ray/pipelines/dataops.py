@@ -5827,3 +5827,94 @@ def q_cooccur_pairs(sf_dir: str, min_len: int = 5, sup_den: int = 10):
         )
 
     return counts.map_batches(sup_gate, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_dup_rate_by_source(sf_dir: str):
+    """Duplicate-rate attribution by source (the curation diagnostic
+    run before spending dedup compute: WHICH feeds are duplicate-heavy
+    — CCNet/Dolma-style corpus reports): per source, total docs vs
+    distinct texts, dup rate in e4. Exact distinct via the salted
+    two-level layout (per-batch local dedup on the text's xxhash,
+    shuffle on (source, hash-salt) — disjoint key ranges per salt, so
+    per-salt nunique sums are exact and a template-heavy source never
+    lands in one group). Counting hash64(text) instead of the string
+    keeps the shuffle payload at 8 bytes/row (the module's standard
+    fingerprint-collision trade, ~2^-64 per pair, documented).
+    The DuckDB twin counts DISTINCT text directly — a hash collision
+    would show up as a hash-check failure, so the twin doubles as the
+    collision canary at fixture scale."""
+    import polars as pl
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import hash64
+
+    B = default_buckets()
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "source", "text"], split=True)
+
+    def to_keys(batch: pa.Table) -> pa.Table:
+        src = batch.column("source").to_numpy(zero_copy_only=False)
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        # the fixture corpus is dup-free; plant deterministic dup mass
+        # (every 7th doc collapses to a per-source template) so the
+        # operator measures something — the twin applies the same CASE
+        texts = np.asarray(batch.column("text").to_pylist(), dtype=object)
+        mask = did % 7 == 0
+        texts[mask] = np.char.add("dup-", src[mask].astype(str)).astype(object)
+        h = hash64(texts.tolist()).astype(np.int64)
+        df = pd.DataFrame({"source": src, "h": h})
+        n_raw = df.groupby("source", sort=False).size()
+        sub = df.drop_duplicates()
+        out_n = pd.DataFrame(
+            {"source": n_raw.index, "kind": 0, "h": 0, "c": n_raw.to_numpy()}
+        )
+        out_d = pd.DataFrame(
+            {"source": sub["source"], "kind": 1, "h": sub["h"], "c": 0}
+        )
+        both = pd.concat([out_n, out_d])
+        salt = (both["h"].to_numpy().astype(np.uint64) % np.uint64(B)).astype(
+            np.int32
+        )
+        return pa.table(
+            {
+                "source": pa.array(both["source"].to_numpy(), pa.string()),
+                "kind": pa.array(both["kind"].to_numpy().astype(np.int32), pa.int32()),
+                "h": pa.array(both["h"].to_numpy().astype(np.int64), pa.int64()),
+                "c": pa.array(both["c"].to_numpy().astype(np.int64), pa.int64()),
+                "__salt": pa.array(salt, pa.int32()),
+            }
+        )
+
+    def reduce_group(g: pd.DataFrame) -> pd.DataFrame:
+        if int(g["kind"].iloc[0]) == 0:
+            n = int(g["c"].sum())
+        else:
+            n = int(g["h"].nunique())
+        return pd.DataFrame(
+            {
+                "source": [g["source"].iloc[0]],
+                "kind": np.array([g["kind"].iloc[0]], np.int32),
+                "n": np.array([n], np.int64),
+            }
+        )
+
+    counts = (
+        ds.map_batches(to_keys, batch_format="pyarrow")
+        .groupby(["source", "kind", "__salt"])
+        .map_groups(reduce_group, batch_format="pandas")
+        .groupby(["source", "kind"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # source-count-sized (2 rows per source)
+    )
+    wide = counts.pivot(index="source", columns="kind", values="n").reset_index()
+    n_docs = wide[0].astype(np.int64)
+    n_distinct = wide[1].astype(np.int64)
+    dup = (n_docs - n_distinct) * 10_000 // n_docs
+    return pa.table(
+        {
+            "source": pa.array(wide["source"], pa.string()),
+            "n_docs": pa.array(n_docs, pa.int64()),
+            "n_distinct": pa.array(n_distinct, pa.int64()),
+            "dup_rate_e4": pa.array(dup.to_numpy(), pa.int64()),
+        }
+    )
