@@ -236,6 +236,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_bm25": d.q_bm25,
         "q_cooccur_pairs": d.q_cooccur_pairs,
         "q_dup_rate_by_source": d.q_dup_rate_by_source,
+        "q_maxsim": d.q_maxsim,
+        "q_anchor_agg": w.q_anchor_agg,
     }
 
 
@@ -2202,6 +2204,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST((count(*) - count(DISTINCT text)) * 10000
                         // count(*) AS BIGINT) AS dup_rate_e4
             FROM d GROUP BY source
+        """,
+        "q_maxsim": """
+            WITH mx AS (
+              SELECT e.label, q.vec_id AS qid,
+                     MAX(list_cosine_similarity(e.embedding, q.embedding))
+                       AS m
+              FROM embeddings e, embeddings q
+              WHERE q.vec_id < 3
+              GROUP BY e.label, q.vec_id
+            )
+            SELECT CAST(label AS BIGINT) AS label,
+                   CAST(round(SUM(m) * 10000) AS BIGINT) AS maxsim_e4
+            FROM mx GROUP BY label
+        """,
+        "q_anchor_agg": """
+            WITH l AS (
+              SELECT 'p' || (o_orderkey % 200) AS target,
+                     'w' || (o_custkey % 30) AS anchor
+              FROM orders
+            ), c AS (
+              SELECT target, anchor, count(*) AS n FROM l GROUP BY 1, 2
+            )
+            SELECT target, CAST(n_links AS BIGINT) AS n_links,
+                   CAST(n_anchors AS BIGINT) AS n_anchors,
+                   anchor AS top_anchor, CAST(n AS BIGINT) AS top_n
+            FROM (
+              SELECT target, anchor, n,
+                     SUM(n) OVER (PARTITION BY target) AS n_links,
+                     COUNT(*) OVER (PARTITION BY target) AS n_anchors,
+                     row_number() OVER (PARTITION BY target
+                                        ORDER BY n DESC, anchor) AS rn
+              FROM c
+            ) WHERE rn = 1
         """,
         "q_gopher_gate": r"""
             WITH t AS (

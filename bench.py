@@ -253,6 +253,8 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         "q_bm25",
         "q_cooccur_pairs",
         "q_dup_rate_by_source",
+        "q_maxsim",
+        "q_anchor_agg",
     ]
     # per-query best-of-2 with the same rationale as the headline reps.
     # The two sub-2 s fixed-overhead-dominated queries get extra reps:

@@ -5918,3 +5918,61 @@ def q_dup_rate_by_source(sf_dir: str):
             "dup_rate_e4": pa.array(dup.to_numpy(), pa.int64()),
         }
     )
+
+
+def q_maxsim(sf_dir: str, n_qtokens: int = 3):
+    """ColBERT-style late-interaction retrieval scoring (Khattab &
+    Zaharia, SIGIR'20): a multi-vector query scores a multi-vector
+    document by Σ_j max_{d∈doc} cos(q_j, d). Here the query is the
+    ``n_qtokens`` lowest-vec_id embeddings and each LABEL group plays a
+    multi-vector document — the exact MaxSim kernel a production
+    late-interaction index (PLAID et al.) approximates.
+
+    Layout: broadcast the tiny query matrix; ONE scan computes per-batch
+    per-(label, qtoken) partial maxes (a |labels|×n_qtokens-row
+    combiner output per batch — corpus-size-independent shuffle), one
+    groupby max, then the Σ_j over n_qtokens floats happens at output
+    scale in fixed j order. Max is order-insensitive so the float
+    parity with the twin's MAX() is exact; the final 3-term sum rounds
+    e4 (ulp-safe)."""
+    from ray.data.aggregate import Max
+
+    qids, qmat = _query_matrix(sf_dir, n_qtokens)
+    q_ref = ray.put(l2_normalize(qmat.astype(np.float64)))
+    ds = _pq(sf_dir, "embeddings", columns=["embedding", "label"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qn = ray.get(q_ref)
+        labs = batch.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = l2_normalize(
+            as_matrix(batch.column("embedding").to_pylist()).astype(np.float64)
+        )
+        sims = mat @ qn.T  # (n, nq)
+        u, inv = np.unique(labs, return_inverse=True)
+        pmax = np.full((len(u), sims.shape[1]), -2.0, np.float64)
+        np.maximum.at(pmax, inv, sims)
+        nq = sims.shape[1]
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(u, nq), pa.int64()),
+                "q": pa.array(np.tile(np.arange(nq, dtype=np.int64), len(u)), pa.int64()),
+                "m": pa.array(pmax.ravel(), pa.float64()),
+            }
+        )
+
+    g = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["label", "q"])
+        .aggregate(Max("m", alias_name="m"))
+        .to_pandas()  # |labels| x n_qtokens rows = output-scale
+    )
+    g = g.sort_values(["label", "q"], kind="mergesort")
+    out = g.groupby("label", sort=True)["m"].sum()
+    return pa.table(
+        {
+            "label": pa.array(out.index.to_numpy().astype(np.int64), pa.int64()),
+            "maxsim_e4": pa.array(
+                np.round(out.to_numpy() * 10_000).astype(np.int64), pa.int64()
+            ),
+        }
+    )

@@ -583,3 +583,78 @@ def q_frontier_compact(sf_dir: str, n_hosts: int = 64):
         .groupby("__b")
         .map_groups(compact, batch_format="pandas")
     )
+
+
+# ------------------------------------------------- anchor aggregation ---
+def q_anchor_agg(sf_dir: str, n_targets: int = 200, n_anchors: int = 30):
+    """Anchor-text aggregation per link target (the classic web-IR
+    signal — Brin & Page '98 §2.2: anchors describe the TARGET page;
+    every indexer aggregates them at crawl time): per target page, the
+    inbound-link count, distinct-anchor count, and the modal anchor
+    with a deterministic (count DESC, anchor ASC) tie-break. The link
+    feed is synthesized from orders by a fixed template so the DuckDB
+    window twin hash-checks the exact rollup.
+
+    Layout: per-batch combiner (target, anchor) counts, ONE shuffle on
+    hash(target)%B co-locates each target's anchor profile, per-bucket
+    vectorized two-level rollup (sum / nunique / argmax). Anchor
+    profiles per target are vocabulary-bounded in practice; a hot
+    target's profile still fits its bucket because it arrives
+    pre-combined per block."""
+    from ray.data.aggregate import Sum  # noqa: F401  (layout note)
+
+    B = default_buckets()
+    ds = _pq(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    def combine(batch: pa.Table) -> pa.Table:
+        ok = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        key = (ok % n_targets) * n_anchors + (ck % n_anchors)
+        u, c = np.unique(key, return_counts=True)
+        tgt = u // n_anchors
+        return pa.table(
+            {
+                "target": pa.array(
+                    np.char.add("p", tgt.astype(str)).astype(object), pa.string()
+                ),
+                "anchor": pa.array(
+                    np.char.add("w", (u % n_anchors).astype(str)).astype(object),
+                    pa.string(),
+                ),
+                "n": pa.array(c.astype(np.int64), pa.int64()),
+                "__b": pa.array(
+                    (tgt.astype(np.uint64) % np.uint64(B)).astype(np.int32),
+                    pa.int32(),
+                ),
+            }
+        )
+
+    def rollup(g: pd.DataFrame) -> pd.DataFrame:
+        # partials for the same (target, anchor) merge here, then the
+        # per-target argmax applies the (n DESC, anchor ASC) tie-break
+        agg = (
+            g.groupby(["target", "anchor"], sort=False)["n"].sum().reset_index()
+        )
+        agg = agg.sort_values(
+            ["target", "n", "anchor"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        first = ~agg["target"].duplicated()
+        tot = agg.groupby("target", sort=False)["n"].agg(["sum", "size"])
+        out = agg[first][["target", "anchor", "n"]].rename(
+            columns={"anchor": "top_anchor", "n": "top_n"}
+        )
+        out = out.merge(
+            tot.rename(columns={"sum": "n_links", "size": "n_anchors"}),
+            left_on="target",
+            right_index=True,
+        )
+        return out[["target", "n_links", "n_anchors", "top_anchor", "top_n"]].astype(
+            {"n_links": "int64", "n_anchors": "int64", "top_n": "int64"}
+        )
+
+    return (
+        ds.map_batches(combine, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(rollup, batch_format="pandas")
+    )
