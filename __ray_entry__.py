@@ -238,6 +238,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_dup_rate_by_source": d.q_dup_rate_by_source,
         "q_maxsim": d.q_maxsim,
         "q_anchor_agg": w.q_anchor_agg,
+        "q_zscore": r.q_zscore,
+        "q_temperature_mix": d.q_temperature_mix,
     }
 
 
@@ -2237,6 +2239,43 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY n DESC, anchor) AS rn
               FROM c
             ) WHERE rn = 1
+        """,
+        "q_zscore": """
+            WITH m AS (
+              SELECT event_type, count(*) AS n,
+                     SUM(CAST(round(value * 100) AS BIGINT)) AS sx,
+                     SUM(CAST(round(value * 100) AS BIGINT)
+                         * CAST(round(value * 100) AS BIGINT)) AS sx2
+              FROM events GROUP BY event_type
+            )
+            SELECT event_id,
+                   CAST(CASE WHEN (m.sx2 / m.n - (m.sx / m.n) * (m.sx / m.n))
+                             > 0
+                        THEN round((CAST(round(e.value * 100) AS BIGINT)
+                                    - m.sx / m.n)
+                             / sqrt(m.sx2 / m.n
+                                    - (m.sx / m.n) * (m.sx / m.n))
+                             * 10000)
+                        ELSE 0 END AS BIGINT) AS z_e4
+            FROM events e JOIN m USING (event_type)
+        """,
+        "q_temperature_mix": """
+            WITH m AS (
+              SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+              FROM documents GROUP BY lang
+            ), w AS (
+              SELECT lang, n_docs, POWER(n_docs, 0.7) AS w FROM m
+            ), t AS (
+              SELECT SUM(w) AS sw, SUM(n_docs) AS tot FROM w
+            )
+            SELECT lang, n_docs,
+                   CAST(round(w / (SELECT sw FROM t) * 1000000) AS BIGINT)
+                     AS weight_e6,
+                   CAST(CAST(round(w / (SELECT sw FROM t) * 1000000)
+                             AS BIGINT)
+                        * (SELECT tot FROM t) // 1000000 AS BIGINT)
+                     AS target_n
+            FROM w
         """,
         "q_gopher_gate": r"""
             WITH t AS (

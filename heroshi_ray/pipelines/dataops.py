@@ -5976,3 +5976,39 @@ def q_maxsim(sf_dir: str, n_qtokens: int = 3):
             ),
         }
     )
+
+
+def q_temperature_mix(sf_dir: str, alpha_num: int = 7, alpha_den: int = 10):
+    """Temperature-based language balancing (XLM-R / mBERT multinomial
+    sampling, Conneau et al. 2020 §3.1: sample languages ∝ p_l^α with
+    α = 0.7 to up-weight low-resource languages): per language, the raw
+    document share, the temperature-flattened sampling weight, and the
+    expected document count under the rebalanced mix.
+
+    ONE combiner lang-count pass (|langs|-row shuffle); the p^α
+    normalization runs at output scale. Weight math is float64 with
+    expression text identical to the twin — POWER(n, 0.7) on raw counts
+    (equal up to the shared normalizer to p_l^α) — rounded e6; expected
+    counts use floor division of integer-scaled weights so the final
+    column is integer-exact given the weights."""
+    from ray.data.aggregate import Count
+
+    ds = _pq(sf_dir, "documents", columns=["lang"])
+    m = (
+        ds.groupby("lang").aggregate(Count(alias_name="n_docs")).to_pandas()
+    )  # |langs| rows
+    m = m.sort_values("lang", kind="mergesort").reset_index(drop=True)
+    n = m["n_docs"].to_numpy().astype(np.int64)
+    alpha = alpha_num / alpha_den
+    w = np.power(n.astype(np.float64), alpha)
+    total = int(n.sum())
+    w_e6 = np.round(w / w.sum() * 1_000_000).astype(np.int64)
+    target = w_e6 * total // 1_000_000
+    return pa.table(
+        {
+            "lang": pa.array(m["lang"].to_numpy(), pa.string()),
+            "n_docs": pa.array(n, pa.int64()),
+            "weight_e6": pa.array(w_e6, pa.int64()),
+            "target_n": pa.array(target, pa.int64()),
+        }
+    )

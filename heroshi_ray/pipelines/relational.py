@@ -5027,3 +5027,62 @@ def q_percentile_interp(sf_dir: str, q: int = 90, n_buckets: int | None = None):
         .groupby("__b")
         .map_groups(pick, batch_format="pandas")
     )
+
+
+def q_zscore(sf_dir: str):
+    """Per-type z-score standardization of event values (the feature-
+    normalization pass before any numeric model): ONE integer-exact
+    moments combiner (n, Σx_e2, Σx²_e4 per type — nothing float crosses
+    the shuffle), the |types|-row moment table broadcast in the
+    closure, then a streaming vectorized re-map. μ and σ (population)
+    are derived in float64 with the SAME expression text as the DuckDB
+    twin and the score rounds e4 (the ulp-parity recipe); rows of a
+    type with σ = 0 return 0."""
+    from ray.data.aggregate import Sum
+
+    ds = _pq(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def moments(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        v = (df["value"].to_numpy() * 100).round().astype(np.int64)
+        g = pd.DataFrame({"event_type": df["event_type"], "x": v, "x2": v * v})
+        agg = g.groupby("event_type", sort=False).agg(
+            n=("x", "size"), sx=("x", "sum"), sx2=("x2", "sum")
+        )
+        return pa.Table.from_pandas(agg.reset_index(), preserve_index=False)
+
+    m = (
+        ds.map_batches(moments, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sx2", alias_name="sx2"),
+        )
+        .to_pandas()  # |types| rows
+    )
+    stats = {
+        r.event_type: (int(r.n), int(r.sx), int(r.sx2)) for r in m.itertuples()
+    }
+
+    def score(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        v = (df["value"].to_numpy() * 100).round().astype(np.int64)
+        out = np.zeros(len(df), np.int64)
+        for t, (n, sx, sx2) in stats.items():
+            mask = (df["event_type"] == t).to_numpy()
+            if not mask.any():
+                continue
+            mu = sx / n
+            var = sx2 / n - (sx / n) * (sx / n)
+            if var > 0:
+                z = (v[mask] - mu) / np.sqrt(var)
+                out[mask] = np.round(z * 10_000).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "z_e4": pa.array(out, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
