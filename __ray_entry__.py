@@ -240,6 +240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_anchor_agg": w.q_anchor_agg,
         "q_zscore": r.q_zscore,
         "q_temperature_mix": d.q_temperature_mix,
+        "q_rrf_fusion": d.q_rrf_fusion,
     }
 
 
@@ -2177,6 +2178,81 @@ def oracle_sql() -> dict[str, str]:
                     / (e.tf2 + 1.2 * (0.25 + 0.75 * e.dl / (g.sdl / g.n)))
               ) * 10000) AS BIGINT) AS bm25_e4
             FROM e, g
+        """,
+        "q_rrf_fusion": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z]+') AS toks
+              FROM documents
+            ), e AS (
+              SELECT doc_id, len(toks) AS dl,
+                     len(list_filter(toks, x -> x = 'data')) AS tf0,
+                     len(list_filter(toks, x -> x = 'join')) AS tf1,
+                     len(list_filter(toks, x -> x = 'stream')) AS tf2
+              FROM d
+            ), g AS (
+              SELECT count(*) AS n, SUM(dl) AS sdl,
+                     SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+                     SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+                     SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+              FROM e
+            ), bm AS (
+              SELECT doc_id,
+                CAST(round((
+                    ln(1 + (g.n - g.df0 + 0.5) / (g.df0 + 0.5))
+                      * (e.tf0 * 2.2)
+                      / (e.tf0 + 1.2 * (0.25 + 0.75 * e.dl / (g.sdl / g.n)))
+                  + ln(1 + (g.n - g.df1 + 0.5) / (g.df1 + 0.5))
+                      * (e.tf1 * 2.2)
+                      / (e.tf1 + 1.2 * (0.25 + 0.75 * e.dl / (g.sdl / g.n)))
+                  + ln(1 + (g.n - g.df2 + 0.5) / (g.df2 + 0.5))
+                      * (e.tf2 * 2.2)
+                      / (e.tf2 + 1.2 * (0.25 + 0.75 * e.dl / (g.sdl / g.n)))
+                ) * 10000) AS BIGINT) AS bm25_e4
+              FROM e, g
+            ), bmr AS (
+              SELECT doc_id, rn FROM (
+                SELECT doc_id, row_number() OVER (
+                         ORDER BY bm25_e4 DESC, doc_id) AS rn
+                FROM bm
+              ) WHERE rn <= 100
+            ), tok2 AS (
+              SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ), tf AS (
+              SELECT doc_id,
+                CAST(len(list_filter(t, x -> x = 'table')) AS BIGINT) AS tf0,
+                CAST(len(list_filter(t, x -> x = 'hash'))  AS BIGINT) AS tf1,
+                CAST(len(list_filter(t, x -> x = 'sort'))  AS BIGINT) AS tf2
+              FROM tok2
+            ), tdf AS (
+              SELECT CAST(count(*) FILTER (tf0 > 0) AS BIGINT) AS df0,
+                     CAST(count(*) FILTER (tf1 > 0) AS BIGINT) AS df1,
+                     CAST(count(*) FILTER (tf2 > 0) AS BIGINT) AS df2
+              FROM tf
+            ), p AS (
+              SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+            ), ti AS (
+              SELECT doc_id,
+                     tf0 * (CASE WHEN df0 = 0 THEN 0
+                            ELSE (SELECT n FROM p) * 1000000 // df0 END)
+                   + tf1 * (CASE WHEN df1 = 0 THEN 0
+                            ELSE (SELECT n FROM p) * 1000000 // df1 END)
+                   + tf2 * (CASE WHEN df2 = 0 THEN 0
+                            ELSE (SELECT n FROM p) * 1000000 // df2 END)
+                     AS tfidf_e6
+              FROM tf, tdf
+            ), tir AS (
+              SELECT doc_id, rn FROM (
+                SELECT doc_id, row_number() OVER (
+                         ORDER BY tfidf_e6 DESC, doc_id) AS rn
+                FROM ti WHERE tfidf_e6 > 0
+              ) WHERE rn <= 100
+            )
+            SELECT COALESCE(bmr.doc_id, tir.doc_id) AS doc_id,
+                   CAST(round((COALESCE(1.0 / (60 + bmr.rn), 0.0)
+                             + COALESCE(1.0 / (60 + tir.rn), 0.0))
+                        * 1000000) AS BIGINT) AS rrf_e6
+            FROM bmr FULL OUTER JOIN tir ON bmr.doc_id = tir.doc_id
         """,
         "q_cooccur_pairs": r"""
             WITH w AS (

@@ -257,6 +257,7 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         "q_anchor_agg",
         "q_zscore",
         "q_temperature_mix",
+        "q_rrf_fusion",
     ]
     # per-query best-of-2 with the same rationale as the headline reps.
     # The two sub-2 s fixed-overhead-dominated queries get extra reps:

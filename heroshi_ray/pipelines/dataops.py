@@ -6012,3 +6012,59 @@ def q_temperature_mix(sf_dir: str, alpha_num: int = 7, alpha_den: int = 10):
             "target_n": pa.array(target, pa.int64()),
         }
     )
+
+
+def q_rrf_fusion(sf_dir: str, topn: int = 100, kk: int = 60):
+    """Reciprocal-Rank Fusion of two retrieval rankers (Cormack,
+    Clarke & Buettcher, SIGIR'09 — the standard hybrid-search combiner:
+    modern stacks fuse a lexical and a second ranking exactly this
+    way): RRF@``topn`` over q_bm25 and q_tfidf,
+
+        rrf(d) = Σ_r [d ∈ top-n of r] * 1 / (kk + rank_r(d)).
+
+    Ranks are over INTEGER scores (bm25_e4 / tfidf_e6) with doc_id
+    tie-break, so both sides rank identically; the two reciprocal
+    terms sum in fixed (bm25, tfidf) order and round e6.
+
+    Scale shape: each ranker's global top-n is a per-block partial
+    top-n + tiny driver merge (the q_global_topk pattern — no full
+    sort); the fusion itself touches at most 2*topn rows. Output:
+    (doc_id, rrf_e6) for the union of both top-n lists."""
+    def top_ranks(ds, col: str) -> dict:
+        def part(batch: pa.Table, _c=col) -> pa.Table:
+            order = pc.sort_indices(
+                batch,
+                sort_keys=[(_c, "descending"), ("doc_id", "ascending")],
+            )
+            return batch.take(order[:topn])
+
+        df = (
+            ds.map_batches(part, batch_format="pyarrow")
+            .to_pandas()  # <= topn * n_blocks rows
+            .sort_values([col, "doc_id"], ascending=[False, True],
+                         kind="mergesort")
+            .head(topn)
+        )
+        return {int(d): i + 1 for i, d in enumerate(df["doc_id"])}
+
+    rb = top_ranks(q_bm25(sf_dir), "bm25_e4")
+    rt = top_ranks(q_tfidf(sf_dir), "tfidf_e6")
+    ids = sorted(set(rb) | set(rt))
+    rrf = [
+        (1.0 / (kk + rb[d]) if d in rb else 0.0)
+        + (1.0 / (kk + rt[d]) if d in rt else 0.0)
+        for d in ids
+    ]
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            # DuckDB round() is half-AWAY-FROM-ZERO; np.round is
+            # half-even (banker's) and diverges on exact .5 ties
+            # (e.g. rank 68 -> 1/128 * 1e6 = 7812.5). Values are
+            # nonnegative, so floor(x + 0.5) matches the oracle.
+            "rrf_e6": pa.array(
+                np.floor(np.asarray(rrf) * 1_000_000 + 0.5).astype(np.int64),
+                pa.int64(),
+            ),
+        }
+    )
