@@ -241,6 +241,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_zscore": r.q_zscore,
         "q_temperature_mix": d.q_temperature_mix,
         "q_rrf_fusion": d.q_rrf_fusion,
+        "q_c4_clean": d.q_c4_clean,
+        "q_quality_classifier": d.q_quality_classifier,
     }
 
 
@@ -2253,6 +2255,68 @@ def oracle_sql() -> dict[str, str]:
                              + COALESCE(1.0 / (60 + tir.rn), 0.0))
                         * 1000000) AS BIGINT) AS rrf_e6
             FROM bmr FULL OUTER JOIN tir ON bmr.doc_id = tir.doc_id
+        """,
+        "q_c4_clean": r"""
+            WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents
+            ), pg AS (
+              SELECT doc_id,
+                   (CASE WHEN doc_id % 7 = 0
+                         THEN array_to_string(toks[1:3], ' ')
+                         ELSE array_to_string(toks[1:6], ' ') END || '.')
+                || chr(10) || array_to_string(toks[7:9], ' ') || '.'
+                || chr(10) || array_to_string(toks[1:8], ' ')
+                || chr(10) || CASE WHEN doc_id % 5 = 0
+                     THEN 'please enable javascript to view this page.'
+                     ELSE '' END
+                || chr(10) || CASE WHEN doc_id % 13 = 0
+                     THEN 'lorem ipsum dolor sit amet.' ELSE '' END
+                || chr(10) || CASE WHEN doc_id % 17 = 0
+                     THEN 'var config = { "k": 1 };' ELSE '' END
+                || chr(10) || array_to_string(toks[2:7], ' ') || '?'
+                || chr(10) || array_to_string(toks[3:8], ' ') || '!'
+                || chr(10) || CASE WHEN doc_id % 3 = 0
+                     THEN array_to_string(toks[4:9], ' ') || '."'
+                     ELSE '' END
+                AS page
+              FROM t
+            ), k AS (
+              SELECT doc_id, page,
+                     list_filter(string_split(page, chr(10)),
+                       x -> regexp_matches(x, '[.!?"]$')
+                            AND len(string_split(x, ' ')) >= 5
+                            AND NOT contains(x, 'javascript')) AS kept
+              FROM pg
+            )
+            SELECT doc_id,
+                   array_to_string(kept, chr(10)) AS clean_text,
+                   CAST(len(kept) AS BIGINT) AS n_kept
+            FROM k
+            WHERE NOT contains(page, 'lorem ipsum')
+              AND NOT contains(page, '{')
+              AND len(kept) >= 3
+        """,
+        "q_quality_classifier": r"""
+            WITH f AS (
+              SELECT doc_id,
+                     CAST(len(string_split(text, ' ')) AS DOUBLE) AS w,
+                     CAST(length(text) AS DOUBLE) AS c,
+                     CAST(len(list_distinct(string_split(text, ' ')))
+                          AS DOUBLE) AS u,
+                     CAST(len(list_filter(string_split(text, ' '),
+                          x -> x IN ('the', 'a'))) AS DOUBLE) AS s
+              FROM documents
+            ), z AS (
+              SELECT doc_id,
+                     -2.5 + 0.021 * w + 0.0017 * c + 0.045 * u - 0.09 * s
+                       AS z
+              FROM f
+            )
+            SELECT doc_id,
+                   CAST(floor(1.0 / (1.0 + exp(-z)) * 10000 + 0.5)
+                        AS BIGINT) AS quality_e4
+            FROM z WHERE z > 0.0
         """,
         "q_cooccur_pairs": r"""
             WITH w AS (

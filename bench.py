@@ -258,6 +258,8 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         "q_zscore",
         "q_temperature_mix",
         "q_rrf_fusion",
+        "q_c4_clean",
+        "q_quality_classifier",
     ]
     # per-query best-of-2 with the same rationale as the headline reps.
     # The two sub-2 s fixed-overhead-dominated queries get extra reps:

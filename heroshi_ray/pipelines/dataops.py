@@ -6068,3 +6068,135 @@ def q_rrf_fusion(sf_dir: str, topn: int = 100, kk: int = 60):
             ),
         }
     )
+
+
+def q_c4_clean(sf_dir: str):
+    """C4 line-level page cleaning (Raffel et al., JMLR 2020 §2.2 — the
+    rule set behind the C4 corpus, still the canonical pre-tokenization
+    page scrub): keep only lines that end in terminal punctuation
+    (. ! ? "), have >= 5 words, and don't mention javascript; drop the
+    whole page if it contains "lorem ipsum" or a "{", or retains fewer
+    than 3 lines.
+
+    The corpus fixture has no multi-line pages, so — exactly like
+    q_pii_redact builds contact strings — the page is assembled by a
+    FIXED 9-line template over each document's words (conditional lines
+    keyed on doc_id residues so every rule fires at every sf), which
+    lets the DuckDB twin construct the identical pages and hash-check
+    the cleaned text.
+
+    Scale shape: ONE streaming map_batches pass, zero shuffle, zero
+    Python per row (polars Rust-regex line filter inside list.eval);
+    at 100 TB this is bandwidth-bound, the shape you want. Output:
+    (doc_id, clean_text, n_kept) for surviving pages."""
+    import polars as pl
+
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"], split=True)
+
+    def clean(batch: pa.Table) -> pa.Table:
+        toks = pl.col("text").str.split(" ")
+
+        def seg(a: int, b: int):
+            return toks.list.slice(a - 1, b - a + 1).list.join(" ")
+
+        did = pl.col("doc_id")
+        nl = pl.lit("\n")
+        page = pl.concat_str(
+            pl.when(did % 7 == 0).then(seg(1, 3)).otherwise(seg(1, 6)),
+            pl.lit("."), nl,
+            seg(7, 9), pl.lit("."), nl,
+            seg(1, 8), nl,
+            pl.when(did % 5 == 0)
+            .then(pl.lit("please enable javascript to view this page."))
+            .otherwise(pl.lit("")), nl,
+            pl.when(did % 13 == 0)
+            .then(pl.lit("lorem ipsum dolor sit amet."))
+            .otherwise(pl.lit("")), nl,
+            pl.when(did % 17 == 0)
+            .then(pl.lit('var config = { "k": 1 };'))
+            .otherwise(pl.lit("")), nl,
+            seg(2, 7), pl.lit("?"), nl,
+            seg(3, 8), pl.lit("!"), nl,
+            pl.when(did % 3 == 0)
+            .then(pl.concat_str(seg(4, 9), pl.lit('."')))
+            .otherwise(pl.lit("")),
+        )
+        df = pl.from_arrow(batch).with_columns(page.alias("page"))
+        kept = (
+            pl.col("page")
+            .str.split("\n")
+            .list.eval(
+                pl.element().filter(
+                    pl.element().str.contains(r'[.!?"]$')
+                    & (pl.element().str.split(" ").list.len() >= 5)
+                    & ~pl.element().str.contains("javascript", literal=True)
+                )
+            )
+        )
+        out = (
+            df.with_columns(kept.alias("kept"))
+            .filter(
+                ~pl.col("page").str.contains("lorem ipsum", literal=True)
+                & ~pl.col("page").str.contains("{", literal=True)
+                & (pl.col("kept").list.len() >= 3)
+            )
+            .select(
+                "doc_id",
+                clean_text=pl.col("kept").list.join("\n"),
+                n_kept=pl.col("kept").list.len().cast(pl.Int64),
+            )
+        )
+        return out.to_arrow()
+
+    return ds.map_batches(clean, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_quality_classifier(sf_dir: str):
+    """GPT-3-style logistic-regression document-quality gate (Brown et
+    al. 2020, Appendix A: a linear classifier over cheap text features
+    scores every page; only high-scoring pages enter the corpus — the
+    same shape fasttext-based quality filters use today). Features are
+    integer-exact (word count, char count, distinct-word count,
+    stopword count), the logit is a fixed-weight dot product
+
+        z = -2.5 + 0.021*w + 0.0017*c + 0.045*u - 0.09*s
+
+    and the gate is ``z > 0`` — pure IEEE double arithmetic with
+    text-identical literals on both sides (the float-parity recipe from
+    q_bm25), so the kept set hash-matches DuckDB exactly; the reported
+    sigmoid quality_e4 rounds half-away-from-zero like SQL round().
+
+    Scale shape: ONE streaming map_batches pass, zero shuffle, polars
+    list kernels for the features + numpy for the logit — bandwidth
+    bound at 100 TB. Output: (doc_id, quality_e4) for kept docs."""
+    import polars as pl
+
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"], split=True)
+
+    def score(batch: pa.Table) -> pa.Table:
+        toks = pl.from_arrow(batch.column("text")).str.split(" ")
+        w = toks.list.len().cast(pl.Int64).to_numpy().astype(np.float64)
+        c = pl.from_arrow(batch.column("text")).str.len_chars().cast(
+            pl.Int64
+        ).to_numpy().astype(np.float64)
+        u = toks.list.unique().list.len().cast(pl.Int64).to_numpy().astype(
+            np.float64
+        )
+        s = (
+            toks.list.count_matches("the") + toks.list.count_matches("a")
+        ).cast(pl.Int64).to_numpy().astype(np.float64)
+        z = -2.5 + 0.021 * w + 0.0017 * c + 0.045 * u - 0.09 * s
+        p = 1.0 / (1.0 + np.exp(-z))
+        out = pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "quality_e4": pa.array(
+                    np.floor(p * 10_000 + 0.5).astype(np.int64), pa.int64()
+                ),
+                "z": pa.array(z, pa.float64()),
+            }
+        )
+        out = out.filter(pc.greater(out.column("z"), 0.0))
+        return out.drop_columns(["z"])
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
