@@ -243,6 +243,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_rrf_fusion": d.q_rrf_fusion,
         "q_c4_clean": d.q_c4_clean,
         "q_quality_classifier": d.q_quality_classifier,
+        "q_ccnet_bucket": d.q_ccnet_bucket,
+        "q_semdedup": d.q_semdedup,
     }
 
 
@@ -2317,6 +2319,48 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(1.0 / (1.0 + exp(-z)) * 10000 + 0.5)
                         AS BIGINT) AS quality_e4
             FROM z WHERE z > 0.0
+        """,
+        "q_ccnet_bucket": r"""
+            WITH bg AS (
+              SELECT doc_id,
+                     LEAST(ord(substring(text, i, 1)), 128) AS a,
+                     LEAST(ord(substring(text, i + 1, 1)), 128) AS b
+              FROM (
+                SELECT doc_id, text,
+                       unnest(generate_series(1, length(text) - 1)) AS i
+                FROM documents WHERE length(text) >= 2
+              )
+            ), cnt AS (
+              SELECT a, b, COUNT(*) AS c FROM bg GROUP BY a, b
+            ), rowc AS (
+              SELECT a, SUM(c) AS ra FROM cnt GROUP BY a
+            ), s AS (
+              SELECT bg.doc_id,
+                     CAST(round(SUM(ln(rowc.ra + 129.0) - ln(cnt.c + 1.0))
+                                / COUNT(*) * 10000) AS BIGINT) AS nll_e4
+              FROM bg
+              JOIN cnt USING (a, b) JOIN rowc USING (a)
+              GROUP BY bg.doc_id
+            ), sl AS (
+              SELECT s.doc_id, d.lang, s.nll_e4
+              FROM s JOIN documents d ON s.doc_id = d.doc_id
+            ), w AS (
+              SELECT doc_id, lang, nll_e4,
+                     COUNT(*) OVER (PARTITION BY lang
+                                    ORDER BY nll_e4) AS cle,
+                     COUNT(*) OVER (PARTITION BY lang) AS n
+              FROM sl
+            ), cut AS (
+              SELECT lang,
+                     MIN(nll_e4) FILTER (3 * cle >= n) AS c33,
+                     MIN(nll_e4) FILTER (3 * cle >= 2 * n) AS c67
+              FROM w GROUP BY lang
+            )
+            SELECT sl.doc_id, sl.lang,
+                   CASE WHEN sl.nll_e4 <= cut.c33 THEN 'head'
+                        WHEN sl.nll_e4 <= cut.c67 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM sl JOIN cut USING (lang)
         """,
         "q_cooccur_pairs": r"""
             WITH w AS (

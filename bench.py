@@ -260,6 +260,8 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         "q_rrf_fusion",
         "q_c4_clean",
         "q_quality_classifier",
+        "q_ccnet_bucket",
+        "q_semdedup",
     ]
     # per-query best-of-2 with the same rationale as the headline reps.
     # The two sub-2 s fixed-overhead-dominated queries get extra reps:

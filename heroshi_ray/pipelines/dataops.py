@@ -3600,6 +3600,28 @@ def q_kmeans(sf_dir: str, k: int = 8, n_iter: int = 5, dims: int = 64):
     r2 #1's rule). Output: (vec_id, cluster) assignments after n_iter
     rounds; a single-process numpy replica must match exactly
     (tests/test_corpus_hygiene.py)."""
+    ds, C, _mat = _kmeans_fit(sf_dir, k, n_iter, dims)
+    cref = ray.put(C)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cc = ray.get(cref)
+        ids, x = _mat(batch)
+        d = ((x * x).sum(1)[:, None] - 2.0 * (x @ cc.T) + (cc * cc).sum(1)[None, :])
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cluster": pa.array(np.argmin(d, axis=1).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _kmeans_fit(sf_dir: str, k: int, n_iter: int, dims: int):
+    """q_kmeans' Lloyd loop, factored so composites (q_semdedup) can
+    reuse the fitted centroids: returns (materialized embeddings ds,
+    final k x dims float64 centroid matrix, batch->(ids, matrix)
+    helper). Same determinism contract as q_kmeans."""
     import pyarrow.compute as _pc
     import pyarrow.dataset as _pads
 
@@ -3671,20 +3693,7 @@ def q_kmeans(sf_dir: str, k: int = 8, n_iter: int = 5, dims: int = 64):
             if n > 0:
                 C[int(cid)] = g["sum_e6"].to_numpy(dtype=np.float64) / 1e6 / n
 
-    cref = ray.put(C)
-
-    def assign(batch: pa.Table) -> pa.Table:
-        cc = ray.get(cref)
-        ids, x = _mat(batch)
-        d = ((x * x).sum(1)[:, None] - 2.0 * (x @ cc.T) + (cc * cc).sum(1)[None, :])
-        return pa.table(
-            {
-                "vec_id": pa.array(ids, pa.int64()),
-                "cluster": pa.array(np.argmin(d, axis=1).astype(np.int64), pa.int64()),
-            }
-        )
-
-    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+    return ds, C, _mat
 
 
 def q_edit_neardup(sf_dir: str, n_buckets: int | None = None):
@@ -5007,7 +5016,7 @@ def q_entropy(sf_dir: str):
     return ds.map_batches(ent, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def q_lm_score(sf_dir: str, V: int = 129):
+def q_lm_score(sf_dir: str, V: int = 129, keep_cols: tuple = ()):
     """Per-doc mean negative log-likelihood under a char-bigram LM
     trained ON the corpus itself, Laplace-smoothed — the perplexity
     quality filter of CCNet (Wenzek et al. 2020 §3.3) with the bigram
@@ -5022,10 +5031,14 @@ def q_lm_score(sf_dir: str, V: int = 129):
     absorbs summation-order ulp drift (q_entropy's parity recipe).
     The count shuffle is key-bounded at V² regardless of corpus size;
     docs shorter than 2 chars have no bigrams and are excluded (the
-    twin's GROUP BY does the same)."""
+    twin's GROUP BY does the same). ``keep_cols`` are carried through
+    to the output unchanged (e.g. lang for per-language bucketing)."""
     from ray.data.aggregate import Sum
 
-    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"], split=True)
+    ds = _pq(
+        sf_dir, "documents", columns=["doc_id", "text"] + list(keep_cols),
+        split=True,
+    )
 
     def _cp(t: str) -> np.ndarray:
         cp = np.frombuffer((t or "").encode("utf-32-le"), np.uint32)
@@ -5065,21 +5078,20 @@ def q_lm_score(sf_dir: str, V: int = 129):
 
     def score(batch: pa.Table) -> pa.Table:
         ln_num, ln_den = ray.get(model)
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        out_id, out_nll = [], []
+        rows, out_nll = [], []
         for i, t in enumerate(batch.column("text").to_pylist()):
             cp = _cp(t)
             if len(cp) < 2:
                 continue
             a, b = cp[:-1], cp[1:]
             s = (ln_den[a] - ln_num[a, b]).sum()
-            out_id.append(int(ids[i]))
+            rows.append(i)
             out_nll.append(int(np.round(s / (len(cp) - 1) * 10_000)))
-        return pa.table(
-            {
-                "doc_id": pa.array(out_id, pa.int64()),
-                "nll_e4": pa.array(out_nll, pa.int64()),
-            }
+        out = batch.select(["doc_id"] + list(keep_cols)).take(
+            pa.array(rows, pa.int64())
+        )
+        return out.append_column(
+            "nll_e4", pa.array(out_nll, pa.int64())
         )
 
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
@@ -6200,3 +6212,129 @@ def q_quality_classifier(sf_dir: str):
         return out.drop_columns(["z"])
 
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_ccnet_bucket(sf_dir: str):
+    """CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020
+    §3.3: within each language, split the corpus into terciles of LM
+    perplexity — 'head' trains high-quality models, 'tail' is usually
+    dropped). Scores come from q_lm_score's char-bigram LM; the cutoff
+    rule is the exact integer percentile used by the SQL window twin:
+    c_p = min value v with 3*cnt_le(v) >= p*n (ties share a bucket, the
+    CCNet semantics — buckets come from score cutoffs, not row ranks).
+
+    Scale shape: score pass as in q_lm_score; then ONE combiner groupby
+    on (lang, nll_e4) whose payload is the distinct-score table (not
+    the corpus); per-lang cumsum cutoff pick in map_groups; an
+    O(|langs|) cutoff dict broadcast back over one streaming re-map.
+    No corpus-sized sort anywhere. Output: (doc_id, lang, bucket)."""
+    from ray.data.aggregate import Count
+
+    scores = q_lm_score(sf_dir, keep_cols=("lang",))
+
+    counts = scores.groupby(["lang", "nll_e4"]).aggregate(
+        Count(alias_name="c")
+    )
+
+    def cutoffs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("nll_e4", kind="mergesort")
+        cum = g["c"].cumsum().to_numpy()
+        n = int(cum[-1])
+        v = g["nll_e4"].to_numpy()
+        c33 = int(v[np.argmax(3 * cum >= n)])
+        c67 = int(v[np.argmax(3 * cum >= 2 * n)])
+        return pd.DataFrame(
+            {"lang": [g["lang"].iloc[0]], "c33": [c33], "c67": [c67]}
+        )
+
+    cut = {
+        r["lang"]: (r["c33"], r["c67"])
+        for r in counts.groupby("lang").map_groups(
+            cutoffs, batch_format="pandas"
+        ).take_all()
+    }  # |langs| rows — the only driver contact
+
+    def assign(batch: pa.Table) -> pa.Table:
+        lang = batch.column("lang").to_pylist()
+        nll = batch.column("nll_e4").to_numpy(zero_copy_only=False)
+        c33 = np.array([cut[l][0] for l in lang], np.int64)
+        c67 = np.array([cut[l][1] for l in lang], np.int64)
+        bucket = np.where(
+            nll <= c33, "head", np.where(nll <= c67, "middle", "tail")
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "lang": batch.column("lang"),
+                "bucket": pa.array(bucket.tolist(), pa.string()),
+            }
+        )
+
+    return scores.map_batches(assign, batch_format="pyarrow")
+
+
+def q_semdedup(
+    sf_dir: str,
+    k: int = 8,
+    n_iter: int = 5,
+    dims: int = 64,
+    tau: float = 0.45,
+):
+    """SemDeDup semantic deduplication (Abbas et al. 2023, "SemDeDup:
+    Data-efficient learning at web-scale through semantic
+    deduplication"): k-means the embedding space, compare cosines only
+    WITHIN a cluster, and per semantic-duplicate group keep the point
+    with the LOWEST cosine similarity to its cluster centroid (the
+    paper's exemplar rule — the most "atypical" member survives).
+    Realized as a deterministic leader pass per cluster: members sorted
+    by (centroid_sim asc, vec_id asc); a member is kept iff its cosine
+    to every already-kept member is < tau.
+
+    Scale shape: centroids from q_kmeans' Lloyd loop (corpus never
+    shuffles there); then ONE cluster-key shuffle +
+    groupby(cluster).map_groups with a vectorized kept-matrix kernel —
+    the same per-cell O(|cell|^2) budget q_embed_neardup runs, with k
+    sized so a cluster fits a worker. Not SQL-expressible (iterative
+    k-means); pinned against a single-process numpy replica in tests.
+    Output: (vec_id, cluster) of kept exemplars."""
+    ds, C, _mat = _kmeans_fit(sf_dir, k, n_iter, dims)
+
+    def assign_with_vec(batch: pa.Table) -> pa.Table:
+        ids, x = _mat(batch)
+        d = ((x * x).sum(1)[:, None] - 2.0 * (x @ C.T)
+             + (C * C).sum(1)[None, :])
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cluster": pa.array(
+                    np.argmin(d, axis=1).astype(np.int64), pa.int64()
+                ),
+                "embedding": batch.column("embedding"),
+            }
+        )
+
+    assigned = ds.map_batches(
+        assign_with_vec, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def leader(g: pd.DataFrame) -> pd.DataFrame:
+        cid = int(g["cluster"].iloc[0])
+        x = as_matrix(g["embedding"].tolist()).astype(np.float64)
+        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        c = C[cid]
+        cn = c / max(float(np.linalg.norm(c)), 1e-12)
+        csim = xn @ cn
+        ids = g["vec_id"].to_numpy().astype(np.int64)
+        order = np.lexsort((ids, csim))  # centroid_sim asc, vec_id asc
+        xo, io = xn[order], ids[order]
+        kept: list[int] = []
+        for i in range(len(io)):
+            if not kept or float((xo[kept] @ xo[i]).max()) < tau:
+                kept.append(i)
+        return pd.DataFrame(
+            {"vec_id": io[kept], "cluster": np.full(len(kept), cid, np.int64)}
+        )
+
+    return assigned.groupby("cluster").map_groups(
+        leader, batch_format="pandas"
+    )

@@ -268,3 +268,50 @@ def test_bpe_encode_matches_training_segmentation(ray_session):
     # merges actually compress: fewer subwords than chars, more than words
     n_chars = sum(len(w) for s in texts for w in s.split(" "))
     assert sum(expect) < n_chars
+
+
+def test_semdedup_matches_single_process_replica(ray_session):
+    """SemDeDup's distributed kmeans + per-cluster leader pass must
+    equal a straight-line numpy replica (same fixed-point kmeans, same
+    (centroid_sim asc, vec_id asc) leader order, same tau), and must
+    actually remove the fixture's planted near-dup vectors."""
+    from heroshi_ray.pipelines.dataops import q_semdedup
+
+    k, n_iter, dims, tau = 8, 5, 64, 0.45
+    out = to_df(q_semdedup(SF_DIR, k=k, n_iter=n_iter, tau=tau))
+    got = set(out["vec_id"].astype(int))
+
+    t = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"))
+    ids = t.column("vec_id").to_numpy()
+    x = np.asarray(
+        [np.asarray(e, dtype=np.float32) for e in t.column("embedding").to_pylist()]
+    ).astype(np.float64)
+    order = np.argsort(ids)
+    ids, x = ids[order], x[order]
+    C = x[ids < k].copy()
+    for _ in range(n_iter):
+        d = (x * x).sum(1)[:, None] - 2.0 * (x @ C.T) + (C * C).sum(1)[None, :]
+        a = np.argmin(d, axis=1)
+        v = np.round(x * 1e6).astype(np.int64)
+        for c in range(k):
+            m = a == c
+            if m.any():
+                C[c] = v[m].sum(axis=0).astype(np.float64) / 1e6 / m.sum()
+    d = (x * x).sum(1)[:, None] - 2.0 * (x @ C.T) + (C * C).sum(1)[None, :]
+    a = np.argmin(d, axis=1)
+    xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    expect = set()
+    for c in range(k):
+        m = np.where(a == c)[0]
+        if not len(m):
+            continue
+        cn = C[c] / max(float(np.linalg.norm(C[c])), 1e-12)
+        csim = xn[m] @ cn
+        o = m[np.lexsort((ids[m], csim))]
+        kept = []
+        for i in o:
+            if not kept or float((xn[kept] @ xn[i]).max()) < tau:
+                kept.append(i)
+        expect |= {int(ids[i]) for i in kept}
+    assert got == expect
+    assert 0 < len(got) < len(ids)  # some dups actually removed
