@@ -245,6 +245,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_quality_classifier": d.q_quality_classifier,
         "q_ccnet_bucket": d.q_ccnet_bucket,
         "q_semdedup": d.q_semdedup,
+        "q_train_val_split": d.q_train_val_split,
+        "q_shard_assign": d.q_shard_assign,
     }
 
 
@@ -2361,6 +2363,27 @@ def oracle_sql() -> dict[str, str]:
                         WHEN sl.nll_e4 <= cut.c67 THEN 'middle'
                         ELSE 'tail' END AS bucket
             FROM sl JOIN cut USING (lang)
+        """,
+        "q_train_val_split": r"""
+            SELECT doc_id, lang,
+                   CASE WHEN (doc_id % 1000003) * 2654435761 % 4294967296
+                             * 1000 < 50 * 4294967296
+                        THEN 'val' ELSE 'train' END AS split
+            FROM documents
+        """,
+        "q_shard_assign": r"""
+            WITH f AS (
+              SELECT doc_id, len(string_split(text, ' ')) AS w
+              FROM documents
+            ), r AS (
+              SELECT w,
+                     row_number() OVER (ORDER BY w DESC, doc_id) - 1 AS rn
+              FROM f
+            )
+            SELECT rn % 16 AS shard,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(w) AS BIGINT) AS tok_total
+            FROM r GROUP BY shard
         """,
         "q_cooccur_pairs": r"""
             WITH w AS (

@@ -262,6 +262,8 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         "q_quality_classifier",
         "q_ccnet_bucket",
         "q_semdedup",
+        "q_train_val_split",
+        "q_shard_assign",
     ]
     # per-query best-of-2 with the same rationale as the headline reps.
     # The two sub-2 s fixed-overhead-dominated queries get extra reps:

@@ -6338,3 +6338,100 @@ def q_semdedup(
     return assigned.groupby("cluster").map_groups(
         leader, batch_format="pandas"
     )
+
+
+def q_train_val_split(sf_dir: str, val_permille: int = 50):
+    """Deterministic train/validation split by multiplicative hash of
+    the stable doc_id (the reproducible-split rule every training
+    pipeline needs: membership is a pure function of the id, so
+    re-runs, resumes and incremental ingests never leak rows across
+    the split). bucket = (doc_id % 1000003) * 2654435761 % 2^32
+    (Knuth's multiplicative constant; the % 1000003 pre-fold keeps the
+    product inside int64 so the DuckDB twin computes the identical
+    value without HUGEINT); val iff bucket * 1000 < val_permille * 2^32
+    — integer cross-multiplication, no float.
+
+    Scale shape: ONE streaming vectorized pass, zero shuffle, output
+    corpus-sized (doc_id, lang, split). At 100 TB the split column
+    would be written alongside the data, not collected."""
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "lang"], split=True)
+
+    def split(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        b = (did % 1000003) * 2654435761 % 4294967296
+        val = b * 1000 < val_permille * 4294967296
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "lang": batch.column("lang"),
+                "split": pa.array(
+                    np.where(val, "val", "train").tolist(), pa.string()
+                ),
+            }
+        )
+
+    return ds.map_batches(split, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_shard_assign(sf_dir: str, n_shards: int = 16):
+    """Balanced index-shard routing by global size rank: docs ranked by
+    (token count desc, doc_id asc), shard = rank % n_shards — the
+    round-robin-by-decreasing-size rule (the classic LPT greedy's
+    zero-coordination cousin) that bounds shard skew to one max-doc.
+    Output: per-shard (shard, n_docs, tok_total) so the balance is the
+    checked artifact.
+
+    Scale shape: NO global sort. Token counts are small ints, so the
+    global rank decomposes as rank = (#docs with larger w) + (rank of
+    doc_id within its own w): per-w counts are ONE combiner groupby
+    (|distinct w| rows -> broadcast offset map), within-w ranks come
+    from groupby(w).map_groups (each group is one token-length slice,
+    ~corpus/|w| rows; a distributed sort is the fallback if lengths
+    are unbounded). One final n_shards-row groupby."""
+    import polars as pl
+    from ray.data.aggregate import Count, Sum
+
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"], split=True)
+
+    def toklen(batch: pa.Table) -> pa.Table:
+        w = (
+            pl.from_arrow(batch.column("text"))
+            .str.split(" ")
+            .list.len()
+            .cast(pl.Int64)
+            .to_numpy()
+        )
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "w": pa.array(w, pa.int64())}
+        )
+
+    lens = ds.map_batches(
+        toklen, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # reused by both passes; (id, int64) pairs only
+
+    wcounts = {
+        r["w"]: r["c"]
+        for r in lens.groupby("w").aggregate(Count(alias_name="c")).take_all()
+    }  # |distinct w| rows — the only driver contact
+    ws = sorted(wcounts, reverse=True)
+    acc, offset = 0, {}
+    for w in ws:
+        offset[w] = acc
+        acc += wcounts[w]
+
+    def rank_in_w(g: pd.DataFrame) -> pd.DataFrame:
+        w = int(g["w"].iloc[0])
+        ids = np.sort(g["doc_id"].to_numpy())
+        rn = offset[w] + np.arange(len(ids), dtype=np.int64)
+        return pd.DataFrame(
+            {"shard": rn % n_shards, "w": np.full(len(ids), w, np.int64)}
+        )
+
+    return (
+        lens.groupby("w")
+        .map_groups(rank_in_w, batch_format="pandas")
+        .groupby("shard")
+        .aggregate(
+            Count(alias_name="n_docs"), Sum("w", alias_name="tok_total")
+        )
+    )
