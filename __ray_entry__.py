@@ -247,6 +247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_semdedup": d.q_semdedup,
         "q_train_val_split": d.q_train_val_split,
         "q_shard_assign": d.q_shard_assign,
+        "q_opic": d.q_opic,
     }
 
 
@@ -2384,6 +2385,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(SUM(w) AS BIGINT) AS tok_total
             FROM r GROUP BY shard
+        """,
+        "q_opic": r"""
+            WITH nn AS (SELECT count(*) AS n FROM customer),
+            nodes AS (SELECT c_custkey AS node FROM customer),
+            edges AS (SELECT o_custkey AS src,
+                             o_orderkey % (SELECT n FROM nn) AS dst,
+                             CAST(count(*) AS BIGINT) AS cnt
+                      FROM orders GROUP BY 1, 2),
+            outd AS (SELECT src AS node, SUM(cnt) AS od
+                     FROM edges GROUP BY src),
+            c0 AS (SELECT node,
+                          1000000000000 // (SELECT n FROM nn) AS v
+                   FROM nodes),
+            p0 AS (SELECT COALESCE(SUM(c.v), 0) AS p
+                   FROM c0 c LEFT JOIN outd o USING (node)
+                   WHERE o.od IS NULL),
+            c1 AS (SELECT n.node,
+                          COALESCE(SUM((cu.v // o.od) * e.cnt), 0)
+                            + (SELECT p FROM p0) // (SELECT n FROM nn) AS v
+                   FROM nodes n LEFT JOIN edges e ON e.dst = n.node
+                     LEFT JOIN c0 cu ON cu.node = e.src
+                     LEFT JOIN outd o ON o.node = e.src
+                   GROUP BY n.node),
+            p1 AS (SELECT COALESCE(SUM(c.v), 0) AS p
+                   FROM c1 c LEFT JOIN outd o USING (node)
+                   WHERE o.od IS NULL),
+            c2 AS (SELECT n.node,
+                          COALESCE(SUM((cu.v // o.od) * e.cnt), 0)
+                            + (SELECT p FROM p1) // (SELECT n FROM nn) AS v
+                   FROM nodes n LEFT JOIN edges e ON e.dst = n.node
+                     LEFT JOIN c1 cu ON cu.node = e.src
+                     LEFT JOIN outd o ON o.node = e.src
+                   GROUP BY n.node)
+            SELECT c0.node AS custkey,
+                   CAST(c0.v + c1.v + c2.v AS BIGINT) AS history
+            FROM c0 JOIN c1 ON c1.node = c0.node
+                    JOIN c2 ON c2.node = c0.node
         """,
         "q_cooccur_pairs": r"""
             WITH w AS (

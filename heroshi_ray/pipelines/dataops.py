@@ -6435,3 +6435,206 @@ def q_shard_assign(sf_dir: str, n_shards: int = 16):
             Count(alias_name="n_docs"), Sum("w", alias_name="tok_total")
         )
     )
+
+
+def q_opic(
+    sf_dir: str,
+    n_rounds: int = 3,
+    broadcast_limit: int = 2_000_000,
+    force_distributed: bool = False,
+):
+    """OPIC — On-line Page Importance Computation (Abiteboul, Preda &
+    Cobena, WWW 2003), the crawler-NATIVE importance measure: unlike
+    PageRank it needs no convergence before being useful, so frontier
+    schedulers rank by accumulated cash history while the crawl runs.
+    Fourth link-analysis member over q_pagerank's deterministic
+    customer graph (node = c_custkey, edge o_custkey ->
+    o_orderkey % n, parallel edges keep multiplicity).
+
+    Integer fixed-point replica of the algorithm, ``n_rounds`` rounds:
+
+      cash_0[v]  = 10^12 // n                  (uniform init)
+      share[u]   = cash_t[u] // outdeg[u]      (floored per-edge share)
+      pool_t     = Σ cash_t over dangling nodes (virtual page)
+      cash_t+1[v]= Σ_{u->v} share[u]*cnt + pool_t // n
+      history[v] = Σ_t cash_t[v]               (the importance score)
+
+    Every operation is int64 (floor divisions are the determinism
+    anchor), so the DuckDB unrolled-CTE twin is bit-exact.
+
+    Scale shape (q_hits' dual fork): edges pre-aggregate to
+    (src, dst, cnt) + an outdegree groupby. Below ``broadcast_limit``
+    nodes the cash vector rides ray.put and each round is ONE
+    map_batches over edges + an O(n)-row groupby; above it (or
+    force_distributed) cash/history stay node-keyed Datasets and each
+    round is two distributed hash joins + a groupby-sum — pool and the
+    global max are the only scalars on the driver. Both forks
+    equivalence-tested. Output: (custkey, history)."""
+    import pyarrow.parquet as pq_mod
+
+    from ray.data.aggregate import Sum
+
+    cust = pq_mod.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"]
+    )
+    n_nodes = cust.num_rows
+    nodes = cust.column("c_custkey").to_numpy().astype(np.int64)
+    TOTAL = np.int64(10**12)
+
+    orders = _pq(sf_dir, "orders", columns=["o_custkey", "o_orderkey"], split=True)
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        src = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        dst = batch.column("o_orderkey").to_numpy(zero_copy_only=False) % n_nodes
+        key = src.astype(np.int64) * n_nodes + dst
+        u, c = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "src": pa.array((u // n_nodes).astype(np.int64), pa.int64()),
+                "dst": pa.array((u % n_nodes).astype(np.int64), pa.int64()),
+                "cnt": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    edges = (
+        orders.map_batches(to_edges, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["src", "dst"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .materialize()
+    )
+
+    if n_nodes <= broadcast_limit and not force_distributed:
+        outdeg = np.zeros(n_nodes, np.int64)
+        for r in edges.groupby("src").aggregate(
+            Sum("cnt", alias_name="od")
+        ).take_all():  # O(n_nodes) rows in the broadcast regime
+            outdeg[r["src"]] = r["od"]
+
+        cash = np.full(n_nodes, TOTAL // n_nodes, np.int64)
+        history = np.zeros(n_nodes, np.int64)
+        for _ in range(n_rounds):
+            history += cash
+            share = np.where(outdeg > 0, cash // np.maximum(outdeg, 1), 0)
+            pool = int(cash[outdeg == 0].sum())
+            ref = ray.put(share)
+
+            def contrib(batch: pa.Table, _ref=ref) -> pa.Table:
+                s = ray.get(_ref)
+                f = batch.column("src").to_numpy(zero_copy_only=False)
+                t = batch.column("dst").to_numpy(zero_copy_only=False)
+                c = batch.column("cnt").to_numpy(zero_copy_only=False)
+                w = c * s[f]
+                u, inv = np.unique(t, return_inverse=True)
+                agg = np.zeros(len(u), dtype=np.int64)
+                np.add.at(agg, inv, w)
+                return pa.table(
+                    {"k": pa.array(u, pa.int64()), "c": pa.array(agg, pa.int64())}
+                )
+
+            recv = np.zeros(n_nodes, np.int64)
+            for r in (
+                edges.map_batches(contrib, batch_format="pyarrow")
+                .groupby("k")
+                .aggregate(Sum("c", alias_name="c"))
+                .take_all()
+            ):
+                recv[r["k"]] = r["c"]
+            cash = recv + pool // n_nodes
+
+        return pa.table(
+            {
+                "custkey": pa.array(nodes, pa.int64()),
+                "history": pa.array(history, pa.int64()),
+            }
+        )
+
+    # ---- distributed path: cash/history never leave the cluster ----
+    tune_join_resources()
+    nparts = join_partitions(8)
+    nodes_ds = ray.data.from_arrow(
+        pa.table({"node": pa.array(nodes, pa.int64())})
+    ).repartition(nparts).materialize()
+    outd = (
+        edges.map_batches(
+            lambda b: pa.table({"node": b.column("src"), "cnt": b.column("cnt")}),
+            batch_format="pyarrow",
+        )
+        .groupby("node")
+        .aggregate(Sum("cnt", alias_name="od"))
+        .repartition(nparts)
+        .materialize()
+    )
+
+    def const_vec(value: int):
+        return nodes_ds.map_batches(
+            lambda b, _v=int(value): pa.table(
+                {
+                    "node": b.column("node"),
+                    "v": pa.array(np.full(b.num_rows, _v, np.int64), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+
+    def add_vecs(a, b):
+        return (
+            a.union(b).groupby("node").aggregate(Sum("v", alias_name="v"))
+            .materialize()
+        )
+
+    cash = const_vec(int(TOTAL) // n_nodes)
+    history = const_vec(0)
+    for _ in range(n_rounds):
+        history = add_vecs(history, cash)
+        total_cash = int(cash.sum("v"))
+        share = (
+            cash.repartition(nparts)
+            .join(outd, join_type="inner", num_partitions=nparts, on=("node",))
+            .map_batches(
+                lambda b: pa.table(
+                    {
+                        "node": b.column("node"),
+                        "v": pa.array(
+                            b.column("v").to_numpy(zero_copy_only=False)
+                            // b.column("od").to_numpy(zero_copy_only=False),
+                            pa.int64(),
+                        ),
+                        "held": b.column("v"),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        pool = total_cash - int(share.sum("held") or 0)
+        contrib = (
+            edges.repartition(nparts)
+            .join(
+                share.map_batches(
+                    lambda b: pa.table(
+                        {"src": b.column("node"), "v": b.column("v")}
+                    ),
+                    batch_format="pyarrow",
+                ).repartition(nparts),
+                join_type="inner",
+                num_partitions=nparts,
+                on=("src",),
+            )
+            .map_batches(
+                lambda b: pa.table(
+                    {
+                        "node": b.column("dst"),
+                        "v": pc.multiply(b.column("cnt"), b.column("v")),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        cash = add_vecs(contrib, const_vec(pool // n_nodes))
+
+    return history.map_batches(
+        lambda b: pa.table(
+            {"custkey": b.column("node"), "history": b.column("v")}
+        ),
+        batch_format="pyarrow",
+    )

@@ -513,3 +513,26 @@ def test_hits_distributed_path_equals_broadcast(ray_session):
     pd.testing.assert_frame_equal(a, b, check_exact=True)
     # rescale invariant: every round tops out at exactly e6
     assert a["auth_e6"].max() == 10**6 and a["hub_e6"].max() == 10**6
+
+
+def test_opic_distributed_matches_broadcast(ray_session):
+    """q_opic's Dataset-resident cash/history path (the 100-TB regime)
+    must reproduce the broadcast path bit-for-bit — all arithmetic is
+    int64 with floored divisions, so equality is exact; and total cash
+    is conserved up to the deterministic flooring losses (history sums
+    to <= n_rounds * 10^12, > 90% of it)."""
+    import pandas as pd
+
+    from heroshi_ray.pipelines.dataops import q_opic
+
+    def norm(res):
+        df = res.to_pandas() if hasattr(res, "to_pandas") else res
+        return df.sort_values("custkey").reset_index(drop=True).astype("int64")
+
+    a = norm(q_opic(SF_DIR))
+    b = norm(q_opic(SF_DIR, force_distributed=True))
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+    total = int(a["history"].sum())
+    assert total <= 3 * 10**12
+    assert total > 0.9 * 3 * 10**12  # flooring loses < 10% of the mass
+    assert a["history"].nunique() > 1  # the graph actually differentiates
