@@ -248,6 +248,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_train_val_split": d.q_train_val_split,
         "q_shard_assign": d.q_shard_assign,
         "q_opic": d.q_opic,
+        "q_clip_retrieval_eval": d.q_clip_retrieval_eval,
     }
 
 

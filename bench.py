@@ -265,6 +265,7 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         "q_train_val_split",
         "q_shard_assign",
         "q_opic",
+        "q_clip_retrieval_eval",
     ]
     # per-query best-of-2 with the same rationale as the headline reps.
     # The two sub-2 s fixed-overhead-dominated queries get extra reps:

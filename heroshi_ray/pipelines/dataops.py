@@ -6638,3 +6638,101 @@ def q_opic(
         ),
         batch_format="pyarrow",
     )
+
+
+def q_clip_retrieval_eval(sf_dir: str, n_q: int = 24, ks: tuple = (1, 5, 10)):
+    """Caption->image retrieval recall@k — the standard CLIP-style
+    alignment-quality eval (Radford et al. 2021 §3.3 evaluate exactly
+    this on Flickr/COCO): embed ``n_q`` query captions and every corpus
+    image into the shared space, rank images per caption by cosine, and
+    report the fraction of captions whose own image lands in the top-k.
+    Curation pipelines run this after gates/dedup to check the corpus
+    still aligns.
+
+    Scale shape: queries = the first n_q captions by image_id, picked
+    with the partial-min + tiny-merge pattern (never a full read); the
+    (n_q x 64) query matrix rides ray.put; the image side is ONE
+    actor-pool pass (projection loads once per actor) emitting per-batch
+    per-query top-max(k) candidates — driver merge sees <= n_q * k *
+    n_blocks rows, corpus-size-independent per block. Ties break
+    (cosine desc, image_id asc); not SQL-expressible (feature-hash +
+    projection embeddings), pinned against a no-Ray replica in tests.
+    Output: (k, n_queries, hits, recall_e4)."""
+    from ..stages.multimodal import (
+        ImageFeatureStage,
+        image_embed64,
+        make_align_proj,
+        text_embed64,
+    )
+
+    kmax = max(ks)
+    ds = ray.data.read_parquet(_ensure_corpus64())
+
+    def qpart(batch: pa.Table) -> pa.Table:
+        order = pc.sort_indices(batch, sort_keys=[("image_id", "ascending")])
+        t = batch.select(["image_id", "caption"]).take(order[:n_q])
+        return t
+
+    qdf = (
+        ds.map_batches(qpart, batch_format="pyarrow")
+        .to_pandas()  # <= n_q * n_blocks rows
+        .sort_values("image_id")
+        .head(n_q)
+    )
+    qids = qdf["image_id"].tolist()
+    qmat = ray.put(text_embed64(qdf["caption"].tolist()))
+
+    class TopKStage:
+        def __init__(self, qref):
+            self.proj = make_align_proj()
+            self.feat = ImageFeatureStage()
+            # qref arrives as [ObjectRef] — the list wrapper stops Ray
+            # from inlining the matrix into every actor's args
+            self.q = ray.get(qref[0])
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            feats = np.asarray(
+                self.feat(batch).column("features").to_pylist(), np.float64
+            )
+            iv = image_embed64(feats, self.proj)
+            ids = np.asarray(batch.column("image_id").to_pylist())
+            sims = self.q @ iv.T  # (n_q, batch)
+            # deterministic per-query partial top-k: sim desc, id asc
+            order = np.lexsort((ids[None, :].repeat(len(sims), 0), -sims), axis=1)
+            take = order[:, :kmax]
+            nq, kk = take.shape
+            qi = np.repeat(np.arange(nq, dtype=np.int64), kk)
+            return pa.table(
+                {
+                    "qi": pa.array(qi, pa.int64()),
+                    "image_id": pa.array(ids[take.reshape(-1)], pa.string()),
+                    "sim": pa.array(
+                        np.take_along_axis(sims, take, 1).reshape(-1),
+                        pa.float64(),
+                    ),
+                }
+            )
+
+    cand = ds.map_batches(
+        TopKStage,
+        fn_constructor_kwargs={"qref": [qmat]},
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=(1, 2),
+        num_cpus=0.5,
+    ).to_pandas()  # <= n_q * kmax * n_blocks rows
+
+    rows = {"k": [], "n_queries": [], "hits": [], "recall_e4": []}
+    for k in ks:
+        hits = 0
+        for qi, g in cand.groupby("qi"):
+            g = g.sort_values(["sim", "image_id"], ascending=[False, True],
+                              kind="mergesort").head(k)
+            hits += int(qids[int(qi)] in set(g["image_id"]))
+        rows["k"].append(int(k))
+        rows["n_queries"].append(len(qids))
+        rows["hits"].append(hits)
+        rows["recall_e4"].append(hits * 10_000 // len(qids))
+    return pa.table(
+        {c: pa.array(v, pa.int64()) for c, v in rows.items()}
+    )

@@ -126,3 +126,44 @@ def test_alignment_score_stage_matches_pure_composition(ray_session):
     df = q_caption_align("/root/testdata/sf0.001").to_pandas()
     assert set(df.columns) == {"image_id", "align_e4", "keep"}
     assert ((df["keep"] == 1) == (df["align_e4"] >= 0)).all()
+
+
+def test_clip_retrieval_eval_matches_replica(ray_session):
+    """The distributed partial-top-k retrieval eval must equal a no-Ray
+    replica that ranks the FULL similarity matrix (same embeddings,
+    same (cosine desc, image_id asc) tie-break)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from heroshi_ray.pipelines.dataops import (
+        _ensure_corpus64,
+        q_clip_retrieval_eval,
+    )
+    from heroshi_ray.stages.multimodal import (
+        ImageFeatureStage,
+        image_embed64,
+        make_align_proj,
+        text_embed64,
+    )
+
+    out = q_clip_retrieval_eval("/root/testdata/sf0.001").to_pandas()
+
+    t = pq.read_table(_ensure_corpus64())
+    ids = np.asarray(t.column("image_id").to_pylist())
+    order = np.argsort(ids)
+    n_q = 24
+    qidx = order[:n_q]
+    qv = text_embed64([t.column("caption")[int(i)].as_py() for i in qidx])
+    feats = np.asarray(
+        ImageFeatureStage()(t).column("features").to_pylist(), np.float64
+    )
+    iv = image_embed64(feats, make_align_proj())
+    sims = qv @ iv.T
+    rank = np.lexsort((ids[None, :].repeat(n_q, 0), -sims), axis=1)
+    for _, row in out.iterrows():
+        k = int(row["k"])
+        hits = sum(
+            ids[qidx[qi]] in set(ids[rank[qi, :k]]) for qi in range(n_q)
+        )
+        assert row["hits"] == hits and row["n_queries"] == n_q
+        assert row["recall_e4"] == hits * 10_000 // n_q
