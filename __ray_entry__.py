@@ -249,6 +249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_shard_assign": d.q_shard_assign,
         "q_opic": d.q_opic,
         "q_clip_retrieval_eval": d.q_clip_retrieval_eval,
+        "q_llm_corpus_run": c.q_llm_corpus_run,
     }
 
 

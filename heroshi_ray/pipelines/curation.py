@@ -132,3 +132,178 @@ def q_curate_shards(sf_dir: str):
 
     out = "/tmp/heroshi_ray_cache/curate_shards"
     return curate_to_shards(_ensure_curate_corpus(), out, samples_per_shard=64)
+
+
+def llm_corpus_run(
+    sf_dir: str,
+    out_dir: str,
+    *,
+    n_shards: int = 8,
+    decon_n: int = 16,
+    eval_mod: int = 97,
+) -> "ray.data.Dataset":
+    """End-to-end TEXT corpus production — the LLM-pretraining twin of
+    curate_to_shards (what a user runs nightly to turn a crawled text
+    corpus into training-ready shards):
+
+        read documents
+          -> Gopher rule gate          (gopher_flags — Rae+'21 A1.1)
+          -> LR quality gate           (quality_z > 0 — Brown+'20 A)
+          -> exact text dedup          (first doc_id per text, one
+                                        hash-bucket shuffle)
+          -> benchmark decontamination (drop eval docs AND train docs
+                                        sharing a 16-char gram —
+                                        GPT-3 App. C shape)
+          -> size-rank shard routing   (size_rank_shards, no global
+                                        sort)
+          -> one parquet file per shard dir (tmp+rename, skip-if-done)
+             + manifest Dataset (shard, n_docs, n_tokens, path)
+
+    Every gate kernel is the SAME function its standalone oracled query
+    runs, so the composite's survivor set is pinned transitively; the
+    composite itself is pinned against a single-process replica and
+    re-run idempotency in tests/test_curation_pipeline.py.
+
+    Scale shape: gates stream and prune BEFORE the dedup shuffle (the
+    only all-to-all that moves text; int64 bucket keys); the eval-gram
+    set is benchmark-sized by definition and rides ray.put; shard
+    routing shuffles (doc_id, w) ints only, then text attaches via one
+    distributed hash join keyed on doc_id; each shard dir writes
+    atomically so a failed run resumes per shard."""
+    import os
+
+    import pyarrow.parquet as pq_mod
+    import pyarrow.compute as pc
+
+    from ..runtime import join_partitions, tune_join_resources
+    from ..stages.dedup import dedup_first
+    from .dataops import _pq, gopher_flags, quality_z, size_rank_shards
+
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text", "lang", "source"],
+             split=True)
+
+    # -- benchmark gram set (from the RAW corpus, q_decontaminate's rule)
+    def eval_grams(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        grams: set[str] = set()
+        for i, t in zip(ids, texts):
+            if int(i) % eval_mod == 0 and t and len(t) >= decon_n:
+                grams.update(
+                    t[j : j + decon_n] for j in range(len(t) - decon_n + 1)
+                )
+        return pa.table({"g": pa.array(sorted(grams), pa.string())})
+
+    ev = (
+        ds.map_batches(eval_grams, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("g")
+        .count()
+        .select_columns(["g"])
+        .take_all()
+    )  # benchmark-sized by definition
+    ev_ref = ray.put(pa.array([r["g"] for r in ev], pa.string()))
+
+    def gates(batch: pa.Table) -> pa.Table:
+        keep = gopher_flags(batch.column("text")).column("keep").to_numpy(
+            zero_copy_only=False
+        ).astype(bool)
+        keep &= quality_z(batch.column("text")) > 0.0
+        # eval docs themselves never enter the training corpus
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        keep &= (ids % eval_mod) != 0
+        out = batch.filter(pa.array(keep))
+        if out.num_rows == 0:
+            return out
+        # contamination: any shared 16-gram with the benchmark set —
+        # q_decontaminate's flat-array + reduceat kernel (one pc.is_in
+        # per batch, no per-row dispatch)
+        evs = ray.get(ev_ref)
+        flat: list[str] = []
+        offs = []
+        for t in out.column("text").to_pylist():
+            offs.append(len(flat))
+            flat.extend(
+                {t[j : j + decon_n] for j in range(max(len(t) - decon_n + 1, 0))}
+            )
+        offs.append(len(flat))
+        if not flat:
+            return out
+        member = pc.is_in(
+            pa.array(flat, pa.string()), value_set=evs
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        bounds = np.asarray(offs, np.int64)
+        hit = np.add.reduceat(
+            np.concatenate([member, [0]]), np.minimum(bounds[:-1], len(member))
+        ) * (np.diff(bounds) > 0)
+        return out.filter(pa.array(hit == 0))
+
+    gated = ds.map_batches(gates, batch_format="pyarrow", zero_copy_batch=True)
+    deduped = dedup_first(
+        gated, key="text", tie_cols=("doc_id",), n_buckets=default_buckets()
+    ).materialize()
+
+    # -- shard routing on ints, text re-attached by one hash join
+    import polars as pl
+
+    def toklen(batch: pa.Table) -> pa.Table:
+        w = (
+            pl.from_arrow(batch.column("text"))
+            .str.split(" ")
+            .list.len()
+            .cast(pl.Int64)
+            .to_numpy()
+        )
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "w": pa.array(w, pa.int64())}
+        )
+
+    lens = deduped.map_batches(toklen, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    routed = size_rank_shards(lens, n_shards)
+    tune_join_resources()
+    nparts = join_partitions(8)
+    sharded = deduped.repartition(nparts).join(
+        routed.select_columns(["doc_id", "shard"]).repartition(nparts),
+        join_type="inner",
+        num_partitions=nparts,
+        on=("doc_id",),
+    )
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_shard(g: pd.DataFrame) -> pd.DataFrame:
+        s = int(g["shard"].iloc[0])
+        g = g.sort_values("doc_id", kind="mergesort").drop(columns="shard")
+        d = os.path.join(out_dir, f"shard={s}")
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, "part-0.parquet")
+        if not os.path.exists(path):  # resumable: skip finished shards
+            tmp = path + ".tmp"
+            pq_mod.write_table(pa.Table.from_pandas(g, preserve_index=False), tmp)
+            os.replace(tmp, path)
+        n_tok = int(
+            pl.from_pandas(g["text"]).str.split(" ").list.len().sum()
+        )
+        return pd.DataFrame(
+            {
+                "shard": [s],
+                "n_docs": [len(g)],
+                "n_tokens": [n_tok],
+                "path": [path],
+            }
+        )
+
+    return sharded.groupby("shard").map_groups(write_shard,
+                                               batch_format="pandas")
+
+
+def q_llm_corpus_run(sf_dir: str):
+    """Driver-surface wrapper: the full text-corpus production composite
+    over the documents table; returns the shard manifest (rows-only
+    check — the survivor set, shard totals, resume idempotency and
+    round-trip are pinned in tests/test_curation_pipeline.py)."""
+    import shutil
+
+    out = "/tmp/heroshi_ray_cache/llm_corpus_run"
+    shutil.rmtree(out, ignore_errors=True)  # fresh run per invocation
+    return llm_corpus_run(sf_dir, out)

@@ -5102,6 +5102,46 @@ def q_lm_score(sf_dir: str, V: int = 129, keep_cols: tuple = ()):
 GOPHER_STOP8 = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
+def gopher_flags(text_col) -> pa.Table:
+    """q_gopher_gate's exact rule kernel, factored so composites
+    (llm_corpus_run) apply the identical gate: Arrow string column in,
+    Arrow table (n_words, wchars, n_sym, n_alpha, n_stop, keep) out.
+    All ratios cross-multiplied int64 — see q_gopher_gate."""
+    import polars as pl
+
+    s = pl.from_arrow(text_col).rename("t")
+    toks = s.str.extract_all(r"\S+")
+    d = pl.select(
+        n_words=toks.list.len().cast(pl.Int64),
+        wchars=s.str.count_matches(r"\S").cast(pl.Int64),
+        n_sym=(
+            s.str.count_matches("#", literal=True)
+            + s.str.count_matches(r"\.\.\.")
+        ).cast(pl.Int64),
+        n_alpha=toks.list.eval(pl.element().str.contains("[A-Za-z]"))
+        .list.sum()
+        .fill_null(0)
+        .cast(pl.Int64),
+        n_stop=toks.list.eval(
+            pl.element().str.to_lowercase().is_in(list(GOPHER_STOP8))
+        )
+        .list.sum()
+        .fill_null(0)
+        .cast(pl.Int64),
+    )
+    return d.with_columns(
+        keep=(
+            (pl.col("n_words") >= 8)
+            & (pl.col("n_words") <= 50_000)
+            & (2 * pl.col("n_words") <= pl.col("wchars"))
+            & (pl.col("wchars") <= 12 * pl.col("n_words"))
+            & (10 * pl.col("n_sym") <= pl.col("n_words"))
+            & (5 * pl.col("n_alpha") >= 4 * pl.col("n_words"))
+            & (pl.col("n_stop") >= 2)
+        ).cast(pl.Int64)
+    ).to_arrow()
+
+
 def q_gopher_gate(sf_dir: str):
     """Gopher/MassiveText rule-based quality gate (Rae et al. 2021,
     Appendix A1.1), integer-exact so it hash-checks against the DuckDB
@@ -5119,41 +5159,10 @@ def q_gopher_gate(sf_dir: str):
     All ratios are cross-multiplied so no float ever crosses the
     comparison; fully vectorized (polars regex + list kernels), pure
     streaming map, zero shuffle."""
-    import polars as pl
-
     ds = _pq(sf_dir, "documents", columns=["doc_id", "text"])
-    stop = list(GOPHER_STOP8)
 
     def gate(batch: pa.Table) -> pa.Table:
-        s = pl.from_arrow(batch.column("text")).rename("t")
-        toks = s.str.extract_all(r"\S+")
-        d = pl.select(
-            n_words=toks.list.len().cast(pl.Int64),
-            wchars=s.str.count_matches(r"\S").cast(pl.Int64),
-            n_sym=(
-                s.str.count_matches("#", literal=True)
-                + s.str.count_matches(r"\.\.\.")
-            ).cast(pl.Int64),
-            n_alpha=toks.list.eval(pl.element().str.contains("[A-Za-z]"))
-            .list.sum()
-            .fill_null(0)
-            .cast(pl.Int64),
-            n_stop=toks.list.eval(pl.element().str.to_lowercase().is_in(stop))
-            .list.sum()
-            .fill_null(0)
-            .cast(pl.Int64),
-        )
-        d = d.with_columns(
-            keep=(
-                (pl.col("n_words") >= 8)
-                & (pl.col("n_words") <= 50_000)
-                & (2 * pl.col("n_words") <= pl.col("wchars"))
-                & (pl.col("wchars") <= 12 * pl.col("n_words"))
-                & (10 * pl.col("n_sym") <= pl.col("n_words"))
-                & (5 * pl.col("n_alpha") >= 4 * pl.col("n_words"))
-                & (pl.col("n_stop") >= 2)
-            ).cast(pl.Int64)
-        ).to_arrow()
+        d = gopher_flags(batch.column("text"))
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
@@ -6163,6 +6172,34 @@ def q_c4_clean(sf_dir: str):
     return ds.map_batches(clean, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def quality_z(text_col) -> np.ndarray:
+    """q_quality_classifier's exact logit kernel, factored so composites
+    (llm_corpus_run) apply the identical gate: Arrow string column in,
+    float64 z vector out. Literals must stay text-identical to the
+    DuckDB twin."""
+    import polars as pl
+
+    toks = pl.from_arrow(text_col).str.split(" ")
+    w = toks.list.len().cast(pl.Int64).to_numpy().astype(np.float64)
+    c = (
+        pl.from_arrow(text_col)
+        .str.len_chars()
+        .cast(pl.Int64)
+        .to_numpy()
+        .astype(np.float64)
+    )
+    u = toks.list.unique().list.len().cast(pl.Int64).to_numpy().astype(
+        np.float64
+    )
+    s = (
+        (toks.list.count_matches("the") + toks.list.count_matches("a"))
+        .cast(pl.Int64)
+        .to_numpy()
+        .astype(np.float64)
+    )
+    return -2.5 + 0.021 * w + 0.0017 * c + 0.045 * u - 0.09 * s
+
+
 def q_quality_classifier(sf_dir: str):
     """GPT-3-style logistic-regression document-quality gate (Brown et
     al. 2020, Appendix A: a linear classifier over cheap text features
@@ -6186,18 +6223,7 @@ def q_quality_classifier(sf_dir: str):
     ds = _pq(sf_dir, "documents", columns=["doc_id", "text"], split=True)
 
     def score(batch: pa.Table) -> pa.Table:
-        toks = pl.from_arrow(batch.column("text")).str.split(" ")
-        w = toks.list.len().cast(pl.Int64).to_numpy().astype(np.float64)
-        c = pl.from_arrow(batch.column("text")).str.len_chars().cast(
-            pl.Int64
-        ).to_numpy().astype(np.float64)
-        u = toks.list.unique().list.len().cast(pl.Int64).to_numpy().astype(
-            np.float64
-        )
-        s = (
-            toks.list.count_matches("the") + toks.list.count_matches("a")
-        ).cast(pl.Int64).to_numpy().astype(np.float64)
-        z = -2.5 + 0.021 * w + 0.0017 * c + 0.045 * u - 0.09 * s
+        z = quality_z(batch.column("text"))
         p = 1.0 / (1.0 + np.exp(-z))
         out = pa.table(
             {
@@ -6409,6 +6435,22 @@ def q_shard_assign(sf_dir: str, n_shards: int = 16):
         toklen, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()  # reused by both passes; (id, int64) pairs only
 
+    return (
+        size_rank_shards(lens, n_shards)
+        .groupby("shard")
+        .aggregate(
+            Count(alias_name="n_docs"), Sum("w", alias_name="tok_total")
+        )
+    )
+
+
+def size_rank_shards(lens, n_shards: int):
+    """q_shard_assign's per-doc routing, factored so composites
+    (llm_corpus_run) reuse it: (doc_id, w) Dataset in, (doc_id, w,
+    shard) out, shard = global (w desc, doc_id asc) rank % n_shards —
+    computed WITHOUT a global sort (per-w offsets + within-w ranks)."""
+    from ray.data.aggregate import Count
+
     wcounts = {
         r["w"]: r["c"]
         for r in lens.groupby("w").aggregate(Count(alias_name="c")).take_all()
@@ -6424,17 +6466,14 @@ def q_shard_assign(sf_dir: str, n_shards: int = 16):
         ids = np.sort(g["doc_id"].to_numpy())
         rn = offset[w] + np.arange(len(ids), dtype=np.int64)
         return pd.DataFrame(
-            {"shard": rn % n_shards, "w": np.full(len(ids), w, np.int64)}
+            {
+                "doc_id": ids,
+                "w": np.full(len(ids), w, np.int64),
+                "shard": rn % n_shards,
+            }
         )
 
-    return (
-        lens.groupby("w")
-        .map_groups(rank_in_w, batch_format="pandas")
-        .groupby("shard")
-        .aggregate(
-            Count(alias_name="n_docs"), Sum("w", alias_name="tok_total")
-        )
-    )
+    return lens.groupby("w").map_groups(rank_in_w, batch_format="pandas")
 
 
 def q_opic(
