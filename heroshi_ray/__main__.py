@@ -7,6 +7,7 @@ crawl     --fixtures DIR --workdir DIR [--epochs N --budget N] [--no-resume]
 verify    --workdir DIR --fixtures DIR
 schedule  --sf-dir DIR [--budget N]
 curate    --corpus PATH --out DIR [--samples-per-shard N]
+llm-corpus --sf-dir DIR --out DIR [--shards N]
 
 These own a Ray session (ray.init / ray.shutdown); the library itself
 never initialises Ray (driver contract, __ray_entry__.py).
@@ -73,6 +74,11 @@ def main(argv=None) -> int:
     cu.add_argument("--corpus", required=True)
     cu.add_argument("--out", required=True)
     cu.add_argument("--samples-per-shard", type=int, default=256)
+
+    lc = sub.add_parser("llm-corpus")
+    lc.add_argument("--sf-dir", required=True)
+    lc.add_argument("--out", required=True)
+    lc.add_argument("--shards", type=int, default=8)
 
     args = p.parse_args(argv)
 
@@ -164,6 +170,21 @@ def main(argv=None) -> int:
                         "samples": int(m["n_samples"].sum()),
                         "bytes": int(m["n_bytes"].sum()),
                         "buckets": sorted(m["partition"].unique().tolist()),
+                    }
+                )
+            )
+        elif args.cmd == "llm-corpus":
+            from .pipelines.curation import llm_corpus_run
+
+            m = llm_corpus_run(
+                args.sf_dir, args.out, n_shards=args.shards
+            ).to_pandas()
+            print(
+                json.dumps(
+                    {
+                        "shards": int(len(m)),
+                        "docs": int(m["n_docs"].sum()),
+                        "tokens": int(m["n_tokens"].sum()),
                     }
                 )
             )
