@@ -250,6 +250,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_opic": d.q_opic,
         "q_clip_retrieval_eval": d.q_clip_retrieval_eval,
         "q_llm_corpus_run": c.q_llm_corpus_run,
+        "q_crawl_delta": w.q_crawl_delta,
     }
 
 
@@ -2424,6 +2425,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(c0.v + c1.v + c2.v AS BIGINT) AS history
             FROM c0 JOIN c1 ON c1.node = c0.node
                     JOIN c2 ON c2.node = c0.node
+        """,
+        "q_crawl_delta": r"""
+            WITH a AS (
+              SELECT doc_id, md5(text) AS h FROM documents
+            ), b AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0 THEN md5(text || 'x')
+                          ELSE md5(text) END AS h
+              FROM documents WHERE doc_id % 13 != 0
+              UNION ALL
+              SELECT doc_id + 1000000, md5(text)
+              FROM documents WHERE doc_id % 17 = 0
+            )
+            SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+                   CASE WHEN b.doc_id IS NULL THEN 'gone'
+                        WHEN a.doc_id IS NULL THEN 'new'
+                        WHEN a.h != b.h THEN 'changed'
+                        ELSE 'unchanged' END AS status
+            FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
         """,
         "q_cooccur_pairs": r"""
             WITH w AS (

@@ -658,3 +658,79 @@ def q_anchor_agg(sf_dir: str, n_targets: int = 200, n_anchors: int = 30):
         .groupby("__b")
         .map_groups(rollup, batch_format="pandas")
     )
+
+
+def q_crawl_delta(sf_dir: str):
+    """Recrawl snapshot reconciliation — the delta report every
+    incremental crawler computes between epoch N-1 and epoch N of the
+    same URL space: which pages are NEW, GONE, CHANGED (content digest
+    moved) or UNCHANGED. Heroshi-class crawlers drive revisit
+    scheduling and index invalidation off exactly this join.
+
+    Snapshot A = the documents table (doc_id, md5(text)); snapshot B is
+    a FIXED deterministic mutation the DuckDB twin reconstructs: docs
+    with doc_id%7==0 change (text||'x'), docs with doc_id%13==0 drop
+    out, and every doc_id%17==0 also reappears as a brand-new page at
+    doc_id+1000000 (the q_pii_redact template-fixture pattern). Digests
+    are md5 hex — hashlib and DuckDB md5() agree byte-for-byte, which
+    is the point: at 100 TB you diff DIGESTS, never text.
+
+    Scale shape: q_full_outer's layout — both snapshots stream to
+    (doc_id, digest, side) rows, ONE bucketed shuffle on doc_id moves
+    32-byte digests (never text), per-bucket vectorized pandas outer
+    merge emits the status. Output: (doc_id, status)."""
+    import hashlib
+
+    n_bkt = default_buckets()
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"], split=True)
+
+    def snapshots(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        out_id, out_h, out_side = [], [], []
+        for i, t in zip(ids, texts):
+            i = int(i)
+            h = hashlib.md5(t.encode()).hexdigest()
+            out_id.append(i); out_h.append(h); out_side.append(0)  # A
+            if i % 13 != 0:  # survives into B
+                hb = (
+                    hashlib.md5((t + "x").encode()).hexdigest()
+                    if i % 7 == 0 else h
+                )
+                out_id.append(i); out_h.append(hb); out_side.append(1)
+            if i % 17 == 0:  # brand-new page in B
+                out_id.append(i + 1000000); out_h.append(h); out_side.append(1)
+        t = pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "h": pa.array(out_h, pa.string()),
+                "side": pa.array(out_side, pa.int8()),
+            }
+        )
+        return t.append_column(
+            "__b",
+            pa.array(
+                (np.asarray(out_id, np.int64) % n_bkt).astype(np.int32),
+                pa.int32(),
+            ),
+        )
+
+    def reconcile(g: pd.DataFrame) -> pd.DataFrame:
+        a = g[g["side"] == 0][["doc_id", "h"]]
+        b = g[g["side"] == 1][["doc_id", "h"]]
+        m = a.merge(b, on="doc_id", how="outer", suffixes=("_a", "_b"))
+        status = np.where(
+            m["h_b"].isna(), "gone",
+            np.where(
+                m["h_a"].isna(), "new",
+                np.where(m["h_a"] != m["h_b"], "changed", "unchanged"),
+            ),
+        )
+        return pd.DataFrame({"doc_id": m["doc_id"].astype("int64"),
+                             "status": status})
+
+    return (
+        ds.map_batches(snapshots, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(reconcile, batch_format="pandas")
+    )
