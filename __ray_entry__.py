@@ -251,6 +251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_clip_retrieval_eval": d.q_clip_retrieval_eval,
         "q_llm_corpus_run": c.q_llm_corpus_run,
         "q_crawl_delta": w.q_crawl_delta,
+        "q_winnowing": d.q_winnowing,
     }
 
 
@@ -2444,6 +2445,24 @@ def oracle_sql() -> dict[str, str]:
                         WHEN a.h != b.h THEN 'changed'
                         ELSE 'unchanged' END AS status
             FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+        """,
+        "q_winnowing": r"""
+            WITH nums AS (
+              SELECT CAST(row_number() OVER () AS BIGINT) AS i FROM lineitem
+              QUALIFY i <= (SELECT max(length(text)) FROM documents)
+            ), g AS (
+              SELECT doc_id, i, substring(text, i, 5) AS gram,
+                     length(text) - 5 + 1 AS n
+              FROM documents, nums
+              WHERE i <= length(text) - 5 + 1
+            ), m AS (
+              SELECT doc_id, i, n,
+                     MIN(gram) OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS gram
+              FROM g
+            )
+            SELECT DISTINCT doc_id, gram
+            FROM m WHERE i <= n - 4 + 1
         """,
         "q_cooccur_pairs": r"""
             WITH w AS (

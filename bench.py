@@ -268,6 +268,7 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         "q_clip_retrieval_eval",
         "q_llm_corpus_run",
         "q_crawl_delta",
+        "q_winnowing",
     ]
     # per-query best-of-2 with the same rationale as the headline reps.
     # The two sub-2 s fixed-overhead-dominated queries get extra reps:

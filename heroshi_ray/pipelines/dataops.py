@@ -6775,3 +6775,49 @@ def q_clip_retrieval_eval(sf_dir: str, n_q: int = 24, ks: tuple = (1, 5, 10)):
     return pa.table(
         {c: pa.array(v, pa.int64()) for c, v in rows.items()}
     )
+
+
+def q_winnowing(sf_dir: str, k: int = 5, w: int = 4):
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): slide a window of ``w``
+    consecutive character ``k``-grams over each doc and keep the
+    minimum gram of every window; the selected set is a position-robust
+    fingerprint with guaranteed coverage (any match of length >= w+k-1
+    shares a fingerprint). The paper minimizes by HASH; this replica
+    minimizes by LEXICOGRAPHIC gram order — same guarantees, and it
+    lets the DuckDB twin reproduce the selection exactly with
+    MIN() OVER a rows window (no hash function to match).
+
+    Scale shape: ONE streaming map_batches pass, zero shuffle — each
+    doc's grams vectorize as a numpy '<U{k}' array and the window min
+    is a (w-1)-fold np.minimum reduction over shifted views; output is
+    the DISTINCT (doc_id, gram) fingerprint set (per-doc local dedup,
+    nothing global). Fingerprint matching downstream is one
+    gram-keyed shuffle (q_dup_spans' posting layout)."""
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"], split=True)
+
+    def fp(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        out_id: list[int] = []
+        out_g: list[str] = []
+        for i, t in zip(ids, batch.column("text").to_pylist()):
+            n = len(t) - k + 1
+            if n < w:
+                continue
+            g = np.array([t[j : j + k] for j in range(n)])
+            m = g[: n - w + 1]
+            for s in range(1, w):
+                # np.minimum has no unicode loop; elementwise < does
+                nxt = g[s : n - w + 1 + s]
+                m = np.where(nxt < m, nxt, m)
+            sel = np.unique(m)
+            out_id.extend([int(i)] * len(sel))
+            out_g.extend(sel.tolist())
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "gram": pa.array(out_g, pa.string()),
+            }
+        )
+
+    return ds.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
