@@ -252,6 +252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_llm_corpus_run": c.q_llm_corpus_run,
         "q_crawl_delta": w.q_crawl_delta,
         "q_winnowing": d.q_winnowing,
+        "q_corpus_card": d.q_corpus_card,
     }
 
 
@@ -2463,6 +2464,54 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT DISTINCT doc_id, gram
             FROM m WHERE i <= n - 4 + 1
+        """,
+        "q_corpus_card": r"""
+            WITH t AS (
+              SELECT doc_id, text, lang, source,
+                     regexp_extract_all(text, '\S+') AS toks,
+                     len(string_split(text, ' ')) AS n_tok
+              FROM documents
+            ), c AS (
+              SELECT doc_id, lang, source, n_tok,
+                     CAST(len(toks) AS BIGINT) AS n_words,
+                     CAST(length(regexp_replace(text, '\s', '', 'g'))
+                          AS BIGINT) AS wchars,
+                     CAST(length(text) - length(replace(text, '#', ''))
+                          + (length(text)
+                             - length(replace(text, '...', ''))) // 3
+                          AS BIGINT) AS n_sym,
+                     CAST(len(list_filter(toks,
+                          x -> regexp_matches(x, '[A-Za-z]')))
+                          AS BIGINT) AS n_alpha,
+                     CAST(len(list_filter(toks,
+                          x -> lower(x) IN ('the','be','to','of','and',
+                                            'that','have','with')))
+                          AS BIGINT) AS n_stop,
+                     -2.5 + 0.021 * CAST(len(string_split(text, ' '))
+                                         AS DOUBLE)
+                          + 0.0017 * CAST(length(text) AS DOUBLE)
+                          + 0.045 * CAST(len(list_distinct(
+                                string_split(text, ' '))) AS DOUBLE)
+                          - 0.09 * CAST(len(list_filter(
+                                string_split(text, ' '),
+                                x -> x IN ('the', 'a'))) AS DOUBLE) AS z
+              FROM t
+            )
+            SELECT lang, source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+                   CAST(MIN(n_tok) AS BIGINT) AS min_tokens,
+                   CAST(MAX(n_tok) AS BIGINT) AS max_tokens,
+                   CAST(SUM(CAST(n_words BETWEEN 8 AND 50000
+                        AND 2 * n_words <= wchars
+                        AND wchars <= 12 * n_words
+                        AND 10 * n_sym <= n_words
+                        AND 5 * n_alpha >= 4 * n_words
+                        AND n_stop >= 2 AS BIGINT)) AS BIGINT)
+                     AS n_gopher_pass,
+                   CAST(SUM(CAST(z > 0.0 AS BIGINT)) AS BIGINT)
+                     AS n_quality_pass
+            FROM c GROUP BY lang, source
         """,
         "q_cooccur_pairs": r"""
             WITH w AS (

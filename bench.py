@@ -269,6 +269,7 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         "q_llm_corpus_run",
         "q_crawl_delta",
         "q_winnowing",
+        "q_corpus_card",
     ]
     # per-query best-of-2 with the same rationale as the headline reps.
     # The two sub-2 s fixed-overhead-dominated queries get extra reps:

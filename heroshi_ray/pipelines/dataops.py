@@ -6821,3 +6821,72 @@ def q_winnowing(sf_dir: str, k: int = 5, w: int = 4):
         )
 
     return ds.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_corpus_card(sf_dir: str):
+    """Corpus datasheet / data card rollup (the per-slice composition
+    table a dataset release ships — Gebru et al. 2021 'Datasheets for
+    Datasets' §3.2 made it standard practice): per (lang, source) the
+    doc count, token mass, token length min/max, and how many docs pass
+    the Gopher rule gate and the LR quality gate — the numbers mixture
+    planning (q_data_mix / q_temperature_mix) consumes.
+
+    Scale shape: ONE streaming pass computes every per-doc metric with
+    the SAME factored kernels the oracled gates run (gopher_flags /
+    quality_z), a per-batch combiner collapses to (lang, source)
+    partials, and the only shuffle is the |lang x source|-row groupby —
+    corpus-size-independent payload."""
+    import polars as pl
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _pq(
+        sf_dir, "documents", columns=["doc_id", "text", "lang", "source"],
+        split=True,
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = (
+            pl.from_arrow(batch.column("text"))
+            .str.split(" ")
+            .list.len()
+            .cast(pl.Int64)
+            .to_numpy()
+        )
+        gop = gopher_flags(batch.column("text")).column("keep").to_numpy(
+            zero_copy_only=False
+        )
+        qual = (quality_z(batch.column("text")) > 0.0).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "lang": batch.column("lang").to_pylist(),
+                "source": batch.column("source").to_pylist(),
+                "n_docs": 1,
+                "n_tokens": toks,
+                "min_tokens": toks,
+                "max_tokens": toks,
+                "n_gopher_pass": gop,
+                "n_quality_pass": qual,
+            }
+        )
+        g = df.groupby(["lang", "source"], sort=True).agg(
+            n_docs=("n_docs", "sum"),
+            n_tokens=("n_tokens", "sum"),
+            min_tokens=("min_tokens", "min"),
+            max_tokens=("max_tokens", "max"),
+            n_gopher_pass=("n_gopher_pass", "sum"),
+            n_quality_pass=("n_quality_pass", "sum"),
+        )
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["lang", "source"])
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_tokens", alias_name="n_tokens"),
+            Min("min_tokens", alias_name="min_tokens"),
+            Max("max_tokens", alias_name="max_tokens"),
+            Sum("n_gopher_pass", alias_name="n_gopher_pass"),
+            Sum("n_quality_pass", alias_name="n_quality_pass"),
+        )
+    )
