@@ -253,6 +253,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_crawl_delta": w.q_crawl_delta,
         "q_winnowing": d.q_winnowing,
         "q_corpus_card": d.q_corpus_card,
+        "q_sessionize": r.q_sessionize,
+        "q_rollup": r.q_rollup,
     }
 
 
@@ -2512,6 +2514,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(z > 0.0 AS BIGINT)) AS BIGINT)
                      AS n_quality_pass
             FROM c GROUP BY lang, source
+        """,
+        "q_sessionize": r"""
+            WITH e AS (
+              SELECT user_id, event_id, epoch_us(ts) AS t FROM events
+            ), l AS (
+              SELECT user_id, event_id, t,
+                     LAG(t) OVER (PARTITION BY user_id
+                                  ORDER BY t, event_id) AS pt
+              FROM e
+            ), s AS (
+              SELECT user_id, t,
+                     SUM(CASE WHEN pt IS NULL OR t - pt > 1800000000
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY t, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess
+              FROM l
+            )
+            SELECT user_id,
+                   CAST(sess AS BIGINT) AS session_n,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(MIN(t) AS BIGINT) AS start_us,
+                   CAST(MAX(t) - MIN(t) AS BIGINT) AS dur_us
+            FROM s GROUP BY user_id, sess
+        """,
+        "q_rollup": r"""
+            SELECT COALESCE(lang, 'ALL') AS lang,
+                   COALESCE(source, 'ALL') AS source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                     AS n_tokens
+            FROM documents
+            GROUP BY ROLLUP (lang, source)
         """,
         "q_cooccur_pairs": r"""
             WITH w AS (

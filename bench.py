@@ -270,6 +270,8 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         "q_crawl_delta",
         "q_winnowing",
         "q_corpus_card",
+        "q_sessionize",
+        "q_rollup",
     ]
     # per-query best-of-2 with the same rationale as the headline reps.
     # The two sub-2 s fixed-overhead-dominated queries get extra reps:

@@ -5086,3 +5086,137 @@ def q_zscore(sf_dir: str):
         )
 
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_sessionize(sf_dir: str, gap_us: int = 1_800_000_000):
+    """Gap-based session windows over the event stream (the classic
+    sessionization every analytics engine ships: a new session starts
+    when a user is idle longer than ``gap_us`` — 30 min here, the
+    Google-Analytics default). Output per session: (user_id, session_n,
+    n_events, start_us, dur_us), all int64 microseconds so the window
+    twin hash-matches exactly.
+
+    Scale shape: ONE shuffle keyed on user-hash buckets (payload =
+    3 int64 columns, never props/values); per bucket a vectorized numpy
+    lexsort + gap-flag cumsum + segment reduce — no per-row Python.
+    Skewed users stay whole by construction (sessionization cannot
+    split a user), which is the operator's documented partitioning
+    assumption."""
+    n_bkt = default_buckets()
+    ds = _pq(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        t = batch.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "event_id": batch.column("event_id"),
+                "t": t,
+                "__b": pa.array((u % n_bkt).astype(np.int32), pa.int32()),
+            }
+        )
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy()
+        t = g["t"].to_numpy()
+        e = g["event_id"].to_numpy()
+        o = np.lexsort((e, t, u))
+        u, t = u[o], t[o]
+        new_user = np.empty(len(u), bool)
+        new_user[0] = True
+        new_user[1:] = u[1:] != u[:-1]
+        gap = np.empty(len(u), bool)
+        gap[0] = True
+        gap[1:] = (t[1:] - t[:-1]) > gap_us
+        new_sess = new_user | gap
+        # session_n restarts at 1 per user: global cumsum minus the
+        # cumsum value at the user's first row
+        cs = np.cumsum(new_sess)
+        user_base = np.maximum.accumulate(np.where(new_user, cs - 1, 0))
+        sess = cs - user_base
+        starts = np.flatnonzero(new_sess)
+        ends = np.append(starts[1:], len(u))
+        return pd.DataFrame(
+            {
+                "user_id": u[starts],
+                "session_n": sess[starts].astype(np.int64),
+                "n_events": (ends - starts).astype(np.int64),
+                "start_us": t[starts],
+                "dur_us": t[ends - 1] - t[starts],
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(sessions, batch_format="pandas")
+    )
+
+
+def q_rollup(sf_dir: str):
+    """GROUP BY ROLLUP (lang, source) — the subtotal/grand-total report
+    shape (SQL:1999 §7.9; every BI stack emits it): token and doc
+    totals at (lang, source), per-lang, and grand-total levels, rolled
+    levels labeled 'ALL' (the fixture never has NULL keys, so the
+    label is unambiguous and keeps both sides hashable).
+
+    Scale shape: the corpus collapses in ONE combiner groupby to the
+    output-scale (lang, source) base table; the two coarser levels
+    re-aggregate THAT table on the driver (|langs x sources| rows) —
+    rolling up never touches the corpus again."""
+    import polars as pl
+    from ray.data.aggregate import Sum
+
+    ds = _pq(sf_dir, "documents", columns=["text", "lang", "source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = (
+            pl.from_arrow(batch.column("text"))
+            .str.split(" ")
+            .list.len()
+            .cast(pl.Int64)
+            .to_numpy()
+        )
+        df = pd.DataFrame(
+            {
+                "lang": batch.column("lang").to_pylist(),
+                "source": batch.column("source").to_pylist(),
+                "n_docs": 1,
+                "n_tokens": toks,
+            }
+        )
+        g = df.groupby(["lang", "source"], sort=True, as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    base = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["lang", "source"])
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_tokens", alias_name="n_tokens"),
+        )
+        .to_pandas()  # output-scale: |langs x sources| rows
+    )
+    lang_lvl = (
+        base.groupby("lang", as_index=False)[["n_docs", "n_tokens"]]
+        .sum()
+        .assign(source="ALL")
+    )
+    grand = pd.DataFrame(
+        {
+            "lang": ["ALL"],
+            "source": ["ALL"],
+            "n_docs": [base["n_docs"].sum()],
+            "n_tokens": [base["n_tokens"].sum()],
+        }
+    )
+    out = pd.concat([base, lang_lvl, grand], ignore_index=True)
+    return pa.table(
+        {
+            "lang": pa.array(out["lang"].tolist(), pa.string()),
+            "source": pa.array(out["source"].tolist(), pa.string()),
+            "n_docs": pa.array(out["n_docs"].astype("int64"), pa.int64()),
+            "n_tokens": pa.array(out["n_tokens"].astype("int64"), pa.int64()),
+        }
+    )
