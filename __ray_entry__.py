@@ -255,6 +255,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_corpus_card": d.q_corpus_card,
         "q_sessionize": r.q_sessionize,
         "q_rollup": r.q_rollup,
+        "q_phash_clusters": d.q_phash_clusters,
     }
 
 

@@ -6890,3 +6890,72 @@ def q_corpus_card(sf_dir: str):
             Sum("n_quality_pass", alias_name="n_quality_pass"),
         )
     )
+
+
+def q_phash_clusters(sf_dir: str, max_hamming: int = 6, max_iters: int = 64):
+    """Perceptual-hash near-dup CLUSTERS — q_dedup_clusters' transitive
+    closure applied to the IMAGE payload: connected components over
+    q_phash_neardup's verified pair graph, so a~b and b~c collapse into
+    one canonical group even when a,c differ by > max_hamming (the rule
+    image dedup at corpus scale actually wants: burst shots / resizes
+    chain). Cluster id = the lexicographically-smallest member.
+
+    Layout: the edge-subgraph's string ids (output-scale — the near-dup
+    set, never the corpus) map to their LEXICOGRAPHIC RANK, an
+    order-preserving int64 bijection, so the min-int label propagation
+    of q_dedup_clusters (hash-min + pointer doubling; the
+    Dataset-resident fork is one flag away via _cc_labels_distributed)
+    directly yields the lexicographically-smallest member; one
+    streaming attach pass (searchsorted against the broadcast rank
+    table) gives every corpus image its cluster (isolated = own id).
+    Rows-only; pinned against a brute-force union-find replica in
+    tests."""
+    pairs = q_phash_neardup(sf_dir, max_hamming)
+    ds = ray.data.read_parquet(_ensure_neardup_corpus(), columns=["image_id"])
+
+    if pairs.num_rows == 0:
+        return ds.map_batches(
+            lambda b: pa.table(
+                {
+                    "image_id": b.column("image_id"),
+                    "cluster_id": b.column("image_id"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    sa = np.asarray(pairs.column("image_a").to_pylist())
+    sb = np.asarray(pairs.column("image_b").to_pylist())
+    vocab = np.unique(np.concatenate([sa, sb]))  # sorted — rank = order
+    a = np.searchsorted(vocab, sa).astype(np.int64)
+    b = np.searchsorted(vocab, sb).astype(np.int64)
+    edges_tbl = pa.table(
+        {
+            "src": pa.array(np.concatenate([a, b]), pa.int64()),
+            "dst": pa.array(np.concatenate([b, a]), pa.int64()),
+        }
+    )
+    ns, ls = _cc_labels_driver(edges_tbl, max_iters, None)
+    final_ref = ray.put((vocab, ns, ls))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        vocab, ns, ls = ray.get(final_ref)
+        ids = np.asarray(batch.column("image_id").to_pylist())
+        out = ids.copy()
+        if len(ns):
+            pos = np.clip(np.searchsorted(vocab, ids), 0, len(vocab) - 1)
+            hit = vocab[pos] == ids
+            ranks = pos[hit]
+            lpos = np.clip(np.searchsorted(ns, ranks), 0, len(ns) - 1)
+            lhit = ns[lpos] == ranks
+            lbl = ranks.copy()
+            lbl[lhit] = ls[lpos[lhit]]
+            out[hit] = vocab[lbl]
+        return pa.table(
+            {
+                "image_id": batch.column("image_id"),
+                "cluster_id": pa.array(out.tolist(), pa.string()),
+            }
+        )
+
+    return ds.map_batches(attach, batch_format="pyarrow")

@@ -167,3 +167,39 @@ def test_clip_retrieval_eval_matches_replica(ray_session):
         )
         assert row["hits"] == hits and row["n_queries"] == n_q
         assert row["recall_e4"] == hits * 10_000 // n_q
+
+
+def test_phash_clusters_matches_union_find(ray_session):
+    """Distributed label propagation over the phash pair graph must
+    equal a brute-force union-find on the same verified pairs, and the
+    planted near-dup pairs must land in shared clusters."""
+    from heroshi_ray.pipelines.dataops import (
+        q_phash_clusters,
+        q_phash_neardup,
+    )
+
+    out = q_phash_clusters("/root/testdata/sf0.001").to_pandas()
+    pairs = q_phash_neardup("/root/testdata/sf0.001").to_pandas()
+    assert len(pairs) > 0  # the fixture plants near-dups
+
+    parent: dict[str, str] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for _, r in pairs.iterrows():
+        ra, rb = find(r["image_a"]), find(r["image_b"])
+        if ra != rb:
+            lo, hi = sorted((ra, rb))
+            parent[hi] = lo
+
+    got = dict(zip(out["image_id"], out["cluster_id"]))
+    for iid, cid in got.items():
+        assert cid == (find(iid) if iid in parent else iid)
+    # every cluster id is its own representative (lexicographic min)
+    for iid, cid in got.items():
+        assert got[cid] == cid and cid <= iid
