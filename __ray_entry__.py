@@ -256,6 +256,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_sessionize": r.q_sessionize,
         "q_rollup": r.q_rollup,
         "q_phash_clusters": d.q_phash_clusters,
+        "q_minhash_clusters": d.q_minhash_clusters,
+        "q_url_templates": w.q_url_templates,
     }
 
 
@@ -2547,6 +2549,29 @@ def oracle_sql() -> dict[str, str]:
                      AS n_tokens
             FROM documents
             GROUP BY ROLLUP (lang, source)
+        """,
+        "q_url_templates": r"""
+            WITH u AS (
+              SELECT 'h' || CAST(user_id % 40 AS VARCHAR) || '.example'
+                       AS host,
+                     CASE event_type
+                       WHEN 'purchase' THEN '/product/'
+                         || CAST(event_id % 997 AS VARCHAR) || '/review/'
+                         || CAST(user_id % 53 AS VARCHAR)
+                       WHEN 'click' THEN '/item/'
+                         || CAST(event_id % 811 AS VARCHAR)
+                       WHEN 'view' THEN '/cat/'
+                         || CAST(user_id % 7 AS VARCHAR) || '/page/'
+                         || CAST(event_id % 211 AS VARCHAR)
+                       ELSE '/account/' || CAST(user_id AS VARCHAR)
+                         || '/settings'
+                     END AS path
+              FROM events
+            )
+            SELECT host,
+                   regexp_replace(path, '[0-9]+', '{n}', 'g') AS template,
+                   CAST(count(*) AS BIGINT) AS n_urls
+            FROM u GROUP BY host, template
         """,
         "q_cooccur_pairs": r"""
             WITH w AS (

@@ -6959,3 +6959,59 @@ def q_phash_clusters(sf_dir: str, max_hamming: int = 6, max_iters: int = 64):
         )
 
     return ds.map_batches(attach, batch_format="pyarrow")
+
+
+def q_minhash_clusters(sf_dir: str, threshold: float = 0.6,
+                       max_iters: int = 64):
+    """MinHash near-dup CLUSTERS for text — the transitive-closure form
+    of q_minhash_neardup (Lee et al. 2022's dedup pipeline groups
+    near-dup docs into clusters and keeps one per cluster; a keep-list
+    of pairwise drops under-removes chained paraphrases). Cluster id =
+    smallest doc_id reachable through verified pairs.
+
+    Layout: identical machinery to q_dedup_clusters (hash-min label
+    propagation with pointer doubling over the verified pair graph,
+    driver-resident labels at output scale, Dataset-resident fork via
+    _cc_labels_distributed above the bound) — doc ids are already
+    int64, so no rank mapping is needed; one streaming attach pass
+    covers the corpus (isolated docs = own id). Rows-only (minhash
+    banding isn't SQL-expressible); pinned against a union-find replica
+    over the same verified pairs."""
+    pairs = q_minhash_neardup(sf_dir, threshold)
+    ds = _pq(sf_dir, "documents", columns=["doc_id"])
+
+    if pairs.num_rows == 0:
+        return ds.map_batches(
+            lambda b: pa.table(
+                {"doc_id": b.column("doc_id"), "cluster_id": b.column("doc_id")}
+            ),
+            batch_format="pyarrow",
+        )
+
+    a = pairs.column("doc_a").to_numpy()
+    b = pairs.column("doc_b").to_numpy()
+    edges_tbl = pa.table(
+        {
+            "src": pa.array(np.concatenate([a, b]), pa.int64()),
+            "dst": pa.array(np.concatenate([b, a]), pa.int64()),
+        }
+    )
+    ns, ls = _cc_labels_driver(edges_tbl, max_iters, None)
+    final_ref = ray.put((ns, ls))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        ns, ls = ray.get(final_ref)
+        v = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        out = v.copy()
+        if len(ns):
+            pos = np.clip(np.searchsorted(ns, v), 0, len(ns) - 1)
+            hit = ns[pos] == v
+            out[hit] = ls[pos[hit]]
+        return pa.table(
+            {
+                "doc_id": pa.array(v, pa.int64()),
+                "cluster_id": pa.array(out, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(attach, batch_format="pyarrow")

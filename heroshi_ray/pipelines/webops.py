@@ -734,3 +734,65 @@ def q_crawl_delta(sf_dir: str):
         .groupby("__b")
         .map_groups(reconcile, batch_format="pandas")
     )
+
+
+def q_url_templates(sf_dir: str, n_hosts: int = 40):
+    """URL path-template mining (the crawl-space analysis behind trap
+    avoidance and URL-pattern schedulers: collapse numeric path
+    segments to a placeholder and count how many concrete URLs each
+    template generates — templates with huge fan-out are parametric
+    spaces to budget, not enumerate). Raw URLs synthesize from the
+    events table by a FIXED per-event-type template (q_url_strip_params'
+    fixture pattern), generalization = every digit run -> '{n}' with
+    ONE compiled Rust-regex pass.
+
+    Layout: per-batch (host, template) combiner counts — the template
+    space is grammar-bounded, never URL-space-sized — then one tiny
+    groupby. Output: (host, template, n_urls)."""
+    import polars as pl
+
+    from ray.data.aggregate import Sum
+
+    ds = _pq(sf_dir, "events", columns=["event_id", "user_id", "event_type"])
+
+    def templ(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        host = pl.format("h{}.example", pl.col("user_id") % n_hosts)
+        path = (
+            pl.when(pl.col("event_type") == "purchase")
+            .then(
+                pl.format(
+                    "/product/{}/review/{}",
+                    pl.col("event_id") % 997,
+                    pl.col("user_id") % 53,
+                )
+            )
+            .when(pl.col("event_type") == "click")
+            .then(pl.format("/item/{}", pl.col("event_id") % 811))
+            .when(pl.col("event_type") == "view")
+            .then(
+                pl.format(
+                    "/cat/{}/page/{}",
+                    pl.col("user_id") % 7,
+                    pl.col("event_id") % 211,
+                )
+            )
+            .otherwise(pl.format("/account/{}/settings", pl.col("user_id")))
+        )
+        g = (
+            df.with_columns(
+                host=host,
+                template=path.str.replace_all(r"[0-9]+", "{n}"),
+            )
+            .group_by(["host", "template"])
+            .len()
+            .rename({"len": "n_urls"})
+            .with_columns(pl.col("n_urls").cast(pl.Int64))
+        )
+        return g.to_arrow()
+
+    return (
+        ds.map_batches(templ, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["host", "template"])
+        .aggregate(Sum("n_urls", alias_name="n_urls"))
+    )

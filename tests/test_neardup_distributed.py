@@ -536,3 +536,38 @@ def test_opic_distributed_matches_broadcast(ray_session):
     assert total <= 3 * 10**12
     assert total > 0.9 * 3 * 10**12  # flooring loses < 10% of the mass
     assert a["history"].nunique() > 1  # the graph actually differentiates
+
+
+def test_minhash_clusters_matches_union_find(ray_session):
+    """q_minhash_clusters must equal brute-force union-find over the
+    same verified pair list, with min-id representatives."""
+    import pandas as pd
+
+    from heroshi_ray.pipelines.dataops import (
+        q_minhash_clusters,
+        q_minhash_neardup,
+    )
+
+    out = q_minhash_clusters(SF_DIR).to_pandas()
+    pairs = q_minhash_neardup(SF_DIR)
+    pairs = pairs.to_pandas() if not isinstance(pairs, pd.DataFrame) else pairs
+    assert len(pairs) > 0
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for _, r in pairs.iterrows():
+        ra, rb = find(int(r["doc_a"])), find(int(r["doc_b"]))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    got = dict(zip(out["doc_id"].astype(int), out["cluster_id"].astype(int)))
+    assert len(got) == len(out)
+    for did, cid in got.items():
+        assert cid == (find(did) if did in parent else did)
