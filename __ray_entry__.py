@@ -258,6 +258,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_phash_clusters": d.q_phash_clusters,
         "q_minhash_clusters": d.q_minhash_clusters,
         "q_url_templates": w.q_url_templates,
+        "q_scd2_history": w.q_scd2_history,
+        "q_dominant_color": d.q_dominant_color,
     }
 
 
@@ -2572,6 +2574,34 @@ def oracle_sql() -> dict[str, str]:
                    regexp_replace(path, '[0-9]+', '{n}', 'g') AS template,
                    CAST(count(*) AS BIGINT) AS n_urls
             FROM u GROUP BY host, template
+        """,
+        "q_scd2_history": r"""
+            WITH a AS (
+              SELECT doc_id, md5(text) AS h FROM documents
+            ), b AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0 THEN md5(text || 'x')
+                          ELSE md5(text) END AS h
+              FROM documents WHERE doc_id % 13 != 0
+              UNION ALL
+              SELECT doc_id + 1000000, md5(text)
+              FROM documents WHERE doc_id % 17 = 0
+            ), j AS (
+              SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+                     a.h AS ha, b.h AS hb
+              FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+            )
+            SELECT doc_id, ha AS h, CAST(1 AS BIGINT) AS valid_from,
+                   CAST(2 AS BIGINT) AS valid_to,
+                   CAST(0 AS BIGINT) AS is_current
+            FROM j WHERE hb IS NULL OR (ha IS NOT NULL AND ha != hb)
+            UNION ALL
+            SELECT doc_id, hb AS h,
+                   CAST(CASE WHEN ha IS NULL OR ha != hb THEN 2 ELSE 1 END
+                        AS BIGINT) AS valid_from,
+                   CAST(-1 AS BIGINT) AS valid_to,
+                   CAST(1 AS BIGINT) AS is_current
+            FROM j WHERE hb IS NOT NULL
         """,
         "q_cooccur_pairs": r"""
             WITH w AS (

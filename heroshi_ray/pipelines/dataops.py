@@ -7015,3 +7015,56 @@ def q_minhash_clusters(sf_dir: str, threshold: float = 0.6,
         )
 
     return ds.map_batches(attach, batch_format="pyarrow")
+
+
+def q_dominant_color(sf_dir: str):
+    """Dominant-color binning over DECODED pixels — the cheap visual
+    descriptor image-curation stacks compute at ingest (color-based
+    stratification, grayscale/flat-image gates, thumbnail placeholders
+    a la blurhash). Per image: integer per-channel means (floor of
+    sum//n — no float crosses the result), each quantized to 4 levels
+    (>>6), packed into a 0..63 bin.
+
+    Scale shape: actor-pool map_batches (decoder state per actor, the
+    M8 stage contract); pixels never leave the task — only (image_id,
+    bin, 3 means) rows move. Rows-only (pixels aren't SQL-visible);
+    pinned against the pure decode_image composition in tests."""
+    from ..functions.image import decode_image
+
+    ds = ray.data.read_parquet(
+        _ensure_corpus64(), columns=["image_id", "bytes", "fmt"]
+    )
+
+    class ColorStage:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids, bins, means = [], [], []
+            for iid, blob, fmt in zip(
+                batch.column("image_id").to_pylist(),
+                batch.column("bytes").to_pylist(),
+                batch.column("fmt").to_pylist(),
+            ):
+                px = decode_image(blob, fmt).astype(np.int64)
+                n = px.shape[0] * px.shape[1]
+                m = px.reshape(n, 3).sum(axis=0) // n  # exact floor means
+                q = m >> 6  # 4 levels per channel
+                ids.append(iid)
+                bins.append(int(q[0] * 16 + q[1] * 4 + q[2]))
+                means.append(m)
+            means = np.asarray(means, np.int64).reshape(-1, 3)
+            return pa.table(
+                {
+                    "image_id": pa.array(ids, pa.string()),
+                    "color_bin": pa.array(bins, pa.int64()),
+                    "mean_r": pa.array(means[:, 0], pa.int64()),
+                    "mean_g": pa.array(means[:, 1], pa.int64()),
+                    "mean_b": pa.array(means[:, 2], pa.int64()),
+                }
+            )
+
+    return ds.map_batches(
+        ColorStage,
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=(1, 2),
+        num_cpus=0.5,
+    )

@@ -796,3 +796,93 @@ def q_url_templates(sf_dir: str, n_hosts: int = 40):
         .groupby(["host", "template"])
         .aggregate(Sum("n_urls", alias_name="n_urls"))
     )
+
+
+def q_scd2_history(sf_dir: str):
+    """Slowly-changing-dimension (type 2) merge of two crawl snapshots —
+    the page-history table an incremental crawler maintains: one row
+    per (doc_id, version) with valid_from/valid_to epochs and a
+    current flag. Snapshots A (epoch 1) and B (epoch 2) are
+    q_crawl_delta's deterministic pair (B mutates %7, drops %13, adds
+    %17 at +1000000), so the twin rebuilds them exactly.
+
+    Semantics: unchanged -> one row [1, NULL) current; changed -> the
+    epoch-1 digest closes at 2 and the epoch-2 digest opens current;
+    gone -> the row closes at 2, nothing current; new -> opens at 2
+    current. valid_to uses the -1 sentinel for open rows (NULL never
+    crosses the hash compare).
+
+    Scale shape: q_crawl_delta's — digests stream, ONE doc_id-bucket
+    shuffle, per-bucket vectorized merge emits 1-2 history rows per
+    key. Output: (doc_id, h, valid_from, valid_to, is_current)."""
+    import hashlib
+
+    n_bkt = default_buckets()
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"], split=True)
+
+    def snapshots(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        out_id, out_h, out_side = [], [], []
+        for i, t in zip(ids, texts):
+            i = int(i)
+            h = hashlib.md5(t.encode()).hexdigest()
+            out_id.append(i); out_h.append(h); out_side.append(0)
+            if i % 13 != 0:
+                hb = (
+                    hashlib.md5((t + "x").encode()).hexdigest()
+                    if i % 7 == 0 else h
+                )
+                out_id.append(i); out_h.append(hb); out_side.append(1)
+            if i % 17 == 0:
+                out_id.append(i + 1000000); out_h.append(h); out_side.append(1)
+        t = pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "h": pa.array(out_h, pa.string()),
+                "side": pa.array(out_side, pa.int8()),
+            }
+        )
+        return t.append_column(
+            "__b",
+            pa.array(
+                (np.asarray(out_id, np.int64) % n_bkt).astype(np.int32),
+                pa.int32(),
+            ),
+        )
+
+    def history(g: pd.DataFrame) -> pd.DataFrame:
+        a = g[g["side"] == 0][["doc_id", "h"]]
+        b = g[g["side"] == 1][["doc_id", "h"]]
+        m = a.merge(b, on="doc_id", how="outer", suffixes=("_a", "_b"))
+        rows = {"doc_id": [], "h": [], "valid_from": [], "valid_to": [],
+                "is_current": []}
+
+        def emit(did, h, vf, vt, cur):
+            rows["doc_id"].append(did); rows["h"].append(h)
+            rows["valid_from"].append(vf); rows["valid_to"].append(vt)
+            rows["is_current"].append(cur)
+
+        for did, ha, hb in zip(
+            m["doc_id"].astype("int64"), m["h_a"], m["h_b"]
+        ):
+            did = int(did)
+            if pd.isna(hb):          # gone: closes at epoch 2
+                emit(did, ha, 1, 2, 0)
+            elif pd.isna(ha):        # new: opens at epoch 2
+                emit(did, hb, 2, -1, 1)
+            elif ha != hb:           # changed: close + open
+                emit(did, ha, 1, 2, 0)
+                emit(did, hb, 2, -1, 1)
+            else:                    # unchanged
+                emit(did, ha, 1, -1, 1)
+        return pd.DataFrame(rows).astype(
+            {"doc_id": "int64", "valid_from": "int64", "valid_to": "int64",
+             "is_current": "int64"}
+        )
+
+    return (
+        ds.map_batches(snapshots, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(history, batch_format="pandas")
+    )

@@ -203,3 +203,34 @@ def test_phash_clusters_matches_union_find(ray_session):
     # every cluster id is its own representative (lexicographic min)
     for iid, cid in got.items():
         assert got[cid] == cid and cid <= iid
+
+
+def test_dominant_color_matches_pure_decode(ray_session):
+    """Actor-pool color binning must equal the pure decode_image
+    composition, and the integer mean/bin rule must hold exactly."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from heroshi_ray.functions.image import decode_image
+    from heroshi_ray.pipelines.dataops import _ensure_corpus64, q_dominant_color
+
+    out = (
+        q_dominant_color("/root/testdata/sf0.001")
+        .to_pandas()
+        .set_index("image_id")
+    )
+    t = pq.read_table(_ensure_corpus64())
+    assert len(out) == t.num_rows
+    for iid, blob, fmt in zip(
+        t.column("image_id").to_pylist()[:16],
+        t.column("bytes").to_pylist()[:16],
+        t.column("fmt").to_pylist()[:16],
+    ):
+        px = decode_image(blob, fmt).astype(np.int64)
+        n = px.shape[0] * px.shape[1]
+        m = px.reshape(n, 3).sum(axis=0) // n
+        row = out.loc[iid]
+        assert (row[["mean_r", "mean_g", "mean_b"]].to_numpy() == m).all()
+        q = m >> 6
+        assert row["color_bin"] == q[0] * 16 + q[1] * 4 + q[2]
+    assert out["color_bin"].nunique() > 1
