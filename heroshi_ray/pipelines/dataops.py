@@ -5514,11 +5514,10 @@ def q_hits(
                 edges.map_batches(contrib, batch_format="pyarrow")
                 .groupby("k")
                 .aggregate(Sum("c", alias_name="c"))
-                .take_all()
-            )  # O(n_nodes) rows in the broadcast regime
+                .to_pandas()
+            )  # O(n_nodes) rows in the broadcast regime — vectorized gather
             out = np.zeros(n_nodes, dtype=np.int64)
-            for r in rows:
-                out[r["k"]] = r["c"]
+            out[rows["k"].to_numpy()] = rows["c"].to_numpy()
             return out
 
         def rescale(v: np.ndarray) -> np.ndarray:
@@ -6544,10 +6543,10 @@ def q_opic(
 
     if n_nodes <= broadcast_limit and not force_distributed:
         outdeg = np.zeros(n_nodes, np.int64)
-        for r in edges.groupby("src").aggregate(
+        od = edges.groupby("src").aggregate(
             Sum("cnt", alias_name="od")
-        ).take_all():  # O(n_nodes) rows in the broadcast regime
-            outdeg[r["src"]] = r["od"]
+        ).to_pandas()  # O(n_nodes) rows in the broadcast regime
+        outdeg[od["src"].to_numpy()] = od["od"].to_numpy()
 
         cash = np.full(n_nodes, TOTAL // n_nodes, np.int64)
         history = np.zeros(n_nodes, np.int64)
@@ -6571,13 +6570,13 @@ def q_opic(
                 )
 
             recv = np.zeros(n_nodes, np.int64)
-            for r in (
+            rc = (
                 edges.map_batches(contrib, batch_format="pyarrow")
                 .groupby("k")
                 .aggregate(Sum("c", alias_name="c"))
-                .take_all()
-            ):
-                recv[r["k"]] = r["c"]
+                .to_pandas()  # O(n_nodes) ints — vectorized gather
+            )
+            recv[rc["k"].to_numpy()] = rc["c"].to_numpy()
             cash = recv + pool // n_nodes
 
         return pa.table(
