@@ -253,8 +253,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_crawl_delta": w.q_crawl_delta,
         "q_winnowing": d.q_winnowing,
         "q_corpus_card": d.q_corpus_card,
-        "q_sessionize": r.q_sessionize,
-        "q_rollup": r.q_rollup,
+        "q_session_windows": r.q_session_windows,
+        "q_corpus_rollup": r.q_corpus_rollup,
         "q_phash_clusters": d.q_phash_clusters,
         "q_minhash_clusters": d.q_minhash_clusters,
         "q_url_templates": w.q_url_templates,
@@ -2520,7 +2520,7 @@ def oracle_sql() -> dict[str, str]:
                      AS n_quality_pass
             FROM c GROUP BY lang, source
         """,
-        "q_sessionize": r"""
+        "q_session_windows": r"""
             WITH e AS (
               SELECT user_id, event_id, epoch_us(ts) AS t FROM events
             ), l AS (
@@ -2543,7 +2543,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(t) - MIN(t) AS BIGINT) AS dur_us
             FROM s GROUP BY user_id, sess
         """,
-        "q_rollup": r"""
+        "q_corpus_rollup": r"""
             SELECT COALESCE(lang, 'ALL') AS lang,
                    COALESCE(source, 'ALL') AS source,
                    CAST(count(*) AS BIGINT) AS n_docs,

@@ -270,8 +270,8 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         "q_crawl_delta",
         "q_winnowing",
         "q_corpus_card",
-        "q_sessionize",
-        "q_rollup",
+        "q_session_windows",
+        "q_corpus_rollup",
         "q_phash_clusters",
         "q_minhash_clusters",
         "q_url_templates",

@@ -5088,7 +5088,7 @@ def q_zscore(sf_dir: str):
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def q_sessionize(sf_dir: str, gap_us: int = 1_800_000_000):
+def q_session_windows(sf_dir: str, gap_us: int = 1_800_000_000):
     """Gap-based session windows over the event stream (the classic
     sessionization every analytics engine ships: a new session starts
     when a user is idle longer than ``gap_us`` — 30 min here, the
@@ -5154,7 +5154,7 @@ def q_sessionize(sf_dir: str, gap_us: int = 1_800_000_000):
     )
 
 
-def q_rollup(sf_dir: str):
+def q_corpus_rollup(sf_dir: str):
     """GROUP BY ROLLUP (lang, source) — the subtotal/grand-total report
     shape (SQL:1999 §7.9; every BI stack emits it): token and doc
     totals at (lang, source), per-lang, and grand-total levels, rolled
