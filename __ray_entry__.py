@@ -260,6 +260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_url_templates": w.q_url_templates,
         "q_scd2_history": w.q_scd2_history,
         "q_dominant_color": d.q_dominant_color,
+        "q_cdx_revisits": w.q_cdx_revisits,
     }
 
 
@@ -2602,6 +2603,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(-1 AS BIGINT) AS valid_to,
                    CAST(1 AS BIGINT) AS is_current
             FROM j WHERE hb IS NOT NULL
+        """,
+        "q_cdx_revisits": r"""
+            WITH c AS (
+              SELECT 'example,h' || CAST(user_id % 40 AS VARCHAR)
+                       || ')/p/' || CAST(event_id % 97 AS VARCHAR)
+                       AS surt,
+                     epoch_us(ts) AS t_us, event_id,
+                     md5('example,h' || CAST(user_id % 40 AS VARCHAR)
+                       || ')/p/' || CAST(event_id % 97 AS VARCHAR)
+                       || '#'
+                       || CAST((event_id // 5) % 3 AS VARCHAR)) AS digest
+              FROM events
+            ), m AS (
+              SELECT surt, t_us, digest,
+                     LAG(digest) OVER (PARTITION BY surt
+                                       ORDER BY t_us, event_id) AS pd
+              FROM c
+            )
+            SELECT surt, t_us, digest,
+                   CASE WHEN pd = digest THEN 'revisit'
+                        ELSE 'response' END AS kind
+            FROM m
         """,
         "q_cooccur_pairs": r"""
             WITH w AS (

@@ -277,6 +277,7 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         "q_url_templates",
         "q_scd2_history",
         "q_dominant_color",
+        "q_cdx_revisits",
     ]
     # per-query best-of-2 with the same rationale as the headline reps.
     # The two sub-2 s fixed-overhead-dominated queries get extra reps:

@@ -886,3 +886,90 @@ def q_scd2_history(sf_dir: str):
         .groupby("__b")
         .map_groups(history, batch_format="pandas")
     )
+
+
+def q_cdx_revisits(sf_dir: str, n_hosts: int = 40):
+    """CDX-style capture index with revisit collapsing — the lookup
+    table a web archive builds from fetch logs (the IIPC CDXJ model:
+    one record per capture, but a capture whose content digest equals
+    the PREVIOUS capture of the same URL is a 'revisit' pointing at the
+    original instead of storing bytes again). Dedup-by-revisit is how
+    archives avoid storing an unchanged page thousands of times.
+
+    Fetch records synthesize from events by a fixed template (URL from
+    user/event ids, digest CHANGES every 5th capture of a URL via
+    epoch-bucketed content versions — md5 both sides). Output: one row
+    per capture, (surt, t_us, digest, kind) where kind =
+    'response' | 'revisit'.
+
+    Scale shape: ONE shuffle keyed on surt-hash buckets; per bucket a
+    vectorized lexsort by (surt, ts, event_id) + shifted digest compare
+    marks revisits — no per-row Python. At archive scale this IS the
+    CDX build: digests and timestamps move, never payloads."""
+    import hashlib
+
+    n_bkt = default_buckets()
+    ds = _pq(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        t = (
+            batch.column("ts")
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        surt = [
+            f"example,h{int(u) % n_hosts})/p/{int(e) % 97}"
+            for u, e in zip(uid, eid)
+        ]
+        # content version: bumps every 5th capture index of the url
+        ver = (eid // 5) % 3
+        digest = [
+            hashlib.md5(f"{s}#{int(v)}".encode()).hexdigest()
+            for s, v in zip(surt, ver)
+        ]
+        out = pa.table(
+            {
+                "surt": pa.array(surt, pa.string()),
+                "t_us": pa.array(t, pa.int64()),
+                "event_id": batch.column("event_id"),
+                "digest": pa.array(digest, pa.string()),
+            }
+        )
+        # bucket by HOST CLASS (uid % n_hosts) so every capture of a
+        # surt lands in one group — uid % n_bkt would split a surt's
+        # captures whenever n_bkt doesn't divide evenly into host class
+        b = ((uid % n_hosts) % n_bkt).astype(np.int32)
+        return out.append_column("__b", pa.array(b, pa.int32()))
+
+    def mark(g: pd.DataFrame) -> pd.DataFrame:
+        o = np.lexsort(
+            (g["event_id"].to_numpy(), g["t_us"].to_numpy(),
+             g["surt"].to_numpy())
+        )
+        s = g["surt"].to_numpy()[o]
+        t = g["t_us"].to_numpy()[o]
+        d = g["digest"].to_numpy()[o]
+        same_url = np.empty(len(s), bool)
+        same_url[0] = False
+        same_url[1:] = s[1:] == s[:-1]
+        same_digest = np.empty(len(s), bool)
+        same_digest[0] = False
+        same_digest[1:] = d[1:] == d[:-1]
+        revisit = same_url & same_digest
+        return pd.DataFrame(
+            {
+                "surt": s,
+                "t_us": t,
+                "digest": d,
+                "kind": np.where(revisit, "revisit", "response"),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(mark, batch_format="pandas")
+    )
