@@ -8,6 +8,7 @@ verify    --workdir DIR --fixtures DIR
 schedule  --sf-dir DIR [--budget N]
 curate    --corpus PATH --out DIR [--samples-per-shard N]
 llm-corpus --sf-dir DIR --out DIR [--shards N]
+reshard   --shards-in DIR --out DIR [--samples-per-shard N]
 
 These own a Ray session (ray.init / ray.shutdown); the library itself
 never initialises Ray (driver contract, __ray_entry__.py).
@@ -79,6 +80,11 @@ def main(argv=None) -> int:
     lc.add_argument("--sf-dir", required=True)
     lc.add_argument("--out", required=True)
     lc.add_argument("--shards", type=int, default=8)
+
+    rs = sub.add_parser("reshard")
+    rs.add_argument("--shards-in", required=True)
+    rs.add_argument("--out", required=True)
+    rs.add_argument("--samples-per-shard", type=int, default=256)
 
     args = p.parse_args(argv)
 
@@ -170,6 +176,22 @@ def main(argv=None) -> int:
                         "samples": int(m["n_samples"].sum()),
                         "bytes": int(m["n_bytes"].sum()),
                         "buckets": sorted(m["partition"].unique().tolist()),
+                    }
+                )
+            )
+        elif args.cmd == "reshard":
+            from .sources.tarshards import reshard_tar_shards
+
+            m = reshard_tar_shards(
+                args.shards_in, args.out,
+                samples_per_shard=args.samples_per_shard,
+            ).to_pandas()
+            print(
+                json.dumps(
+                    {
+                        "shards": int(len(m)),
+                        "samples": int(m["n_samples"].sum()),
+                        "bytes": int(m["n_bytes"].sum()),
                     }
                 )
             )

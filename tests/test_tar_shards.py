@@ -61,3 +61,30 @@ def test_deterministic_and_resumable(ray_session, corpus, tmp_path):
         p = os.path.join(out, f)
         assert hashlib.sha256(open(p, "rb").read()).hexdigest() == d
         assert os.path.getmtime(p) == mtimes[f], "complete shard rewritten"
+
+
+def test_reshard_roundtrips_and_rebalances(ray_session, corpus, tmp_path):
+    """reshard_tar_shards must preserve every sample byte-exactly while
+    changing the shard-size layout."""
+    from heroshi_ray.sources.tarshards import reshard_tar_shards
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ds = ray.data.from_arrow(corpus).repartition(4)
+    m1 = write_tar_shards(ds, src, samples_per_shard=8).to_pandas()
+    assert (m1["n_samples"] <= 8).all() and len(m1) >= 5
+
+    m2 = reshard_tar_shards(src, dst, samples_per_shard=32).to_pandas()
+    assert (m2["n_samples"] <= 32).all()
+    assert int(m2["n_samples"].sum()) == int(m1["n_samples"].sum())
+
+    back = _sorted_pylist(
+        pa.Table.from_pandas(read_tar_shards(dst).to_pandas())
+    )
+    orig = _sorted_pylist(corpus)
+    assert len(back) == len(orig)
+    for a, b in zip(back, orig):
+        assert a["image_id"] == b["image_id"]
+        assert a["bytes"] == b["bytes"]
+        assert a["caption"] == b["caption"]
+        assert a["phash"] == b["phash"]
