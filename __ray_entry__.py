@@ -261,6 +261,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_scd2_history": w.q_scd2_history,
         "q_dominant_color": d.q_dominant_color,
         "q_cdx_revisits": w.q_cdx_revisits,
+        "q_degree_stats": d.q_degree_stats,
+        "q_kl_drift": d.q_kl_drift,
     }
 
 
@@ -2625,6 +2627,46 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN pd = digest THEN 'revisit'
                         ELSE 'response' END AS kind
             FROM m
+        """,
+        "q_degree_stats": r"""
+            WITH nn AS (SELECT count(*) AS n FROM customer),
+            e AS (SELECT o_custkey AS src,
+                         o_orderkey % (SELECT n FROM nn) AS dst
+                  FROM orders),
+            d AS (
+              SELECT node, SUM(outd) AS outd, SUM(ind) AS ind FROM (
+                SELECT src AS node, 1 AS outd, 0 AS ind FROM e
+                UNION ALL
+                SELECT dst AS node, 0 AS outd, 1 AS ind FROM e
+              ) GROUP BY node
+            )
+            SELECT CASE WHEN outd > 0 THEN length(bin(outd)) - 1
+                        ELSE -1 END AS out_class,
+                   CASE WHEN ind > 0 THEN length(bin(ind)) - 1
+                        ELSE -1 END AS in_class,
+                   CAST(count(*) AS BIGINT) AS n_nodes
+            FROM d GROUP BY 1, 2
+        """,
+        "q_kl_drift": r"""
+            WITH w AS (
+              SELECT source, unnest(string_split(text, ' ')) AS tok
+              FROM documents
+            ), c AS (
+              SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+              FROM w GROUP BY 1, 2
+            ), st AS (
+              SELECT source, SUM(c) AS n FROM c GROUP BY source
+            ), g AS (
+              SELECT tok, SUM(c) AS gc FROM c GROUP BY tok
+            ), gt AS (SELECT SUM(gc) AS gn FROM g)
+            SELECT c.source,
+                   CAST(round(SUM(
+                     (c.c * 1.0 / st.n)
+                     * ln((c.c * 1.0 / st.n)
+                          / (g.gc * 1.0 / (SELECT gn FROM gt)))
+                   ) * 10000) AS BIGINT) AS kl_e4
+            FROM c JOIN st USING (source) JOIN g USING (tok)
+            GROUP BY c.source
         """,
         "q_cooccur_pairs": r"""
             WITH w AS (

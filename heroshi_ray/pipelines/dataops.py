@@ -7067,3 +7067,135 @@ def q_dominant_color(sf_dir: str):
         concurrency=(1, 2),
         num_cpus=0.5,
     )
+
+
+def q_degree_stats(sf_dir: str):
+    """Link-graph degree distribution — the structural report crawl
+    planners read before budgeting (hub concentration, dangling mass):
+    over q_pagerank's deterministic customer graph, the count of nodes
+    at each (in-degree, out-degree) rounded DOWN to powers of two
+    (log2 degree classes, the standard web-graph histogram axis —
+    Broder et al. 2000 plot exactly this).
+
+    Scale shape: edges pre-aggregate per batch, ONE (src,dst) groupby
+    builds the edge multiset, per-node degrees are two more combiner
+    groupbys, and the output is the |degree classes|² histogram —
+    corpus-size-independent. Class of a 0-degree node is -1."""
+    import pyarrow.parquet as pq_mod
+
+    from ray.data.aggregate import Sum
+
+    cust = pq_mod.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"]
+    )
+    n_nodes = cust.num_rows
+    orders = _pq(sf_dir, "orders", columns=["o_custkey", "o_orderkey"], split=True)
+
+    def to_deg(batch: pa.Table) -> pa.Table:
+        src = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        dst = batch.column("o_orderkey").to_numpy(zero_copy_only=False) % n_nodes
+        us, cs = np.unique(src, return_counts=True)
+        ud, cd = np.unique(dst, return_counts=True)
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([us, ud]), pa.int64()),
+                "outd": pa.array(
+                    np.concatenate([cs, np.zeros(len(ud), np.int64)]), pa.int64()
+                ),
+                "ind": pa.array(
+                    np.concatenate([np.zeros(len(us), np.int64), cd]), pa.int64()
+                ),
+            }
+        )
+
+    deg = (
+        orders.map_batches(to_deg, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("node")
+        .aggregate(Sum("outd", alias_name="outd"), Sum("ind", alias_name="ind"))
+    )
+
+    def classes(batch: pa.Table) -> pa.Table:
+        o = batch.column("outd").to_numpy(zero_copy_only=False)
+        i = batch.column("ind").to_numpy(zero_copy_only=False)
+        # integer-exact floor(log2): frexp exponent - 1 (exact for any
+        # int64 degree; float log2 can be off-by-ulp at exact powers);
+        # the SQL twin's length(bin(x)) - 1 is the same integer
+        oc = np.where(o > 0, np.frexp(np.maximum(o, 1))[1] - 1, -1).astype(np.int64)
+        ic = np.where(i > 0, np.frexp(np.maximum(i, 1))[1] - 1, -1).astype(np.int64)
+        key = (oc + 1) * 1000 + (ic + 1)  # both >= 0, safe packing
+        u, c = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "out_class": pa.array(u // 1000 - 1, pa.int64()),
+                "in_class": pa.array(u % 1000 - 1, pa.int64()),
+                "n_nodes": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        deg.map_batches(classes, batch_format="pyarrow")
+        .groupby(["out_class", "in_class"])
+        .aggregate(Sum("n_nodes", alias_name="n_nodes"))
+    )
+
+
+def q_kl_drift(sf_dir: str):
+    """Per-source distribution drift vs the corpus: KL(P_source ||
+    P_global) over unigram token distributions — the monitor a corpus
+    pipeline runs per ingest batch to catch a source going off-profile
+    (DSIR/q_dsir_weights' LLR machinery turned into a per-slice scalar;
+    drift alarms threshold exactly this number).
+
+        kl_e4 = round(Σ_w (c/n) * ln((c/n) / (gc/gn)) * 10⁴)
+
+    with c,n,gc,gn all EXACT int64 counts (per-source and global token
+    counts), so only the final Σ is float — e4 rounding absorbs
+    summation-order ulp (q_entropy's parity recipe).
+
+    Scale shape: ONE (source, tok) combiner groupby — the shuffle
+    payload is each batch's distinct (source, token) partials, never a
+    row per occurrence; the KL finish runs on the |sources| x |vocab|
+    count table (vocab-bounded here, like q_vocab_topk; an open-vocab
+    corpus caps this with top-K truncated KL). Output: (source,
+    kl_e4)."""
+    import polars as pl
+    from ray.data.aggregate import Sum
+
+    ds = _pq(sf_dir, "documents", columns=["source", "text"], split=True)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = (
+            pl.from_arrow(batch)
+            .with_columns(pl.col("text").str.split(" ").alias("tok"))
+            .explode("tok")
+            .group_by(["source", "tok"])
+            .len()
+            .rename({"len": "c"})
+            .with_columns(pl.col("c").cast(pl.Int64))
+        )
+        return g.to_arrow()
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["source", "tok"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()  # |sources| x |vocab| rows — vocab-bounded
+    )
+    n = counts.groupby("source")["c"].transform("sum").to_numpy()
+    g = counts.groupby("tok")["c"].transform("sum").to_numpy()
+    gn = int(counts["c"].sum())
+    c = counts["c"].to_numpy()
+    term = (c / n) * np.log((c / n) / (g / gn))
+    out = (
+        pd.DataFrame({"source": counts["source"], "t": term})
+        .groupby("source", sort=True)["t"]
+        .sum()
+    )
+    return pa.table(
+        {
+            "source": pa.array(out.index.tolist(), pa.string()),
+            "kl_e4": pa.array(
+                np.round(out.to_numpy() * 10_000).astype(np.int64), pa.int64()
+            ),
+        }
+    )
