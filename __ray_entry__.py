@@ -263,6 +263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_cdx_revisits": w.q_cdx_revisits,
         "q_degree_stats": d.q_degree_stats,
         "q_kl_drift": d.q_kl_drift,
+        "q_incremental_dedup": d.q_incremental_dedup,
     }
 
 
@@ -2667,6 +2668,14 @@ def oracle_sql() -> dict[str, str]:
                    ) * 10000) AS BIGINT) AS kl_e4
             FROM c JOIN st USING (source) JOIN g USING (tok)
             GROUP BY c.source
+        """,
+        "q_incremental_dedup": r"""
+            SELECT doc_id FROM documents
+            WHERE doc_id % 3 = 0
+              AND text NOT IN (
+                SELECT text FROM documents
+                WHERE doc_id % 3 != 0 OR doc_id % 9 = 0
+              )
         """,
         "q_cooccur_pairs": r"""
             WITH w AS (

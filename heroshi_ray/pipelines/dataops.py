@@ -7199,3 +7199,66 @@ def q_kl_drift(sf_dir: str):
             ),
         }
     )
+
+
+def q_incremental_dedup(sf_dir: str):
+    """Incremental-ingest dedup: admit only the docs of an incoming
+    crawl epoch whose text does NOT already exist in the standing
+    corpus — the gate every continuously-fed training corpus runs per
+    drop (full re-dedup of 100 TB per epoch is not an option; you dedup
+    the DELTA against the snapshot). Epoch split is deterministic:
+    doc_id % 3 == 0 is the incoming batch, the rest is the snapshot —
+    and every doc_id % 9 == 0 page ALSO sits in the snapshot (the
+    re-fetched-unchanged case), so exactly those incoming docs must be
+    rejected: the dedup path is exercised, not vacuous.
+
+    Scale shape: both sides stream to 8-byte text hashes (hash64 —
+    the SQL text twin doubles as the collision canary, the
+    q_dup_rate_by_source contract); ONE hash-bucket shuffle co-locates
+    snapshot and epoch rows; per bucket a vectorized np.isin drops
+    epoch rows whose hash exists in the snapshot slice. Text never
+    moves — only (id, hash, side) ints; the snapshot side needs no
+    driver materialization at any size. Output: (doc_id) admitted."""
+    from ..functions.hashing import hash64
+
+    n_bkt = default_buckets()
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"], split=True)
+
+    def sides(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        h = hash64(batch.column("text").to_pylist()).astype(np.int64)
+        incoming = ids % 3 == 0
+        snapshot = (~incoming) | (ids % 9 == 0)  # %9 pages sit in BOTH
+        out_id = np.concatenate([ids[incoming], ids[snapshot]])
+        out_h = np.concatenate([h[incoming], h[snapshot]])
+        out_side = np.concatenate(
+            [
+                np.ones(int(incoming.sum()), np.int8),
+                np.zeros(int(snapshot.sum()), np.int8),
+            ]
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "h": pa.array(out_h, pa.int64()),
+                "side": pa.array(out_side, pa.int8()),
+                "__b": pa.array(
+                    (out_h.astype(np.uint64) % np.uint64(n_bkt)).astype(
+                        np.int32
+                    ),
+                    pa.int32(),
+                ),
+            }
+        )
+
+    def admit(g: pd.DataFrame) -> pd.DataFrame:
+        old = g.loc[g["side"] == 0, "h"].to_numpy()
+        new = g[g["side"] == 1]
+        keep = ~np.isin(new["h"].to_numpy(), old)
+        return pd.DataFrame({"doc_id": new["doc_id"].to_numpy()[keep]})
+
+    return (
+        ds.map_batches(sides, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(admit, batch_format="pandas")
+    )
