@@ -264,6 +264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_degree_stats": d.q_degree_stats,
         "q_kl_drift": d.q_kl_drift,
         "q_incremental_dedup": d.q_incremental_dedup,
+        "q_ann_recall_eval": d.q_ann_recall_eval,
     }
 
 

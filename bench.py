@@ -281,6 +281,7 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         "q_degree_stats",
         "q_kl_drift",
         "q_incremental_dedup",
+        "q_ann_recall_eval",
     ]
     # per-query best-of-2 with the same rationale as the headline reps.
     # The two sub-2 s fixed-overhead-dominated queries get extra reps:

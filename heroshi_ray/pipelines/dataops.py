@@ -7262,3 +7262,47 @@ def q_incremental_dedup(sf_dir: str):
         .groupby("__b")
         .map_groups(admit, batch_format="pandas")
     )
+
+
+def q_ann_recall_eval(sf_dir: str, n_queries: int = 5, k: int = 3):
+    """ANN quality gate: recall@k of every approximate index variant
+    against the exact brute-force ranking — the acceptance check a
+    vector-search deployment runs after (re)building an index (FAISS
+    ships the same eval; an index that silently lost recall is worse
+    than none). Variants: IVF (nprobe-probed coarse cells) and IVF-PQ
+    (product-quantized ADC + exact re-rank).
+
+    Scale shape: each variant's own documented distributed path does
+    the work; the eval itself compares (n_queries x k) id sets — a
+    constant-size driver step by construction. Rows-only (ANN internals
+    aren't SQL-expressible; the exact side IS oracled as q_ann_knn).
+    Output: (variant, k, n_queries, hits, recall_e4)."""
+    exact = q_ann_knn(sf_dir, n_queries, k).to_pandas()
+    truth = {
+        qid: set(g["vec_id"]) for qid, g in exact.groupby("query_id")
+    }
+
+    rows = {"variant": [], "k": [], "n_queries": [], "hits": [],
+            "recall_e4": []}
+    for variant, fn in (("ivf", q_ann_ivf), ("ivfpq", q_ann_ivfpq)):
+        approx = fn(sf_dir, n_queries, k)
+        approx = approx.to_pandas() if hasattr(approx, "to_pandas") else approx
+        hits = sum(
+            len(set(g["vec_id"]) & truth.get(qid, set()))
+            for qid, g in approx.groupby("query_id")
+        )
+        total = sum(len(v) for v in truth.values())
+        rows["variant"].append(variant)
+        rows["k"].append(k)
+        rows["n_queries"].append(len(truth))
+        rows["hits"].append(hits)
+        rows["recall_e4"].append(hits * 10_000 // max(total, 1))
+    return pa.table(
+        {
+            "variant": pa.array(rows["variant"], pa.string()),
+            "k": pa.array(rows["k"], pa.int64()),
+            "n_queries": pa.array(rows["n_queries"], pa.int64()),
+            "hits": pa.array(rows["hits"], pa.int64()),
+            "recall_e4": pa.array(rows["recall_e4"], pa.int64()),
+        }
+    )

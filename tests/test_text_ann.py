@@ -230,3 +230,18 @@ def test_ann_persistent_index(ray_session):
     idx_dir = d._ann_index_dir(sf)
     all_buckets = glob.glob(os.path.join(idx_dir, "bucket=*"))
     assert len(all_buckets) > 8  # index actually partitioned
+
+
+def test_ann_recall_eval_floor_and_determinism(ray_session):
+    """The index acceptance gate must report a sane recall floor on the
+    clustered fixture and be run-to-run deterministic."""
+    import pandas as pd
+
+    from heroshi_ray.pipelines.dataops import q_ann_recall_eval
+
+    a = q_ann_recall_eval("/root/testdata/sf0.001").to_pandas()
+    assert set(a["variant"]) == {"ivf", "ivfpq"}
+    assert (a["recall_e4"] >= 6000).all()  # >= 0.6 on the fixture
+    assert (a["hits"] <= a["n_queries"] * a["k"]).all()
+    b = q_ann_recall_eval("/root/testdata/sf0.001").to_pandas()
+    pd.testing.assert_frame_equal(a, b)
