@@ -265,6 +265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_kl_drift": d.q_kl_drift,
         "q_incremental_dedup": d.q_incremental_dedup,
         "q_ann_recall_eval": d.q_ann_recall_eval,
+        "q_zipf_fit": d.q_zipf_fit,
     }
 
 
@@ -2677,6 +2678,29 @@ def oracle_sql() -> dict[str, str]:
                 SELECT text FROM documents
                 WHERE doc_id % 3 != 0 OR doc_id % 9 = 0
               )
+        """,
+        "q_zipf_fit": r"""
+            WITH f AS (
+              SELECT tok, CAST(count(*) AS BIGINT) AS c FROM (
+                SELECT unnest(string_split(text, ' ')) AS tok
+                FROM documents
+              ) GROUP BY tok
+            ), r AS (
+              SELECT ln(CAST(row_number() OVER (ORDER BY c DESC, tok)
+                             AS DOUBLE)) AS x,
+                     ln(CAST(c AS DOUBLE)) AS y
+              FROM f
+            ), s AS (
+              SELECT CAST(count(*) AS DOUBLE) AS n,
+                     SUM(x * y) AS sxy, SUM(x) AS sx, SUM(y) AS sy,
+                     SUM(x * x) AS sxx
+              FROM r
+            )
+            SELECT CAST(n AS BIGINT) AS n_vocab,
+                   CAST(round((n * sxy - sx * sy)
+                              / (n * sxx - sx * sx) * 10000) AS BIGINT)
+                     AS slope_e4
+            FROM s
         """,
         "q_cooccur_pairs": r"""
             WITH w AS (

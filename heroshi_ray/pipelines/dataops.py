@@ -7306,3 +7306,62 @@ def q_ann_recall_eval(sf_dir: str, n_queries: int = 5, k: int = 3):
             "recall_e4": pa.array(rows["recall_e4"], pa.int64()),
         }
     )
+
+
+def q_zipf_fit(sf_dir: str):
+    """Zipf-law fit of the corpus token-frequency distribution — the
+    one-scalar corpus health check (natural language sits near slope
+    -1 on log(rank)-log(freq); boilerplate-heavy or deduplicated-to-
+    death corpora drift off it; Zipf 1949, and every corpus datasheet
+    since plots it). Least-squares slope over (ln rank, ln freq) with
+    rank = row_number by (freq desc, token asc):
+
+        slope = (n·Σxy − Σx·Σy) / (n·Σxx − (Σx)²),  e4 fixed-point
+
+    — the q_corr_stats sufficient-statistics shape, float only in the
+    final sums (e4 rounding absorbs summation-order ulp).
+
+    Scale shape: ONE (token) combiner groupby (shuffle payload =
+    per-batch distinct-token partials); the fit runs on the
+    vocab-bounded frequency table (open-vocab corpora fit the top-K
+    ranks — the standard practice anyway, since the tail is
+    hapax-dominated). Output: (n_vocab, slope_e4)."""
+    import polars as pl
+    from ray.data.aggregate import Sum
+
+    ds = _pq(sf_dir, "documents", columns=["text"], split=True)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = (
+            pl.from_arrow(batch.column("text"))
+            .str.split(" ")
+            .explode()
+            .rename("tok")
+            .value_counts()
+            .with_columns(pl.col("count").cast(pl.Int64).alias("c"))
+            .select(["tok", "c"])
+        )
+        return g.to_arrow()
+
+    freq = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("tok")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()  # vocab-bounded
+    )
+    freq = freq.sort_values(["c", "tok"], ascending=[False, True],
+                            kind="mergesort").reset_index(drop=True)
+    n = len(freq)
+    x = np.log(np.arange(1, n + 1, dtype=np.float64))
+    y = np.log(freq["c"].to_numpy().astype(np.float64))
+    slope = (n * (x * y).sum() - x.sum() * y.sum()) / (
+        n * (x * x).sum() - x.sum() ** 2
+    )
+    return pa.table(
+        {
+            "n_vocab": pa.array([n], pa.int64()),
+            "slope_e4": pa.array(
+                [int(np.round(slope * 10_000))], pa.int64()
+            ),
+        }
+    )
