@@ -177,7 +177,14 @@ def llm_corpus_run(
 
     from ..runtime import join_partitions, tune_join_resources
     from ..stages.dedup import dedup_first
-    from .dataops import _pq, gopher_flags, quality_z, size_rank_shards
+    from .dataops import (
+        _batch_distinct_grams,
+        _poly_powers,
+        _pq,
+        gopher_flags,
+        quality_z,
+        size_rank_shards,
+    )
 
     ds = _pq(sf_dir, "documents", columns=["doc_id", "text", "lang", "source"],
              split=True)
@@ -201,7 +208,10 @@ def llm_corpus_run(
         .select_columns(["g"])
         .take_all()
     )  # benchmark-sized by definition
-    ev_ref = ray.put(pa.array([r["g"] for r in ev], pa.string()))
+    ev_strings = [r["g"] for r in ev]
+    pw = _poly_powers(decon_n)
+    _d, ev_hh = _batch_distinct_grams(ev_strings, decon_n, pw)
+    ev_ref = ray.put((pa.array(ev_strings, pa.string()), np.unique(ev_hh)))
 
     def gates(batch: pa.Table) -> pa.Table:
         keep = gopher_flags(batch.column("text")).column("keep").to_numpy(
@@ -215,27 +225,22 @@ def llm_corpus_run(
         if out.num_rows == 0:
             return out
         # contamination: any shared 16-gram with the benchmark set —
-        # q_decontaminate's flat-array + reduceat kernel (one pc.is_in
-        # per batch, no per-row dispatch)
-        evs = ray.get(ev_ref)
-        flat: list[str] = []
-        offs = []
-        for t in out.column("text").to_pylist():
-            offs.append(len(flat))
-            flat.extend(
-                {t[j : j + decon_n] for j in range(max(len(t) - decon_n + 1, 0))}
-            )
-        offs.append(len(flat))
-        if not flat:
+        # q_decontaminate's vectorized kernel: one codepoint
+        # sliding-window hash sweep + one np.isin prefilter, exact
+        # string verify only on the sparse hash candidates
+        evs, ev_hashes = ray.get(ev_ref)
+        texts = out.column("text").to_pylist()
+        d, hh = _batch_distinct_grams(texts, decon_n, pw)
+        if not len(d):
             return out
-        member = pc.is_in(
-            pa.array(flat, pa.string()), value_set=evs
-        ).to_numpy(zero_copy_only=False).astype(np.int64)
-        bounds = np.asarray(offs, np.int64)
-        hit = np.add.reduceat(
-            np.concatenate([member, [0]]), np.minimum(bounds[:-1], len(member))
-        ) * (np.diff(bounds) > 0)
-        return out.filter(pa.array(hit == 0))
+        contaminated = np.zeros(len(texts), bool)
+        for di in np.unique(d[np.isin(hh, ev_hashes)]):
+            t = texts[int(di)]
+            grams = list({t[j : j + decon_n] for j in range(len(t) - decon_n + 1)})
+            m = pc.is_in(pa.array(grams, pa.string()), value_set=evs)
+            if pc.any(m).as_py():
+                contaminated[int(di)] = True
+        return out.filter(pa.array(~contaminated))
 
     gated = ds.map_batches(gates, batch_format="pyarrow", zero_copy_batch=True)
     deduped = dedup_first(
@@ -277,7 +282,22 @@ def llm_corpus_run(
         d = os.path.join(out_dir, f"shard={s}")
         os.makedirs(d, exist_ok=True)
         path = os.path.join(d, "part-0.parquet")
-        if not os.path.exists(path):  # resumable: skip finished shards
+        # resumable: skip a finished shard only if its content matches
+        # THIS run (same doc_id set in the same order) — a stale shard
+        # from a different corpus/params is rewritten, so manifest and
+        # on-disk parquet can never disagree
+        reuse = False
+        if os.path.exists(path):
+            try:
+                old = (
+                    pq_mod.read_table(path, columns=["doc_id"])
+                    .column("doc_id")
+                    .to_numpy()
+                )
+                reuse = np.array_equal(old, g["doc_id"].to_numpy())
+            except Exception:
+                reuse = False
+        if not reuse:
             tmp = path + ".tmp"
             pq_mod.write_table(pa.Table.from_pandas(g, preserve_index=False), tmp)
             os.replace(tmp, path)

@@ -703,7 +703,12 @@ def q_ann_ivf(sf_dir: str, n_queries: int = 5, k: int = 3, nprobe: int = 8):
     )
     index = IVFIndex(n_centroids=16).fit(sample)
     idx_ref = ray.put(index)
-    probes = {int(q): set(index.probe(qmat[i], nprobe).tolist()) for i, q in enumerate(qids)}
+    # per-query probed cells as sorted int arrays: the scan-side filter
+    # is one np.isin C kernel per query, not a per-row Python loop
+    probes = {
+        int(q): np.sort(np.asarray(index.probe(qmat[i], nprobe), np.int64))
+        for i, q in enumerate(qids)
+    }
     probes_ref = ray.put(probes)
     q_ref = ray.put((qids, l2_normalize(qmat.astype(np.float64))))
 
@@ -718,7 +723,7 @@ def q_ann_ivf(sf_dir: str, n_queries: int = 5, k: int = 3, nprobe: int = 8):
         sims = nm @ qn.T
         out_q, out_v, out_s = [], [], []
         for j, qid in enumerate(qids_):
-            keep = np.array([b in pr[int(qid)] for b in buckets]) & (ids != qid)
+            keep = np.isin(buckets, pr[int(qid)]) & (ids != qid)
             if not keep.any():
                 continue
             s = sims[keep, j]
@@ -897,9 +902,10 @@ def q_dedup_clusters(
     loop — they get their own id in the final streaming attach pass.
     Oracled by a DuckDB RECURSIVE CTE computing min-reachable-id —
     edge sets agree exactly because q_embed_neardup itself is
-    oracle-green under the same predicate."""
-    from ray.data.aggregate import Min
-
+    oracle-green under the same predicate. The size-adaptive core is
+    the shared _cc_attach_int — the same switch every cluster op
+    (q_minhash_clusters, q_phash_clusters, q_image_clusters) routes
+    through."""
     pairs = q_embed_neardup(sf_dir, threshold)
     ds = _pq(sf_dir, "embeddings", columns=["vec_id"])
     if stats is not None:
@@ -912,8 +918,59 @@ def q_dedup_clusters(
             batch_format="pyarrow",
         )
 
-    a = pairs.column("vec_a").to_numpy()
-    b = pairs.column("vec_b").to_numpy()
+    return _cc_attach_int(
+        ds,
+        "vec_id",
+        pairs.column("vec_a").to_numpy(),
+        pairs.column("vec_b").to_numpy(),
+        max_iters,
+        driver_labels_max,
+        stats,
+    )
+
+
+def _cc_join_attach(ds, id_col: str, labels):
+    """Distributed attach of a Dataset-resident label table: corpus
+    left-outer-joins the (node, lbl) labels on id_col; rows with no
+    verified near-dup coalesce to their own id. Works for int64 and
+    string ids alike (the join key and coalesce are type-generic)."""
+    tune_join_resources()
+    nparts = join_partitions(8)
+    lbl2 = labels.map_batches(
+        lambda t: pa.table({id_col: t.column("node"), "_cc_lbl": t.column("lbl")}),
+        batch_format="pyarrow",
+    ).repartition(nparts)
+    n_rows = ds.count()
+    joined = ds.repartition(max(2, min(nparts, n_rows // 4096 + 1))).join(
+        lbl2, join_type="left_outer", num_partitions=nparts, on=(id_col,)
+    )
+
+    def fill(batch: pa.Table) -> pa.Table:
+        v = batch.column(id_col)
+        lbl = pc.coalesce(batch.column("_cc_lbl"), v)
+        return pa.table({id_col: v, "cluster_id": lbl})
+
+    return joined.map_batches(fill, batch_format="pyarrow")
+
+
+def _cc_attach_int(
+    ds,
+    id_col: str,
+    a: np.ndarray,
+    b: np.ndarray,
+    max_iters: int,
+    driver_labels_max: int,
+    stats: dict | None = None,
+):
+    """Shared size-adaptive connected-components core for int64 ids:
+    pair endpoints (a, b) -> per-row (id_col, cluster_id) over ds,
+    cluster_id = min reachable id. Below driver_labels_max the label
+    vector lives on the driver (_cc_labels_driver; edge passes stay
+    distributed); above it labels are Dataset-resident
+    (_cc_labels_distributed) and the attach is a left-outer hash join
+    (_cc_join_attach) — nothing corpus-sized touches the driver."""
+    a = np.asarray(a, np.int64)
+    b = np.asarray(b, np.int64)
     edges_tbl = pa.table(
         {
             "src": pa.array(np.concatenate([a, b]), pa.int64()),
@@ -924,34 +981,14 @@ def q_dedup_clusters(
 
     if n_nodes > driver_labels_max:
         labels = _cc_labels_distributed(edges_tbl, max_iters, stats)
-        # attach = distributed left-outer join; isolated rows fill own id
-        tune_join_resources()
-        nparts = join_partitions(8)
-        lbl2 = labels.map_batches(
-            lambda t: pa.table(
-                {"vec_id": t.column("node"), "_cc_lbl": t.column("lbl")}
-            ),
-            batch_format="pyarrow",
-        ).repartition(nparts)
-        n_rows = ds.count()
-        joined = ds.repartition(max(2, min(nparts, n_rows // 4096 + 1))).join(
-            lbl2, join_type="left_outer", num_partitions=nparts, on=("vec_id",)
-        )
-
-        def fill(batch: pa.Table) -> pa.Table:
-            v = batch.column("vec_id")
-            lbl = pc.coalesce(batch.column("_cc_lbl"), v)
-            return pa.table({"vec_id": v, "cluster_id": lbl})
-
-        return joined.map_batches(fill, batch_format="pyarrow")
+        return _cc_join_attach(ds, id_col, labels)
 
     ns, ls = _cc_labels_driver(edges_tbl, max_iters, stats)
-
     final_ref = ray.put((ns, ls))
 
     def attach(batch: pa.Table) -> pa.Table:
         ns, ls = ray.get(final_ref)
-        v = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         out = v.copy()  # isolated nodes: own id
         if len(ns):
             pos = np.clip(np.searchsorted(ns, v), 0, len(ns) - 1)
@@ -959,8 +996,75 @@ def q_dedup_clusters(
             out[hit] = ls[pos[hit]]
         return pa.table(
             {
-                "vec_id": pa.array(v, pa.int64()),
+                id_col: pa.array(v, pa.int64()),
                 "cluster_id": pa.array(out, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(attach, batch_format="pyarrow")
+
+
+def _cc_attach_str(
+    ds,
+    id_col: str,
+    sa: np.ndarray,
+    sb: np.ndarray,
+    max_iters: int,
+    driver_labels_max: int,
+    stats: dict | None = None,
+):
+    """String-id twin of _cc_attach_int (cluster_id = lexicographically
+    smallest member). Below the bound the edge-subgraph strings map to
+    their LEXICOGRAPHIC RANK (np.unique's sorted index — an
+    order-preserving int64 bijection), so min-int label == min-string
+    member and the int driver core applies unchanged. Above the bound
+    no rank can be assigned without a global sort, so the distributed
+    fork propagates min-STRING labels directly (_cc_labels_distributed
+    is label-type-generic; Arrow Min / min_element_wise order utf8
+    lexicographically) — the converged label IS the smallest member,
+    and the attach is the same left-outer hash join."""
+    sa = np.asarray(sa)
+    sb = np.asarray(sb)
+    vocab = np.unique(np.concatenate([sa, sb]))  # sorted — rank = order
+
+    if len(vocab) > driver_labels_max:
+        edges_tbl = pa.table(
+            {
+                "src": pa.array(np.concatenate([sa, sb]).tolist(), pa.string()),
+                "dst": pa.array(np.concatenate([sb, sa]).tolist(), pa.string()),
+            }
+        )
+        labels = _cc_labels_distributed(edges_tbl, max_iters, stats)
+        return _cc_join_attach(ds, id_col, labels)
+
+    a = np.searchsorted(vocab, sa).astype(np.int64)
+    b = np.searchsorted(vocab, sb).astype(np.int64)
+    edges_tbl = pa.table(
+        {
+            "src": pa.array(np.concatenate([a, b]), pa.int64()),
+            "dst": pa.array(np.concatenate([b, a]), pa.int64()),
+        }
+    )
+    ns, ls = _cc_labels_driver(edges_tbl, max_iters, stats)
+    final_ref = ray.put((vocab, ns, ls))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        vocab, ns, ls = ray.get(final_ref)
+        ids = np.asarray(batch.column(id_col).to_pylist())
+        out = ids.copy()
+        if len(ns) and len(ids):
+            pos = np.clip(np.searchsorted(vocab, ids), 0, len(vocab) - 1)
+            hit = vocab[pos] == ids
+            ranks = pos[hit]
+            lpos = np.clip(np.searchsorted(ns, ranks), 0, len(ns) - 1)
+            lhit = ns[lpos] == ranks
+            lbl = ranks.copy()
+            lbl[lhit] = ls[lpos[lhit]]
+            out[hit] = vocab[lbl]
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "cluster_id": pa.array(out.tolist(), pa.string()),
             }
         )
 
@@ -1029,10 +1133,18 @@ def _cc_labels_distributed(edges_tbl: pa.Table, max_iters: int, stats: dict | No
     100-TB path for web-scale duplicate rates where the edge subgraph
     is corpus-sized. Per round: edges⋈labels hash join (src lookup) →
     per-node groupby-Min over messages ∪ self-labels → pointer-doubling
-    self-join. Fixpoint detected by the (monotone-decreasing) global
-    label Sum; the driver holds two scalars, never the labels."""
+    self-join. Label-type-generic: int64 ids detect the fixpoint by the
+    (monotone-decreasing) global label Sum — the driver holds two
+    scalars; string ids (no meaningful sum) detect it EXACTLY by a
+    per-round changed-label count (new⋈prev inner join on node, count
+    lbl != prev) — the driver holds one int. Arrow's Min aggregate and
+    min_element_wise order utf8 lexicographically, so for strings the
+    converged label is the lexicographically-smallest member."""
     from ray.data.aggregate import Min
 
+    is_str = pa.types.is_string(edges_tbl.column("src").type) or (
+        pa.types.is_large_string(edges_tbl.column("src").type)
+    )
     tune_join_resources()
     nparts = join_partitions(8)
     edges_ds = (
@@ -1055,7 +1167,7 @@ def _cc_labels_distributed(edges_tbl: pa.Table, max_iters: int, stats: dict | No
         .repartition(nparts)
         .materialize()
     )
-    prev_sum = labels.sum(on="lbl")
+    prev_sum = None if is_str else labels.sum(on="lbl")
 
     for it in range(max_iters):
         # 1 hop: every node receives its neighbors' current labels
@@ -1092,13 +1204,41 @@ def _cc_labels_distributed(edges_tbl: pa.Table, max_iters: int, stats: dict | No
             .repartition(nparts)
             .materialize()
         )
-        cur_sum = new.sum(on="lbl")
+        if is_str:
+            prev_tbl = labels.map_batches(
+                lambda b: pa.table(
+                    {"node": b.column("node"), "_plbl": b.column("lbl")}
+                ),
+                batch_format="pyarrow",
+            ).repartition(nparts)
+
+            def count_changed(b: pa.Table) -> pa.Table:
+                ne = pc.sum(
+                    pc.cast(
+                        pc.not_equal(b.column("lbl"), b.column("_plbl")),
+                        pa.int64(),
+                    )
+                ).as_py()
+                return pa.table({"c": pa.array([ne or 0], pa.int64())})
+
+            n_changed = (
+                new.join(
+                    prev_tbl, join_type="inner", num_partitions=nparts,
+                    on=("node",),
+                )
+                .map_batches(count_changed, batch_format="pyarrow")
+                .sum(on="c")
+            ) or 0
+            converged = n_changed == 0
+        else:
+            cur_sum = new.sum(on="lbl")
+            converged = cur_sum == prev_sum
+            prev_sum = cur_sum
         labels = new
         if stats is not None:
             stats["iters"] = it + 1
-        if cur_sum == prev_sum:
+        if converged:
             return labels  # Dataset(node, lbl) — never on the driver
-        prev_sum = cur_sum
     raise RuntimeError(
         f"q_dedup_clusters: distributed label propagation did not "
         f"converge in {max_iters} rounds"
@@ -2280,16 +2420,14 @@ def q_image_clusters(
     lexicographically smallest image_id in the component (deterministic
     representative).
 
-    Layout: the pair-graph node set is output-scale by construction
-    (only images WITH a verified near-dup appear, <= 2x pairs), so
-    labels run through the same hash-min + pointer-doubling core as the
-    embedding twin (_cc_labels_driver; distributed edge passes, driver
-    label vector). np.unique's SORTED node index makes min-int-label ==
-    min-image_id with no extra pass. The attach is a broadcast
-    output-scale dict probed in a streaming pass over the corpus;
-    isolated images keep their own id. Past ``driver_nodes_max`` nodes
-    the id->int index plus _cc_labels_distributed is the documented
-    fork (same shape as q_dedup_clusters' Dataset-resident path)."""
+    Layout: routes through the shared size-adaptive _cc_attach_str
+    switch (the same core as q_dedup_clusters). Below
+    ``driver_nodes_max`` edge-subgraph nodes the string ids map to
+    their lexicographic rank (order-preserving int64 bijection, so
+    min-int-label == min-image_id) and labels are a driver vector with
+    distributed edge passes; above it labels are Dataset-resident
+    min-STRING propagation (_cc_labels_distributed) and the attach is
+    a left-outer hash join — nothing corpus-sized on the driver."""
     pairs = q_phash_neardup(sf_dir, max_hamming)
     ds = ray.data.read_parquet(_ensure_neardup_corpus(), columns=["image_id"])
     if pairs.num_rows == 0:
@@ -2300,35 +2438,14 @@ def q_image_clusters(
             ),
             batch_format="pyarrow",
         )
-    a = np.asarray(pairs.column("image_a").to_pylist())
-    b = np.asarray(pairs.column("image_b").to_pylist())
-    uniq, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
-    assert len(uniq) <= driver_nodes_max, (
-        "image pair-node set exceeded the driver bound; route through the "
-        "id->int64 index + _cc_labels_distributed fork"
+    return _cc_attach_str(
+        ds,
+        "image_id",
+        np.asarray(pairs.column("image_a").to_pylist()),
+        np.asarray(pairs.column("image_b").to_pylist()),
+        64,
+        driver_nodes_max,
     )
-    ea, eb = inv[: len(a)].astype(np.int64), inv[len(a):].astype(np.int64)
-    edges_tbl = pa.table(
-        {
-            "src": pa.array(np.concatenate([ea, eb]), pa.int64()),
-            "dst": pa.array(np.concatenate([eb, ea]), pa.int64()),
-        }
-    )
-    ns, ls = _cc_labels_driver(edges_tbl, 64, None)
-    reps = {uniq[int(n)]: uniq[int(l)] for n, l in zip(ns, ls)}
-    rep_ref = ray.put(reps)
-
-    def attach(batch: pa.Table) -> pa.Table:
-        reps = ray.get(rep_ref)
-        ids = batch.column("image_id").to_pylist()
-        return pa.table(
-            {
-                "image_id": batch.column("image_id"),
-                "cluster_id": pa.array([reps.get(i, i) for i in ids], pa.string()),
-            }
-        )
-
-    return ds.map_batches(attach, batch_format="pyarrow", zero_copy_batch=True)
 
 
 # -------------------------------------------------- label centroids -----
@@ -2427,10 +2544,19 @@ def q_decontaminate(sf_dir: str, n: int = 16, eval_mod: int = 97):
     by definition (thousands of questions), never corpus-sized — so its
     distinct-gram set is built distributed (explode -> groupby) and then
     broadcast once via ray.put; the 100-TB train side streams through
-    one map_batches membership pass (pc.is_in against the broadcast
-    value set, one C++ kernel per batch). No shuffle touches the train
-    corpus. Grams compared as STRINGS, not hashes: the hit counts are
-    exact, no collision caveat, and the DuckDB twin hash-matches.
+    one map_batches pass per batch. No shuffle touches the train
+    corpus.
+
+    The train-side gram pass is fully vectorized: per batch, ONE
+    codepoint sliding-window polynomial-hash sweep
+    (`_batch_distinct_grams` — the same kernel the containment/span
+    family uses; zero Python per gram) and one np.isin against the
+    broadcast uint64 eval-gram hashes prefilters candidate docs; only
+    docs with >= 1 hash hit (contamination is sparse by construction)
+    fall back to exact STRING extraction + pc.is_in, so the emitted
+    (n_grams, hit_grams) stay string-exact with no collision caveat —
+    hash collisions only cost a wasted verify, never a wrong row — and
+    the DuckDB twin hash-matches.
 
     Returns (doc_id, n_grams, hit_grams) for contaminated train docs
     (hit_grams >= 1), where n_grams is the doc's distinct-gram count —
@@ -2455,27 +2581,24 @@ def q_decontaminate(sf_dir: str, n: int = 16, eval_mod: int = 97):
         .select_columns(["g"])
         .take_all()
     )  # driver contact = benchmark gram set, fixed-size by definition
-    ev_set = pa.array([r["g"] for r in ev], pa.string())
-    ev_ref = ray.put(ev_set)
+    ev_strings = [r["g"] for r in ev]
+    ev_set = pa.array(ev_strings, pa.string())
+    pw = _poly_powers(n)
+    # each eval gram is an n-char text with exactly one window — hashing
+    # them through the same kernel guarantees both sides agree bit-exact
+    _d, ev_hh = _batch_distinct_grams(ev_strings, n, pw)
+    ev_ref = ray.put((ev_set, np.unique(ev_hh)))
 
     def hits(batch: pa.Table) -> pa.Table:
-        # ONE membership kernel per batch: all docs' distinct grams go
-        # into a single flat array with per-doc offsets, one pc.is_in
-        # runs against the broadcast set, and per-doc hit counts come
-        # from a segmented np.add.reduceat — no per-row kernel dispatch
-        ev_arr = ray.get(ev_ref)
+        ev_arr, ev_hashes = ray.get(ev_ref)
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         texts = batch.column("text").to_pylist()
-        flat: list[str] = []
-        offs, doc_ids, n_grams = [], [], []
+        kept_ids, kept_texts = [], []
         for i, t in zip(ids, texts):
             if int(i) % eval_mod == 0 or not t or len(t) < n:
                 continue
-            grams = list({t[j : j + n] for j in range(len(t) - n + 1)})
-            offs.append(len(flat))
-            doc_ids.append(int(i))
-            n_grams.append(len(grams))
-            flat.extend(grams)
+            kept_ids.append(int(i))
+            kept_texts.append(t)
         empty = pa.table(
             {
                 "doc_id": pa.array([], pa.int64()),
@@ -2483,20 +2606,41 @@ def q_decontaminate(sf_dir: str, n: int = 16, eval_mod: int = 97):
                 "hit_grams": pa.array([], pa.int64()),
             }
         )
-        if not flat:
+        if not kept_texts:
             return empty
-        member = pc.is_in(
-            pa.array(flat, pa.string()), value_set=ev_arr
-        ).to_numpy(zero_copy_only=False)
-        hit = np.add.reduceat(member.astype(np.int64), np.array(offs, np.int64))
-        keep = hit > 0
-        if not keep.any():
+        # vectorized prefilter: one hash sweep + one np.isin C kernel
+        d, hh = _batch_distinct_grams(kept_texts, n, pw)
+        if not len(d):
+            return empty
+        cand_docs = np.unique(d[np.isin(hh, ev_hashes)])
+        if not len(cand_docs):
+            return empty
+        # exact string verify, candidate docs only (sparse): per-doc
+        # distinct gram strings -> one pc.is_in against the eval set
+        doc_ids, n_grams, hit_grams = [], [], []
+        for di in cand_docs:
+            t = kept_texts[int(di)]
+            grams = list({t[j : j + n] for j in range(len(t) - n + 1)})
+            nh = int(
+                pc.sum(
+                    pc.cast(
+                        pc.is_in(pa.array(grams, pa.string()), value_set=ev_arr),
+                        pa.int64(),
+                    )
+                ).as_py()
+                or 0
+            )
+            if nh > 0:
+                doc_ids.append(kept_ids[int(di)])
+                n_grams.append(len(grams))
+                hit_grams.append(nh)
+        if not doc_ids:
             return empty
         return pa.table(
             {
-                "doc_id": pa.array(np.array(doc_ids, np.int64)[keep], pa.int64()),
-                "n_grams": pa.array(np.array(n_grams, np.int64)[keep], pa.int64()),
-                "hit_grams": pa.array(hit[keep], pa.int64()),
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "n_grams": pa.array(n_grams, pa.int64()),
+                "hit_grams": pa.array(hit_grams, pa.int64()),
             }
         )
 
@@ -6891,7 +7035,12 @@ def q_corpus_card(sf_dir: str):
     )
 
 
-def q_phash_clusters(sf_dir: str, max_hamming: int = 6, max_iters: int = 64):
+def q_phash_clusters(
+    sf_dir: str,
+    max_hamming: int = 6,
+    max_iters: int = 64,
+    driver_labels_max: int = 2_000_000,
+):
     """Perceptual-hash near-dup CLUSTERS — q_dedup_clusters' transitive
     closure applied to the IMAGE payload: connected components over
     q_phash_neardup's verified pair graph, so a~b and b~c collapse into
@@ -6899,15 +7048,16 @@ def q_phash_clusters(sf_dir: str, max_hamming: int = 6, max_iters: int = 64):
     image dedup at corpus scale actually wants: burst shots / resizes
     chain). Cluster id = the lexicographically-smallest member.
 
-    Layout: the edge-subgraph's string ids (output-scale — the near-dup
-    set, never the corpus) map to their LEXICOGRAPHIC RANK, an
-    order-preserving int64 bijection, so the min-int label propagation
-    of q_dedup_clusters (hash-min + pointer doubling; the
-    Dataset-resident fork is one flag away via _cc_labels_distributed)
-    directly yields the lexicographically-smallest member; one
-    streaming attach pass (searchsorted against the broadcast rank
-    table) gives every corpus image its cluster (isolated = own id).
-    Rows-only; pinned against a brute-force union-find replica in
+    Layout: routes through the shared size-adaptive _cc_attach_str
+    switch. Below ``driver_labels_max`` edge-subgraph nodes the string
+    ids map to their LEXICOGRAPHIC RANK (order-preserving int64
+    bijection, so the min-int label propagation directly yields the
+    lexicographically-smallest member) with driver-resident labels and
+    distributed edge passes; above the bound labels are
+    Dataset-resident min-STRING propagation (_cc_labels_distributed)
+    and the attach is a left-outer hash join — isolated images keep
+    their own id in both forks. Rows-only; pinned against a
+    brute-force union-find replica AND the forced-distributed path in
     tests."""
     pairs = q_phash_neardup(sf_dir, max_hamming)
     ds = ray.data.read_parquet(_ensure_neardup_corpus(), columns=["image_id"])
@@ -6923,59 +7073,34 @@ def q_phash_clusters(sf_dir: str, max_hamming: int = 6, max_iters: int = 64):
             batch_format="pyarrow",
         )
 
-    sa = np.asarray(pairs.column("image_a").to_pylist())
-    sb = np.asarray(pairs.column("image_b").to_pylist())
-    vocab = np.unique(np.concatenate([sa, sb]))  # sorted — rank = order
-    a = np.searchsorted(vocab, sa).astype(np.int64)
-    b = np.searchsorted(vocab, sb).astype(np.int64)
-    edges_tbl = pa.table(
-        {
-            "src": pa.array(np.concatenate([a, b]), pa.int64()),
-            "dst": pa.array(np.concatenate([b, a]), pa.int64()),
-        }
+    return _cc_attach_str(
+        ds,
+        "image_id",
+        np.asarray(pairs.column("image_a").to_pylist()),
+        np.asarray(pairs.column("image_b").to_pylist()),
+        max_iters,
+        driver_labels_max,
     )
-    ns, ls = _cc_labels_driver(edges_tbl, max_iters, None)
-    final_ref = ray.put((vocab, ns, ls))
-
-    def attach(batch: pa.Table) -> pa.Table:
-        vocab, ns, ls = ray.get(final_ref)
-        ids = np.asarray(batch.column("image_id").to_pylist())
-        out = ids.copy()
-        if len(ns):
-            pos = np.clip(np.searchsorted(vocab, ids), 0, len(vocab) - 1)
-            hit = vocab[pos] == ids
-            ranks = pos[hit]
-            lpos = np.clip(np.searchsorted(ns, ranks), 0, len(ns) - 1)
-            lhit = ns[lpos] == ranks
-            lbl = ranks.copy()
-            lbl[lhit] = ls[lpos[lhit]]
-            out[hit] = vocab[lbl]
-        return pa.table(
-            {
-                "image_id": batch.column("image_id"),
-                "cluster_id": pa.array(out.tolist(), pa.string()),
-            }
-        )
-
-    return ds.map_batches(attach, batch_format="pyarrow")
 
 
 def q_minhash_clusters(sf_dir: str, threshold: float = 0.6,
-                       max_iters: int = 64):
+                       max_iters: int = 64,
+                       driver_labels_max: int = 2_000_000):
     """MinHash near-dup CLUSTERS for text — the transitive-closure form
     of q_minhash_neardup (Lee et al. 2022's dedup pipeline groups
     near-dup docs into clusters and keeps one per cluster; a keep-list
     of pairwise drops under-removes chained paraphrases). Cluster id =
     smallest doc_id reachable through verified pairs.
 
-    Layout: identical machinery to q_dedup_clusters (hash-min label
-    propagation with pointer doubling over the verified pair graph,
-    driver-resident labels at output scale, Dataset-resident fork via
-    _cc_labels_distributed above the bound) — doc ids are already
-    int64, so no rank mapping is needed; one streaming attach pass
-    covers the corpus (isolated docs = own id). Rows-only (minhash
-    banding isn't SQL-expressible); pinned against a union-find replica
-    over the same verified pairs."""
+    Layout: identical machinery to q_dedup_clusters — both route
+    through the shared size-adaptive _cc_attach_int switch (hash-min
+    label propagation with pointer doubling; driver-resident labels at
+    output scale below ``driver_labels_max``, Dataset-resident
+    _cc_labels_distributed + left-outer-join attach above it). Doc ids
+    are already int64, so no rank mapping is needed; isolated docs
+    keep their own id. Rows-only (minhash banding isn't
+    SQL-expressible); pinned against a union-find replica over the
+    same verified pairs AND the forced-distributed path in tests."""
     pairs = q_minhash_neardup(sf_dir, threshold)
     ds = _pq(sf_dir, "documents", columns=["doc_id"])
 
@@ -6987,33 +7112,14 @@ def q_minhash_clusters(sf_dir: str, threshold: float = 0.6,
             batch_format="pyarrow",
         )
 
-    a = pairs.column("doc_a").to_numpy()
-    b = pairs.column("doc_b").to_numpy()
-    edges_tbl = pa.table(
-        {
-            "src": pa.array(np.concatenate([a, b]), pa.int64()),
-            "dst": pa.array(np.concatenate([b, a]), pa.int64()),
-        }
+    return _cc_attach_int(
+        ds,
+        "doc_id",
+        pairs.column("doc_a").to_numpy(),
+        pairs.column("doc_b").to_numpy(),
+        max_iters,
+        driver_labels_max,
     )
-    ns, ls = _cc_labels_driver(edges_tbl, max_iters, None)
-    final_ref = ray.put((ns, ls))
-
-    def attach(batch: pa.Table) -> pa.Table:
-        ns, ls = ray.get(final_ref)
-        v = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        out = v.copy()
-        if len(ns):
-            pos = np.clip(np.searchsorted(ns, v), 0, len(ns) - 1)
-            hit = ns[pos] == v
-            out[hit] = ls[pos[hit]]
-        return pa.table(
-            {
-                "doc_id": pa.array(v, pa.int64()),
-                "cluster_id": pa.array(out, pa.int64()),
-            }
-        )
-
-    return ds.map_batches(attach, batch_format="pyarrow")
 
 
 def q_dominant_color(sf_dir: str):
@@ -7194,8 +7300,11 @@ def q_kl_drift(sf_dir: str):
     return pa.table(
         {
             "source": pa.array(out.index.tolist(), pa.string()),
+            # half-AWAY-from-zero like DuckDB round() (np.round is
+            # banker's); KL >= 0 so floor(x+0.5) suffices
             "kl_e4": pa.array(
-                np.round(out.to_numpy() * 10_000).astype(np.int64), pa.int64()
+                np.floor(out.to_numpy() * 10_000 + 0.5).astype(np.int64),
+                pa.int64(),
             ),
         }
     )
@@ -7360,8 +7469,11 @@ def q_zipf_fit(sf_dir: str):
     return pa.table(
         {
             "n_vocab": pa.array([n], pa.int64()),
+            # sign-aware half-AWAY-from-zero (DuckDB round(); the zipf
+            # slope is negative, so floor(x+0.5) alone would be wrong)
             "slope_e4": pa.array(
-                [int(np.round(slope * 10_000))], pa.int64()
+                [int(np.sign(slope) * np.floor(abs(slope) * 10_000 + 0.5))],
+                pa.int64(),
             ),
         }
     )

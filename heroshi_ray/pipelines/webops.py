@@ -852,31 +852,39 @@ def q_scd2_history(sf_dir: str):
         )
 
     def history(g: pd.DataFrame) -> pd.DataFrame:
+        # per-bucket VECTORIZED merge (q_crawl_delta's style): masks
+        # pick the closed/open row sets, three mask-sliced frames
+        # concat — no per-row Python
         a = g[g["side"] == 0][["doc_id", "h"]]
         b = g[g["side"] == 1][["doc_id", "h"]]
         m = a.merge(b, on="doc_id", how="outer", suffixes=("_a", "_b"))
-        rows = {"doc_id": [], "h": [], "valid_from": [], "valid_to": [],
-                "is_current": []}
-
-        def emit(did, h, vf, vt, cur):
-            rows["doc_id"].append(did); rows["h"].append(h)
-            rows["valid_from"].append(vf); rows["valid_to"].append(vt)
-            rows["is_current"].append(cur)
-
-        for did, ha, hb in zip(
-            m["doc_id"].astype("int64"), m["h_a"], m["h_b"]
-        ):
-            did = int(did)
-            if pd.isna(hb):          # gone: closes at epoch 2
-                emit(did, ha, 1, 2, 0)
-            elif pd.isna(ha):        # new: opens at epoch 2
-                emit(did, hb, 2, -1, 1)
-            elif ha != hb:           # changed: close + open
-                emit(did, ha, 1, 2, 0)
-                emit(did, hb, 2, -1, 1)
-            else:                    # unchanged
-                emit(did, ha, 1, -1, 1)
-        return pd.DataFrame(rows).astype(
+        did = m["doc_id"].to_numpy("int64")
+        ha = m["h_a"].to_numpy(object)
+        hb = m["h_b"].to_numpy(object)
+        has_a = ~pd.isna(ha)
+        has_b = ~pd.isna(hb)
+        changed = has_a & has_b & (ha != hb)
+        unchanged = has_a & has_b & ~changed
+        closed = (has_a & ~has_b) | changed  # gone | changed: [1, 2) dead
+        opened = (~has_a & has_b) | changed  # new | changed: [2, -1) live
+        out = pd.concat(
+            [
+                pd.DataFrame(
+                    {"doc_id": did[closed], "h": ha[closed],
+                     "valid_from": 1, "valid_to": 2, "is_current": 0}
+                ),
+                pd.DataFrame(
+                    {"doc_id": did[opened], "h": hb[opened],
+                     "valid_from": 2, "valid_to": -1, "is_current": 1}
+                ),
+                pd.DataFrame(
+                    {"doc_id": did[unchanged], "h": ha[unchanged],
+                     "valid_from": 1, "valid_to": -1, "is_current": 1}
+                ),
+            ],
+            ignore_index=True,
+        )
+        return out.astype(
             {"doc_id": "int64", "valid_from": "int64", "valid_to": "int64",
              "is_current": "int64"}
         )
@@ -938,10 +946,17 @@ def q_cdx_revisits(sf_dir: str, n_hosts: int = 40):
                 "digest": pa.array(digest, pa.string()),
             }
         )
-        # bucket by HOST CLASS (uid % n_hosts) so every capture of a
-        # surt lands in one group — uid % n_bkt would split a surt's
-        # captures whenever n_bkt doesn't divide evenly into host class
-        b = ((uid % n_hosts) % n_bkt).astype(np.int32)
+        # bucket by a MIXED HASH of the full surt key (host class,
+        # path class) so every capture of a surt lands in one group
+        # while the ~n_hosts*97 surt identities spread over ALL
+        # n_bkt buckets — host-class modulo alone capped shuffle
+        # parallelism at n_hosts groups
+        key = ((uid % n_hosts) * 97 + eid % 97).astype(np.uint64)
+        z = key + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z = z ^ (z >> np.uint64(31))
+        b = (z % np.uint64(n_bkt)).astype(np.int32)
         return out.append_column("__b", pa.array(b, pa.int32()))
 
     def mark(g: pd.DataFrame) -> pd.DataFrame:

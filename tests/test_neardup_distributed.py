@@ -538,6 +538,56 @@ def test_opic_distributed_matches_broadcast(ray_session):
     assert a["history"].nunique() > 1  # the graph actually differentiates
 
 
+def test_minhash_clusters_distributed_equals_driver(ray_session):
+    """driver_labels_max=0 forces the Dataset-resident label path (the
+    web-duplicate-rate regime where the pair graph is corpus-scale);
+    cluster assignment must equal the driver-vector path exactly."""
+    import pandas as pd
+
+    from heroshi_ray.pipelines.dataops import q_minhash_clusters
+
+    def norm(ds):
+        return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    a = norm(q_minhash_clusters(SF_DIR))
+    b = norm(q_minhash_clusters(SF_DIR, driver_labels_max=0))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+    assert (a["doc_id"] != a["cluster_id"]).sum() > 0  # non-trivial graph
+
+
+def test_phash_clusters_distributed_equals_driver(ray_session):
+    """String-id distributed fork: min-STRING label propagation
+    (Dataset-resident) must reproduce the lexicographic-rank driver
+    path exactly, including representatives."""
+    import pandas as pd
+
+    from heroshi_ray.pipelines.dataops import q_phash_clusters
+
+    def norm(ds):
+        return ds.to_pandas().sort_values("image_id").reset_index(drop=True)
+
+    a = norm(q_phash_clusters(SF_DIR))
+    b = norm(q_phash_clusters(SF_DIR, driver_labels_max=0))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+    assert (a["image_id"] != a["cluster_id"]).sum() > 0
+
+
+def test_image_clusters_distributed_equals_driver(ray_session):
+    """driver_nodes_max=0 forces q_image_clusters through the
+    Dataset-resident string fork; must equal the default path."""
+    import pandas as pd
+
+    from heroshi_ray.pipelines.dataops import q_image_clusters
+
+    def norm(ds):
+        return ds.to_pandas().sort_values("image_id").reset_index(drop=True)
+
+    a = norm(q_image_clusters(SF_DIR))
+    b = norm(q_image_clusters(SF_DIR, driver_nodes_max=0))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+    assert (a["image_id"] != a["cluster_id"]).sum() > 0
+
+
 def test_minhash_clusters_matches_union_find(ray_session):
     """q_minhash_clusters must equal brute-force union-find over the
     same verified pair list, with min-id representatives."""
