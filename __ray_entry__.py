@@ -268,6 +268,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_incremental_dedup": d.q_incremental_dedup,
         "q_ann_recall_eval": d.q_ann_recall_eval,
         "q_zipf_fit": d.q_zipf_fit,
+        # round-4 multimodal (rows-only: binary payload codecs are not
+        # SQL-expressible; tests pin the invariants instead)
+        "q_jpeg_decode": d.q_jpeg_decode,
     }
 
     # round-4 driver window: 50 oracled queries with no prior

@@ -283,6 +283,7 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         "q_incremental_dedup",
         "q_ann_recall_eval",
         "q_zipf_fit",
+        "q_jpeg_decode",
     ]
     # per-query best-of-2 with the same rationale as the headline reps.
     # The two sub-2 s fixed-overhead-dominated queries get extra reps:

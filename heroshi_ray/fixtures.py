@@ -54,7 +54,11 @@ def _pixels(rng: np.random.Generator, h: int, w: int) -> np.ndarray:
     return np.clip(px, 0, 255).astype(np.uint8)
 
 
-def make_corpus(n: int, seed: int = 42) -> pa.Table:
+def make_corpus(n: int, seed: int = 42, jpeg_frac: float = 0.0) -> pa.Table:
+    """``jpeg_frac`` > 0 converts the top fraction of the format draw to
+    real baseline JPEG (functions/jpeg.py). The default 0.0 keeps the
+    r1-r3 corpora byte-identical (golden tests pin them); the rng draw
+    sequence is unchanged either way."""
     rng = np.random.default_rng(seed)
     sizes = np.array([32, 48, 64], dtype=np.int32)
     ids, blobs, ws, hs, fmts, caps, phs = [], [], [], [], [], [], []
@@ -62,7 +66,10 @@ def make_corpus(n: int, seed: int = 42) -> pa.Table:
         h = int(sizes[rng.integers(0, 3)])
         w = int(sizes[rng.integers(0, 3)])
         px = _pixels(rng, h, w)
-        fmt = "png" if rng.random() < 0.7 else "qpng"
+        r = rng.random()
+        fmt = "png" if r < 0.7 else "qpng"
+        if jpeg_frac and r >= 1.0 - jpeg_frac:
+            fmt = "jpeg"
         blob = encode_image(px, fmt)
         ids.append(f"img{i:08d}")
         blobs.append(blob)
@@ -86,6 +93,61 @@ def make_corpus(n: int, seed: int = 42) -> pa.Table:
         },
         schema=CORPUS,
     )
+
+
+def make_corpus_pair(
+    n: int, seed: int = 321, jpeg_frac: float = 0.25
+) -> tuple[pa.Table, pa.Table]:
+    """(lossy corpus, lossless reference twin) over the SAME source
+    pixels: the corpus encodes each image in its drawn fmt (png / qpng /
+    real baseline jpeg), the reference stores the untouched source
+    pixels as lossless PNG. Feeding both to pipelines/verify.py
+    exercises the BASELINE.json:15 per-row invariant (PSNR >= 40 dB for
+    lossy fmts) against ground truth — the jpeg decoder's acceptance
+    gate."""
+    from .functions.image import decode_image, png_encode
+
+    rng = np.random.default_rng(seed)
+    sizes = np.array([32, 48, 64], dtype=np.int32)
+    ids, blobs, ws, hs, fmts, caps, phs, refs = [], [], [], [], [], [], [], []
+    for i in range(n):
+        h = int(sizes[rng.integers(0, 3)])
+        w = int(sizes[rng.integers(0, 3)])
+        px = _pixels(rng, h, w)
+        r = rng.random()
+        fmt = "png" if r < 0.7 else "qpng"
+        if jpeg_frac and r >= 1.0 - jpeg_frac:
+            fmt = "jpeg"
+        blob = encode_image(px, fmt)
+        ids.append(f"img{i:08d}")
+        blobs.append(blob)
+        ws.append(w)
+        hs.append(h)
+        fmts.append(fmt)
+        caps.append(_caption(rng))
+        phs.append(phash64(decode_image(blob, fmt)))
+        refs.append(png_encode(px))
+    corpus = pa.table(
+        {
+            "image_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(blobs, pa.binary()),
+            "w": pa.array(ws, pa.int32()),
+            "h": pa.array(hs, pa.int32()),
+            "fmt": pa.array(fmts, pa.string()),
+            "caption": pa.array(caps, pa.string()),
+            "phash": pa.array(phs, pa.int64()),
+        },
+        schema=CORPUS,
+    )
+    ref = pa.table(
+        {
+            "image_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(refs, pa.binary()),
+            "fmt": pa.array(["png"] * n, pa.string()),
+            "caption": pa.array(caps, pa.string()),
+        }
+    )
+    return corpus, ref
 
 
 def _href_variants(rng: np.random.Generator, host: str, path: str) -> str:

@@ -90,6 +90,18 @@ def encode_image(px: np.ndarray, fmt: str) -> bytes:
         return png_encode(px)
     if fmt == "qpng":
         return png_encode(quantize6(px))
+    if fmt == "jpeg":
+        # corpus lossy format #2: baseline JFIF at q95 4:4:4, which keeps
+        # PSNR vs the source comfortably above the 40 dB invariant floor
+        from .jpeg import jpeg_encode
+
+        return jpeg_encode(px, quality=95, subsample="444")
+    if fmt == "jpeg420":
+        # the common web layout (2x2 chroma subsampling); decode-tested
+        # but kept out of the >=40 dB invariant corpus
+        from .jpeg import jpeg_encode
+
+        return jpeg_encode(px, quality=92, subsample="420")
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
@@ -97,9 +109,14 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
     """``bytes`` + ``fmt`` -> HxWx3 uint8 pixels (M8)."""
     if fmt in ("png", "qpng"):
         return png_decode(data)
+    if fmt in ("jpeg", "jpeg420", "jpg"):
+        # real baseline-JPEG decoder (pure numpy, functions/jpeg.py)
+        from .jpeg import jpeg_decode
+
+        return jpeg_decode(data)
     raise NotImplementedError(
         f"decoder for fmt {fmt!r} requires an image library not present in this "
-        "sandbox; plug a real codec in here (jpeg/webp/...)"
+        "sandbox; plug a real codec in here (webp/...)"
     )
 
 

@@ -1467,6 +1467,47 @@ def _ensure_corpus64() -> str:
     return path
 
 
+def _ensure_corpus_jpeg() -> tuple[str, str]:
+    """Deterministic mixed png/qpng/REAL-baseline-jpeg corpus plus its
+    lossless reference twin (same source pixels as PNG), cached under
+    /tmp. The jpeg bytes come from functions/jpeg.py (pure-numpy T.81
+    baseline codec, new in r4)."""
+    import pyarrow.parquet as pq
+
+    from ..fixtures import make_corpus_pair
+
+    cache = "/tmp/heroshi_ray_cache"
+    os.makedirs(cache, exist_ok=True)
+    cpath = os.path.join(cache, "corpus96_jpeg.parquet")
+    rpath = os.path.join(cache, "corpus96_jpeg_ref.parquet")
+    if not (os.path.exists(cpath) and os.path.exists(rpath)):
+        corpus, ref = make_corpus_pair(96, seed=321, jpeg_frac=0.25)
+        for tbl, path in ((corpus, cpath), (ref, rpath)):
+            tmp = path + ".tmp"
+            pq.write_table(tbl, tmp)
+            os.replace(tmp, path)
+    return cpath, rpath
+
+
+def q_jpeg_decode(sf_dir: str):
+    """Real baseline-JPEG decode through the per-row corpus invariant
+    (BASELINE.json:15): a mixed png/qpng/jpeg corpus is verified against
+    the lossless reference twin holding the same source pixels — decode
+    both sides, PSNR >= 40 dB for lossy fmts, caption byte-equal. The
+    jpeg rows exercise functions/jpeg.py's T.81 decoder end-to-end
+    inside the actor-pool verify stage. Rows-only driver check; tests
+    additionally pin that EVERY row passes and that strict
+    ImageDecodeStage phash equals the stored column on jpeg rows."""
+    import pyarrow.parquet as pq
+
+    from .verify import verify_corpus
+
+    cpath, rpath = _ensure_corpus_jpeg()
+    ds = ray.data.read_parquet(cpath)
+    ref_tbl = pq.read_table(rpath)
+    return verify_corpus(ds, ref_tbl)
+
+
 def q_image_decode(sf_dir: str):
     """Multimodal plumbing: deterministic synthetic image corpus (cached
     under /tmp) -> ImageDecodeStage actor pool -> decoded metadata +

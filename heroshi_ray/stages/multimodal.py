@@ -3,10 +3,13 @@ columns with typed metadata, processed by actor-pool ``map_batches``.
 
 The sandbox ships no image/audio libraries (SURVEY.md §7.6), so:
 - PNG/QPNG decode + resize are REAL (pure numpy/zlib codecs);
-- JPEG/WebP decode, audio feature extraction and video frame sampling
-  are STUBS behind clearly-marked ``NotImplementedError`` raises with a
-  deterministic-fake fallback flag — the Ray-side plumbing (schema,
-  batch size, actor signature, output layout) is real and tested.
+- baseline JPEG decode is REAL as of r4 (functions/jpeg.py — pure-numpy
+  ITU-T T.81 sequential-DCT codec, 4:4:4/4:2:0/grayscale, DRI/RSTn);
+- WebP decode, compressed-audio feature extraction and compressed-video
+  frame sampling remain STUBS behind clearly-marked
+  ``NotImplementedError`` raises with a deterministic-fake fallback
+  flag — the Ray-side plumbing (schema, batch size, actor signature,
+  output layout) is real and tested.
 """
 
 from __future__ import annotations
@@ -33,7 +36,7 @@ def block_mean_resize(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
 class ImageDecodeStage:
     """bytes+fmt -> decoded metadata (+ optional re-encoded thumbnail).
 
-    Real for "png"/"qpng". Other formats: raise (strict=True) or emit a
+    Real for "png"/"qpng"/"jpeg". Other formats: raise (strict=True) or emit a
     deterministic fake gray image sized from metadata (strict=False) so
     scale tests of the plumbing run without codecs.
     """

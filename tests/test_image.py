@@ -65,7 +65,10 @@ def test_phash_stable_and_robust():
 
 
 def test_unknown_fmt():
+    # jpeg became a real codec in r4; webp remains the honest stub
     with pytest.raises(NotImplementedError):
+        decode_image(b"xx", "webp")
+    with pytest.raises(ValueError):
         decode_image(b"xx", "jpeg")
 
 
