@@ -271,6 +271,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 multimodal (rows-only: binary payload codecs are not
         # SQL-expressible; tests pin the invariants instead)
         "q_jpeg_decode": d.q_jpeg_decode,
+        "q_audio_features": d.q_audio_features,
+        "q_video_frames": d.q_video_frames,
     }
 
     # round-4 driver window: 50 oracled queries with no prior

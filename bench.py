@@ -284,6 +284,8 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         "q_ann_recall_eval",
         "q_zipf_fit",
         "q_jpeg_decode",
+        "q_audio_features",
+        "q_video_frames",
     ]
     # per-query best-of-2 with the same rationale as the headline reps.
     # The two sub-2 s fixed-overhead-dominated queries get extra reps:

@@ -1508,6 +1508,65 @@ def q_jpeg_decode(sf_dir: str):
     return verify_corpus(ds, ref_tbl)
 
 
+def _ensure_media(kind: str) -> str:
+    """Deterministic synthetic audio/video corpus cached under /tmp."""
+    import pyarrow.parquet as pq
+
+    from ..fixtures import make_audio_corpus, make_video_corpus
+
+    cache = "/tmp/heroshi_ray_cache"
+    os.makedirs(cache, exist_ok=True)
+    path = os.path.join(cache, f"{kind}64.parquet")
+    if not os.path.exists(path):
+        tbl = make_audio_corpus(64) if kind == "audio" else make_video_corpus(48)
+        tmp = path + ".tmp"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def q_audio_features(sf_dir: str):
+    """REAL audio feature extraction (r4): RIFF/WAVE PCM16 decode +
+    log-mel mean/std per clip inside the actor pool — the mel
+    filterbank builds once per actor in ``__init__``, the FFT path is
+    one stride-tricks framing + matmul per clip (functions/audio.py).
+    strict=True: any non-wav byte blob would raise, so a green run
+    proves the real decode fired on every row. Rows-only driver check;
+    tests pin the features against a no-Ray replica and the physics
+    (loudest mel bin == the planted tone's bin)."""
+    from ..stages.multimodal import AudioFeatureStage
+
+    ds = ray.data.read_parquet(_ensure_media("audio"))
+    return ds.map_batches(
+        AudioFeatureStage,
+        fn_constructor_kwargs={"strict": True},
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=(1, 2),
+        num_cpus=0.5,
+    )
+
+
+def q_video_frames(sf_dir: str):
+    """REAL video frame sampling (r4): YUV4MPEG2 clips -> 4 evenly
+    spaced frames each, decoded by OFFSET SEEK (only the sampled
+    frames' bytes are touched — functions/y4m.py documents the fixed-
+    stride arithmetic), phash64 per frame. strict=True as above.
+    Rows-only driver check; tests pin seek-vs-full-decode equality and
+    the near-dup structure of consecutive frames."""
+    from ..stages.multimodal import VideoFrameSampleStage
+
+    ds = ray.data.read_parquet(_ensure_media("video"))
+    return ds.map_batches(
+        VideoFrameSampleStage,
+        fn_constructor_kwargs={"strict": True, "n_frames": 4},
+        batch_format="pyarrow",
+        batch_size=16,
+        concurrency=(1, 2),
+        num_cpus=0.5,
+    )
+
+
 def q_image_decode(sf_dir: str):
     """Multimodal plumbing: deterministic synthetic image corpus (cached
     under /tmp) -> ImageDecodeStage actor pool -> decoded metadata +

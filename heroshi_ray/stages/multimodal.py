@@ -124,62 +124,145 @@ class ImageFeatureStage:
 
 
 class AudioFeatureStage:
-    """STUB: audio bytes -> frame-level features. No audio codec is
-    available in this container; cite the interface so the actor-pool
-    plumbing is testable. strict=True raises; strict=False emits a
-    deterministic fake feature vector derived from the byte length."""
+    """Audio bytes -> clip-level log-mel features — REAL for RIFF/WAVE
+    PCM16 (functions/audio.py, r4). The mel filterbank is built ONCE per
+    actor here in ``__init__`` (the model-load slot of the actor-pool
+    contract) and applied vectorized per clip in ``__call__``.
 
-    def __init__(self, n_mels: int = 16, strict: bool = True):
+    Output per row: mean + std over frames of the (n_frames, n_mels)
+    log-mel matrix (2*n_mels floats) plus n_frames / sample_rate /
+    duration_ms. Compressed audio (mp3/ogg/...) still raises
+    ``NotImplementedError`` when strict, or emits the deterministic
+    byte-length fake when strict=False (the r1-r3 plumbing contract)."""
+
+    def __init__(
+        self,
+        n_mels: int = 16,
+        strict: bool = True,
+        frame: int = 400,
+        hop: int = 160,
+        n_fft: int = 512,
+        expect_sr: int = 16000,
+    ):
+        from ..functions.audio import mel_filterbank
+
         self.n_mels = n_mels
         self.strict = strict
+        self.frame = frame
+        self.hop = hop
+        self.n_fft = n_fft
+        self.expect_sr = expect_sr
+        self.fb = mel_filterbank(n_mels, n_fft, expect_sr)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.strict:
-            raise NotImplementedError(
-                "audio decode requires an audio library not present in this "
-                "sandbox; run with strict=False for deterministic fakes"
-            )
+        from ..functions.audio import logmel, mel_filterbank, wav_decode
+
         blobs = batch.column("bytes").to_pylist()
-        feats = [
-            np.full(self.n_mels, (len(b) % 997) / 997.0, np.float32).tolist()
-            for b in blobs
-        ]
+        feats: list[list[float]] = []
+        n_frames = np.zeros(len(blobs), np.int32)
+        srs = np.zeros(len(blobs), np.int32)
+        dur = np.zeros(len(blobs), np.int32)
+        for i, b in enumerate(blobs):
+            try:
+                samples, sr = wav_decode(b)
+            except ValueError:
+                if self.strict:
+                    raise NotImplementedError(
+                        "compressed-audio decode requires a codec library not "
+                        "present in this sandbox (RIFF/WAVE PCM16 is supported)"
+                    )
+                feats.append(
+                    np.full(2 * self.n_mels, (len(b) % 997) / 997.0, np.float32).tolist()
+                )
+                continue
+            fb = (
+                self.fb
+                if sr == self.expect_sr
+                else mel_filterbank(self.n_mels, self.n_fft, sr)
+            )
+            lm = logmel(
+                samples, sr, self.n_mels, self.frame, self.hop, self.n_fft, fb=fb
+            )
+            feats.append(
+                np.concatenate([lm.mean(axis=0), lm.std(axis=0)])
+                .astype(np.float32)
+                .tolist()
+            )
+            n_frames[i] = lm.shape[0]
+            srs[i] = sr
+            dur[i] = round(samples.shape[0] * 1000.0 / sr)
         return pa.table(
             {
                 "id": batch.column(batch.column_names[0]),
                 "features": pa.array(feats, pa.list_(pa.float32())),
+                "n_frames": pa.array(n_frames, pa.int32()),
+                "sample_rate": pa.array(srs, pa.int32()),
+                "duration_ms": pa.array(dur, pa.int32()),
             }
         )
 
 
 class VideoFrameSampleStage:
-    """STUB: video bytes -> sampled frame images. Same contract as
-    AudioFeatureStage: strict raises NotImplementedError; non-strict
-    emits ``n_frames`` deterministic fake frames per row."""
+    """Video bytes -> sampled frame phashes (+ optional PNG thumbs) —
+    REAL for YUV4MPEG2 (functions/y4m.py, r4). Frames are read by
+    OFFSET SEEK: the stage parses the fixed-size-frame header and
+    slices only the sampled frames' bytes, so sampling 4 frames of a
+    long clip never materializes the other frames' pixels. Compressed
+    video (mp4/webm/...) raises ``NotImplementedError`` when strict, or
+    emits the r1-r3 deterministic fake frames when strict=False."""
 
-    def __init__(self, n_frames: int = 4, strict: bool = True):
+    def __init__(self, n_frames: int = 4, strict: bool = True, thumb: bool = False):
         self.n_frames = n_frames
         self.strict = strict
+        self.thumb = thumb
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.strict:
-            raise NotImplementedError(
-                "video decode requires a codec library not present in this sandbox"
-            )
+        from ..functions.y4m import y4m_parse_header, y4m_read_frame
+
         ids = batch.column(batch.column_names[0]).to_pylist()
-        out_id, out_frame, out_png = [], [], []
-        for i in ids:
-            for f in range(self.n_frames):
+        blobs = batch.column("bytes").to_pylist()
+        out_id, out_frame, out_ph, out_png = [], [], [], []
+        for i, b in zip(ids, blobs):
+            try:
+                meta = y4m_parse_header(b)
+            except ValueError:
+                if self.strict:
+                    raise NotImplementedError(
+                        "compressed-video decode requires a codec library not "
+                        "present in this sandbox (YUV4MPEG2 is supported)"
+                    )
+                for f in range(self.n_frames):
+                    out_id.append(i)
+                    out_frame.append(f)
+                    out_ph.append(0)
+                    out_png.append(
+                        png_encode(np.full((8, 8, 3), (f * 37) % 256, np.uint8))
+                        if self.thumb
+                        else None
+                    )
+                continue
+            total = meta["n_frames"]
+            take = min(self.n_frames, total)
+            # evenly spaced sample (first frame always included)
+            idxs = (
+                np.linspace(0, total - 1, take).round().astype(np.int64)
+                if take
+                else np.array([], np.int64)
+            )
+            for k in idxs.tolist():
+                px = y4m_read_frame(b, meta, k)
                 out_id.append(i)
-                out_frame.append(f)
-                out_png.append(png_encode(np.full((8, 8, 3), (f * 37) % 256, np.uint8)))
-        return pa.table(
-            {
-                "id": pa.array(out_id),
-                "frame": pa.array(out_frame, pa.int32()),
-                "frame_png": pa.array(out_png, pa.binary()),
-            }
-        )
+                out_frame.append(k)
+                out_ph.append(phash64(px))
+                out_png.append(png_encode(px) if self.thumb else None)
+        cols = {
+            "id": pa.array(out_id),
+            "frame": pa.array(out_frame, pa.int32()),
+            "frame_phash": pa.array(out_ph, pa.int64()),
+        }
+        if self.thumb:
+            cols["frame_png"] = pa.array(out_png, pa.binary())
+        return pa.table(cols)
 
 
 # ------------------------------------------------- image-text alignment ---

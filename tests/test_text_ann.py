@@ -134,12 +134,14 @@ def test_multimodal_stages():
     r = block_mean_resize(px, 4, 4)
     assert r.shape == (4, 4, 3)
 
-    # stubs: strict raises; non-strict emits deterministic fakes
+    # compressed formats are still honest stubs: strict raises;
+    # non-strict emits deterministic fakes (r4: wav/y4m are REAL — see
+    # tests/test_audio_video.py)
     batch = pa.table({"id": pa.array([1, 2]), "bytes": pa.array([b"xx", b"yyy"])})
     with pytest.raises(NotImplementedError):
         AudioFeatureStage(strict=True)(batch)
     feats = AudioFeatureStage(strict=False, n_mels=4)(batch)
-    assert feats.num_rows == 2 and len(feats.column("features")[0].as_py()) == 4
+    assert feats.num_rows == 2 and len(feats.column("features")[0].as_py()) == 8
     with pytest.raises(NotImplementedError):
         VideoFrameSampleStage(strict=True)(batch)
     frames = VideoFrameSampleStage(strict=False, n_frames=3)(batch)
