@@ -273,6 +273,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_jpeg_decode": d.q_jpeg_decode,
         "q_audio_features": d.q_audio_features,
         "q_video_frames": d.q_video_frames,
+        # round-4 wave-1 oracled operators (appended AFTER the r4 window;
+        # candidates for the r5 window rotation)
+        "q_pivot_status": r.q_pivot_status,
+        "q_group_median": r.q_group_median,
+        "q_percent_rank": r.q_percent_rank,
+        "q_cube_agg": r.q_cube_agg,
+        "q_event_gaps": r.q_event_gaps,
+        "q_embedding_norms": d.q_embedding_norms,
     }
 
     # round-4 driver window: 50 oracled queries with no prior
@@ -2922,5 +2930,70 @@ def oracle_sql() -> dict[str, str]:
                    CAST(s.demand AS BIGINT) AS demand,
                    CAST(LEAST(s.demand, lvl.level) AS BIGINT) AS alloc
             FROM s, lvl
+        """,
+        "q_pivot_status": r"""
+            SELECT o_orderpriority,
+                   CAST(SUM(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_f,
+                   CAST(SUM(CASE WHEN o_orderstatus='O' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_o,
+                   CAST(SUM(CASE WHEN o_orderstatus='P' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_p
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "q_group_median": r"""
+            SELECT o_orderpriority,
+                   CAST(quantile_disc(CAST(round(o_totalprice*100) AS BIGINT),
+                                      0.5) AS BIGINT) AS median_cents
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "q_percent_rank": r"""
+            WITH r AS (
+              SELECT s_suppkey,
+                     rank() OVER (PARTITION BY s_nationkey
+                                  ORDER BY CAST(round(s_acctbal*100) AS BIGINT))
+                       AS rk,
+                     count(*) OVER (PARTITION BY s_nationkey) AS cnt
+              FROM supplier)
+            SELECT s_suppkey,
+                   CAST(CASE WHEN cnt = 1 THEN 0
+                             ELSE (10*(rk-1)) // (cnt-1) END AS BIGINT)
+                     AS decile
+            FROM r
+        """,
+        "q_cube_agg": r"""
+            SELECT COALESCE(c_mktsegment, 'ALL') AS c_mktsegment,
+                   COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+                     AS revenue_cents
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY CUBE (c_mktsegment, o_orderpriority)
+        """,
+        "q_event_gaps": r"""
+            WITH g AS (
+              SELECT user_id,
+                     epoch_us(ts) - lag(epoch_us(ts)) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+              FROM events)
+            SELECT user_id,
+                   CAST(count(gap) AS BIGINT) AS n_gaps,
+                   CAST(SUM(gap) // count(gap) AS BIGINT) AS avg_gap_us,
+                   CAST(max(gap) AS BIGINT) AS max_gap_us
+            FROM g WHERE gap IS NOT NULL GROUP BY user_id
+        """,
+        "q_embedding_norms": r"""
+            WITH n AS (
+              SELECT label,
+                     CAST(floor(sqrt(list_aggregate(
+                            list_transform(embedding,
+                                           x -> CAST(x AS DOUBLE)
+                                                * CAST(x AS DOUBLE)),
+                            'sum')) * 10000 + 0.5) AS BIGINT) AS e4
+              FROM embeddings)
+            SELECT CAST(label AS BIGINT) AS label,
+                   CAST(count(*) AS BIGINT) AS n_vecs,
+                   CAST(SUM(e4) // count(*) AS BIGINT) AS avg_norm_e4
+            FROM n GROUP BY label
         """,
     }

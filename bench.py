@@ -286,6 +286,12 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         "q_jpeg_decode",
         "q_audio_features",
         "q_video_frames",
+        "q_pivot_status",
+        "q_group_median",
+        "q_percent_rank",
+        "q_cube_agg",
+        "q_event_gaps",
+        "q_embedding_norms",
     ]
     # per-query best-of-2 with the same rationale as the headline reps.
     # The two sub-2 s fixed-overhead-dominated queries get extra reps:

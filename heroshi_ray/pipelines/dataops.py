@@ -7577,3 +7577,56 @@ def q_zipf_fit(sf_dir: str):
             ),
         }
     )
+
+
+def q_embedding_norms(sf_dir: str):
+    """Per-label embedding L2-norm profile: count and integer-floor
+    average of the e4-fixed-point norms. Norms are computed per row in
+    one vectorized float64 matmul-free pass (square + row-sum + sqrt),
+    snapped to int64 at e4 with half-away-from-zero rounding (the
+    q_rrf_fusion recipe), and only integer partials cross the shuffle —
+    so the group average is order-independent and hash-exact vs the SQL
+    twin's list_transform/list_aggregate pipeline."""
+    from ray.data.aggregate import Sum
+
+    ds = _pq(sf_dir, "embeddings", columns=["embedding", "label"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        mat = np.asarray(df["embedding"].tolist(), dtype=np.float64)
+        norm = np.sqrt((mat * mat).sum(axis=1))
+        e4 = np.floor(norm * 10_000 + 0.5).astype(np.int64)
+        g = (
+            pd.DataFrame({"label": df["label"].astype("int64"), "e4": e4})
+            .groupby("label", sort=False)["e4"]
+            .agg(["count", "sum"])
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "label": pa.array(g["label"], pa.int64()),
+                "n_vecs": pa.array(g["count"].astype("int64"), pa.int64()),
+                "sum_e4": pa.array(g["sum"].astype("int64"), pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("label")
+        .aggregate(
+            Sum("n_vecs", alias_name="n_vecs"),
+            Sum("sum_e4", alias_name="sum_e4"),
+        )
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "label": b.column("label"),
+                "n_vecs": b.column("n_vecs"),
+                "avg_norm_e4": pc.cast(
+                    pc.divide(b.column("sum_e4"), b.column("n_vecs")), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )

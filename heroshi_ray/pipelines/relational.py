@@ -5220,3 +5220,240 @@ def q_corpus_rollup(sf_dir: str):
             "n_tokens": pa.array(out["n_tokens"].astype("int64"), pa.int64()),
         }
     )
+
+
+# ------------------------------------------------------- r4 wave 1 ------
+def q_pivot_status(sf_dir: str):
+    """Pivot (conditional aggregation): per order priority, order counts
+    by status spread into columns. Pure combiner shape — each batch
+    emits one partial row per (priority, status-counts) key, the
+    groupby moves O(priorities) rows, no wide status column survives
+    the shuffle. The SQL twin is the classic SUM(CASE WHEN ...) pivot."""
+    from ray.data.aggregate import Sum
+
+    ds = _pq(sf_dir, "orders", columns=["o_orderpriority", "o_orderstatus"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = (
+            pd.crosstab(df["o_orderpriority"], df["o_orderstatus"])
+            .reindex(columns=["F", "O", "P"], fill_value=0)
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(g["o_orderpriority"], pa.string()),
+                "n_f": pa.array(g["F"].astype("int64"), pa.int64()),
+                "n_o": pa.array(g["O"].astype("int64"), pa.int64()),
+                "n_p": pa.array(g["P"].astype("int64"), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_orderpriority")
+        .aggregate(
+            Sum("n_f", alias_name="n_f"),
+            Sum("n_o", alias_name="n_o"),
+            Sum("n_p", alias_name="n_p"),
+        )
+    )
+
+
+def q_group_median(sf_dir: str):
+    """Per-group EXACT discrete median (quantile_disc 0.5 semantics:
+    sorted[(n-1)//2]) of the order price in cents. The exact variant of
+    the t-digest path (q_grouped_tdigest): groups are shuffled whole,
+    selection is one vectorized np.partition per group — documented
+    assumption that a single group's column fits a worker (5 priority
+    groups here; at 100 TB you'd salt or fall back to the sketch)."""
+    ds = _pq(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        cents = (g["o_totalprice"] * 100).round().astype("int64").to_numpy()
+        k = (len(cents) - 1) // 2
+        v = int(np.partition(cents, k)[k])
+        return pd.DataFrame(
+            {"o_orderpriority": [g["o_orderpriority"].iloc[0]], "median_cents": [v]}
+        )
+
+    out = ds.groupby("o_orderpriority").map_groups(med, batch_format="pandas")
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "o_orderpriority": b.column("o_orderpriority"),
+                "median_cents": b.column("median_cents").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_percent_rank(sf_dir: str):
+    """Integer-exact percent_rank deciles of supplier balance within
+    nation: decile = (10*(rank-1)) // (n-1) with SQL rank() tie
+    semantics (min rank, gaps), 0 for singleton groups. All arithmetic
+    is integer on both sides, so no float window function is hashed.
+    One bucket shuffle on nationkey; ranks are vectorized pandas
+    rank(method='min') inside the group."""
+    ds = _pq(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey", "s_acctbal"])
+
+    def deciles(g: pd.DataFrame) -> pd.DataFrame:
+        cents = (g["s_acctbal"] * 100).round().astype("int64")
+        rk = cents.rank(method="min").astype("int64")
+        n = len(g)
+        dec = (
+            np.zeros(n, dtype=np.int64)
+            if n == 1
+            else (10 * (rk.to_numpy() - 1)) // (n - 1)
+        )
+        return pd.DataFrame(
+            {"s_suppkey": g["s_suppkey"].astype("int64"), "decile": dec}
+        )
+
+    return ds.groupby("s_nationkey").map_groups(deciles, batch_format="pandas")
+
+
+def q_cube_agg(sf_dir: str):
+    """GROUP BY CUBE (market segment x order priority): counts and
+    revenue cents at all four grouping levels. The base grid is a
+    combiner groupby (customer segment broadcast into the orders scan —
+    J5 shape, no shuffle join); the three rollup margins are derived
+    from the O(|segments| x |priorities|) base grid on the driver, so
+    the fact table is scanned once and shuffled never."""
+    from ray.data.aggregate import Sum
+
+    seg_tbl = (
+        _pq(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+        .to_pandas()
+    )
+    seg_ref = ray.put(
+        dict(zip(seg_tbl["c_custkey"].astype("int64"), seg_tbl["c_mktsegment"]))
+    )
+
+    class Partial:
+        def __init__(self):
+            self.seg = ray.get(seg_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            df["c_mktsegment"] = df["o_custkey"].map(self.seg)
+            df["cents"] = (df["o_totalprice"] * 100).round().astype("int64")
+            g = (
+                df.groupby(["c_mktsegment", "o_orderpriority"], sort=False)["cents"]
+                .agg(["count", "sum"])
+                .reset_index()
+            )
+            return pa.table(
+                {
+                    "c_mktsegment": pa.array(g["c_mktsegment"], pa.string()),
+                    "o_orderpriority": pa.array(g["o_orderpriority"], pa.string()),
+                    "n_orders": pa.array(g["count"].astype("int64"), pa.int64()),
+                    "revenue_cents": pa.array(g["sum"].astype("int64"), pa.int64()),
+                }
+            )
+
+    ds = _pq(sf_dir, "orders", columns=["o_custkey", "o_orderpriority", "o_totalprice"])
+    base = (
+        ds.map_batches(Partial, batch_format="pyarrow", zero_copy_batch=True,
+                       concurrency=(1, 8), num_cpus=0.5)
+        .groupby(["c_mktsegment", "o_orderpriority"])
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("revenue_cents", alias_name="revenue_cents"),
+        )
+        .to_pandas()  # output-scale: |segments x priorities|
+    )
+    vals = ["n_orders", "revenue_cents"]
+    seg_lvl = (
+        base.groupby("c_mktsegment", as_index=False)[vals]
+        .sum()
+        .assign(o_orderpriority="ALL")
+    )
+    prio_lvl = (
+        base.groupby("o_orderpriority", as_index=False)[vals]
+        .sum()
+        .assign(c_mktsegment="ALL")
+    )
+    grand = pd.DataFrame(
+        {
+            "c_mktsegment": ["ALL"],
+            "o_orderpriority": ["ALL"],
+            "n_orders": [base["n_orders"].sum()],
+            "revenue_cents": [base["revenue_cents"].sum()],
+        }
+    )
+    out = pd.concat([base, seg_lvl, prio_lvl, grand], ignore_index=True)
+    return pa.table(
+        {
+            "c_mktsegment": pa.array(out["c_mktsegment"], pa.string()),
+            "o_orderpriority": pa.array(out["o_orderpriority"], pa.string()),
+            "n_orders": pa.array(out["n_orders"].astype("int64"), pa.int64()),
+            "revenue_cents": pa.array(
+                out["revenue_cents"].astype("int64"), pa.int64()
+            ),
+        }
+    )
+
+
+def q_event_gaps(sf_dir: str):
+    """Per-user inter-event gap statistics (the LAG window family):
+    count, integer-floor average and maximum of the microsecond gaps
+    between consecutive events ordered by (ts, event_id). One bucketed
+    shuffle on user_id co-locates each user's events; the lag/diff is
+    one vectorized np.diff per bucket, not a per-user Python loop.
+    Users with a single event drop out (no gap), matching the SQL
+    twin's count(gap) semantics."""
+    from ray.data.aggregate import Sum
+
+    n_bkt = default_buckets()
+    ds = _pq(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(u, pa.int64()),
+                "event_id": batch.column("event_id"),
+                "ts_us": batch.column("ts").cast(pa.int64()),
+                "__b": pa.array((u % n_bkt).astype(np.int32), pa.int32()),
+            }
+        )
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        d = np.diff(ts)
+        same = u[1:] == u[:-1]
+        gap_user = u[1:][same]
+        gap = d[same]
+        if gap.size == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "n_gaps": pd.Series([], dtype="int64"),
+                    "avg_gap_us": pd.Series([], dtype="int64"),
+                    "max_gap_us": pd.Series([], dtype="int64"),
+                }
+            )
+        df = (
+            pd.DataFrame({"user_id": gap_user, "gap": gap})
+            .groupby("user_id", sort=False)["gap"]
+            .agg(["count", "sum", "max"])
+            .reset_index()
+        )
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "n_gaps": df["count"].astype("int64"),
+                "avg_gap_us": (df["sum"] // df["count"]).astype("int64"),
+                "max_gap_us": df["max"].astype("int64"),
+            }
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(gaps, batch_format="pandas")
+    )
