@@ -281,6 +281,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_cube_agg": r.q_cube_agg,
         "q_event_gaps": r.q_event_gaps,
         "q_embedding_norms": d.q_embedding_norms,
+        "q_string_agg": r.q_string_agg,
+        "q_mode_value": r.q_mode_value,
+        "q_histogram": r.q_histogram,
+        "q_first_last": r.q_first_last,
+        "q_doc_stats_by_lang": r.q_doc_stats_by_lang,
+        "q_order_count_dist": r.q_order_count_dist,
     }
 
     # round-4 driver window: 50 oracled queries with no prior
@@ -2995,5 +3001,56 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_vecs,
                    CAST(SUM(e4) // count(*) AS BIGINT) AS avg_norm_e4
             FROM n GROUP BY label
+        """,
+        "q_string_agg": r"""
+            SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey,
+                   string_agg(s_name, ',' ORDER BY s_name) AS names
+            FROM supplier GROUP BY s_nationkey
+        """,
+        "q_mode_value": r"""
+            WITH c AS (
+              SELECT event_type, user_id, count(*) AS n
+              FROM events GROUP BY event_type, user_id
+            ), r AS (
+              SELECT event_type, user_id, n,
+                     rank() OVER (PARTITION BY event_type
+                                  ORDER BY n DESC, user_id) AS rk
+              FROM c)
+            SELECT event_type, CAST(user_id AS BIGINT) AS mode_user,
+                   CAST(n AS BIGINT) AS n_events
+            FROM r WHERE rk = 1
+        """,
+        "q_histogram": r"""
+            SELECT CAST(LEAST(CAST(round(o_totalprice*100) AS BIGINT)
+                              // 5000000, 19) AS BIGINT) AS bin,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders GROUP BY 1
+        """,
+        "q_first_last": r"""
+            SELECT DISTINCT user_id,
+                   first_value(event_type) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id)
+                     AS first_type,
+                   last_value(event_type) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND UNBOUNDED FOLLOWING) AS last_type
+            FROM events
+        """,
+        "q_doc_stats_by_lang": r"""
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) // count(*) AS BIGINT) AS avg_chars,
+                   CAST(max(n_chars) AS BIGINT) AS max_chars,
+                   CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+            FROM documents GROUP BY lang
+        """,
+        "q_order_count_dist": r"""
+            WITH c AS (
+              SELECT o_custkey, count(*) AS n_orders
+              FROM orders GROUP BY o_custkey)
+            SELECT CAST(n_orders AS BIGINT) AS n_orders,
+                   CAST(count(*) AS BIGINT) AS n_customers
+            FROM c GROUP BY n_orders
         """,
     }

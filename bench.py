@@ -292,6 +292,12 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         "q_cube_agg",
         "q_event_gaps",
         "q_embedding_norms",
+        "q_string_agg",
+        "q_mode_value",
+        "q_histogram",
+        "q_first_last",
+        "q_doc_stats_by_lang",
+        "q_order_count_dist",
     ]
     # per-query best-of-2 with the same rationale as the headline reps.
     # The two sub-2 s fixed-overhead-dominated queries get extra reps:

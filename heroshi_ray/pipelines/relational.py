@@ -5457,3 +5457,251 @@ def q_event_gaps(sf_dir: str):
         .groupby("__b")
         .map_groups(gaps, batch_format="pandas")
     )
+
+
+# ------------------------------------------------------- r4 wave 2 ------
+def q_string_agg(sf_dir: str):
+    """Ordered list aggregation: per nation, the comma-joined
+    lexicographically sorted supplier names (SQL string_agg(... ORDER
+    BY)). One bucket shuffle on nationkey; the join is one vectorized
+    pandas sort + str.join per group. Output scale is O(nations), so
+    the concatenated strings never transit a second shuffle."""
+    ds = _pq(sf_dir, "supplier", columns=["s_nationkey", "s_name"])
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        names = ",".join(sorted(g["s_name"].tolist()))
+        return pd.DataFrame(
+            {
+                "s_nationkey": [int(g["s_nationkey"].iloc[0])],
+                "names": [names],
+            }
+        )
+
+    out = ds.groupby("s_nationkey").map_groups(agg, batch_format="pandas")
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "s_nationkey": b.column("s_nationkey").cast(pa.int64()),
+                "names": b.column("names"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_mode_value(sf_dir: str):
+    """Per-group MODE with deterministic ties (most frequent user per
+    event type; ties -> smallest user_id). Two-level combiner: batches
+    emit (type, user, n) partials, ONE groupby sums them, and the
+    per-type argmax runs over the output-scale (type, user) count table
+    — the classic heavy-hitter shape where raw events never shuffle."""
+    from ray.data.aggregate import Sum
+
+    ds = _pq(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = (
+            df.groupby(["event_type", "user_id"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(g["event_type"], pa.string()),
+                "user_id": pa.array(g["user_id"].astype("int64"), pa.int64()),
+                "n": pa.array(g["n"].astype("int64"), pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "user_id"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def argmax(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n", "user_id"], ascending=[False, True], kind="mergesort")
+        top = g.iloc[0]
+        return pd.DataFrame(
+            {
+                "event_type": [top["event_type"]],
+                "mode_user": [int(top["user_id"])],
+                "n_events": [int(top["n"])],
+            }
+        )
+
+    return counts.groupby("event_type").map_groups(argmax, batch_format="pandas")
+
+
+def q_histogram(sf_dir: str):
+    """Fixed-width histogram of order value: bin = cents // 5_000_000
+    capped at 19 (a $50k-wide 20-bin grid). Per-batch bincount partials
+    -> one O(bins) groupby — the distribution never leaves the
+    combiner. Bins with zero orders are absent on both sides."""
+    from ray.data.aggregate import Sum
+
+    ds = _pq(sf_dir, "orders", columns=["o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = (
+            pd.Series(batch.column("o_totalprice").to_numpy(zero_copy_only=False))
+            .mul(100)
+            .round()
+            .astype("int64")
+        )
+        b = np.minimum(cents // 5_000_000, 19).astype(np.int64)
+        cnt = np.bincount(b, minlength=20)
+        nz = np.nonzero(cnt)[0]
+        return pa.table(
+            {
+                "bin": pa.array(nz.astype(np.int64), pa.int64()),
+                "n_orders": pa.array(cnt[nz].astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bin")
+        .aggregate(Sum("n_orders", alias_name="n_orders"))
+    )
+
+
+def q_first_last(sf_dir: str):
+    """FIRST_VALUE / LAST_VALUE window family: per user, the event type
+    of the first and last event under (ts, event_id) ordering. One
+    bucket shuffle on user_id; inside a bucket one mergesort + head/tail
+    index per user via vectorized boundary masks (no per-user loop)."""
+    n_bkt = default_buckets()
+    ds = _pq(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(u, pa.int64()),
+                "event_id": batch.column("event_id"),
+                "ts_us": batch.column("ts").cast(pa.int64()),
+                "event_type": batch.column("event_type"),
+                "__b": pa.array((u % n_bkt).astype(np.int32), pa.int32()),
+            }
+        )
+
+    def firstlast(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        first_mask = np.empty(len(u), dtype=bool)
+        first_mask[0] = True
+        first_mask[1:] = u[1:] != u[:-1]
+        last_mask = np.empty(len(u), dtype=bool)
+        last_mask[-1] = True
+        last_mask[:-1] = u[1:] != u[:-1]
+        et = g["event_type"].to_numpy()
+        return pd.DataFrame(
+            {
+                "user_id": u[first_mask].astype("int64"),
+                "first_type": et[first_mask],
+                "last_type": et[last_mask],
+            }
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(firstlast, batch_format="pandas")
+    )
+
+
+def q_doc_stats_by_lang(sf_dir: str):
+    """Per-language corpus profile with an EXACT distinct-source count:
+    batches emit (lang, source, n_docs, sum_chars, max_chars) partials,
+    one groupby collapses them to the (lang, source) grid, and the
+    language rollup (count / integer-avg / max / distinct sources)
+    reads off that output-scale grid — the two-level exact-distinct
+    shape of q_grouped_count_distinct fused with the stats combiner."""
+    from ray.data.aggregate import Max, Sum
+
+    ds = _pq(sf_dir, "documents", columns=["lang", "source", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = (
+            df.groupby(["lang", "source"], sort=False)["n_chars"]
+            .agg(["count", "sum", "max"])
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "lang": pa.array(g["lang"], pa.string()),
+                "source": pa.array(g["source"], pa.string()),
+                "n_docs": pa.array(g["count"].astype("int64"), pa.int64()),
+                "sum_chars": pa.array(g["sum"].astype("int64"), pa.int64()),
+                "max_chars": pa.array(g["max"].astype("int64"), pa.int64()),
+            }
+        )
+
+    grid = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["lang", "source"])
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("sum_chars", alias_name="sum_chars"),
+            Max("max_chars", alias_name="max_chars"),
+        )
+    )
+
+    def rollup(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "lang": [g["lang"].iloc[0]],
+                "n_docs": [int(g["n_docs"].sum())],
+                "avg_chars": [int(g["sum_chars"].sum() // g["n_docs"].sum())],
+                "max_chars": [int(g["max_chars"].max())],
+                "n_sources": [int(g["source"].nunique())],
+            }
+        )
+
+    return grid.groupby("lang").map_groups(rollup, batch_format="pandas")
+
+
+def q_order_count_dist(sf_dir: str):
+    """Degree-distribution of the order fact table: how many customers
+    placed exactly k orders. Two chained combiner groupbys — per-batch
+    (custkey, n) partials -> per-customer totals -> per-k customer
+    counts — so the second shuffle moves one row per customer and the
+    result is O(distinct k)."""
+    from ray.data.aggregate import Sum
+
+    ds = _pq(sf_dir, "orders", columns=["o_custkey"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("o_custkey", sort=False).size().reset_index(name="n")
+        return pa.table(
+            {
+                "o_custkey": pa.array(g["o_custkey"].astype("int64"), pa.int64()),
+                "n": pa.array(g["n"].astype("int64"), pa.int64()),
+            }
+        )
+
+    per_cust = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_custkey")
+        .aggregate(Sum("n", alias_name="n_orders"))
+    )
+
+    def hist(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("n_orders", sort=False).size().reset_index(name="n_customers")
+        return pa.table(
+            {
+                "n_orders": pa.array(g["n_orders"].astype("int64"), pa.int64()),
+                "n_customers": pa.array(g["n_customers"].astype("int64"), pa.int64()),
+            }
+        )
+
+    return (
+        per_cust.map_batches(hist, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("n_orders")
+        .aggregate(Sum("n_customers", alias_name="n_customers"))
+    )
