@@ -287,6 +287,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_first_last": r.q_first_last,
         "q_doc_stats_by_lang": r.q_doc_stats_by_lang,
         "q_order_count_dist": r.q_order_count_dist,
+        "q_top_parts": r.q_top_parts,
+        "q_weekly_revenue": r.q_weekly_revenue,
+        "q_fulfillment_days": r.q_fulfillment_days,
+        "q_weekday_activity": r.q_weekday_activity,
+        "q_url_host_stats": r.q_url_host_stats,
     }
 
     # round-4 driver window: 50 oracled queries with no prior
@@ -3052,5 +3057,64 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(n_orders AS BIGINT) AS n_orders,
                    CAST(count(*) AS BIGINT) AS n_customers
             FROM c GROUP BY n_orders
+        """,
+        "q_top_parts": r"""
+            WITH pr AS (
+              SELECT l_partkey,
+                     CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*100)
+                                   AS BIGINT)) AS BIGINT) AS revenue_cents
+              FROM lineitem GROUP BY l_partkey
+            ), rk AS (
+              SELECT p_brand, l_partkey, revenue_cents,
+                     row_number() OVER (PARTITION BY p_brand
+                                        ORDER BY revenue_cents DESC,
+                                                 l_partkey) AS rk
+              FROM pr JOIN part ON l_partkey = p_partkey)
+            SELECT p_brand, CAST(l_partkey AS BIGINT) AS l_partkey,
+                   revenue_cents, CAST(rk AS BIGINT) AS rk
+            FROM rk WHERE rk <= 3
+        """,
+        "q_weekly_revenue": r"""
+            WITH w AS (
+              SELECT epoch_us(o_orderdate) // 604800000000 AS week,
+                     SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS revenue_cents
+              FROM orders GROUP BY 1)
+            SELECT CAST(week AS BIGINT) AS week,
+                   CAST(revenue_cents AS BIGINT) AS revenue_cents,
+                   CAST(COALESCE(revenue_cents
+                                 - lag(revenue_cents) OVER (ORDER BY week), 0)
+                     AS BIGINT) AS wow_delta
+            FROM w
+        """,
+        "q_fulfillment_days": r"""
+            WITH ls AS (
+              SELECT l_orderkey, max(epoch_us(l_shipdate)) AS ship_us
+              FROM lineitem GROUP BY l_orderkey
+            ), j AS (
+              SELECT o_orderpriority,
+                     (ship_us - epoch_us(o_orderdate)) // 86400000000 AS d
+              FROM ls JOIN orders ON l_orderkey = o_orderkey)
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(d) // count(*) AS BIGINT) AS avg_days,
+                   CAST(max(d) AS BIGINT) AS max_days
+            FROM j GROUP BY o_orderpriority
+        """,
+        "q_weekday_activity": r"""
+            SELECT CAST(((epoch_us(ts) // 86400000000) + 4) % 7 AS BIGINT)
+                     AS dow,
+                   event_type,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1, 2
+        """,
+        "q_url_host_stats": r"""
+            WITH u AS (
+              SELECT 'h' || CAST(user_id % 40 AS VARCHAR) || '.example' AS host,
+                     '/e/' || CAST(event_id % 1000 AS VARCHAR) AS path
+              FROM events)
+            SELECT host,
+                   CAST(count(*) AS BIGINT) AS n_urls,
+                   CAST(count(DISTINCT path) AS BIGINT) AS n_paths
+            FROM u GROUP BY host
         """,
     }

@@ -298,6 +298,11 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         "q_first_last",
         "q_doc_stats_by_lang",
         "q_order_count_dist",
+        "q_top_parts",
+        "q_weekly_revenue",
+        "q_fulfillment_days",
+        "q_weekday_activity",
+        "q_url_host_stats",
     ]
     # per-query best-of-2 with the same rationale as the headline reps.
     # The two sub-2 s fixed-overhead-dominated queries get extra reps:

@@ -5705,3 +5705,308 @@ def q_order_count_dist(sf_dir: str):
         .groupby("n_orders")
         .aggregate(Sum("n_customers", alias_name="n_customers"))
     )
+
+
+# ------------------------------------------------------- r4 wave 3 ------
+def q_top_parts(sf_dir: str, k: int = 3):
+    """Per-brand top-k parts by lineitem revenue: the K1 partial-top-k
+    shape over a fact->dim enrichment. Lineitem collapses to one
+    (partkey, revenue) partial per key via the combiner groupby; the
+    part dim (partkey -> brand) is broadcast and probed — never
+    shuffled; the per-brand top-3 runs over the output-scale part
+    table with deterministic (revenue DESC, partkey ASC) ties."""
+    import pyarrow.parquet as _pqt
+
+    from ray.data.aggregate import Sum
+
+    ds = _pq(sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        # the price x (1-discount) product lands on exact .5-cent ties:
+        # round half-away-from-zero (floor(x+0.5), nonneg) to match
+        # DuckDB round() — np.round is half-even (the q_rrf_fusion recipe)
+        cents = np.floor(
+            (df["l_extendedprice"] * (1 - df["l_discount"]) * 100).to_numpy() + 0.5
+        ).astype("int64")
+        g = (
+            pd.DataFrame({"l_partkey": df["l_partkey"].astype("int64"), "c": cents})
+            .groupby("l_partkey", sort=False)["c"]
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "l_partkey": pa.array(g["l_partkey"], pa.int64()),
+                "revenue_cents": pa.array(g["c"].astype("int64"), pa.int64()),
+            }
+        )
+
+    per_part = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_partkey")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+    )
+
+    brand = _pqt.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_brand"]
+    ).to_pandas()
+    brand_ref = ray.put(
+        dict(zip(brand["p_partkey"].astype("int64"), brand["p_brand"]))
+    )
+
+    class Attach:
+        def __init__(self):
+            self.b = ray.get(brand_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            df["p_brand"] = df["l_partkey"].map(self.b)
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["revenue_cents", "l_partkey"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        g = g.reset_index(drop=True)
+        g["rk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["p_brand", "l_partkey", "revenue_cents", "rk"]]
+
+    return (
+        per_part.map_batches(Attach, batch_format="pyarrow",
+                             concurrency=(1, 4), num_cpus=0.5)
+        .groupby("p_brand")
+        .map_groups(topk, batch_format="pandas")
+    )
+
+
+def q_weekly_revenue(sf_dir: str, week_us: int = 604_800_000_000):
+    """Weekly revenue with week-over-week delta: the window-over-
+    aggregate shape. The fact table collapses to one (epoch-week,
+    cents) partial per batch -> an O(weeks) groupby -> the LAG diff
+    runs on the driver over the output-scale week series (COALESCE 0
+    for the first week on both sides, so no NULL is hashed)."""
+    from ray.data.aggregate import Sum
+
+    ds = _pq(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("o_orderdate").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cents = (
+            pd.Series(batch.column("o_totalprice").to_numpy(zero_copy_only=False))
+            .mul(100)
+            .round()
+            .astype("int64")
+        )
+        g = (
+            pd.DataFrame({"week": ts // week_us, "c": cents})
+            .groupby("week", sort=False)["c"]
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "week": pa.array(g["week"].astype("int64"), pa.int64()),
+                "revenue_cents": pa.array(g["c"].astype("int64"), pa.int64()),
+            }
+        )
+
+    weeks = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("week")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+        .to_pandas()  # output-scale: O(weeks)
+        .sort_values("week")
+        .reset_index(drop=True)
+    )
+    delta = weeks["revenue_cents"].diff().fillna(0).astype("int64")
+    return pa.table(
+        {
+            "week": pa.array(weeks["week"], pa.int64()),
+            "revenue_cents": pa.array(weeks["revenue_cents"], pa.int64()),
+            "wow_delta": pa.array(delta, pa.int64()),
+        }
+    )
+
+
+def q_fulfillment_days(sf_dir: str, day_us: int = 86_400_000_000):
+    """Order fulfillment time by priority — a BIG x BIG join done
+    right: lineitem first collapses to one (orderkey, max shipdate)
+    partial per key (combiner), THEN meets orders in the native
+    distributed hash join, so the all-to-all moves one row per order
+    on each side, never raw line items. Day arithmetic is integer
+    epoch-µs floor division on both sides."""
+    from ray.data.aggregate import Max, Sum
+
+    tune_join_resources()
+    li = _pq(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "l_orderkey": batch.column("l_orderkey").to_numpy(zero_copy_only=False),
+                "ship_us": batch.column("l_shipdate")
+                .cast(pa.int64())
+                .to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby("l_orderkey", sort=False)["ship_us"].max().reset_index()
+        return pa.table(
+            {
+                "l_orderkey": pa.array(g["l_orderkey"].astype("int64"), pa.int64()),
+                "ship_us": pa.array(g["ship_us"].astype("int64"), pa.int64()),
+            }
+        )
+
+    last_ship = (
+        li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_orderkey")
+        .aggregate(Max("ship_us", alias_name="ship_us"))
+    )
+
+    orders = _pq(sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def order_us(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey"),
+                "order_us": batch.column("o_orderdate").cast(pa.int64()),
+                "o_orderpriority": batch.column("o_orderpriority"),
+            }
+        )
+
+    joined = last_ship.join(
+        orders.map_batches(order_us, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=join_partitions(),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def days_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        days = ((df["ship_us"] - df["order_us"]) // day_us).astype("int64")
+        g = (
+            pd.DataFrame({"o_orderpriority": df["o_orderpriority"], "d": days})
+            .groupby("o_orderpriority", sort=False)["d"]
+            .agg(["count", "sum", "max"])
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(g["o_orderpriority"], pa.string()),
+                "n_orders": pa.array(g["count"].astype("int64"), pa.int64()),
+                "sum_days": pa.array(g["sum"].astype("int64"), pa.int64()),
+                "max_days": pa.array(g["max"].astype("int64"), pa.int64()),
+            }
+        )
+
+    agg = (
+        joined.map_batches(days_partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("sum_days", alias_name="sum_days"),
+            Max("max_days", alias_name="max_days"),
+        )
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "o_orderpriority": b.column("o_orderpriority"),
+                "n_orders": b.column("n_orders"),
+                "avg_days": pc.cast(
+                    pc.divide(b.column("sum_days"), b.column("n_orders")), pa.int64()
+                ),
+                "max_days": b.column("max_days"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_weekday_activity(sf_dir: str, day_us: int = 86_400_000_000):
+    """Calendar bucketing without timezone traps: weekday from raw
+    epoch microseconds as ((days_since_epoch + 4) % 7) — 1970-01-01
+    was a Thursday; 0 = Sunday, matching DuckDB dayofweek — computed
+    with the SAME integer expression on both sides. Per (dow, type)
+    counts via the combiner."""
+    from ray.data.aggregate import Sum
+
+    ds = _pq(sf_dir, "events", columns=["ts", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        dow = ((ts // day_us) + 4) % 7
+        g = (
+            pd.DataFrame(
+                {"dow": dow, "event_type": batch.column("event_type").to_pandas()}
+            )
+            .groupby(["dow", "event_type"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "dow": pa.array(g["dow"].astype("int64"), pa.int64()),
+                "event_type": pa.array(g["event_type"], pa.string()),
+                "n_events": pa.array(g["n"].astype("int64"), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["dow", "event_type"])
+        .aggregate(Sum("n_events", alias_name="n_events"))
+    )
+
+
+def q_url_host_stats(sf_dir: str):
+    """Crawl-shaped host profile over URLs synthesized from events with
+    the q_url_templates host/path template: per host, total URL count
+    and EXACT distinct path count via the two-level (host, path) grid
+    — the frontier-compaction statistic a scheduler reads before
+    budgeting a host."""
+    from ray.data.aggregate import Sum
+
+    ds = _pq(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "e": batch.column("event_id").to_numpy(zero_copy_only=False),
+                "u": batch.column("user_id").to_numpy(zero_copy_only=False),
+            }
+        )
+        host = "h" + (df["u"] % 40).astype(str) + ".example"
+        path = "/e/" + (df["e"] % 1000).astype(str)
+        g = (
+            pd.DataFrame({"host": host, "path": path})
+            .groupby(["host", "path"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "host": pa.array(g["host"], pa.string()),
+                "path": pa.array(g["path"], pa.string()),
+                "n": pa.array(g["n"].astype("int64"), pa.int64()),
+            }
+        )
+
+    grid = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["host", "path"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def rollup(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "host": [g["host"].iloc[0]],
+                "n_urls": [int(g["n"].sum())],
+                "n_paths": [int(len(g))],
+            }
+        )
+
+    return grid.groupby("host").map_groups(rollup, batch_format="pandas")
