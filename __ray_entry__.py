@@ -292,6 +292,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_fulfillment_days": r.q_fulfillment_days,
         "q_weekday_activity": r.q_weekday_activity,
         "q_url_host_stats": r.q_url_host_stats,
+        "q_running_max": r.q_running_max,
+        "q_second_highest": r.q_second_highest,
+        "q_distinct_event_days": r.q_distinct_event_days,
+        "q_price_spread": r.q_price_spread,
+        "q_share_by_flag": r.q_share_by_flag,
+        "q_gap_islands": r.q_gap_islands,
     }
 
     # round-4 driver window: 50 oracled queries with no prior
@@ -3116,5 +3122,67 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_urls,
                    CAST(count(DISTINCT path) AS BIGINT) AS n_paths
             FROM u GROUP BY host
+        """,
+        "q_running_max": r"""
+            SELECT event_id, user_id,
+                   CAST(max(CAST(round(value*100) AS BIGINT)) OVER
+                          (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS BIGINT)
+                     AS running_max_cents
+            FROM events
+        """,
+        "q_second_highest": r"""
+            WITH r AS (
+              SELECT c_mktsegment, c_custkey,
+                     CAST(round(c_acctbal*100) AS BIGINT) AS cents,
+                     dense_rank() OVER
+                       (PARTITION BY c_mktsegment
+                        ORDER BY CAST(round(c_acctbal*100) AS BIGINT) DESC)
+                       AS dr
+              FROM customer)
+            SELECT c_mktsegment,
+                   CAST(min(c_custkey) AS BIGINT) AS c_custkey,
+                   CAST(min(cents) AS BIGINT) AS balance_cents
+            FROM r WHERE dr = 2 GROUP BY c_mktsegment
+        """,
+        "q_distinct_event_days": r"""
+            SELECT user_id,
+                   CAST(count(DISTINCT epoch_us(ts) // 86400000000) AS BIGINT)
+                     AS n_days
+            FROM events GROUP BY user_id
+        """,
+        "q_price_spread": r"""
+            WITH b AS (
+              SELECT p_brand,
+                     min(CAST(round(p_retailprice*100) AS BIGINT)) AS min_cents,
+                     max(CAST(round(p_retailprice*100) AS BIGINT)) AS max_cents
+              FROM part GROUP BY p_brand)
+            SELECT p_brand, CAST(min_cents AS BIGINT) AS min_cents,
+                   CAST(max_cents AS BIGINT) AS max_cents,
+                   CAST(max_cents - min_cents AS BIGINT) AS spread_cents
+            FROM b
+        """,
+        "q_share_by_flag": r"""
+            WITH b AS (
+              SELECT l_returnflag, l_linestatus,
+                     SUM(CAST(round(l_quantity) AS BIGINT)) AS sum_qty
+              FROM lineitem GROUP BY 1, 2
+            ), t AS (SELECT SUM(sum_qty) AS total FROM b)
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum_qty AS BIGINT) AS sum_qty,
+                   CAST((sum_qty * 10000) // total AS BIGINT) AS share_e4
+            FROM b, t
+        """,
+        "q_gap_islands": r"""
+            WITH g AS (
+              SELECT user_id,
+                     epoch_us(ts) - lag(epoch_us(ts)) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+              FROM events)
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN gap IS NULL OR gap >= 1800000000
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_islands
+            FROM g GROUP BY user_id
         """,
     }

@@ -303,6 +303,12 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         "q_fulfillment_days",
         "q_weekday_activity",
         "q_url_host_stats",
+        "q_running_max",
+        "q_second_highest",
+        "q_distinct_event_days",
+        "q_price_spread",
+        "q_share_by_flag",
+        "q_gap_islands",
     ]
     # per-query best-of-2 with the same rationale as the headline reps.
     # The two sub-2 s fixed-overhead-dominated queries get extra reps:

@@ -6010,3 +6010,273 @@ def q_url_host_stats(sf_dir: str):
         )
 
     return grid.groupby("host").map_groups(rollup, batch_format="pandas")
+
+
+# ------------------------------------------------------- r4 wave 4 ------
+def q_running_max(sf_dir: str):
+    """Per-user running maximum of the event value (window cummax):
+    one bucket shuffle on user_id, then ONE vectorized
+    groupby.cummax over the sorted bucket — no per-user Python loop.
+    Values are cents (int64) so the running extremum is hash-exact."""
+    n_bkt = default_buckets()
+    ds = _pq(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = (
+            pd.Series(batch.column("value").to_numpy(zero_copy_only=False))
+            .mul(100)
+            .round()
+            .astype("int64")
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(u, pa.int64()),
+                "event_id": batch.column("event_id"),
+                "ts_us": batch.column("ts").cast(pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+                "__b": pa.array((u % n_bkt).astype(np.int32), pa.int32()),
+            }
+        )
+
+    def cummax(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        run = g.groupby("user_id", sort=False)["cents"].cummax()
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].astype("int64"),
+                "user_id": g["user_id"].astype("int64"),
+                "running_max_cents": run.astype("int64"),
+            }
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(cummax, batch_format="pandas")
+    )
+
+
+def q_second_highest(sf_dir: str):
+    """NTH_VALUE family: per market segment, the customer with the
+    2nd-highest account balance under dense (DISTINCT-value) ranking
+    with deterministic custkey ties (segments are deep at every SF, so
+    the result is never empty). One bucket shuffle; the selection is
+    vectorized rank arithmetic."""
+    ds = _pq(sf_dir, "customer", columns=["c_custkey", "c_mktsegment", "c_acctbal"])
+
+    def second(g: pd.DataFrame) -> pd.DataFrame:
+        cents = (g["c_acctbal"] * 100).round().astype("int64")
+        dr = cents.rank(method="dense", ascending=False).astype("int64")
+        sel = g[dr == 2]
+        if sel.empty:
+            return pd.DataFrame(
+                {
+                    "c_mktsegment": pd.Series([], dtype="object"),
+                    "c_custkey": pd.Series([], dtype="int64"),
+                    "balance_cents": pd.Series([], dtype="int64"),
+                }
+            )
+        sel = sel.loc[[sel["c_custkey"].idxmin()]]
+        return pd.DataFrame(
+            {
+                "c_mktsegment": sel["c_mktsegment"],
+                "c_custkey": sel["c_custkey"].astype("int64"),
+                "balance_cents": (sel["c_acctbal"] * 100).round().astype("int64"),
+            }
+        )
+
+    return ds.groupby("c_mktsegment").map_groups(second, batch_format="pandas")
+
+
+def q_distinct_event_days(sf_dir: str):
+    """Per-user EXACT count of distinct active days — the DAU building
+    block. Two-level combiner: batches emit distinct (user, epoch-day)
+    pairs, one groupby collapses the grid, the per-user count reads off
+    it. Raw events never shuffle; the grid is bounded by users x days."""
+    from ray.data.aggregate import Count
+
+    day_us = 86_400_000_000
+    ds = _pq(sf_dir, "events", columns=["user_id", "ts"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False) // day_us
+        ud = np.unique(np.stack([u, d], axis=1), axis=0)
+        return pa.table(
+            {
+                "user_id": pa.array(ud[:, 0], pa.int64()),
+                "day": pa.array(ud[:, 1], pa.int64()),
+            }
+        )
+
+    grid = (
+        ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "day"])
+        .aggregate(Count(alias_name="c"))
+    )
+
+    def per_user(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("user_id", sort=False).size().reset_index(name="n")
+        return pa.table(
+            {
+                "user_id": pa.array(g["user_id"].astype("int64"), pa.int64()),
+                "n_days": pa.array(g["n"].astype("int64"), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        grid.map_batches(per_user, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("n_days", alias_name="n_days"))
+    )
+
+
+def q_price_spread(sf_dir: str):
+    """Per-brand retail price spread (min/max/range in cents) — a pure
+    Min/Max combiner where only six ints per (batch, brand) cross the
+    shuffle."""
+    from ray.data.aggregate import Max, Min
+
+    ds = _pq(sf_dir, "part", columns=["p_brand", "p_retailprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        cents = (df["p_retailprice"] * 100).round().astype("int64")
+        g = (
+            pd.DataFrame({"p_brand": df["p_brand"], "c": cents})
+            .groupby("p_brand", sort=False)["c"]
+            .agg(["min", "max"])
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "p_brand": pa.array(g["p_brand"], pa.string()),
+                "min_cents": pa.array(g["min"].astype("int64"), pa.int64()),
+                "max_cents": pa.array(g["max"].astype("int64"), pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("p_brand")
+        .aggregate(
+            Min("min_cents", alias_name="min_cents"),
+            Max("max_cents", alias_name="max_cents"),
+        )
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "p_brand": b.column("p_brand"),
+                "min_cents": b.column("min_cents"),
+                "max_cents": b.column("max_cents"),
+                "spread_cents": pc.subtract(
+                    b.column("max_cents"), b.column("min_cents")
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_share_by_flag(sf_dir: str):
+    """Share-of-total in e4 fixed point: per (returnflag, linestatus),
+    quantity share of the grand total. Integer partial sums flow
+    through ONE combiner groupby; the grand total and the e4 division
+    happen on the O(flag x status) output table, so no second pass over
+    the fact table and no float crosses the shuffle."""
+    from ray.data.aggregate import Sum
+
+    ds = _pq(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        q = df["l_quantity"].round().astype("int64")
+        g = (
+            pd.DataFrame(
+                {
+                    "l_returnflag": df["l_returnflag"],
+                    "l_linestatus": df["l_linestatus"],
+                    "q": q,
+                }
+            )
+            .groupby(["l_returnflag", "l_linestatus"], sort=False)["q"]
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "l_returnflag": pa.array(g["l_returnflag"], pa.string()),
+                "l_linestatus": pa.array(g["l_linestatus"], pa.string()),
+                "sum_qty": pa.array(g["q"].astype("int64"), pa.int64()),
+            }
+        )
+
+    base = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("sum_qty", alias_name="sum_qty"))
+        .to_pandas()  # output-scale: |flags x statuses|
+    )
+    total = int(base["sum_qty"].sum())
+    share = (base["sum_qty"] * 10_000) // total
+    return pa.table(
+        {
+            "l_returnflag": pa.array(base["l_returnflag"], pa.string()),
+            "l_linestatus": pa.array(base["l_linestatus"], pa.string()),
+            "sum_qty": pa.array(base["sum_qty"].astype("int64"), pa.int64()),
+            "share_e4": pa.array(share.astype("int64"), pa.int64()),
+        }
+    )
+
+
+def q_gap_islands(sf_dir: str, gap_us: int = 1_800_000_000):
+    """Gaps-and-islands: per user, the number of activity islands
+    (runs of events less than 30 min apart) — count of gaps > threshold
+    plus one, computed from ONE vectorized diff per bucket. The
+    counting twin of q_session_windows' row expansion."""
+    n_bkt = default_buckets()
+    ds = _pq(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(u, pa.int64()),
+                "event_id": batch.column("event_id"),
+                "ts_us": batch.column("ts").cast(pa.int64()),
+                "__b": pa.array((u % n_bkt).astype(np.int32), pa.int32()),
+            }
+        )
+
+    def islands(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        new_user = np.empty(len(u), dtype=bool)
+        new_user[0] = True
+        new_user[1:] = u[1:] != u[:-1]
+        breaks = new_user.copy()
+        breaks[1:] |= (ts[1:] - ts[:-1]) >= gap_us
+        df = (
+            pd.DataFrame({"user_id": u, "b": breaks.astype(np.int64)})
+            .groupby("user_id", sort=False)["b"]
+            .sum()
+            .reset_index(name="n_islands")
+        )
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "n_islands": df["n_islands"].astype("int64"),
+            }
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(islands, batch_format="pandas")
+    )
