@@ -298,6 +298,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_price_spread": r.q_price_spread,
         "q_share_by_flag": r.q_share_by_flag,
         "q_gap_islands": r.q_gap_islands,
+        "q_pareto_share": r.q_pareto_share,
+        "q_monthly_priority": r.q_monthly_priority,
+        "q_clv_quartiles": r.q_clv_quartiles,
+        "q_repeat_rate": r.q_repeat_rate,
+        "q_brand_type_matrix": r.q_brand_type_matrix,
     }
 
     # round-4 driver window: 50 oracled queries with no prior
@@ -3184,5 +3189,56 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN gap IS NULL OR gap >= 1800000000
                                  THEN 1 ELSE 0 END) AS BIGINT) AS n_islands
             FROM g GROUP BY user_id
+        """,
+        "q_pareto_share": r"""
+            WITH c AS (
+              SELECT o_custkey,
+                     SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS rev
+              FROM orders GROUP BY o_custkey
+            ), t AS (SELECT quantile_disc(rev, 0.9) AS thr FROM c)
+            SELECT CAST(count(*) AS BIGINT) AS n_customers,
+                   CAST(SUM(CASE WHEN rev >= thr THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_top,
+                   CAST(min(thr) AS BIGINT) AS threshold_cents,
+                   CAST(SUM(CASE WHEN rev >= thr THEN rev ELSE 0 END) * 10000
+                        // SUM(rev) AS BIGINT) AS top_share_e4
+            FROM c, t
+        """,
+        "q_monthly_priority": r"""
+            SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                   o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders GROUP BY 1, 2
+        """,
+        "q_clv_quartiles": r"""
+            WITH c AS (
+              SELECT o_custkey,
+                     SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS rev
+              FROM orders GROUP BY o_custkey)
+            SELECT c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS n_customers,
+                   CAST(quantile_disc(rev, 0.25) AS BIGINT) AS q1_cents,
+                   CAST(quantile_disc(rev, 0.5) AS BIGINT) AS q2_cents,
+                   CAST(quantile_disc(rev, 0.75) AS BIGINT) AS q3_cents
+            FROM c JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "q_repeat_rate": r"""
+            WITH p AS (
+              SELECT user_id, count(*) AS n
+              FROM events WHERE event_type = 'purchase'
+              GROUP BY user_id)
+            SELECT CAST(count(*) AS BIGINT) AS n_buyers,
+                   CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_repeat,
+                   CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) * 10000
+                        // count(*) AS BIGINT) AS repeat_rate_e4
+            FROM p
+        """,
+        "q_brand_type_matrix": r"""
+            SELECT p_brand,
+                   split_part(p_type, ' ', 1) AS type_family,
+                   CAST(count(*) AS BIGINT) AS n_parts
+            FROM part GROUP BY 1, 2
         """,
     }

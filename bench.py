@@ -309,6 +309,11 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         "q_price_spread",
         "q_share_by_flag",
         "q_gap_islands",
+        "q_pareto_share",
+        "q_monthly_priority",
+        "q_clv_quartiles",
+        "q_repeat_rate",
+        "q_brand_type_matrix",
     ]
     # per-query best-of-2 with the same rationale as the headline reps.
     # The two sub-2 s fixed-overhead-dominated queries get extra reps:

@@ -6280,3 +6280,236 @@ def q_gap_islands(sf_dir: str, gap_us: int = 1_800_000_000):
         .groupby("__b")
         .map_groups(islands, batch_format="pandas")
     )
+
+
+# ------------------------------------------------------- r4 wave 5 ------
+def q_pareto_share(sf_dir: str):
+    """Pareto concentration: how much of total revenue the top decile
+    of customers holds. Per-customer revenue collapses via the combiner
+    groupby; the decile threshold is the EXACT discrete 0.9-quantile
+    (quantile_disc semantics: sorted[ceil(0.9 n)-1]) selected with one
+    np.partition over the |customers| int64 vector — driver contact is
+    bounded at 8 bytes/customer (swap for a distributed selection
+    beyond ~10^8 customers; the sketch path is q_grouped_tdigest).
+    Ties at the threshold count as top on both sides (rev >= thr)."""
+    from ray.data.aggregate import Sum
+
+    ds = _pq(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        cents = (df["o_totalprice"] * 100).round().astype("int64")
+        g = (
+            pd.DataFrame({"o_custkey": df["o_custkey"].astype("int64"), "c": cents})
+            .groupby("o_custkey", sort=False)["c"]
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "o_custkey": pa.array(g["o_custkey"], pa.int64()),
+                "rev": pa.array(g["c"].astype("int64"), pa.int64()),
+            }
+        )
+
+    per_cust = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_custkey")
+        .aggregate(Sum("rev", alias_name="rev"))
+        .to_pandas()["rev"]
+        .to_numpy()
+    )
+    n = per_cust.shape[0]
+    k = int(np.ceil(0.9 * n)) - 1
+    thr = int(np.partition(per_cust, k)[k])
+    top = per_cust[per_cust >= thr]
+    total = int(per_cust.sum())
+    return pa.table(
+        {
+            "n_customers": pa.array([n], pa.int64()),
+            "n_top": pa.array([int(top.shape[0])], pa.int64()),
+            "threshold_cents": pa.array([thr], pa.int64()),
+            "top_share_e4": pa.array(
+                [int(top.sum()) * 10_000 // total], pa.int64()
+            ),
+        }
+    )
+
+
+def q_monthly_priority(sf_dir: str):
+    """Calendar-correct month bucketing (leap years and all): order
+    counts per (YYYY-MM, priority). The month string comes from the
+    SAME calendar on both sides (pandas dt.strftime twin of DuckDB
+    strftime) — not an epoch approximation — and flows through the
+    standard combiner."""
+    from ray.data.aggregate import Sum
+
+    ds = _pq(sf_dir, "orders", columns=["o_orderdate", "o_orderpriority"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        month = df["o_orderdate"].dt.strftime("%Y-%m")
+        g = (
+            pd.DataFrame({"month": month, "o_orderpriority": df["o_orderpriority"]})
+            .groupby(["month", "o_orderpriority"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "month": pa.array(g["month"], pa.string()),
+                "o_orderpriority": pa.array(g["o_orderpriority"], pa.string()),
+                "n_orders": pa.array(g["n"].astype("int64"), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["month", "o_orderpriority"])
+        .aggregate(Sum("n_orders", alias_name="n_orders"))
+    )
+
+
+def q_clv_quartiles(sf_dir: str):
+    """Per-segment customer-lifetime-value quartile bounds (exact
+    discrete quantiles): per-customer revenue via the combiner, the
+    customer dim broadcast to attach segments, then one np.partition
+    triple per segment over the output-scale per-customer table.
+    quantile_disc semantics (sorted[ceil(q n)-1]) on both sides."""
+    import pyarrow.parquet as _pqt
+
+    from ray.data.aggregate import Sum
+
+    ds = _pq(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        cents = (df["o_totalprice"] * 100).round().astype("int64")
+        g = (
+            pd.DataFrame({"o_custkey": df["o_custkey"].astype("int64"), "c": cents})
+            .groupby("o_custkey", sort=False)["c"]
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "o_custkey": pa.array(g["o_custkey"], pa.int64()),
+                "rev": pa.array(g["c"].astype("int64"), pa.int64()),
+            }
+        )
+
+    per_cust = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_custkey")
+        .aggregate(Sum("rev", alias_name="rev"))
+    )
+
+    seg = _pqt.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    ).to_pandas()
+    seg_ref = ray.put(
+        dict(zip(seg["c_custkey"].astype("int64"), seg["c_mktsegment"]))
+    )
+
+    class Attach:
+        def __init__(self):
+            self.s = ray.get(seg_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            df["c_mktsegment"] = df["o_custkey"].map(self.s)
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+    def quartiles(g: pd.DataFrame) -> pd.DataFrame:
+        rev = g["rev"].to_numpy()
+        n = rev.shape[0]
+        out = {}
+        for name, q in (("q1_cents", 0.25), ("q2_cents", 0.5), ("q3_cents", 0.75)):
+            k = int(np.ceil(q * n)) - 1
+            out[name] = [int(np.partition(rev, k)[k])]
+        return pd.DataFrame(
+            {
+                "c_mktsegment": [g["c_mktsegment"].iloc[0]],
+                "n_customers": [n],
+                **out,
+            }
+        )
+
+    return (
+        per_cust.map_batches(Attach, batch_format="pyarrow",
+                             concurrency=(1, 4), num_cpus=0.5)
+        .groupby("c_mktsegment")
+        .map_groups(quartiles, batch_format="pandas")
+    )
+
+
+def q_repeat_rate(sf_dir: str):
+    """Repeat-purchase rate: one scalar row — users with >= 2 purchase
+    events over users with >= 1, in e4. Per-batch (user, n_purchases)
+    partials -> one groupby -> two counts on the output-scale table.
+    The fact table is scanned once and never re-shuffled."""
+    from ray.data.aggregate import Sum
+
+    ds = _pq(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df["event_type"] == "purchase"]
+        g = df.groupby("user_id", sort=False).size().reset_index(name="n")
+        return pa.table(
+            {
+                "user_id": pa.array(g["user_id"].astype("int64"), pa.int64()),
+                "n": pa.array(g["n"].astype("int64"), pa.int64()),
+            }
+        )
+
+    per_user = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # output-scale: |purchasing users|
+    )
+    buyers = int(len(per_user))
+    repeat = int((per_user["n"] >= 2).sum())
+    return pa.table(
+        {
+            "n_buyers": pa.array([buyers], pa.int64()),
+            "n_repeat": pa.array([repeat], pa.int64()),
+            "repeat_rate_e4": pa.array(
+                [repeat * 10_000 // buyers if buyers else 0], pa.int64()
+            ),
+        }
+    )
+
+
+def q_brand_type_matrix(sf_dir: str):
+    """Brand x type-family part counts where the family is the FIRST
+    word of p_type — identical split_part / str-split token on both
+    sides — via the standard combiner."""
+    from ray.data.aggregate import Sum
+
+    ds = _pq(sf_dir, "part", columns=["p_brand", "p_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        fam = df["p_type"].str.split(" ").str[0]
+        g = (
+            pd.DataFrame({"p_brand": df["p_brand"], "type_family": fam})
+            .groupby(["p_brand", "type_family"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "p_brand": pa.array(g["p_brand"], pa.string()),
+                "type_family": pa.array(g["type_family"], pa.string()),
+                "n_parts": pa.array(g["n"].astype("int64"), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["p_brand", "type_family"])
+        .aggregate(Sum("n_parts", alias_name="n_parts"))
+    )
