@@ -303,6 +303,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_clv_quartiles": r.q_clv_quartiles,
         "q_repeat_rate": r.q_repeat_rate,
         "q_brand_type_matrix": r.q_brand_type_matrix,
+        "q_word_len_hist": d.q_word_len_hist,
+        "q_punct_density": d.q_punct_density,
+        "q_ttr_by_source": d.q_ttr_by_source,
+        "q_source_lang_matrix": d.q_source_lang_matrix,
+        "q_hourly_heatmap": r.q_hourly_heatmap,
+        "q_props_stats": r.q_props_stats,
     }
 
     # round-4 driver window: 50 oracled queries with no prior
@@ -3240,5 +3246,60 @@ def oracle_sql() -> dict[str, str]:
                    split_part(p_type, ' ', 1) AS type_family,
                    CAST(count(*) AS BIGINT) AS n_parts
             FROM part GROUP BY 1, 2
+        """,
+        "q_word_len_hist": r"""
+            WITH w AS (
+              SELECT unnest(regexp_extract_all(text, '[a-z]+')) AS word
+              FROM documents)
+            SELECT CAST(length(word) AS BIGINT) AS word_len,
+                   CAST(count(*) AS BIGINT) AS n_words
+            FROM w GROUP BY 1
+        """,
+        "q_punct_density": r"""
+            WITH d AS (
+              SELECT lang,
+                     length(regexp_replace(text, '[^,.!?;:]', '', 'g'))
+                       AS p,
+                     length(text) AS c
+              FROM documents)
+            SELECT lang,
+                   CAST(SUM(p) AS BIGINT) AS punct_chars,
+                   CAST(SUM(c) AS BIGINT) AS total_chars,
+                   CAST(SUM(p) * 10000 // SUM(c) AS BIGINT) AS density_e4
+            FROM d GROUP BY lang
+        """,
+        "q_ttr_by_source": r"""
+            WITH w AS (
+              SELECT source,
+                     unnest(regexp_extract_all(text, '[a-z]+')) AS word
+              FROM documents)
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(count(DISTINCT word) AS BIGINT) AS n_distinct,
+                   CAST(count(DISTINCT word) * 10000 // count(*) AS BIGINT)
+                     AS ttr_e4
+            FROM w GROUP BY source
+        """,
+        "q_source_lang_matrix": r"""
+            SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY 1, 2
+        """,
+        "q_hourly_heatmap": r"""
+            SELECT CAST(((epoch_us(ts) // 86400000000) + 4) % 7 AS BIGINT)
+                     AS dow,
+                   CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS hour,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1, 2
+        """,
+        "q_props_stats": r"""
+            WITH e AS (
+              SELECT event_type,
+                     CAST(json_extract(props, '$.k') AS BIGINT) AS k
+              FROM events)
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(SUM(k) // count(*) AS BIGINT) AS avg_k,
+                   CAST(max(k) AS BIGINT) AS max_k
+            FROM e GROUP BY event_type
         """,
     }

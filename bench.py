@@ -314,6 +314,12 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         "q_clv_quartiles",
         "q_repeat_rate",
         "q_brand_type_matrix",
+        "q_word_len_hist",
+        "q_punct_density",
+        "q_ttr_by_source",
+        "q_source_lang_matrix",
+        "q_hourly_heatmap",
+        "q_props_stats",
     ]
     # per-query best-of-2 with the same rationale as the headline reps.
     # The two sub-2 s fixed-overhead-dominated queries get extra reps:

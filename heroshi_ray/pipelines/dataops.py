@@ -7630,3 +7630,176 @@ def q_embedding_norms(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
+
+
+# ------------------------------------------------------- r4 wave 6 ------
+def q_word_len_hist(sf_dir: str):
+    """Corpus word-length histogram: how many `[a-z]+` tokens of each
+    character length exist. Per-batch C-regex findall + one np.bincount
+    partial per batch -> an O(distinct lengths) groupby. The classic
+    corpus-profile combiner: token text never crosses the shuffle,
+    only (length, count) ints."""
+    from ray.data.aggregate import Sum
+
+    ds = _pq(sf_dir, "documents", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = batch.column("text").to_pandas()
+        lens = np.concatenate(
+            [
+                np.array([len(w) for w in lst], dtype=np.int64)
+                for lst in s.str.findall(r"[a-z]+")
+            ]
+        ) if len(s) else np.array([], dtype=np.int64)
+        if lens.size == 0:
+            return pa.table(
+                {"word_len": pa.array([], pa.int64()),
+                 "n_words": pa.array([], pa.int64())}
+            )
+        cnt = np.bincount(lens)
+        nz = np.nonzero(cnt)[0]
+        return pa.table(
+            {
+                "word_len": pa.array(nz.astype(np.int64), pa.int64()),
+                "n_words": pa.array(cnt[nz].astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("word_len")
+        .aggregate(Sum("n_words", alias_name="n_words"))
+    )
+
+
+def q_punct_density(sf_dir: str):
+    """Per-language punctuation density in e4 (punct chars per total
+    chars): integer char-count partials per (lang) flow through one
+    combiner groupby; the e4 division happens on the O(langs) output.
+    The punct class is the identical literal `[,.!?;:]` on both sides."""
+    from ray.data.aggregate import Sum
+
+    ds = _pq(sf_dir, "documents", columns=["lang", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        punct = df["text"].str.count(r"[,.!?;:]").astype("int64")
+        chars = df["text"].str.len().astype("int64")
+        g = (
+            pd.DataFrame({"lang": df["lang"], "p": punct, "c": chars})
+            .groupby("lang", sort=False)[["p", "c"]]
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "lang": pa.array(g["lang"], pa.string()),
+                "p": pa.array(g["p"].astype("int64"), pa.int64()),
+                "c": pa.array(g["c"].astype("int64"), pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("lang")
+        .aggregate(Sum("p", alias_name="p"), Sum("c", alias_name="c"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "lang": b.column("lang"),
+                "punct_chars": b.column("p"),
+                "total_chars": b.column("c"),
+                "density_e4": pc.cast(
+                    pc.divide(
+                        pc.multiply(b.column("p"), pa.scalar(10_000, pa.int64())),
+                        b.column("c"),
+                    ),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_ttr_by_source(sf_dir: str):
+    """Type-token ratio per source (vocabulary richness, e4): distinct
+    `[a-z]+` words over total words. Batches emit per-(source, word)
+    partial counts, ONE groupby collapses the vocab-bounded grid, and
+    the distinct/total division reads off the O(sources) rollup —
+    full text never shuffles, only (source, word, n) rows bounded by
+    |sources| x |vocab|."""
+    from ray.data.aggregate import Sum
+
+    ds = _pq(sf_dir, "documents", columns=["source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        rows = df["text"].str.findall(r"[a-z]+")
+        src_rep = np.repeat(df["source"].to_numpy(), rows.str.len().to_numpy())
+        words = np.concatenate([np.asarray(r, dtype=object) for r in rows]) if len(
+            rows
+        ) else np.array([], dtype=object)
+        g = (
+            pd.DataFrame({"source": src_rep, "word": words})
+            .groupby(["source", "word"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "source": pa.array(g["source"], pa.string()),
+                "word": pa.array(g["word"], pa.string()),
+                "n": pa.array(g["n"].astype("int64"), pa.int64()),
+            }
+        )
+
+    grid = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["source", "word"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def rollup(g: pd.DataFrame) -> pd.DataFrame:
+        total = int(g["n"].sum())
+        distinct = int(len(g))
+        return pd.DataFrame(
+            {
+                "source": [g["source"].iloc[0]],
+                "n_words": [total],
+                "n_distinct": [distinct],
+                "ttr_e4": [distinct * 10_000 // total],
+            }
+        )
+
+    return grid.groupby("source").map_groups(rollup, batch_format="pandas")
+
+
+def q_source_lang_matrix(sf_dir: str):
+    """Source x language doc-count matrix — the corpus composition
+    grid every datasheet opens with; pure combiner."""
+    from ray.data.aggregate import Sum
+
+    ds = _pq(sf_dir, "documents", columns=["source", "lang"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = (
+            df.groupby(["source", "lang"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "source": pa.array(g["source"], pa.string()),
+                "lang": pa.array(g["lang"], pa.string()),
+                "n_docs": pa.array(g["n"].astype("int64"), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["source", "lang"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )

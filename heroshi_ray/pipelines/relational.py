@@ -6513,3 +6513,87 @@ def q_brand_type_matrix(sf_dir: str):
         .groupby(["p_brand", "type_family"])
         .aggregate(Sum("n_parts", alias_name="n_parts"))
     )
+
+
+def q_hourly_heatmap(sf_dir: str, day_us: int = 86_400_000_000,
+                     hour_us: int = 3_600_000_000):
+    """Weekday x hour activity heatmap from raw epoch integers (the
+    same timezone-trap-free arithmetic as q_weekday_activity):
+    dow = ((days+4) % 7), hour = (epoch_us // 3600e6) % 24."""
+    from ray.data.aggregate import Sum
+
+    ds = _pq(sf_dir, "events", columns=["ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        dow = ((ts // day_us) + 4) % 7
+        hour = (ts // hour_us) % 24
+        g = (
+            pd.DataFrame({"dow": dow, "hour": hour})
+            .groupby(["dow", "hour"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "dow": pa.array(g["dow"].astype("int64"), pa.int64()),
+                "hour": pa.array(g["hour"].astype("int64"), pa.int64()),
+                "n_events": pa.array(g["n"].astype("int64"), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["dow", "hour"])
+        .aggregate(Sum("n_events", alias_name="n_events"))
+    )
+
+
+def q_props_stats(sf_dir: str):
+    """Grouped stats over a JSON-extracted property: per event type,
+    count / integer-avg / max of props.$.k. The extraction is one
+    vectorized C-regex per batch (the props schema is the fixture's
+    {"k": int}); the SQL twin uses json_extract — identical integers
+    either way, then the standard combiner."""
+    from ray.data.aggregate import Max, Sum
+
+    ds = _pq(sf_dir, "events", columns=["event_type", "props"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        k = df["props"].str.extract(r'"k":\s*(-?\d+)', expand=False).astype("int64")
+        g = (
+            pd.DataFrame({"event_type": df["event_type"], "k": k})
+            .groupby("event_type", sort=False)["k"]
+            .agg(["count", "sum", "max"])
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(g["event_type"], pa.string()),
+                "n": pa.array(g["count"].astype("int64"), pa.int64()),
+                "s": pa.array(g["sum"].astype("int64"), pa.int64()),
+                "mx": pa.array(g["max"].astype("int64"), pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("s", alias_name="s"),
+            Max("mx", alias_name="mx"),
+        )
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "n_events": b.column("n"),
+                "avg_k": pc.cast(pc.divide(b.column("s"), b.column("n")), pa.int64()),
+                "max_k": b.column("mx"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
