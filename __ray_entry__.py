@@ -309,6 +309,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_source_lang_matrix": d.q_source_lang_matrix,
         "q_hourly_heatmap": r.q_hourly_heatmap,
         "q_props_stats": r.q_props_stats,
+        "q_embedding_dim_stats": d.q_embedding_dim_stats,
+        "q_name_tokens": r.q_name_tokens,
+        "q_nation_presence": r.q_nation_presence,
+        "q_status_year_revenue": r.q_status_year_revenue,
+        "q_first_purchase": r.q_first_purchase,
     }
 
     # round-4 driver window: 50 oracled queries with no prior
@@ -3301,5 +3306,65 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(k) // count(*) AS BIGINT) AS avg_k,
                    CAST(max(k) AS BIGINT) AS max_k
             FROM e GROUP BY event_type
+        """,
+        "q_embedding_dim_stats": r"""
+            WITH x AS (
+              SELECT d.dim AS dim,
+                     CASE WHEN v >= 0
+                          THEN CAST(floor(CAST(v AS DOUBLE)*10000 + 0.5)
+                               AS BIGINT)
+                          ELSE -CAST(floor(-CAST(v AS DOUBLE)*10000 + 0.5)
+                               AS BIGINT) END AS e4
+              FROM embeddings,
+                   LATERAL (SELECT unnest(generate_series(1, 64)) AS dim) d,
+                   LATERAL (SELECT embedding[d.dim] AS v) val)
+            SELECT CAST(dim AS BIGINT) AS dim,
+                   CAST(count(*) AS BIGINT) AS n_vecs,
+                   CAST(CASE WHEN SUM(e4) >= 0
+                             THEN SUM(e4) // count(*)
+                             ELSE -((-SUM(e4)) // count(*)) END AS BIGINT)
+                     AS avg_e4
+            FROM x GROUP BY dim
+        """,
+        "q_name_tokens": r"""
+            WITH t AS (
+              SELECT unnest(string_split(p_name, ' ')) AS token FROM part
+            ), c AS (
+              SELECT token, count(*) AS n FROM t GROUP BY token)
+            SELECT token, CAST(n AS BIGINT) AS n,
+                   CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT)
+                     AS rk
+            FROM c ORDER BY n DESC, token LIMIT 20
+        """,
+        "q_nation_presence": r"""
+            WITH s AS (
+              SELECT s_nationkey AS nationkey, count(*) AS n_suppliers
+              FROM supplier GROUP BY 1
+            ), c AS (
+              SELECT c_nationkey AS nationkey, count(*) AS n_customers
+              FROM customer GROUP BY 1)
+            SELECT CAST(COALESCE(s.nationkey, c.nationkey) AS BIGINT)
+                     AS nationkey,
+                   CAST(COALESCE(n_suppliers, 0) AS BIGINT) AS n_suppliers,
+                   CAST(COALESCE(n_customers, 0) AS BIGINT) AS n_customers
+            FROM s FULL OUTER JOIN c ON s.nationkey = c.nationkey
+        """,
+        "q_status_year_revenue": r"""
+            SELECT strftime(o_orderdate, '%Y') AS year,
+                   o_orderstatus,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+                     AS revenue_cents
+            FROM orders GROUP BY 1, 2
+        """,
+        "q_first_purchase": r"""
+            WITH p AS (
+              SELECT user_id,
+                     CAST(round(value*100) AS BIGINT) AS cents,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM events WHERE event_type = 'purchase')
+            SELECT user_id, CAST(cents AS BIGINT) AS first_value_cents
+            FROM p WHERE rn = 1
         """,
     }

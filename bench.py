@@ -320,6 +320,11 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         "q_source_lang_matrix",
         "q_hourly_heatmap",
         "q_props_stats",
+        "q_embedding_dim_stats",
+        "q_name_tokens",
+        "q_nation_presence",
+        "q_status_year_revenue",
+        "q_first_purchase",
     ]
     # per-query best-of-2 with the same rationale as the headline reps.
     # The two sub-2 s fixed-overhead-dominated queries get extra reps:

@@ -7803,3 +7803,50 @@ def q_source_lang_matrix(sf_dir: str):
         .groupby(["source", "lang"])
         .aggregate(Sum("n_docs", alias_name="n_docs"))
     )
+
+
+def q_embedding_dim_stats(sf_dir: str):
+    """Per-dimension embedding profile: count and integer-avg of the
+    sign-aware e4 fixed-point values of each of the 64 dims. One
+    vectorized (batch_rows x 64) pass emits a 64-row partial per batch
+    (sum + count per dim as int64), the groupby moves O(dims) rows —
+    the monitoring statistic for embedding drift, with the same
+    half-away-from-zero e4 snap on both sides."""
+    from ray.data.aggregate import Sum
+
+    ds = _pq(sf_dir, "embeddings", columns=["embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mat = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        e4 = (np.sign(mat) * np.floor(np.abs(mat) * 10_000 + 0.5)).astype(np.int64)
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(1, e4.shape[1] + 1, dtype=np.int64),
+                                pa.int64()),
+                "n": pa.array(np.full(e4.shape[1], e4.shape[0], dtype=np.int64),
+                              pa.int64()),
+                "s": pa.array(e4.sum(axis=0), pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("dim")
+        .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b.column("n").to_numpy(zero_copy_only=False)
+        s = b.column("s").to_numpy(zero_copy_only=False)
+        # SQL integer division is TRUNCATED toward zero for negatives;
+        # numpy // floors — use explicit trunc division
+        avg = (np.sign(s) * (np.abs(s) // n)).astype(np.int64)
+        return pa.table(
+            {
+                "dim": b.column("dim"),
+                "n_vecs": b.column("n"),
+                "avg_e4": pa.array(avg, pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -6597,3 +6597,166 @@ def q_props_stats(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
+
+
+def q_name_tokens(sf_dir: str, k: int = 20):
+    """Global top-k tokens of part names: (token, n) combiner partials
+    -> one vocab-bounded groupby -> top-k with (n DESC, token ASC)
+    deterministic ties on the O(vocab) output table."""
+    from ray.data.aggregate import Sum
+
+    ds = _pq(sf_dir, "part", columns=["p_name"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = batch.column("p_name").to_pandas()
+        toks = s.str.split(" ").explode()
+        g = toks.value_counts().reset_index()
+        g.columns = ["token", "n"]
+        return pa.table(
+            {
+                "token": pa.array(g["token"], pa.string()),
+                "n": pa.array(g["n"].astype("int64"), pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # output-scale: |token vocab|
+        .sort_values(["n", "token"], ascending=[False, True], kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )
+    counts["rk"] = np.arange(1, len(counts) + 1, dtype=np.int64)
+    return pa.table(
+        {
+            "token": pa.array(counts["token"], pa.string()),
+            "n": pa.array(counts["n"].astype("int64"), pa.int64()),
+            "rk": pa.array(counts["rk"], pa.int64()),
+        }
+    )
+
+
+def q_nation_presence(sf_dir: str):
+    """Multi-source reconciliation: per nation, supplier and customer
+    counts from TWO independent combiner scans, merged FULL-OUTER on
+    the O(nations) output grids with COALESCE-0 semantics — neither
+    fact table ever joins the other directly."""
+    from ray.data.aggregate import Sum
+
+    def counted(table: str, key: str) -> pd.DataFrame:
+        ds = _pq(sf_dir, table, columns=[key])
+
+        def partial(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            g = df.groupby(key, sort=False).size().reset_index(name="n")
+            return pa.table(
+                {
+                    "nationkey": pa.array(g[key].astype("int64"), pa.int64()),
+                    "n": pa.array(g["n"].astype("int64"), pa.int64()),
+                }
+            )
+
+        return (
+            ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("nationkey")
+            .aggregate(Sum("n", alias_name="n"))
+            .to_pandas()
+        )
+
+    sup = counted("supplier", "s_nationkey").rename(columns={"n": "n_suppliers"})
+    cust = counted("customer", "c_nationkey").rename(columns={"n": "n_customers"})
+    out = sup.merge(cust, on="nationkey", how="outer").fillna(0)
+    return pa.table(
+        {
+            "nationkey": pa.array(out["nationkey"].astype("int64"), pa.int64()),
+            "n_suppliers": pa.array(out["n_suppliers"].astype("int64"), pa.int64()),
+            "n_customers": pa.array(out["n_customers"].astype("int64"), pa.int64()),
+        }
+    )
+
+
+def q_status_year_revenue(sf_dir: str):
+    """Year x order-status revenue (calendar year via the same strftime
+    twins as q_monthly_priority), standard combiner."""
+    from ray.data.aggregate import Sum
+
+    ds = _pq(sf_dir, "orders", columns=["o_orderdate", "o_orderstatus", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        year = df["o_orderdate"].dt.strftime("%Y")
+        cents = (df["o_totalprice"] * 100).round().astype("int64")
+        g = (
+            pd.DataFrame({"year": year, "o_orderstatus": df["o_orderstatus"], "c": cents})
+            .groupby(["year", "o_orderstatus"], sort=False)["c"]
+            .agg(["count", "sum"])
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "year": pa.array(g["year"], pa.string()),
+                "o_orderstatus": pa.array(g["o_orderstatus"], pa.string()),
+                "n_orders": pa.array(g["count"].astype("int64"), pa.int64()),
+                "revenue_cents": pa.array(g["sum"].astype("int64"), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["year", "o_orderstatus"])
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("revenue_cents", alias_name="revenue_cents"),
+        )
+    )
+
+
+def q_first_purchase(sf_dir: str):
+    """ARGMIN-by-order: per user, the value of their FIRST purchase
+    event under (ts, event_id) ordering. Purchases are filtered at the
+    read (predicate + column pruning), one bucket shuffle on user_id,
+    and the first-row selection is the same vectorized boundary mask
+    as q_first_last — no per-user loop, no window materialization."""
+    n_bkt = default_buckets()
+    ds = _pq(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type", "value"])
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        m = pc.equal(batch.column("event_type"), pa.scalar("purchase"))
+        batch = batch.filter(m)
+        u = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = (
+            pd.Series(batch.column("value").to_numpy(zero_copy_only=False))
+            .mul(100)
+            .round()
+            .astype("int64")
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(u, pa.int64()),
+                "event_id": batch.column("event_id"),
+                "ts_us": batch.column("ts").cast(pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+                "__b": pa.array((u % n_bkt).astype(np.int32), pa.int32()),
+            }
+        )
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        mask = np.empty(len(u), dtype=bool)
+        mask[0] = True
+        mask[1:] = u[1:] != u[:-1]
+        return pd.DataFrame(
+            {
+                "user_id": u[mask].astype("int64"),
+                "first_value_cents": g["cents"].to_numpy()[mask].astype("int64"),
+            }
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(first, batch_format="pandas")
+    )
