@@ -286,7 +286,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_histogram": r.q_histogram,
         "q_first_last": r.q_first_last,
         "q_doc_stats_by_lang": r.q_doc_stats_by_lang,
-        "q_order_count_dist": r.q_order_count_dist,
         "q_top_parts": r.q_top_parts,
         "q_weekly_revenue": r.q_weekly_revenue,
         "q_fulfillment_days": r.q_fulfillment_days,
@@ -3071,14 +3070,6 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(n_chars) AS BIGINT) AS max_chars,
                    CAST(count(DISTINCT source) AS BIGINT) AS n_sources
             FROM documents GROUP BY lang
-        """,
-        "q_order_count_dist": r"""
-            WITH c AS (
-              SELECT o_custkey, count(*) AS n_orders
-              FROM orders GROUP BY o_custkey)
-            SELECT CAST(n_orders AS BIGINT) AS n_orders,
-                   CAST(count(*) AS BIGINT) AS n_customers
-            FROM c GROUP BY n_orders
         """,
         "q_top_parts": r"""
             WITH pr AS (

@@ -5664,49 +5664,6 @@ def q_doc_stats_by_lang(sf_dir: str):
     return grid.groupby("lang").map_groups(rollup, batch_format="pandas")
 
 
-def q_order_count_dist(sf_dir: str):
-    """Degree-distribution of the order fact table: how many customers
-    placed exactly k orders. Two chained combiner groupbys — per-batch
-    (custkey, n) partials -> per-customer totals -> per-k customer
-    counts — so the second shuffle moves one row per customer and the
-    result is O(distinct k)."""
-    from ray.data.aggregate import Sum
-
-    ds = _pq(sf_dir, "orders", columns=["o_custkey"])
-
-    def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        g = df.groupby("o_custkey", sort=False).size().reset_index(name="n")
-        return pa.table(
-            {
-                "o_custkey": pa.array(g["o_custkey"].astype("int64"), pa.int64()),
-                "n": pa.array(g["n"].astype("int64"), pa.int64()),
-            }
-        )
-
-    per_cust = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("o_custkey")
-        .aggregate(Sum("n", alias_name="n_orders"))
-    )
-
-    def hist(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        g = df.groupby("n_orders", sort=False).size().reset_index(name="n_customers")
-        return pa.table(
-            {
-                "n_orders": pa.array(g["n_orders"].astype("int64"), pa.int64()),
-                "n_customers": pa.array(g["n_customers"].astype("int64"), pa.int64()),
-            }
-        )
-
-    return (
-        per_cust.map_batches(hist, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("n_orders")
-        .aggregate(Sum("n_customers", alias_name="n_customers"))
-    )
-
-
 # ------------------------------------------------------- r4 wave 3 ------
 def q_top_parts(sf_dir: str, k: int = 3):
     """Per-brand top-k parts by lineitem revenue: the K1 partial-top-k
