@@ -127,3 +127,17 @@ def test_attach_by_key_distributed_fork_equivalence(ray_session):
         a = canon(to_df(fn(SF_DIR)))
         b = canon(to_df(fn(SF_DIR, force_distributed=True)))
         pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+
+
+def test_top_parts_distributed_fork_equivalence(ray_session):
+    """q_top_parts' driver-combine and distributed forks must agree
+    exactly (forced via driver_parts_max=0)."""
+    from heroshi_ray.pipelines.relational import q_top_parts
+
+    sf = "/root/testdata/sf0.001"
+    a = q_top_parts(sf).to_pandas()
+    b = q_top_parts(sf, driver_parts_max=0).to_pandas()
+    key = ["p_brand", "rk"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)[a.columns]
+    assert a.equals(b)
