@@ -141,3 +141,15 @@ def test_top_parts_distributed_fork_equivalence(ray_session):
     a = a.sort_values(key).reset_index(drop=True)
     b = b.sort_values(key).reset_index(drop=True)[a.columns]
     assert a.equals(b)
+
+
+def test_clv_quartiles_distributed_fork_equivalence(ray_session):
+    """q_clv_quartiles' driver-combine and distributed forks must agree
+    exactly (forced via driver_cust_max=0)."""
+    from heroshi_ray.pipelines.relational import q_clv_quartiles
+
+    sf = "/root/testdata/sf0.001"
+    a = q_clv_quartiles(sf).to_pandas().sort_values("c_mktsegment").reset_index(drop=True)
+    b = q_clv_quartiles(sf, driver_cust_max=0).to_pandas()
+    b = b.sort_values("c_mktsegment").reset_index(drop=True)[a.columns]
+    assert a.astype(str).equals(b.astype(str))
