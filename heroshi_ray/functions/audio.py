@@ -47,7 +47,17 @@ def wav_decode(data: bytes) -> tuple[np.ndarray, int]:
     """RIFF/WAVE PCM16 bytes -> (samples int16 (n, ch), sample_rate).
 
     Walks the chunk list (tolerates extra chunks like LIST/INFO);
-    rejects non-PCM encodings and non-16-bit sample widths."""
+    rejects non-PCM encodings and non-16-bit sample widths. EVERY
+    malformed-input failure mode surfaces as ValueError (struct.error
+    on a short fmt chunk, ZeroDivisionError on wChannels=0, ...) so
+    callers' fallback contracts need exactly one except clause."""
+    try:
+        return _wav_decode(data)
+    except (struct.error, ZeroDivisionError, IndexError) as e:
+        raise ValueError(f"wav: malformed stream ({e})") from e
+
+
+def _wav_decode(data: bytes) -> tuple[np.ndarray, int]:
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     pos = 12

@@ -1050,8 +1050,12 @@ def _cc_attach_str(
 
     def attach(batch: pa.Table) -> pa.Table:
         vocab, ns, ls = ray.get(final_ref)
-        ids = np.asarray(batch.column(id_col).to_pylist())
-        out = ids.copy()
+        ids_list = batch.column(id_col).to_pylist()
+        ids = np.asarray(ids_list)
+        # object dtype: a fixed-width copy of `ids` would silently
+        # TRUNCATE any representative longer than this batch's longest
+        # id on assignment (numpy <U-n semantics)
+        out = np.asarray(ids_list, dtype=object)
         if len(ns) and len(ids):
             pos = np.clip(np.searchsorted(vocab, ids), 0, len(vocab) - 1)
             hit = vocab[pos] == ids

@@ -5396,6 +5396,79 @@ def q_cube_agg(sf_dir: str):
     )
 
 
+def _events_bucketized(
+    sf_dir: str,
+    n_bkt: int,
+    *,
+    cents: bool = False,
+    carry: tuple = (),
+    filter_type: str | None = None,
+):
+    """Shared events bucketize for the window-family ops (q_event_gaps /
+    q_gap_islands / q_first_last / q_first_purchase / q_running_max):
+    prune columns at the read, optionally filter by event_type,
+    optionally snap value to int cents, and emit user_id / event_id /
+    ts_us / __b = user % n_bkt — ONE copy of the boilerplate so a
+    future rounding or bucketing fix cannot silently miss a twin."""
+    cols = ["event_id", "user_id", "ts"]
+    if cents:
+        cols.append("value")
+    if filter_type is not None and "event_type" not in cols:
+        cols.append("event_type")
+    cols += [c for c in carry if c not in cols]
+    ds = _pq(sf_dir, "events", columns=cols)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        if filter_type is not None:
+            batch = batch.filter(
+                pc.equal(batch.column("event_type"), pa.scalar(filter_type))
+            )
+        u = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        out = {
+            "user_id": pa.array(u, pa.int64()),
+            "event_id": batch.column("event_id"),
+            "ts_us": batch.column("ts").cast(pa.int64()),
+        }
+        if cents:
+            c = (
+                pd.Series(batch.column("value").to_numpy(zero_copy_only=False))
+                .mul(100)
+                .round()
+                .astype("int64")
+            )
+            out["cents"] = pa.array(c, pa.int64())
+        for col in carry:
+            out[col] = batch.column(col)
+        out["__b"] = pa.array((u % n_bkt).astype(np.int32), pa.int32())
+        return pa.table(out)
+
+    return ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _per_cust_revenue_partials(sf_dir: str):
+    """Shared per-customer order-revenue combiner (q_pareto_share /
+    q_clv_quartiles): per-batch (o_custkey, rev-cents) partial sums."""
+    ds = _pq(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        cents = (df["o_totalprice"] * 100).round().astype("int64")
+        g = (
+            pd.DataFrame({"o_custkey": df["o_custkey"].astype("int64"), "c": cents})
+            .groupby("o_custkey", sort=False)["c"]
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "o_custkey": pa.array(g["o_custkey"], pa.int64()),
+                "rev": pa.array(g["c"].astype("int64"), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_event_gaps(sf_dir: str):
     """Per-user inter-event gap statistics (the LAG window family):
     count, integer-floor average and maximum of the microsecond gaps
@@ -5407,18 +5480,6 @@ def q_event_gaps(sf_dir: str):
     from ray.data.aggregate import Sum
 
     n_bkt = default_buckets()
-    ds = _pq(sf_dir, "events", columns=["event_id", "user_id", "ts"])
-
-    def bucketize(batch: pa.Table) -> pa.Table:
-        u = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table(
-            {
-                "user_id": pa.array(u, pa.int64()),
-                "event_id": batch.column("event_id"),
-                "ts_us": batch.column("ts").cast(pa.int64()),
-                "__b": pa.array((u % n_bkt).astype(np.int32), pa.int32()),
-            }
-        )
 
     def gaps(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
@@ -5453,7 +5514,7 @@ def q_event_gaps(sf_dir: str):
         )
 
     return (
-        ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        _events_bucketized(sf_dir, n_bkt)
         .groupby("__b")
         .map_groups(gaps, batch_format="pandas")
     )
@@ -5573,19 +5634,6 @@ def q_first_last(sf_dir: str):
     bucket shuffle on user_id; inside a bucket one mergesort + head/tail
     index per user via vectorized boundary masks (no per-user loop)."""
     n_bkt = default_buckets()
-    ds = _pq(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
-
-    def bucketize(batch: pa.Table) -> pa.Table:
-        u = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table(
-            {
-                "user_id": pa.array(u, pa.int64()),
-                "event_id": batch.column("event_id"),
-                "ts_us": batch.column("ts").cast(pa.int64()),
-                "event_type": batch.column("event_type"),
-                "__b": pa.array((u % n_bkt).astype(np.int32), pa.int32()),
-            }
-        )
 
     def firstlast(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
@@ -5606,7 +5654,7 @@ def q_first_last(sf_dir: str):
         )
 
     return (
-        ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        _events_bucketized(sf_dir, n_bkt, carry=("event_type",))
         .groupby("__b")
         .map_groups(firstlast, batch_format="pandas")
     )
@@ -6034,25 +6082,6 @@ def q_running_max(sf_dir: str):
     groupby.cummax over the sorted bucket — no per-user Python loop.
     Values are cents (int64) so the running extremum is hash-exact."""
     n_bkt = default_buckets()
-    ds = _pq(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
-
-    def bucketize(batch: pa.Table) -> pa.Table:
-        u = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        cents = (
-            pd.Series(batch.column("value").to_numpy(zero_copy_only=False))
-            .mul(100)
-            .round()
-            .astype("int64")
-        )
-        return pa.table(
-            {
-                "user_id": pa.array(u, pa.int64()),
-                "event_id": batch.column("event_id"),
-                "ts_us": batch.column("ts").cast(pa.int64()),
-                "cents": pa.array(cents, pa.int64()),
-                "__b": pa.array((u % n_bkt).astype(np.int32), pa.int32()),
-            }
-        )
 
     def cummax(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
@@ -6066,7 +6095,7 @@ def q_running_max(sf_dir: str):
         )
 
     return (
-        ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        _events_bucketized(sf_dir, n_bkt, cents=True)
         .groupby("__b")
         .map_groups(cummax, batch_format="pandas")
     )
@@ -6255,18 +6284,6 @@ def q_gap_islands(sf_dir: str, gap_us: int = 1_800_000_000):
     plus one, computed from ONE vectorized diff per bucket. The
     counting twin of q_session_windows' row expansion."""
     n_bkt = default_buckets()
-    ds = _pq(sf_dir, "events", columns=["event_id", "user_id", "ts"])
-
-    def bucketize(batch: pa.Table) -> pa.Table:
-        u = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table(
-            {
-                "user_id": pa.array(u, pa.int64()),
-                "event_id": batch.column("event_id"),
-                "ts_us": batch.column("ts").cast(pa.int64()),
-                "__b": pa.array((u % n_bkt).astype(np.int32), pa.int32()),
-            }
-        )
 
     def islands(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
@@ -6291,7 +6308,7 @@ def q_gap_islands(sf_dir: str, gap_us: int = 1_800_000_000):
         )
 
     return (
-        ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        _events_bucketized(sf_dir, n_bkt)
         .groupby("__b")
         .map_groups(islands, batch_format="pandas")
     )
@@ -6309,26 +6326,8 @@ def q_pareto_share(sf_dir: str):
     Ties at the threshold count as top on both sides (rev >= thr)."""
     from ray.data.aggregate import Sum
 
-    ds = _pq(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-
-    def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        cents = (df["o_totalprice"] * 100).round().astype("int64")
-        g = (
-            pd.DataFrame({"o_custkey": df["o_custkey"].astype("int64"), "c": cents})
-            .groupby("o_custkey", sort=False)["c"]
-            .sum()
-            .reset_index()
-        )
-        return pa.table(
-            {
-                "o_custkey": pa.array(g["o_custkey"], pa.int64()),
-                "rev": pa.array(g["c"].astype("int64"), pa.int64()),
-            }
-        )
-
     per_cust = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        _per_cust_revenue_partials(sf_dir)
         .groupby("o_custkey")
         .aggregate(Sum("rev", alias_name="rev"))
         .to_pandas()["rev"]
@@ -6405,25 +6404,7 @@ def q_clv_quartiles(sf_dir: str, driver_cust_max: int = 10_000_000):
         os.path.join(sf_dir, "customer.parquet")
     ).metadata.num_rows
 
-    ds = _pq(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-
-    def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        cents = (df["o_totalprice"] * 100).round().astype("int64")
-        g = (
-            pd.DataFrame({"o_custkey": df["o_custkey"].astype("int64"), "c": cents})
-            .groupby("o_custkey", sort=False)["c"]
-            .sum()
-            .reset_index()
-        )
-        return pa.table(
-            {
-                "o_custkey": pa.array(g["o_custkey"], pa.int64()),
-                "rev": pa.array(g["c"].astype("int64"), pa.int64()),
-            }
-        )
-
-    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    partials = _per_cust_revenue_partials(sf_dir)
 
     seg = _pqt.read_table(
         os.path.join(sf_dir, "customer.parquet"),
@@ -6756,27 +6737,6 @@ def q_first_purchase(sf_dir: str):
     and the first-row selection is the same vectorized boundary mask
     as q_first_last — no per-user loop, no window materialization."""
     n_bkt = default_buckets()
-    ds = _pq(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type", "value"])
-
-    def bucketize(batch: pa.Table) -> pa.Table:
-        m = pc.equal(batch.column("event_type"), pa.scalar("purchase"))
-        batch = batch.filter(m)
-        u = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        cents = (
-            pd.Series(batch.column("value").to_numpy(zero_copy_only=False))
-            .mul(100)
-            .round()
-            .astype("int64")
-        )
-        return pa.table(
-            {
-                "user_id": pa.array(u, pa.int64()),
-                "event_id": batch.column("event_id"),
-                "ts_us": batch.column("ts").cast(pa.int64()),
-                "cents": pa.array(cents, pa.int64()),
-                "__b": pa.array((u % n_bkt).astype(np.int32), pa.int32()),
-            }
-        )
 
     def first(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
@@ -6792,7 +6752,7 @@ def q_first_purchase(sf_dir: str):
         )
 
     return (
-        ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        _events_bucketized(sf_dir, n_bkt, cents=True, filter_type="purchase")
         .groupby("__b")
         .map_groups(first, batch_format="pandas")
     )

@@ -222,35 +222,46 @@ class VideoFrameSampleStage:
         ids = batch.column(batch.column_names[0]).to_pylist()
         blobs = batch.column("bytes").to_pylist()
         out_id, out_frame, out_ph, out_png = [], [], [], []
+
+        def fake(i):
+            for f in range(self.n_frames):
+                out_id.append(i)
+                out_frame.append(f)
+                out_ph.append(0)
+                out_png.append(
+                    png_encode(np.full((8, 8, 3), (f * 37) % 256, np.uint8))
+                    if self.thumb
+                    else None
+                )
+
         for i, b in zip(ids, blobs):
+            # the WHOLE per-clip decode is under the fallback contract:
+            # a spec-legal stream our fixed-stride seek can't handle
+            # (e.g. per-frame parameters) fails in y4m_read_frame, not
+            # just in header parse — strict raises, non-strict fakes
             try:
                 meta = y4m_parse_header(b)
-            except ValueError:
+                total = meta["n_frames"]
+                take = min(self.n_frames, total)
+                # evenly spaced sample (first frame always included)
+                idxs = (
+                    np.linspace(0, total - 1, take).round().astype(np.int64)
+                    if take
+                    else np.array([], np.int64)
+                )
+                rows = [
+                    (k, y4m_read_frame(b, meta, k)) for k in idxs.tolist()
+                ]
+            except ValueError as e:
                 if self.strict:
                     raise NotImplementedError(
-                        "compressed-video decode requires a codec library not "
-                        "present in this sandbox (YUV4MPEG2 is supported)"
+                        "video decode failed — compressed formats and "
+                        "parameterized-frame y4m need a codec library not "
+                        f"present in this sandbox (plain YUV4MPEG2 works): {e}"
                     )
-                for f in range(self.n_frames):
-                    out_id.append(i)
-                    out_frame.append(f)
-                    out_ph.append(0)
-                    out_png.append(
-                        png_encode(np.full((8, 8, 3), (f * 37) % 256, np.uint8))
-                        if self.thumb
-                        else None
-                    )
+                fake(i)
                 continue
-            total = meta["n_frames"]
-            take = min(self.n_frames, total)
-            # evenly spaced sample (first frame always included)
-            idxs = (
-                np.linspace(0, total - 1, take).round().astype(np.int64)
-                if take
-                else np.array([], np.int64)
-            )
-            for k in idxs.tolist():
-                px = y4m_read_frame(b, meta, k)
+            for k, px in rows:
                 out_id.append(i)
                 out_frame.append(k)
                 out_ph.append(phash64(px))

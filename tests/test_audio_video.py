@@ -214,3 +214,42 @@ def test_q_video_frames(ray_session):
     df = q_video_frames("unused").to_pandas()
     assert len(df) == 48 * 4
     assert df["frame_phash"].nunique() > 1
+
+
+def test_wav_decode_malformed_raises_valueerror_only():
+    """Regression (r4 review): short fmt chunk (struct.error) and
+    wChannels=0 (ZeroDivisionError) must surface as ValueError so the
+    stage fallback contract holds."""
+    import struct as _struct
+
+    short_fmt = b"RIFF" + _struct.pack("<I", 16) + b"WAVEfmt " + _struct.pack(
+        "<I", 4
+    ) + b"\x01\x00\x01\x00"
+    with pytest.raises(ValueError):
+        wav_decode(short_fmt)
+    zero_ch = bytearray(wav_encode(np.zeros(4, np.int16), 8000))
+    i = zero_ch.find(b"fmt ")
+    zero_ch[i + 10 : i + 12] = b"\x00\x00"  # wChannels = 0
+    with pytest.raises(ValueError):
+        wav_decode(bytes(zero_ch))
+
+
+def test_video_stage_fallback_covers_read_failures():
+    """Regression (r4 review): a y4m stream with per-frame parameters
+    passes header parse but fails the fixed-stride read; strict raises
+    NotImplementedError, non-strict emits the fake frames."""
+    import pyarrow as pa
+
+    from heroshi_ray.stages.multimodal import VideoFrameSampleStage
+
+    rng = np.random.default_rng(1)
+    frames = np.stack([_pixels(rng, 16, 16) for _ in range(4)])
+    data = y4m_encode(frames, (25, 1), "444")
+    # give every frame a parameter: FRAME\n -> FRAME I\n shifts strides
+    bad = data.replace(b"FRAME\n", b"FRAME I\n")
+    batch = pa.table({"id": pa.array(["v"]), "bytes": pa.array([bad])})
+    with pytest.raises(NotImplementedError):
+        VideoFrameSampleStage(strict=True, n_frames=2)(batch)
+    out = VideoFrameSampleStage(strict=False, n_frames=2)(batch)
+    assert out.num_rows == 2
+    assert out.column("frame_phash").to_pylist() == [0, 0]

@@ -621,3 +621,30 @@ def test_minhash_clusters_matches_union_find(ray_session):
     assert len(got) == len(out)
     for did, cid in got.items():
         assert cid == (find(did) if did in parent else did)
+
+
+def test_cc_attach_str_variable_length_ids(ray_session):
+    """Regression (r4 review): the driver-path attach must not truncate
+    a cluster representative longer than a batch's longest id (numpy
+    fixed-width <U-n assignment semantics). Edge ('aa_long','z') must
+    label 'z' with 'aa_long', including in a batch containing only
+    'z'."""
+    import pyarrow as pa
+
+    import ray
+    from heroshi_ray.pipelines.dataops import _cc_attach_str
+
+    ids = ["z", "aa_long", "mmm"]
+    ds = ray.data.from_arrow(
+        pa.table({"doc": pa.array(ids, pa.string())})
+    ).repartition(3)  # one id per batch -> 'z' batch has <U1 ids
+    sa = np.asarray(["aa_long"])
+    sb = np.asarray(["z"])
+    out = (
+        _cc_attach_str(ds, "doc", sa, sb, max_iters=10, driver_labels_max=1000)
+        .to_pandas()
+        .set_index("doc")["cluster_id"]
+    )
+    assert out["z"] == "aa_long"
+    assert out["aa_long"] == "aa_long"
+    assert out["mmm"] == "mmm"
