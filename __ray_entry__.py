@@ -271,6 +271,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 multimodal (rows-only: binary payload codecs are not
         # SQL-expressible; tests pin the invariants instead)
         "q_jpeg_decode": d.q_jpeg_decode,
+        "q_gif_decode": d.q_gif_decode,
         "q_audio_features": d.q_audio_features,
         "q_video_frames": d.q_video_frames,
         # round-4 wave-1 oracled operators (appended AFTER the r4 window;

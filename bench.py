@@ -284,6 +284,7 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         "q_ann_recall_eval",
         "q_zipf_fit",
         "q_jpeg_decode",
+        "q_gif_decode",
         "q_audio_features",
         "q_video_frames",
         "q_pivot_status",

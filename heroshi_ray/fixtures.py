@@ -96,7 +96,7 @@ def make_corpus(n: int, seed: int = 42, jpeg_frac: float = 0.0) -> pa.Table:
 
 
 def make_corpus_pair(
-    n: int, seed: int = 321, jpeg_frac: float = 0.25
+    n: int, seed: int = 321, jpeg_frac: float = 0.25, gif_frac: float = 0.0
 ) -> tuple[pa.Table, pa.Table]:
     """(lossy corpus, lossless reference twin) over the SAME source
     pixels: the corpus encodes each image in its drawn fmt (png / qpng /
@@ -118,6 +118,8 @@ def make_corpus_pair(
         fmt = "png" if r < 0.7 else "qpng"
         if jpeg_frac and r >= 1.0 - jpeg_frac:
             fmt = "jpeg"
+        if gif_frac and 1.0 - jpeg_frac - gif_frac <= r < 1.0 - jpeg_frac:
+            fmt = "gif"
         blob = encode_image(px, fmt)
         ids.append(f"img{i:08d}")
         blobs.append(blob)

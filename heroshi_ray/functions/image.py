@@ -102,6 +102,14 @@ def encode_image(px: np.ndarray, fmt: str) -> bytes:
         from .jpeg import jpeg_encode
 
         return jpeg_encode(px, quality=92, subsample="420")
+    if fmt == "gif":
+        # corpus lossy format #3: GIF89a with a 256-color adaptive
+        # palette (functions/gif.py) — worst-case ~48 dB on fixture
+        # content, above the 40 dB invariant floor; exact-palette
+        # images roundtrip losslessly
+        from .gif import gif_encode
+
+        return gif_encode(px)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
@@ -114,6 +122,11 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
         from .jpeg import jpeg_decode
 
         return jpeg_decode(data)
+    if fmt == "gif":
+        # real GIF87a/89a decoder (functions/gif.py); first frame
+        from .gif import gif_decode
+
+        return gif_decode(data, max_frames=1)[0][0]
     raise NotImplementedError(
         f"decoder for fmt {fmt!r} requires an image library not present in this "
         "sandbox; plug a real codec in here (webp/...)"

@@ -1493,6 +1493,43 @@ def _ensure_corpus_jpeg() -> tuple[str, str]:
     return cpath, rpath
 
 
+def _ensure_corpus_gif() -> tuple[str, str]:
+    """Mixed png/jpeg/REAL-GIF corpus + lossless reference twin, cached
+    under /tmp (functions/gif.py: LZW + 256-color adaptive palette —
+    worst-case ~48 dB on fixture content, above the invariant floor)."""
+    import pyarrow.parquet as pq
+
+    from ..fixtures import make_corpus_pair
+
+    cache = "/tmp/heroshi_ray_cache"
+    os.makedirs(cache, exist_ok=True)
+    cpath = os.path.join(cache, "corpus96_gif.parquet")
+    rpath = os.path.join(cache, "corpus96_gif_ref.parquet")
+    if not (os.path.exists(cpath) and os.path.exists(rpath)):
+        corpus, ref = make_corpus_pair(96, seed=654, jpeg_frac=0.15, gif_frac=0.2)
+        for tbl, path in ((corpus, cpath), (ref, rpath)):
+            tmp = path + ".tmp"
+            pq.write_table(tbl, tmp)
+            os.replace(tmp, path)
+    return cpath, rpath
+
+
+def q_gif_decode(sf_dir: str):
+    """Real GIF decode (LZW, adaptive palette) through the per-row
+    corpus invariant, exactly as q_jpeg_decode does for JPEG: a mixed
+    png/qpng/jpeg/gif corpus verified against the lossless reference
+    twin (PSNR >= 40 dB for every lossy fmt, caption byte-equal).
+    Rows-only driver check; tests pin all-rows-pass."""
+    import pyarrow.parquet as pq
+
+    from .verify import verify_corpus
+
+    cpath, rpath = _ensure_corpus_gif()
+    ds = ray.data.read_parquet(cpath)
+    ref_tbl = pq.read_table(rpath)
+    return verify_corpus(ds, ref_tbl)
+
+
 def q_jpeg_decode(sf_dir: str):
     """Real baseline-JPEG decode through the per-row corpus invariant
     (BASELINE.json:15): a mixed png/qpng/jpeg corpus is verified against

@@ -240,18 +240,36 @@ class VideoFrameSampleStage:
             # (e.g. per-frame parameters) fails in y4m_read_frame, not
             # just in header parse — strict raises, non-strict fakes
             try:
-                meta = y4m_parse_header(b)
-                total = meta["n_frames"]
-                take = min(self.n_frames, total)
-                # evenly spaced sample (first frame always included)
-                idxs = (
-                    np.linspace(0, total - 1, take).round().astype(np.int64)
-                    if take
-                    else np.array([], np.int64)
-                )
-                rows = [
-                    (k, y4m_read_frame(b, meta, k)) for k in idxs.tolist()
-                ]
+                if b[:4] == b"GIF8":
+                    # animated GIF: LZW frames have NO random access
+                    # (each frame composites on the previous canvas),
+                    # so decode sequentially up to the LAST sampled
+                    # index — still bounded by the clip, and early
+                    # frames never re-decode
+                    from ..functions.gif import gif_decode
+
+                    all_frames, _ = gif_decode(b)
+                    total = all_frames.shape[0]
+                    take = min(self.n_frames, total)
+                    idxs = (
+                        np.linspace(0, total - 1, take).round().astype(np.int64)
+                        if take
+                        else np.array([], np.int64)
+                    )
+                    rows = [(int(k), all_frames[int(k)]) for k in idxs.tolist()]
+                else:
+                    meta = y4m_parse_header(b)
+                    total = meta["n_frames"]
+                    take = min(self.n_frames, total)
+                    # evenly spaced sample (first frame always included)
+                    idxs = (
+                        np.linspace(0, total - 1, take).round().astype(np.int64)
+                        if take
+                        else np.array([], np.int64)
+                    )
+                    rows = [
+                        (k, y4m_read_frame(b, meta, k)) for k in idxs.tolist()
+                    ]
             except ValueError as e:
                 if self.strict:
                     raise NotImplementedError(
