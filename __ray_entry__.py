@@ -274,6 +274,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_gif_decode": d.q_gif_decode,
         "q_audio_features": d.q_audio_features,
         "q_video_frames": d.q_video_frames,
+        "q_video_neardup": d.q_video_neardup,
         # round-4 wave-1 oracled operators (appended AFTER the r4 window;
         # candidates for the r5 window rotation)
         "q_pivot_status": r.q_pivot_status,

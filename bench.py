@@ -287,6 +287,7 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         "q_gif_decode",
         "q_audio_features",
         "q_video_frames",
+        "q_video_neardup",
         "q_pivot_status",
         "q_group_median",
         "q_percent_rank",

@@ -7891,3 +7891,48 @@ def q_embedding_dim_stats(sf_dir: str):
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_video_neardup(sf_dir: str, n_frames: int = 6, max_hamming: int = 6):
+    """Cross-video near-duplicate detection by sampled-frame phash —
+    the video twin of q_phash_neardup, composing the REAL decode path
+    with the shared multi-index banding kernel: VideoFrameSampleStage
+    (strict) samples n_frames per clip and phashes each decoded frame,
+    then hamming_band_pairs bands the (clip:frame, phash64) rows.
+    Emitted pairs span frames of the SAME drifting clip (the fixture
+    plants near-dup consecutive frames via small rolls) and any
+    cross-clip matches. Rows-only driver check; tests pin that every
+    same-clip adjacent sampled pair within the roll tolerance appears
+    and that pair hamming is verified exact."""
+    from ..stages.multimodal import VideoFrameSampleStage
+
+    ds = ray.data.read_parquet(_ensure_media("video"))
+    frames = ds.map_batches(
+        VideoFrameSampleStage,
+        fn_constructor_kwargs={"strict": True, "n_frames": n_frames},
+        batch_format="pyarrow",
+        batch_size=16,
+        concurrency=(1, 2),
+        num_cpus=0.5,
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "frame_id": pc.binary_join_element_wise(
+                    pc.cast(b.column("id"), pa.string()),
+                    pc.cast(b.column("frame"), pa.string()),
+                    "#",
+                ),
+                "phash": b.column("frame_phash"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return hamming_band_pairs(
+        frames,
+        id_col="frame_id",
+        hash_col="phash",
+        max_hamming=max_hamming,
+        a_col="frame_a",
+        b_col="frame_b",
+        id_arrow_type=pa.string(),
+    )

@@ -253,3 +253,36 @@ def test_video_stage_fallback_covers_read_failures():
     out = VideoFrameSampleStage(strict=False, n_frames=2)(batch)
     assert out.num_rows == 2
     assert out.column("frame_phash").to_pylist() == [0, 0]
+
+
+def test_q_video_neardup(ray_session):
+    """Sampled-frame phash near-dup pairs: every emitted pair's hamming
+    must verify exactly against direct frame decode+phash, and at least
+    one same-clip adjacent sampled pair must appear (the fixture's
+    small-roll consecutive frames are planted near-dups)."""
+    from heroshi_ray.functions.image import hamming64
+    from heroshi_ray.pipelines.dataops import _ensure_media, q_video_neardup
+
+    out = q_video_neardup("unused")
+    df = out.to_pandas() if hasattr(out, "to_pandas") else out
+    assert len(df) > 0
+    import pyarrow.parquet as pq
+
+    vids = pq.read_table(_ensure_media("video")).to_pandas().set_index("video_id")
+
+    def frame_phash(tag):
+        vid, k = tag.rsplit("#", 1)
+        data = vids.loc[vid, "bytes"]
+        meta = y4m_parse_header(data)
+        return phash64(y4m_read_frame(data, meta, int(k)))
+
+    sample = df.head(20)
+    for _, row in sample.iterrows():
+        ha = frame_phash(row["frame_a"])
+        hb = frame_phash(row["frame_b"])
+        assert int(hamming64([ha], [hb])[0]) == row["hamming"]
+    same_clip = df[
+        df["frame_a"].str.rsplit("#", n=1).str[0]
+        == df["frame_b"].str.rsplit("#", n=1).str[0]
+    ]
+    assert len(same_clip) > 0
