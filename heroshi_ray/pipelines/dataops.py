@@ -5722,6 +5722,7 @@ def q_aspect_bucket(sf_dir: str):
 def q_hits(
     sf_dir: str,
     broadcast_limit: int = 2_000_000,
+    driver_edges_max: int = 4_000_000,
     force_distributed: bool = False,
 ):
     """HITS hubs & authorities (Kleinberg, JACM 1999) over q_pagerank's
@@ -5738,12 +5739,17 @@ def q_hits(
       h1[u] = Σ_{u->v} cnt*a1s[v] -> h1s = h1*10^6 // max(h1)
       a2[v] = Σ_{u->v} cnt*h1s[u] -> a2s = a2*10^6 // max(a2)
 
-    Output (custkey, auth_e6, hub_e6). Scale shape is q_pagerank's:
-    edges pre-aggregate to (src, dst, cnt); per round ONE join of the
-    score vector into edges + one groupby-sum; the max is a scalar
-    aggregate. Below ``broadcast_limit`` nodes the vector rides
-    ray.put; above (or force_distributed) it stays a Dataset and both
-    joins are distributed hash joins (fork equivalence-tested)."""
+    Output (custkey, auth_e6, hub_e6). Scale shape is q_opic's
+    size-adaptive triple fork (gates on EXACT parquet row counts, no
+    scan): edges pre-aggregate to (src, dst, cnt).
+    - |orders| <= driver_edges_max AND |nodes| <= broadcast_limit:
+      per-block edge partials combine in one vectorized driver pass
+      and the three spreads are pure int64 numpy — zero per-round Ray
+      jobs (profiled 5.1 s -> ~1 s at sf0.1).
+    - |nodes| <= broadcast_limit only: the score vector rides ray.put;
+      per round ONE map_batches over the edges Dataset + a groupby-sum.
+    - else (or force_distributed): the vector stays a Dataset and both
+      joins are distributed hash joins. All forks equivalence-tested."""
     import pyarrow.parquet as pq_mod
 
     from ray.data.aggregate import Max, Sum
@@ -5767,6 +5773,47 @@ def q_hits(
                 "src": pa.array((u // n_nodes).astype(np.int64), pa.int64()),
                 "dst": pa.array((u % n_nodes).astype(np.int64), pa.int64()),
                 "cnt": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    orders_rows = pq_mod.ParquetFile(
+        os.path.join(sf_dir, "orders.parquet")
+    ).metadata.num_rows
+
+    if (
+        orders_rows <= driver_edges_max
+        and n_nodes <= broadcast_limit
+        and not force_distributed
+    ):
+        # driver-combine fork (q_opic's): per-block edge partials total
+        # <= orders_rows rows — bounded by the gate; spreads are pure
+        # int64 numpy so all three rounds cost zero Ray jobs.
+        parts = orders.map_batches(
+            to_edges, batch_format="pyarrow", zero_copy_batch=True
+        ).to_pandas()
+        key = parts["src"].to_numpy() * n_nodes + parts["dst"].to_numpy()
+        u, inv = np.unique(key, return_inverse=True)
+        cnt = np.zeros(len(u), np.int64)
+        np.add.at(cnt, inv, parts["cnt"].to_numpy())
+        src = (u // n_nodes).astype(np.int64)
+        dst = (u % n_nodes).astype(np.int64)
+
+        def spread_np(vec: np.ndarray, f: np.ndarray, t: np.ndarray) -> np.ndarray:
+            out = np.zeros(n_nodes, np.int64)
+            np.add.at(out, t, cnt * vec[f])
+            return out
+
+        def rescale_np(v: np.ndarray) -> np.ndarray:
+            return v * E6 // max(int(v.max()), 1)
+
+        a1s = rescale_np(spread_np(np.ones(n_nodes, np.int64), src, dst))
+        h1s = rescale_np(spread_np(a1s, dst, src))
+        a2s = rescale_np(spread_np(h1s, src, dst))
+        return pa.table(
+            {
+                "custkey": pa.array(nodes.astype(np.int64), pa.int64()),
+                "auth_e6": pa.array(a2s, pa.int64()),
+                "hub_e6": pa.array(h1s, pa.int64()),
             }
         )
 
@@ -6764,6 +6811,7 @@ def q_opic(
     sf_dir: str,
     n_rounds: int = 3,
     broadcast_limit: int = 2_000_000,
+    driver_edges_max: int = 4_000_000,
     force_distributed: bool = False,
 ):
     """OPIC — On-line Page Importance Computation (Abiteboul, Preda &
@@ -6785,14 +6833,22 @@ def q_opic(
     Every operation is int64 (floor divisions are the determinism
     anchor), so the DuckDB unrolled-CTE twin is bit-exact.
 
-    Scale shape (q_hits' dual fork): edges pre-aggregate to
-    (src, dst, cnt) + an outdegree groupby. Below ``broadcast_limit``
-    nodes the cash vector rides ray.put and each round is ONE
-    map_batches over edges + an O(n)-row groupby; above it (or
-    force_distributed) cash/history stay node-keyed Datasets and each
-    round is two distributed hash joins + a groupby-sum — pool and the
-    global max are the only scalars on the driver. Both forks
-    equivalence-tested. Output: (custkey, history)."""
+    Scale shape (q_hits' triple fork, size-adaptive on EXACT parquet
+    row counts — no scan): edges pre-aggregate to (src, dst, cnt).
+    - |orders| <= driver_edges_max AND |nodes| <= broadcast_limit: one
+      distributed map_batches builds per-block edge partials, which
+      combine in one vectorized driver pass (np.unique on packed keys);
+      all rounds are then pure int64 numpy — zero per-round Ray jobs
+      (profiled 7.1 s -> ~1 s at sf0.1: the per-round groupby shuffles
+      were fixed overhead moving O(n_nodes) ints).
+    - |nodes| <= broadcast_limit only: edges stay a Dataset; the cash
+      vector rides ray.put and each round is ONE map_batches over edges
+      + an O(n)-row groupby.
+    - else (or force_distributed): cash/history stay node-keyed
+      Datasets and each round is two distributed hash joins + a
+      groupby-sum — pool and the global max are the only scalars on
+      the driver. All three forks equivalence-tested.
+    Output: (custkey, history)."""
     import pyarrow.parquet as pq_mod
 
     from ray.data.aggregate import Sum
@@ -6816,6 +6872,46 @@ def q_opic(
                 "src": pa.array((u // n_nodes).astype(np.int64), pa.int64()),
                 "dst": pa.array((u % n_nodes).astype(np.int64), pa.int64()),
                 "cnt": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    orders_rows = pq_mod.ParquetFile(
+        os.path.join(sf_dir, "orders.parquet")
+    ).metadata.num_rows
+
+    if (
+        orders_rows <= driver_edges_max
+        and n_nodes <= broadcast_limit
+        and not force_distributed
+    ):
+        # driver-combine fork: per-block (src,dst,cnt) partials total
+        # <= orders_rows rows (each order row contributes one edge
+        # occurrence) — bounded by the gate, so the combine is a single
+        # vectorized pass; every round is then pure int64 numpy.
+        parts = orders.map_batches(
+            to_edges, batch_format="pyarrow", zero_copy_batch=True
+        ).to_pandas()
+        key = parts["src"].to_numpy() * n_nodes + parts["dst"].to_numpy()
+        u, inv = np.unique(key, return_inverse=True)
+        cnt = np.zeros(len(u), np.int64)
+        np.add.at(cnt, inv, parts["cnt"].to_numpy())
+        src = (u // n_nodes).astype(np.int64)
+        dst = (u % n_nodes).astype(np.int64)
+        outdeg = np.zeros(n_nodes, np.int64)
+        np.add.at(outdeg, src, cnt)
+        cash = np.full(n_nodes, TOTAL // n_nodes, np.int64)
+        history = np.zeros(n_nodes, np.int64)
+        for _ in range(n_rounds):
+            history += cash
+            share = np.where(outdeg > 0, cash // np.maximum(outdeg, 1), 0)
+            pool = int(cash[outdeg == 0].sum())
+            recv = np.zeros(n_nodes, np.int64)
+            np.add.at(recv, dst, cnt * share[src])
+            cash = recv + pool // n_nodes
+        return pa.table(
+            {
+                "custkey": pa.array(nodes, pa.int64()),
+                "history": pa.array(history, pa.int64()),
             }
         )
 

@@ -508,9 +508,11 @@ def test_hits_distributed_path_equals_broadcast(ray_session):
         df = res.to_pandas() if hasattr(res, "to_pandas") else res
         return df.sort_values("custkey").reset_index(drop=True).astype("int64")
 
-    a = norm(q_hits(SF_DIR))
+    a = norm(q_hits(SF_DIR))  # driver-combine fork at sf0.001
     b = norm(q_hits(SF_DIR, force_distributed=True))
+    c = norm(q_hits(SF_DIR, driver_edges_max=0))  # broadcast mid fork
     pd.testing.assert_frame_equal(a, b, check_exact=True)
+    pd.testing.assert_frame_equal(a, c, check_exact=True)
     # rescale invariant: every round tops out at exactly e6
     assert a["auth_e6"].max() == 10**6 and a["hub_e6"].max() == 10**6
 
@@ -529,9 +531,11 @@ def test_opic_distributed_matches_broadcast(ray_session):
         df = res.to_pandas() if hasattr(res, "to_pandas") else res
         return df.sort_values("custkey").reset_index(drop=True).astype("int64")
 
-    a = norm(q_opic(SF_DIR))
+    a = norm(q_opic(SF_DIR))  # driver-combine fork at sf0.001
     b = norm(q_opic(SF_DIR, force_distributed=True))
+    c = norm(q_opic(SF_DIR, driver_edges_max=0))  # broadcast mid fork
     pd.testing.assert_frame_equal(a, b, check_exact=True)
+    pd.testing.assert_frame_equal(a, c, check_exact=True)
     total = int(a["history"].sum())
     assert total <= 3 * 10**12
     assert total > 0.9 * 3 * 10**12  # flooring loses < 10% of the mass
