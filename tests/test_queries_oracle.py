@@ -102,8 +102,22 @@ def test_triangle_count_distributed_fork_equivalence(ray_session):
     must count identically."""
     from heroshi_ray.pipelines import dataops as d
 
-    a = to_df(d.q_triangle_count(SF_DIR))
+    a = to_df(d.q_triangle_count(SF_DIR))  # driver fork at sf0.001
     b = to_df(d.q_triangle_count(SF_DIR, force_distributed=True))
+    c = to_df(d.q_triangle_count(SF_DIR, driver_edges_max=0))  # broadcast
+    e = to_df(d.q_triangle_count(SF_DIR, wedge_driver_max=0))  # wedge fallthrough
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+    pd.testing.assert_frame_equal(a, c, check_dtype=False, check_exact=True)
+    pd.testing.assert_frame_equal(a, e, check_dtype=False, check_exact=True)
+
+
+def test_degree_stats_distributed_fork_equivalence(ray_session):
+    """Driver-combined degree histogram must equal the node-keyed
+    groupby path exactly (pure int64 arithmetic on both sides)."""
+    from heroshi_ray.pipelines import dataops as d
+
+    a = canon(to_df(d.q_degree_stats(SF_DIR)))
+    b = canon(to_df(d.q_degree_stats(SF_DIR, force_distributed=True)))
     pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
 
 
