@@ -5867,16 +5867,36 @@ def q_weekly_revenue(sf_dir: str, week_us: int = 604_800_000_000):
     )
 
 
-def q_fulfillment_days(sf_dir: str, day_us: int = 86_400_000_000):
+def q_fulfillment_days(
+    sf_dir: str,
+    day_us: int = 86_400_000_000,
+    driver_fact_max: int = 8_000_000,
+    force_distributed: bool = False,
+):
     """Order fulfillment time by priority — a BIG x BIG join done
     right: lineitem first collapses to one (orderkey, max shipdate)
     partial per key (combiner), THEN meets orders in the native
     distributed hash join, so the all-to-all moves one row per order
     on each side, never raw line items. Day arithmetic is integer
-    epoch-µs floor division on both sides."""
+    epoch-µs floor division on both sides.
+
+    Size-adaptive (q_top_parts' pattern, gated on the EXACT lineitem
+    parquet row count — no scan): under ``driver_fact_max`` lineitem
+    rows the per-block (orderkey, max ship) partials (<= one row per
+    lineitem row, realistically ~|orders| x blocks) combine in one
+    vectorized driver pandas pass and the priority attach is a driver
+    merge against the orders dim (<= |lineitem| rows by TPC-H
+    construction) — profiled 5.9 s -> ~1.3 s at sf0.1: the bucket
+    shuffle + distributed hash join were fixed overhead moving
+    ~|orders| rows. Above the gate (or force_distributed) the
+    distributed path below runs unchanged; forks equivalence-tested."""
+    import pyarrow.parquet as _pqt
 
     tune_join_resources()
     li = _pq(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+    li_rows = _pqt.read_metadata(
+        os.path.join(sf_dir, "lineitem.parquet")
+    ).num_rows
 
     def partial(batch: pa.Table) -> pa.Table:
         df = pd.DataFrame(
@@ -5892,6 +5912,47 @@ def q_fulfillment_days(sf_dir: str, day_us: int = 86_400_000_000):
             {
                 "l_orderkey": pa.array(g["l_orderkey"].astype("int64"), pa.int64()),
                 "ship_us": pa.array(g["ship_us"].astype("int64"), pa.int64()),
+            }
+        )
+
+    if li_rows <= driver_fact_max and not force_distributed:
+        parts = li.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ).to_pandas()  # <= li_rows partial rows — bounded by the gate
+        last = (
+            parts.groupby("l_orderkey", sort=False)["ship_us"].max().reset_index()
+        )
+        od = _pqt.read_table(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        )
+        odf = pd.DataFrame(
+            {
+                "o_orderkey": od.column("o_orderkey").to_numpy(),
+                "order_us": od.column("o_orderdate")
+                .cast(pa.int64())
+                .to_numpy(),
+                "o_orderpriority": od.column("o_orderpriority").to_pandas(),
+            }
+        )
+        m = last.merge(
+            odf, left_on="l_orderkey", right_on="o_orderkey", how="inner"
+        )
+        d = (m["ship_us"] - m["order_us"]) // day_us
+        g = (
+            pd.DataFrame({"o_orderpriority": m["o_orderpriority"], "d": d})
+            .groupby("o_orderpriority", sort=False)["d"]
+            .agg(["count", "sum", "max"])
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(g["o_orderpriority"], pa.string()),
+                "n_orders": pa.array(g["count"].astype("int64"), pa.int64()),
+                "avg_days": pa.array(
+                    (g["sum"] // g["count"]).astype("int64"), pa.int64()
+                ),
+                "max_days": pa.array(g["max"].astype("int64"), pa.int64()),
             }
         )
 

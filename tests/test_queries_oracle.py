@@ -111,6 +111,16 @@ def test_triangle_count_distributed_fork_equivalence(ray_session):
     pd.testing.assert_frame_equal(a, e, check_dtype=False, check_exact=True)
 
 
+def test_fulfillment_days_distributed_fork_equivalence(ray_session):
+    """Driver-combined fulfillment stats must equal the bucket-shuffle
+    + distributed-hash-join path exactly (pure int64 day arithmetic)."""
+    from heroshi_ray.pipelines import relational as r
+
+    a = canon(to_df(r.q_fulfillment_days(SF_DIR)))
+    b = canon(to_df(r.q_fulfillment_days(SF_DIR, force_distributed=True)))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+
+
 def test_degree_stats_distributed_fork_equivalence(ray_session):
     """Driver-combined degree histogram must equal the node-keyed
     groupby path exactly (pure int64 arithmetic on both sides)."""
