@@ -37,6 +37,50 @@ def test_grouped_hll_error_bound(ray_session):
         assert err < 0.02, f"{t}: est {est[t]} vs exact {exact[t]} (err {err:.3f})"
 
 
+def test_grouped_hll_register_exactness(ray_session):
+    """Register-level pin: per-block sketches built on ARBITRARY splits
+    of the input must merge to registers BIT-IDENTICAL to a single-pass
+    reference HLL over all hashes (max is associative/commutative — the
+    partition-independence HLL's 100-TB merge tree relies on), and the
+    distributed q_grouped_hll estimate must equal the reference
+    estimate exactly (it is a deterministic function of the registers)."""
+    from heroshi_ray.functions.hashing import hash64
+    from heroshi_ray.functions.sketch import HyperLogLog
+    from heroshi_ray.pipelines import dataops as d
+
+    p = 12
+    ev = pq.read_table(
+        os.path.join(SF_DIR, "events.parquet"), columns=["event_type", "user_id"]
+    ).to_pandas()
+    ref = {}
+    for t, g in ev.groupby("event_type"):
+        h = HyperLogLog(p)
+        h.add_hashes(hash64([str(u) for u in g["user_id"]]))
+        ref[str(t)] = h
+
+    # simulate blocks: 5 uneven chunks, per-chunk per-type sketches, merge
+    merged = {}
+    bounds = np.linspace(0, len(ev), 6).astype(int)
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        chunk = ev.iloc[lo:hi]
+        for t, g in chunk.groupby("event_type"):
+            h = HyperLogLog(p)
+            h.add_hashes(hash64([str(u) for u in g["user_id"]]))
+            if str(t) in merged:
+                merged[str(t)].merge(h)
+            else:
+                merged[str(t)] = h
+    assert set(merged) == set(ref)
+    for t in ref:
+        np.testing.assert_array_equal(
+            merged[t].registers, ref[t].registers, err_msg=t
+        )
+
+    est = to_df(d.q_grouped_hll(SF_DIR)).set_index("event_type")["approx_users"]
+    for t in ref:
+        assert int(est[t]) == int(round(ref[t].estimate())), t
+
+
 def test_grouped_hll_deterministic(ray_session):
     from heroshi_ray.pipelines import dataops as d
 
