@@ -21,15 +21,20 @@ from ..functions.image import decode_image, phash64, png_encode
 
 
 def block_mean_resize(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
-    """Deterministic block-mean downscale (any size -> out_h x out_w)."""
+    """Deterministic block-mean downscale (any size -> out_h x out_w):
+    two np.add.reduceat passes (rows then cols) + one divide — O(h*w)
+    vectorized, no per-output-pixel Python. Empty segments (upscaling,
+    ye[i]==ye[i+1]) follow reduceat's single-element rule, which equals
+    the old max(lo+1, hi) slice semantics; uint8 sums are exact in
+    float64, so results are bit-identical to the loop version."""
     h, w = px.shape[:2]
     ye = (np.arange(out_h + 1) * h) // out_h
     xe = (np.arange(out_w + 1) * w) // out_w
-    out = np.empty((out_h, out_w, px.shape[2]), dtype=np.float64)
-    for i in range(out_h):
-        rows = px[ye[i] : max(ye[i] + 1, ye[i + 1])]
-        for j in range(out_w):
-            out[i, j] = rows[:, xe[j] : max(xe[j] + 1, xe[j + 1])].mean(axis=(0, 1))
+    rcnt = np.maximum(ye[1:] - ye[:-1], 1).astype(np.float64)
+    ccnt = np.maximum(xe[1:] - xe[:-1], 1).astype(np.float64)
+    rsum = np.add.reduceat(px.astype(np.float64), ye[:-1], axis=0)
+    csum = np.add.reduceat(rsum, xe[:-1], axis=1)
+    out = csum / (rcnt[:, None, None] * ccnt[None, :, None])
     return np.clip(out, 0, 255).astype(np.uint8)
 
 
