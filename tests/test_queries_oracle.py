@@ -111,6 +111,32 @@ def test_triangle_count_distributed_fork_equivalence(ray_session):
     pd.testing.assert_frame_equal(a, e, check_dtype=False, check_exact=True)
 
 
+def test_trap_detect_distributed_fork_equivalence(ray_session):
+    """Driver-combined exact-distinct counts must equal the salted
+    two-level shuffle path exactly."""
+    from heroshi_ray.pipelines import webops as w
+
+    a = canon(to_df(w.q_trap_detect(SF_DIR)))
+    b = canon(to_df(w.q_trap_detect(SF_DIR, force_distributed=True)))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+
+
+def test_url_strip_params_distributed_fork_equivalence(ray_session):
+    from heroshi_ray.pipelines import webops as w
+
+    a = canon(to_df(w.q_url_strip_params(SF_DIR)))
+    b = canon(to_df(w.q_url_strip_params(SF_DIR, force_distributed=True)))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+
+
+def test_url_host_stats_distributed_fork_equivalence(ray_session):
+    from heroshi_ray.pipelines import relational as r
+
+    a = canon(to_df(r.q_url_host_stats(SF_DIR)))
+    b = canon(to_df(r.q_url_host_stats(SF_DIR, force_distributed=True)))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+
+
 def test_fulfillment_days_distributed_fork_equivalence(ray_session):
     """Driver-combined fulfillment stats must equal the bucket-shuffle
     + distributed-hash-join path exactly (pure int64 day arithmetic)."""
