@@ -5366,7 +5366,13 @@ def q_entropy(sf_dir: str):
     return ds.map_batches(ent, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def q_lm_score(sf_dir: str, V: int = 129, keep_cols: tuple = ()):
+def q_lm_score(
+    sf_dir: str,
+    V: int = 129,
+    keep_cols: tuple = (),
+    driver_counts_max: int = 2_000_000,
+    force_distributed: bool = False,
+):
     """Per-doc mean negative log-likelihood under a char-bigram LM
     trained ON the corpus itself, Laplace-smoothed — the perplexity
     quality filter of CCNet (Wenzek et al. 2020 §3.3) with the bigram
@@ -5379,10 +5385,20 @@ def q_lm_score(sf_dir: str, V: int = 129, keep_cols: tuple = ()):
     fixed-point; every bigram scored was seen in training (same
     corpus), so the DuckDB twin's count join never misses. e4 rounding
     absorbs summation-order ulp drift (q_entropy's parity recipe).
-    The count shuffle is key-bounded at V² regardless of corpus size;
-    docs shorter than 2 chars have no bigrams and are excluded (the
-    twin's GROUP BY does the same). ``keep_cols`` are carried through
-    to the output unchanged (e.g. lang for per-language bucketing)."""
+
+    Scale shape: both passes are batch-wide vectorized (ONE utf-32
+    codepoint concat per batch, boundary-masked bigram indices — no
+    Python per doc); per-block count partials are V²-bounded, so under
+    ``driver_counts_max`` documents (exact parquet metadata) they
+    combine in one driver bincount, above it in a key-bounded (≤ V²)
+    distributed groupby. Per-doc score sums are one np.bincount segment
+    reduction (in-order, doc-local — no batch-wide cumsum precision
+    loss). Docs shorter than 2 chars have no bigrams and are excluded
+    (the twin's GROUP BY does the same). ``keep_cols`` are carried
+    through to the output unchanged (e.g. lang for per-language
+    bucketing). Count forks equivalence-tested."""
+    import pyarrow.parquet as pq_mod
+
     from ray.data.aggregate import Sum
 
     ds = _pq(
@@ -5390,21 +5406,32 @@ def q_lm_score(sf_dir: str, V: int = 129, keep_cols: tuple = ()):
         split=True,
     )
 
-    def _cp(t: str) -> np.ndarray:
-        cp = np.frombuffer((t or "").encode("utf-32-le"), np.uint32)
-        return np.minimum(cp, V - 1).astype(np.int64)
+    def _bigram_idx(texts: list):
+        """Batch-wide (lens, bigram a*V+b per position, in-doc mask):
+        one codepoint concat, one searchsorted boundary mask — the
+        _batch_window_hashes idiom at n=2 with the index replacing the
+        polynomial hash."""
+        enc = [(t or "").encode("utf-32-le") for t in texts]
+        lens = np.array([len(e) >> 2 for e in enc], np.int64)
+        cp = np.minimum(
+            np.frombuffer(b"".join(enc), np.uint32), V - 1
+        ).astype(np.int64)
+        if len(cp) < 2:
+            return lens, np.empty(0, np.int64), np.empty(0, bool)
+        idx = cp[:-1] * V + cp[1:]
+        ends = np.cumsum(lens)
+        p = np.arange(len(idx), dtype=np.int64)
+        doc_of = np.searchsorted(ends, p, side="right")
+        valid = p <= ends[doc_of] - 2  # bigram fully inside its doc
+        return lens, idx, valid
 
     def partial_counts(batch: pa.Table) -> pa.Table:
-        parts = []
-        for t in batch.column("text").to_pylist():
-            cp = _cp(t)
-            if len(cp) >= 2:
-                parts.append(cp[:-1] * V + cp[1:])
-        if not parts:
+        _lens, idx, valid = _bigram_idx(batch.column("text").to_pylist())
+        if not len(idx):
             return pa.table(
                 {"idx": pa.array([], pa.int64()), "c": pa.array([], pa.int64())}
             )
-        c = np.bincount(np.concatenate(parts), minlength=V * V)
+        c = np.bincount(idx[valid], minlength=V * V)
         nz = np.nonzero(c)[0]
         return pa.table(
             {
@@ -5413,35 +5440,52 @@ def q_lm_score(sf_dir: str, V: int = 129, keep_cols: tuple = ()):
             }
         )
 
-    counts = (
-        ds.map_batches(partial_counts, batch_format="pyarrow")
-        .groupby("idx")
-        .aggregate(Sum("c", alias_name="c"))
-        .to_pandas()  # <= V*V rows, corpus-size-independent
-    )
+    docs_rows = pq_mod.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")
+    ).num_rows
+
+    parts = ds.map_batches(partial_counts, batch_format="pyarrow")
     C = np.zeros(V * V, np.int64)
-    C[counts["idx"].to_numpy()] = counts["c"].to_numpy()
+    if docs_rows <= driver_counts_max and not force_distributed:
+        pdf = parts.to_pandas()  # <= V² rows PER BLOCK — gate-bounded
+        np.add.at(
+            C, pdf["idx"].to_numpy(np.int64), pdf["c"].to_numpy(np.int64)
+        )
+    else:
+        counts = (
+            parts.groupby("idx")
+            .aggregate(Sum("c", alias_name="c"))
+            .to_pandas()  # <= V*V rows, corpus-size-independent
+        )
+        C[counts["idx"].to_numpy()] = counts["c"].to_numpy()
     C2 = C.reshape(V, V)
     log_num = np.log(C2 + 1.0)  # ln(count_ab + 1)
     log_den = np.log(C2.sum(axis=1) + float(V))  # ln(rowcount_a + V)
-    model = ray.put((log_num, log_den))
+    model = ray.put((log_den[:, None] - log_num).ravel())  # per-bigram nll LUT
 
     def score(batch: pa.Table) -> pa.Table:
-        ln_num, ln_den = ray.get(model)
-        rows, out_nll = [], []
-        for i, t in enumerate(batch.column("text").to_pylist()):
-            cp = _cp(t)
-            if len(cp) < 2:
-                continue
-            a, b = cp[:-1], cp[1:]
-            s = (ln_den[a] - ln_num[a, b]).sum()
-            rows.append(i)
-            out_nll.append(int(np.round(s / (len(cp) - 1) * 10_000)))
+        lut = ray.get(model)
+        lens, idx, valid = _bigram_idx(batch.column("text").to_pylist())
+        nbig = lens - 1
+        keep = np.nonzero(lens >= 2)[0]
+        if len(idx):
+            ends = np.cumsum(lens)
+            p = np.arange(len(idx), dtype=np.int64)
+            doc_of = np.searchsorted(ends, p, side="right")
+            s = np.bincount(
+                doc_of[valid], weights=lut[idx[valid]], minlength=len(lens)
+            )
+        else:
+            s = np.zeros(len(lens))
+        nll = np.zeros(len(lens), np.int64)
+        nll[keep] = np.round(
+            s[keep] / nbig[keep] * 10_000
+        ).astype(np.int64)
         out = batch.select(["doc_id"] + list(keep_cols)).take(
-            pa.array(rows, pa.int64())
+            pa.array(keep, pa.int64())
         )
         return out.append_column(
-            "nll_e4", pa.array(out_nll, pa.int64())
+            "nll_e4", pa.array(nll[keep], pa.int64())
         )
 
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
@@ -6636,7 +6680,11 @@ def q_quality_classifier(sf_dir: str):
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def q_ccnet_bucket(sf_dir: str):
+def q_ccnet_bucket(
+    sf_dir: str,
+    driver_scores_max: int = 2_000_000,
+    force_distributed: bool = False,
+):
     """CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020
     §3.3: within each language, split the corpus into terciles of LM
     perplexity — 'head' trains high-quality models, 'tail' is usually
@@ -6645,42 +6693,96 @@ def q_ccnet_bucket(sf_dir: str):
     c_p = min value v with 3*cnt_le(v) >= p*n (ties share a bucket, the
     CCNet semantics — buckets come from score cutoffs, not row ranks).
 
-    Scale shape: score pass as in q_lm_score; then ONE combiner groupby
-    on (lang, nll_e4) whose payload is the distinct-score table (not
-    the corpus); per-lang cumsum cutoff pick in map_groups; an
-    O(|langs|) cutoff dict broadcast back over one streaming re-map.
-    No corpus-sized sort anywhere. Output: (doc_id, lang, bucket)."""
-    from ray.data.aggregate import Count
+    Scale shape: ONE score pass (the scored Dataset is materialized —
+    (doc_id, lang, nll_e4) is ~24 bytes/doc, spillable, and far cheaper
+    than re-running the LM pass for the second consumer); per-block
+    (lang, nll_e4) count partials pre-combine in map_batches, so the
+    exchange payload is the distinct-score table (not the corpus);
+    under ``driver_scores_max`` documents (exact parquet metadata) the
+    partials combine in one driver pandas pass, above it (or
+    force_distributed) in a distributed groupby + per-lang map_groups;
+    the O(|langs|) cutoff dict broadcasts back over one streaming
+    re-map. No corpus-sized sort anywhere. Forks equivalence-tested.
+    Output: (doc_id, lang, bucket)."""
+    import pyarrow.parquet as pq_mod
 
-    scores = q_lm_score(sf_dir, keep_cols=("lang",))
+    from ray.data.aggregate import Sum
 
-    counts = scores.groupby(["lang", "nll_e4"]).aggregate(
-        Count(alias_name="c")
-    )
+    scores = q_lm_score(sf_dir, keep_cols=("lang",)).materialize()
 
-    def cutoffs(g: pd.DataFrame) -> pd.DataFrame:
+    def count_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "lang": batch.column("lang").to_pandas(),
+                "nll_e4": batch.column("nll_e4").to_numpy(zero_copy_only=False),
+            }
+        )
+        g = (
+            df.groupby(["lang", "nll_e4"], sort=False)
+            .size()
+            .rename("c")
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "lang": pa.array(g["lang"], pa.string()),
+                "nll_e4": pa.array(g["nll_e4"].astype("int64"), pa.int64()),
+                "c": pa.array(g["c"].astype("int64"), pa.int64()),
+            }
+        )
+
+    def cutoffs_from_counts(g: pd.DataFrame) -> tuple[int, int]:
         g = g.sort_values("nll_e4", kind="mergesort")
         cum = g["c"].cumsum().to_numpy()
         n = int(cum[-1])
         v = g["nll_e4"].to_numpy()
         c33 = int(v[np.argmax(3 * cum >= n)])
         c67 = int(v[np.argmax(3 * cum >= 2 * n)])
-        return pd.DataFrame(
-            {"lang": [g["lang"].iloc[0]], "c33": [c33], "c67": [c67]}
-        )
+        return c33, c67
 
-    cut = {
-        r["lang"]: (r["c33"], r["c67"])
-        for r in counts.groupby("lang").map_groups(
-            cutoffs, batch_format="pandas"
-        ).take_all()
-    }  # |langs| rows — the only driver contact
+    docs_rows = pq_mod.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")
+    ).num_rows
+
+    if docs_rows <= driver_scores_max and not force_distributed:
+        parts = (
+            scores.map_batches(count_partial, batch_format="pyarrow")
+            .to_pandas()  # <= distinct (lang, nll) per block — gate-bounded
+            .groupby(["lang", "nll_e4"], sort=False)["c"]
+            .sum()
+            .reset_index()
+        )
+        cut = {
+            lang: cutoffs_from_counts(g) for lang, g in parts.groupby("lang")
+        }
+    else:
+
+        def cutoffs(g: pd.DataFrame) -> pd.DataFrame:
+            c33, c67 = cutoffs_from_counts(g)
+            return pd.DataFrame(
+                {"lang": [g["lang"].iloc[0]], "c33": [c33], "c67": [c67]}
+            )
+
+        counts = (
+            scores.map_batches(count_partial, batch_format="pyarrow")
+            .groupby(["lang", "nll_e4"])
+            .aggregate(Sum("c", alias_name="c"))
+        )
+        cut = {
+            r["lang"]: (r["c33"], r["c67"])
+            for r in counts.groupby("lang").map_groups(
+                cutoffs, batch_format="pandas"
+            ).take_all()
+        }  # |langs| rows — the only driver contact
 
     def assign(batch: pa.Table) -> pa.Table:
-        lang = batch.column("lang").to_pylist()
+        lang = np.asarray(batch.column("lang").to_pylist(), dtype=object)
         nll = batch.column("nll_e4").to_numpy(zero_copy_only=False)
-        c33 = np.array([cut[l][0] for l in lang], np.int64)
-        c67 = np.array([cut[l][1] for l in lang], np.int64)
+        # vectorized per-lang cutoff gather: unique langs per batch are
+        # few; no per-row dict lookups
+        ul, inv = np.unique(lang, return_inverse=True)
+        c33 = np.array([cut[l][0] for l in ul], np.int64)[inv]
+        c67 = np.array([cut[l][1] for l in ul], np.int64)[inv]
         bucket = np.where(
             nll <= c33, "head", np.where(nll <= c67, "middle", "tail")
         )

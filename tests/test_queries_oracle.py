@@ -147,6 +147,27 @@ def test_fulfillment_days_distributed_fork_equivalence(ray_session):
     pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
 
 
+def test_lm_score_distributed_fork_equivalence(ray_session):
+    """Driver-bincount LM count combine must equal the distributed
+    key-bounded groupby exactly (int64 counts -> identical model)."""
+    from heroshi_ray.pipelines import dataops as d
+
+    a = canon(to_df(d.q_lm_score(SF_DIR)))
+    b = canon(to_df(d.q_lm_score(SF_DIR, force_distributed=True)))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+
+
+def test_ccnet_bucket_distributed_fork_equivalence(ray_session):
+    """Driver-combined (lang, nll_e4) cutoff pick must equal the
+    distributed groupby+map_groups path exactly (integer cutoffs, so
+    bucket labels are bit-identical across forks)."""
+    from heroshi_ray.pipelines import dataops as d
+
+    a = canon(to_df(d.q_ccnet_bucket(SF_DIR)))
+    b = canon(to_df(d.q_ccnet_bucket(SF_DIR, force_distributed=True)))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+
+
 def test_degree_stats_distributed_fork_equivalence(ray_session):
     """Driver-combined degree histogram must equal the node-keyed
     groupby path exactly (pure int64 arithmetic on both sides)."""
