@@ -64,15 +64,24 @@ from ..sources.io import (
     latest_committed_epoch,
     read_epoch_tables,
     read_frontier,
+    read_frontier_table,
     read_seeds,
     write_epoch_dataset,
+    write_epoch_table,
     write_frontier,
+    write_frontier_table,
 )
 from ..stages.canonicalize import canonicalize_dataset
 from ..stages.dedup import dedup_first
 from ..stages.extract import ImageRowBuilder, LinkExtractor
 from ..stages.fetch import fetch_dataset, pages_index
-from ..stages.schedule import _ALLOWED_COL, budget_topk_order, mark_robots
+from ..stages.schedule import (
+    _ALLOWED_COL,
+    budget_topk_order,
+    budget_topk_order_table,
+    mark_robots,
+    vector_robots_for,
+)
 from ..runtime import task_stage
 from ..state.politeness import PolitenessPool
 from ..state.seen import SeenSet
@@ -143,6 +152,12 @@ class CrawlConfig:
     # seed bootstrap: driver-side fast path for seed files up to this
     # size (~1M URLs); the streaming plan above it
     seed_driver_max_bytes: int = 64 << 20
+    # frontier write: assemble + write the next epoch's frontier on the
+    # driver when (gated rows + admitted rows) fit under this bound
+    # (~100 B/row; the pieces are all epoch-scale and already
+    # materialized) — a distributed write of a few-MB table costs a
+    # full plan launch. The streaming union+write runs above the bound.
+    frontier_driver_max: int = 2_000_000
     # extension hooks (SURVEY.md §2.9) — batch-level, cloudpickle-shipped
     url_filter: object = None       # fn(urls, hosts, depth) -> bool mask
     priority_fn: object = None      # fn(depth array) -> float array
@@ -166,6 +181,7 @@ class Crawler:
     holds only broadcast handles and small dicts."""
 
     def __init__(self, fixture_paths: dict, workdir: str, cfg: CrawlConfig | None = None):
+        _t_init = time.time()
         self.cfg = cfg or CrawlConfig()
         self.workdir = workdir
         os.makedirs(workdir, exist_ok=True)
@@ -207,6 +223,8 @@ class Crawler:
         from ..state.counters import CountersActor
 
         self.counters = CountersActor.remote()
+        if os.environ.get("GRAFT_CRAWL_PROFILE"):
+            print(f"[init] total: {time.time() - _t_init:.2f}s", flush=True)
 
     # ------------------------------------------------------------------
     def _now_us(self, epoch: int) -> int:
@@ -224,6 +242,7 @@ class Crawler:
         ``seed_driver_max_bytes`` the original streaming plan runs —
         identical semantics, golden-tested."""
         cfg = self.cfg
+        _t_seed = time.time()
         try:
             small = (
                 os.path.getsize(self.paths["seeds"]) <= cfg.seed_driver_max_bytes
@@ -245,9 +264,9 @@ class Crawler:
             mask = self.seen.check_and_add(df["surt"].tolist())
             adm = pa.Table.from_pandas(df[mask], preserve_index=False)
             adm = adm.select(FRONTIER.names).cast(FRONTIER)
-            write_frontier(
-                ray.data.from_arrow(adm), self.workdir, 0, cfg.n_host_shards
-            )
+            # the table is already driver-resident: write it directly
+            # (a distributed write here is a plan launch for nothing)
+            write_frontier_table(adm, self.workdir, 0, cfg.n_host_shards)
         else:
             seeds = read_seeds(self.paths["seeds"])
             cand = canonicalize_dataset(
@@ -259,6 +278,8 @@ class Crawler:
             write_frontier(admitted, self.workdir, 0, cfg.n_host_shards)
         n = frontier_row_count(self.workdir, 0)
         self._save_state(0, {"pending": n, "phase": "seeded"})
+        if os.environ.get("GRAFT_CRAWL_PROFILE"):
+            print(f"[seed] total: {time.time() - _t_seed:.2f}s", flush=True)
         return n
 
     # ------------------------------------------------------------------
@@ -308,7 +329,16 @@ class Crawler:
                 print(f"[epoch {e}] {name}: {now - _tprev[0]:.2f}s", flush=True)
                 _tprev[0] = now
 
-        pending = read_frontier(self.workdir, e)
+        # size-adaptive epoch fork: under ``frontier_driver_max`` pending
+        # rows (parquet footers — no read) the robots gate, politeness
+        # host scan and K1+K2 handout all run driver-side through the
+        # SAME kernels (VectorRobots.mask, budget_topk_order's exact-cap
+        # finisher); the fetch/extract stages stay distributed either
+        # way (they are the real work). Above the bound every stage is
+        # the original streaming plan. Forks golden-equivalence-tested.
+        drv = frontier_row_count(self.workdir, e) <= cfg.frontier_driver_max
+        pending = None if drv else read_frontier(self.workdir, e)
+        pend_tbl = read_frontier_table(self.workdir, e) if drv else None
         ok0, err0 = report.fetch_ok, report.fetch_err  # per-epoch metric deltas
 
         # crash-resume hygiene: epoch e re-runs only when manifest e+1 was
@@ -328,7 +358,12 @@ class Crawler:
         if self.robots_cache is not None:
             # A-R actor-pool path (scale mode): rules for this epoch's
             # hosts only, fetched/parsed on miss and cached in the shards
-            hosts_all = _distinct_hosts(pending)
+            if drv:
+                hosts_all = sorted(
+                    set(pc.unique(pend_tbl.column("host")).to_pylist())
+                )
+            else:
+                hosts_all = _distinct_hosts(pending)
             epoch_rules = self.robots_cache.rules_for(hosts_all, epoch=e)
             robots_ref = ray.put(epoch_rules)
             rules_lookup = epoch_rules
@@ -341,31 +376,45 @@ class Crawler:
         # trickles together — denied rows (for the log) and the allowed
         # distinct hosts (for politeness budgets). The allowed side
         # stays a cheap column filter over the pinned gated blocks.
-        gated = mark_robots(pending, robots_ref).materialize()
-        summaries = ray.get(
-            [_gate_block_summary.remote(r) for r in gated.to_arrow_refs()]
-        )
-        denied_blocks = [d for d, _ in summaries if d.num_rows]
-        hosts_set: set = set()
-        for _, hs in summaries:
-            hosts_set.update(hs)
-        hosts = sorted(hosts_set)
-
-        def _keep_allowed(batch: pa.Table) -> pa.Table:
-            if batch.num_rows == 0 or _ALLOWED_COL not in batch.column_names:
-                return FRONTIER.empty_table()
-            return batch.filter(batch.column(_ALLOWED_COL)).drop_columns(
-                [_ALLOWED_COL]
+        gated = None
+        allowed_ds = None
+        allowed_tbl = None
+        if drv:
+            vr = vector_robots_for(robots_ref)  # process-cached by ref
+            mask = pa.array(
+                vr.mask(pend_tbl.column("url"), pend_tbl.column("host"))
             )
+            denied_tbl = pend_tbl.filter(pc.invert(mask))
+            allowed_tbl = pend_tbl.filter(mask)
+            hosts = sorted(
+                set(pc.unique(allowed_tbl.column("host")).to_pylist())
+            )
+        else:
+            gated = mark_robots(pending, robots_ref).materialize()
+            summaries = ray.get(
+                [_gate_block_summary.remote(r) for r in gated.to_arrow_refs()]
+            )
+            denied_blocks = [d for d, _ in summaries if d.num_rows]
+            hosts_set: set = set()
+            for _, hs in summaries:
+                hosts_set.update(hs)
+            hosts = sorted(hosts_set)
 
-        allowed_ds = gated.map_batches(
-            _keep_allowed, batch_format="pyarrow", zero_copy_batch=True
-        )
-        denied_tbl = (
-            pa.concat_tables(denied_blocks, promote_options="none")
-            if denied_blocks
-            else FRONTIER.empty_table()
-        )
+            def _keep_allowed(batch: pa.Table) -> pa.Table:
+                if batch.num_rows == 0 or _ALLOWED_COL not in batch.column_names:
+                    return FRONTIER.empty_table()
+                return batch.filter(batch.column(_ALLOWED_COL)).drop_columns(
+                    [_ALLOWED_COL]
+                )
+
+            allowed_ds = gated.map_batches(
+                _keep_allowed, batch_format="pyarrow", zero_copy_batch=True
+            )
+            denied_tbl = (
+                pa.concat_tables(denied_blocks, promote_options="none")
+                if denied_blocks
+                else FRONTIER.empty_table()
+            )
         n_denied = denied_tbl.num_rows
         if n_denied:
             denied_tbl = denied_tbl.set_column(
@@ -379,16 +428,21 @@ class Crawler:
         # politeness budgets (A-P): O(distinct hosts) driver<->actor exchange
         delays = {h: crawl_delay(rules_lookup.get(h, ALLOW_ALL)) for h in hosts}
         budgets = self.pol.budgets(hosts, now_s, [delays[h] for h in hosts])
-        budgets_ref = ray.put(budgets)
 
         _pf("politeness_budgets")
         # K1 + K2 as the zero-shuffle combiner (budget_topk_order): local
         # per-batch budget cap -> bounded driver merge -> exact cap +
         # deterministic (priority desc, surt asc) order + limit; falls
         # back to the groupby+sort shuffle plan above driver_merge_max
-        sched_tbl = budget_topk_order(
-            allowed_ds, budgets_ref, cfg.epoch_budget, n_shards=cfg.n_buckets
-        )
+        if drv:
+            sched_tbl = budget_topk_order_table(
+                allowed_tbl, budgets, cfg.epoch_budget
+            )
+        else:
+            budgets_ref = ray.put(budgets)
+            sched_tbl = budget_topk_order(
+                allowed_ds, budgets_ref, cfg.epoch_budget, n_shards=cfg.n_buckets
+            )
         if sched_tbl is None:
             sched_tbl = FRONTIER.empty_table()
         n_sched = sched_tbl.num_rows
@@ -397,7 +451,7 @@ class Crawler:
         if n_sched == 0:
             # nothing schedulable this epoch (budgets exhausted) — frontier
             # carries over unchanged except denied rows drop out
-            new_frontier = allowed_ds
+            new_frontier = allowed_tbl if drv else allowed_ds
             self._finish_epoch(
                 e, new_frontier, sched_tbl, None, n_denied, 0, 0, 0, t0, report
             )
@@ -521,26 +575,72 @@ class Crawler:
             self._attach_captions(img_rows, e).write_parquet(corpus_dir)
 
         _pf("corpus_imgrows+caption_join")
-        # candidates: canonicalize -> D1 exact dedup -> J1 seen gate
-        cand = canonicalize_dataset(
-            links.select_columns(["url", "depth", "parent_surt"]),
-            depth_col="depth",
-            parent_col="parent_surt",
-            now_us=self._now_us(e + 1),
-            epoch=e + 1,
-            url_filter=self.cfg.url_filter,
-            priority_fn=self.cfg.priority_fn,
-        )
-        cand = dedup_first(cand, n_buckets=cfg.n_buckets)
-        admitted = self.seen.filter_new(cand).materialize()
-        # membership log: the exact set of surts ever admitted — the
-        # URL-seen golden value the oracle crawler is compared against.
-        # Written BY THE DATASET (distributed sink), never via the driver.
-        n_admitted = admitted.count()
-        if n_admitted:
-            write_epoch_dataset(
-                admitted.select_columns(["surt"]), self.workdir, "admitted_log", e + 1
+        # candidates: canonicalize -> D1 exact dedup -> J1 seen gate.
+        # Size-adaptive like the seed bootstrap: links are epoch-scale
+        # and already materialized, so under ``frontier_driver_max``
+        # rows the chain runs driver-side through the SAME kernels
+        # (canonicalize_candidates, the _first_per_key tie-break —
+        # identical to dedup_first's per-bucket reducer — and the seen
+        # pool's routed test-and-set); above the bound the streaming
+        # canonicalize -> bucket-shuffle dedup -> filter_new plan runs.
+        # ``admitted`` is a pa.Table on the driver path, a Dataset on
+        # the streaming path; both frontier-assembly forks handle both.
+        if links.count() <= cfg.frontier_driver_max:
+            from ..stages.canonicalize import canonicalize_candidates
+            from ..stages.dedup import _first_per_key
+
+            lb = [
+                t.select(["url", "depth", "parent_surt"])
+                for t in ray.get(links.to_arrow_refs())
+                if t.num_rows
+            ]
+            if lb:
+                cand_tbl = canonicalize_candidates(
+                    pa.concat_tables(lb, promote_options="none"),
+                    depth_col="depth",
+                    parent_col="parent_surt",
+                    now_us=self._now_us(e + 1),
+                    epoch=e + 1,
+                    url_filter=cfg.url_filter,
+                    priority_fn=cfg.priority_fn,
+                )
+                df = _first_per_key(
+                    cand_tbl.to_pandas(), "surt", ["depth", "parent_surt"]
+                )
+                mask = self.seen.check_and_add(df["surt"].tolist())
+                admitted = pa.Table.from_pandas(
+                    df[mask], preserve_index=False
+                ).select(FRONTIER.names).cast(FRONTIER)
+            else:
+                admitted = FRONTIER.empty_table()
+            n_admitted = admitted.num_rows
+            if n_admitted:
+                write_epoch_table(
+                    admitted.select(["surt"]), self.workdir, "admitted_log", e + 1
+                )
+        else:
+            cand = canonicalize_dataset(
+                links.select_columns(["url", "depth", "parent_surt"]),
+                depth_col="depth",
+                parent_col="parent_surt",
+                now_us=self._now_us(e + 1),
+                epoch=e + 1,
+                url_filter=self.cfg.url_filter,
+                priority_fn=self.cfg.priority_fn,
             )
+            cand = dedup_first(cand, n_buckets=cfg.n_buckets)
+            admitted = self.seen.filter_new(cand).materialize()
+            # membership log: the exact set of surts ever admitted — the
+            # URL-seen golden value the oracle crawler is compared
+            # against. Written BY THE DATASET (distributed sink).
+            n_admitted = admitted.count()
+            if n_admitted:
+                write_epoch_dataset(
+                    admitted.select_columns(["surt"]),
+                    self.workdir,
+                    "admitted_log",
+                    e + 1,
+                )
 
         _pf("canonicalize+dedup+seen_admit")
         # retries / permanent failures (nested cols dropped: pandas is
@@ -553,22 +653,79 @@ class Crawler:
         report.fetch_ok += n_sched - len(fail_tbl)
         report.fetch_err += len(fail_tbl)
 
-        # new frontier = (allowed - scheduled) ∪ admitted ∪ retries
-        # (broadcast anti-join: the scheduled set is bounded by the epoch
-        # budget, shipped once as an Arrow array, probed with pc.is_in)
-        sched_ref = ray.put(sched_tbl.column("surt").combine_chunks())
+        # new frontier = (allowed - scheduled) ∪ admitted ∪ retries.
+        # Size-adaptive: every piece is epoch-scale and already pinned
+        # (gated/admitted materialized, retries driver-resident), so
+        # under ``frontier_driver_max`` total rows the assembly is one
+        # driver concat+filter with the SAME kernels (pc.is_in
+        # anti-join) and _finish_epoch writes the table directly — the
+        # streaming union+write is a full plan launch (~0.5 s/epoch of
+        # fixed cost) for a few-MB table. Above the bound the original
+        # streaming plan runs. Forks golden-equivalence-tested.
+        sset = sched_tbl.column("surt").combine_chunks()
+        if drv or gated.count() + n_admitted <= cfg.frontier_driver_max:
+            if drv:
+                gt = allowed_tbl
+            else:
+                blocks = [
+                    t for t in ray.get(gated.to_arrow_refs()) if t.num_rows
+                ]
+                gt = (
+                    pa.concat_tables(blocks, promote_options="none")
+                    if blocks
+                    else None
+                )
+            parts = []
+            if gt is not None and gt.num_rows:
+                if _ALLOWED_COL in gt.column_names:
+                    gt = gt.filter(gt.column(_ALLOWED_COL)).drop_columns(
+                        [_ALLOWED_COL]
+                    )
+                if gt.num_rows and sched_tbl.num_rows:
+                    gt = gt.filter(
+                        pc.invert(pc.is_in(gt.column("surt"), value_set=sset))
+                    )
+                parts.append(gt.select(FRONTIER.names).cast(FRONTIER))
+            if n_admitted:
+                adm_tbls = (
+                    [admitted]
+                    if isinstance(admitted, pa.Table)
+                    else ray.get(admitted.to_arrow_refs())
+                )
+                parts += [
+                    t.select(FRONTIER.names).cast(FRONTIER)
+                    for t in adm_tbls
+                    if t.num_rows
+                ]
+            if retry_rows.num_rows:
+                parts.append(retry_rows.select(FRONTIER.names).cast(FRONTIER))
+            new_frontier = (
+                pa.concat_tables(parts, promote_options="none")
+                if parts
+                else FRONTIER.empty_table()
+            )
+        else:
+            # (broadcast anti-join: the scheduled set is bounded by the
+            # epoch budget, shipped once, probed with pc.is_in)
+            sched_ref = ray.put(sset)
 
-        def minus_sched(batch: pa.Table) -> pa.Table:
-            ss = ray.get(sched_ref)
-            mask = pc.invert(pc.is_in(batch.column("surt"), value_set=ss))
-            return batch.filter(mask)
+            def minus_sched(batch: pa.Table) -> pa.Table:
+                ss = ray.get(sched_ref)
+                mask = pc.invert(pc.is_in(batch.column("surt"), value_set=ss))
+                return batch.filter(mask)
 
-        remaining = allowed_ds.map_batches(
-            minus_sched, batch_format="pyarrow", zero_copy_batch=True
-        )
-        new_frontier = remaining.union(admitted)
-        if retry_rows.num_rows:
-            new_frontier = new_frontier.union(ray.data.from_arrow(retry_rows))
+            remaining = allowed_ds.map_batches(
+                minus_sched, batch_format="pyarrow", zero_copy_batch=True
+            )
+            new_frontier = remaining.union(
+                ray.data.from_arrow(admitted)
+                if isinstance(admitted, pa.Table)
+                else admitted
+            )
+            if retry_rows.num_rows:
+                new_frontier = new_frontier.union(
+                    ray.data.from_arrow(retry_rows)
+                )
 
         _pf("retries+frontier_assemble")
         self._finish_epoch(
@@ -717,7 +874,17 @@ class Crawler:
         n_failed, t0, report,
     ) -> None:
         cfg = self.cfg
-        write_frontier(new_frontier, self.workdir, e + 1, cfg.n_host_shards)
+        _prof = os.environ.get("GRAFT_CRAWL_PROFILE")
+        _tp = time.time()
+        if isinstance(new_frontier, pa.Table):
+            write_frontier_table(
+                new_frontier, self.workdir, e + 1, cfg.n_host_shards
+            )
+        else:
+            write_frontier(new_frontier, self.workdir, e + 1, cfg.n_host_shards)
+        if _prof:
+            print(f"[epoch {e}] finish:write_frontier: {time.time() - _tp:.2f}s", flush=True)
+            _tp = time.time()
         # schedule-order log (rank column = deterministic within-epoch order)
         if sched_tbl.num_rows:
             log = sched_tbl.select(["url", "surt", "host", "priority"]).append_column(
@@ -753,6 +920,8 @@ class Crawler:
             e + 1,
             {"pending": "deferred", "scheduled": n_sched, "admitted": n_admitted},
         )
+        if _prof:
+            print(f"[epoch {e}] finish:logs+save_state: {time.time() - _tp:.2f}s", flush=True)
 
     # ------------------------------------------------------------------
     def run(self, resume: bool = True) -> CrawlReport:

@@ -142,6 +142,35 @@ def write_frontier(
     return out
 
 
+def write_frontier_table(
+    tbl: pa.Table, workdir: str, epoch: int, n_host_shards: int = 16
+) -> str:
+    """S4 driver fast path: identical layout/partition column/atomic
+    rename as ``write_frontier``, but for a driver-resident Arrow table
+    (seed bootstrap; epoch frontiers under the size-adaptive gate) — no
+    Dataset execution, one parquet file. A crawl at 100-TB scale takes
+    the streaming path; this exists because a distributed write of a
+    few-MB table costs a full plan launch (~0.5 s/epoch of pure fixed
+    overhead). Equivalence-tested against the streaming writer."""
+    import shutil
+
+    if tbl.num_rows and "host_shard" not in tbl.column_names:
+        sh = (hash64(tbl.column("host")) % np.uint64(n_host_shards)).astype(
+            np.int64
+        )
+        tbl = tbl.append_column("host_shard", pa.array(sh, pa.int64()))
+    out = os.path.join(epoch_dir(workdir, epoch), "frontier")
+    tmp = out + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    if tbl.num_rows:
+        # write_parquet emits no files for empty input; match it
+        pq.write_table(tbl, os.path.join(tmp, "part-0.parquet"))
+    shutil.rmtree(out, ignore_errors=True)
+    os.replace(tmp, out)
+    return out
+
+
 def read_frontier(workdir: str, epoch: int) -> "ray.data.Dataset":
     """S3: load a committed frontier checkpoint (empty dataset if the
     epoch wrote no rows — write_parquet emits no files for empty input)."""
@@ -155,6 +184,27 @@ def read_frontier(workdir: str, epoch: int) -> "ray.data.Dataset":
 
 def empty_frontier() -> "ray.data.Dataset":
     return ray.data.from_arrow(FRONTIER.empty_table())
+
+
+def read_frontier_table(workdir: str, epoch: int) -> pa.Table:
+    """Driver twin of :func:`read_frontier` for the size-adaptive epoch
+    fork: the committed frontier as one driver-resident Arrow table
+    (callers gate on :func:`frontier_row_count` first)."""
+    path = os.path.join(epoch_dir(workdir, epoch), "frontier")
+    files = (
+        sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+        if os.path.isdir(path)
+        else []
+    )
+    if not files:
+        return FRONTIER.empty_table()
+    return pa.concat_tables(
+        [pq.read_table(f) for f in files], promote_options="none"
+    )
 
 
 def frontier_row_count(workdir: str, epoch: int) -> int:
@@ -220,6 +270,22 @@ def write_epoch_dataset(ds: "ray.data.Dataset", workdir: str, sub: str, epoch: i
         shutil.rmtree(d)
     os.makedirs(d, exist_ok=True)
     ds.write_parquet(d)
+    return d
+
+
+def write_epoch_table(table: pa.Table, workdir: str, sub: str, epoch: int) -> str:
+    """Driver twin of :func:`write_epoch_dataset`: the SAME
+    {sub}/e{N}/ directory contract (cleared first so a crashed epoch's
+    re-run can't double its rows), one parquet file written directly —
+    used by the size-adaptive driver forks where the table is already
+    driver-resident."""
+    d = os.path.join(workdir, sub, f"e{epoch}")
+    if os.path.isdir(d):
+        import shutil
+
+        shutil.rmtree(d)
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(table, os.path.join(d, "part-0.parquet"))
     return d
 
 

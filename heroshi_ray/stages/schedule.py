@@ -205,12 +205,27 @@ def budget_topk_order(
     blocks = arrow_blocks(capped)
     if not blocks:
         return None
-    merged = pa.concat_tables(blocks, promote_options="none").combine_chunks()
+    merged = pa.concat_tables(blocks, promote_options="none")
+    return budget_topk_order_table(merged, ray.get(budgets_ref), epoch_budget)
+
+
+def budget_topk_order_table(
+    tbl: pa.Table, budgets: dict, epoch_budget: int
+) -> pa.Table | None:
+    """K1+K2 driver kernel on an Arrow table — the exact-cap + global
+    order + limit finisher of :func:`budget_topk_order` (identical
+    semantics: one _budget_cap_indices pass IS the exact per-host cap,
+    the per-batch local_cap round only exists to bound what reaches the
+    driver). Used directly by the crawl loop's size-adaptive epoch fork
+    where the allowed frontier is already driver-resident."""
+    if tbl.num_rows == 0:
+        return None
+    merged = tbl.combine_chunks()
     idx = _budget_cap_indices(
         merged.column("host").to_pandas(),
         merged.column("priority").to_pandas(),
         merged.column("surt").to_pandas(),
-        ray.get(budgets_ref),
+        budgets,
     )
     exact = merged.take(pa.array(idx))
     order = pa.compute.sort_indices(

@@ -165,3 +165,45 @@ def test_host_stats(crawl_setup):
     assert len(stats) > 0
     assert int(stats["n_fetches"].sum()) == report.fetch_ok + report.fetch_err
     assert ((stats["success_rate"] >= 0) & (stats["success_rate"] <= 1)).all()
+
+
+def test_streaming_fork_equivalence(crawl_setup, tmp_path_factory):
+    """frontier_driver_max=0 forces every size-adaptive epoch fork
+    (driver robots gate, driver K1+K2 handout, driver admit chain,
+    driver frontier assembly+write) onto the streaming plans; schedule
+    order, seen membership and fetch counters must be identical to the
+    driver-fork run the golden tests validated."""
+    import pandas as pd
+
+    paths, wd, crawler, report, oracle = crawl_setup
+    from heroshi_ray.pipelines.crawl import Crawler, CrawlConfig
+
+    wd2 = str(tmp_path_factory.mktemp("wd_stream"))
+    cfg = CrawlConfig(epoch_budget=64, max_epochs=14, frontier_driver_max=0)
+    c2 = Crawler(paths, wd2, cfg)
+    r2 = c2.run()
+    try:
+        a = (
+            crawler.schedule_order()
+            .to_pandas()
+            .sort_values(["sched_epoch", "rank"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        b = (
+            c2.schedule_order()
+            .to_pandas()
+            .sort_values(["sched_epoch", "rank"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+        assert engine_seen_membership(crawler, wd) == engine_seen_membership(
+            c2, wd2
+        )
+        assert (r2.fetch_ok, r2.fetch_err, r2.urls_admitted, r2.robots_denied) == (
+            report.fetch_ok,
+            report.fetch_err,
+            report.urls_admitted,
+            report.robots_denied,
+        )
+    finally:
+        c2.shutdown()
