@@ -101,9 +101,11 @@ class _MinHashStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
         texts = batch.column("text").to_pylist()
+        # one chunked universal-hash pass for the whole batch
+        # (MinHasher.signatures — bit-identical to per-doc signature())
+        sigs = self.mh.signatures([shingles(t or "", self.k) for t in texts])
         out_id, out_band, out_key = [], [], []
-        for i, t in zip(ids, texts):
-            sig = self.mh.signature(shingles(t or "", self.k))
+        for i, sig in zip(ids, sigs):
             for b, key in enumerate(self.mh.bands(sig, self.n_bands)):
                 out_id.append(i)
                 out_band.append(b)
@@ -252,7 +254,11 @@ def _attach_pair_texts(
 
 
 def q_minhash_neardup(
-    sf_dir: str, threshold: float = 0.6, broadcast_limit: int = 100_000
+    sf_dir: str,
+    threshold: float = 0.6,
+    broadcast_limit: int = 100_000,
+    driver_bands_max: int = 5_000_000,
+    force_distributed: bool = False,
 ):
     """MinHash-LSH near-dup pairs, distributed end-to-end:
     shingle→minhash→band rows → groupby(band, band_key) buckets →
@@ -262,11 +268,84 @@ def q_minhash_neardup(
     Nothing corpus-sized is ever materialized on the driver; only the
     final verified pair list (inherently small) is.
 
+    Size-adaptive: the band table is (docs × n_bands) rows of three
+    small ints (~24 B/row), so under ``driver_bands_max`` band rows
+    (exact parquet metadata × 16 bands) the bucket-pair walk runs as
+    ONE driver _group_pairs call + np.unique pair dedup, texts of the
+    candidate doc_ids are pulled through the same broadcast-id filter
+    the streaming attach uses (O(candidates), never the corpus), and
+    the verify loop is the same jaccard(shingles()) kernel with a
+    per-doc shingle cache. Above the gate (or force_distributed) the
+    banding/verify plan is unchanged. Forks equivalence-tested.
+
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, rounded 4dp."""
+    import pyarrow.parquet as pq_mod
+
+    from ..runtime import task_stage
+
     ds = _pq(sf_dir, "documents", columns=["doc_id", "text"], split=True)
-    bands = ds.map_batches(
-        _MinHashStage, batch_format="pyarrow", concurrency=(1, 8), num_cpus=0.5
+    # process-cached task stage: the permutation table is ~1 KB and the
+    # signature pass is one chunked numpy sweep, so the actor pool's
+    # spin-up (~1-2 s/run) bought nothing; tasks scale to every CPU
+    bands = ds.map_batches(task_stage(_MinHashStage), batch_format="pyarrow")
+
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        }
     )
+
+    docs_rows = pq_mod.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")
+    ).num_rows
+    if docs_rows * 16 <= driver_bands_max and not force_distributed:
+        bdf = bands.to_pandas()  # docs × 16 small-int rows — gate-bounded
+        if not len(bdf):
+            return empty
+        key = (
+            bdf["band"].to_numpy().astype(np.int64) * (1 << 33)
+            + bdf["band_key"].to_numpy().astype(np.int64)
+        )
+        order = np.argsort(key, kind="stable")
+        (pair_ab,) = _group_pairs(
+            key[order], [bdf["doc_id"].to_numpy().astype(np.int64)[order]]
+        )
+        pa_a, pa_b = pair_ab
+        if not len(pa_a):
+            return empty
+        lo, hi = np.minimum(pa_a, pa_b), np.maximum(pa_a, pa_b)
+        m = lo != hi
+        if not m.any():
+            return empty
+        ab = np.unique(np.stack([lo[m], hi[m]], axis=1), axis=0)
+        ids = pa.array(np.unique(ab).tolist(), pa.int64())
+        ids_ref = ray.put(ids)
+        texts_df = ds.map_batches(
+            lambda b: b.filter(
+                pc.is_in(b.column("doc_id"), value_set=ray.get(ids_ref))
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).to_pandas()  # O(candidates) rows, not the corpus
+        lookup = dict(zip(texts_df["doc_id"], texts_df["text"]))
+        sh = {int(i): shingles(lookup.get(int(i)) or "") for i in np.unique(ab)}
+        out_a, out_b, out_j = [], [], []
+        for a, b in ab:
+            j = jaccard(sh[int(a)], sh[int(b)])
+            if j >= threshold:
+                out_a.append(int(a))
+                out_b.append(int(b))
+                out_j.append(round(j, 4))
+        # ab is np.unique row-sorted => already (doc_a asc, doc_b asc)
+        return pa.table(
+            {
+                "doc_a": pa.array(out_a, pa.int64()),
+                "doc_b": pa.array(out_b, pa.int64()),
+                "jaccard": pa.array(out_j, pa.float64()),
+            }
+        )
 
     # hoisted: all map tasks must share ONE modulus even if cluster
     # CPU count changes mid-run (else a band key can split buckets)
@@ -303,13 +382,6 @@ def q_minhash_neardup(
         .map_groups(bucket_pairs, batch_format="pandas")
     )
     cand = _dedup_pairs(cand, "doc_a", "doc_b").materialize()
-    empty = pa.table(
-        {
-            "doc_a": pa.array([], pa.int64()),
-            "doc_b": pa.array([], pa.int64()),
-            "jaccard": pa.array([], pa.float64()),
-        }
-    )
     n_cand = cand.count()
     if n_cand == 0:
         return empty

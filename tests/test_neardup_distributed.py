@@ -53,6 +53,17 @@ def test_minhash_neardup_matches_single_process(ray_session):
     assert list(map(tuple, got.itertuples(index=False))) == expect
 
 
+def test_minhash_neardup_driver_fork_equivalence(ray_session):
+    """The driver bucket-pair fork (bands pulled once, _group_pairs +
+    np.unique dedup, broadcast-id text fetch) must reproduce the
+    distributed banding/verify plan exactly."""
+    from heroshi_ray.pipelines.dataops import q_minhash_neardup
+
+    a = q_minhash_neardup(SF_DIR).to_pandas()
+    b = q_minhash_neardup(SF_DIR, force_distributed=True).to_pandas()
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+
+
 def test_phash_neardup_matches_single_process(ray_session):
     from heroshi_ray.functions.image import hamming64
     from heroshi_ray.pipelines.dataops import q_phash_neardup

@@ -247,3 +247,25 @@ def test_ann_recall_eval_floor_and_determinism(ray_session):
     assert (a["hits"] <= a["n_queries"] * a["k"]).all()
     b = q_ann_recall_eval("/root/testdata/sf0.001").to_pandas()
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_minhash_batch_signatures_bit_identical():
+    """MinHasher.signatures (chunked batch form) must equal per-doc
+    signature() exactly, including empty sets and forced chunk splits."""
+    import random
+
+    import numpy as np
+
+    from heroshi_ray.functions.text import MinHasher, shingles
+
+    mh = MinHasher(64)
+    rng = random.Random(3)
+    texts = ["", "one", "the quick brown fox jumps over the lazy dog " * 5]
+    texts += [
+        " ".join(rng.choice(["aa", "bb", "cc", "dd", "ee"]) for _ in range(rng.randint(0, 400)))
+        for _ in range(200)
+    ]
+    sets = [shingles(t, 3) for t in texts]
+    batch = mh.signatures(sets, chunk_shingles=257)  # force many chunks
+    ref = np.stack([mh.signature(s) for s in sets])
+    assert (batch == ref).all()
