@@ -2240,25 +2240,23 @@ def q_ngram_jaccard(
         return batch.append_column("__bkt", pa.array(b, pa.int32()))
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # all within-gram pairs through the shared degree-class-
+        # vectorized kernel (_group_pairs), then ONE vectorized
+        # AllPairs length filter: J >= t forces
+        # t * max(|A|,|B|) <= min(|A|,|B|). Zero Python per pair.
         g = g.drop_duplicates(["gram", "doc_id"]).sort_values(
             ["gram", "doc_id"], kind="mergesort"
         )
-        key = g["gram"].to_numpy()
-        docs = g["doc_id"].to_numpy()
-        szs = g["sz"].to_numpy()
-        _, start, counts = np.unique(key, return_index=True, return_counts=True)
-        rows = []
-        for s, c in zip(start[counts > 1], counts[counts > 1]):
-            ids = docs[s : s + c]
-            sz = szs[s : s + c]
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    # AllPairs length filter: J >= t forces
-                    # t * max(|A|,|B|) <= min(|A|,|B|)
-                    lo, hi = (sz[i], sz[j]) if sz[i] <= sz[j] else (sz[j], sz[i])
-                    if lo * 10000 >= threshold_e4 * hi:
-                        rows.append((ids[i], ids[j]))
-        return pd.DataFrame(rows, columns=["doc_a", "doc_b"], dtype=np.int64)
+        (da, db), (sa, sb) = _group_pairs(
+            g["gram"].to_numpy(),
+            [g["doc_id"].to_numpy(), g["sz"].to_numpy()],
+        )
+        if not len(da):
+            return pd.DataFrame(
+                {"doc_a": pd.Series(dtype=np.int64), "doc_b": pd.Series(dtype=np.int64)}
+            )
+        m = np.minimum(sa, sb) * 10000 >= threshold_e4 * np.maximum(sa, sb)
+        return pd.DataFrame({"doc_a": da[m], "doc_b": db[m]})
 
     cand = (
         pref.map_batches(add_bucket, batch_format="pyarrow")
@@ -2268,10 +2266,11 @@ def q_ngram_jaccard(
             batch_format="pandas",
         )
     ).materialize()
-    # cross-bucket duplicate candidates are NOT shuffled away: verifying a
-    # pair twice costs one vectorized searchsorted, far less than a full
-    # hash(pair) shuffle; the duplicate rows die in the final (output-
-    # sized) drop_duplicates below
+    # cross-bucket duplicate candidates are NOT shuffled away here:
+    # they die in the verify-stage driver dedup (bounded branch) or the
+    # final drop_duplicates — a driver pair walk was measured NO faster
+    # than this bucket plan once bucket_pairs went vectorized (the pair
+    # expansion itself is the cost, and the shuffle spreads it)
     n_cand = cand.count()
     if n_cand == 0:
         return empty
@@ -2309,8 +2308,13 @@ def q_ngram_jaccard(
     if n_cand <= broadcast_limit:
         # gram-ARRAY broadcast verify: candidate docs' sorted gram
         # hashes (8 bytes/gram) are gathered in one streaming pass and
-        # broadcast; pairs never carry text at all
-        cd = cand.to_pandas()  # O(candidates) — the output's own scale
+        # broadcast; pairs never carry text at all. Cross-bucket
+        # duplicate candidates (a pair sharing k prefix grams arrives k
+        # times) are dropped HERE in one driver drop_duplicates — the
+        # pull is already O(candidates), and each duplicate would cost
+        # a full searchsorted verify downstream (measured ~3x dup
+        # factor on the template-heavy fixture).
+        cd = cand.to_pandas().drop_duplicates(["doc_a", "doc_b"])
         ids = pa.array(sorted(set(cd["doc_a"]) | set(cd["doc_b"])), pa.int64())
         ids_ref = ray.put(ids)
 
@@ -2349,7 +2353,12 @@ def q_ngram_jaccard(
                 gm.get,
             )
 
-        verified = cand.map_batches(verify, batch_format="pyarrow")
+        # verify the DEDUPED pair set, re-blocked so the searchsorted
+        # work spreads across the cluster
+        cand_dd = ray.data.from_arrow(
+            pa.Table.from_pandas(cd[["doc_a", "doc_b"]], preserve_index=False)
+        ).repartition(max(1, min(default_buckets(), len(cd) // 4096)))
+        verified = cand_dd.map_batches(verify, batch_format="pyarrow")
     else:
         # corpus-scale fallback: distributed text attach, per-doc
         # gram-array cache inside the verify batch
