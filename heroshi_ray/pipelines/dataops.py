@@ -3858,23 +3858,43 @@ def q_chunk_dedup(
             }
         )
 
-    freq_ds = (
-        ds.map_batches(partial_counts, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("chunk")
-        .aggregate(Sum("cnt", alias_name="n_docs"))
-        .filter(lambda r: r["n_docs"] >= min_docs)
-        .materialize()  # frequent set is output-scale; count + read reuse it
+    import pyarrow.parquet as pq_mod
+
+    docs_rows = pq_mod.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")
+    ).num_rows
+
+    parts = ds.map_batches(
+        partial_counts, batch_format="pyarrow", zero_copy_batch=True
     )
-    n_freq = freq_ds.count()
+    freq_ds = None
+    if docs_rows <= broadcast_max and not force_distributed:
+        # driver-combine fork: the partials are per-block chunk
+        # vocabularies; under the gate they merge in one pandas pass —
+        # the distributed groupby was an all-to-all of chunk STRINGS
+        # plus a per-row Python filter for a set that is broadcast
+        # right back anyway
+        pdf = parts.to_pandas()
+        g = pdf.groupby("chunk", sort=False)["cnt"].sum()
+        freq_sorted = sorted(g.index[g >= min_docs])
+        n_freq = len(freq_sorted)
+    else:
+        freq_ds = (
+            parts.groupby("chunk")
+            .aggregate(Sum("cnt", alias_name="n_docs"))
+            .filter(lambda r: r["n_docs"] >= min_docs)
+            .materialize()  # frequent set is output-scale
+        )
+        n_freq = freq_ds.count()
 
     if n_freq <= broadcast_max and not force_distributed:
-        freq_ref = ray.put(pl.Series(
-            "chunk",
-            sorted(
+        if freq_ds is not None:
+            freq_sorted = sorted(
                 c for b in freq_ds.iter_batches(batch_format="pyarrow")
                 for c in b.column("chunk").to_pylist()
-            ),
-        ))  # broadcast as a polars Series — is_in() reuses it per batch
+            )
+        freq_ref = ray.put(pl.Series("chunk", freq_sorted))
+        # broadcast as a polars Series — is_in() reuses it per batch
         # with no per-call list->Series conversion
 
         def scrub(batch: pa.Table) -> pa.Table:
@@ -3894,6 +3914,11 @@ def q_chunk_dedup(
     # docs in a second keyed shuffle (both all-to-alls move chunk rows,
     # never whole documents)
     from ..functions.hashing import hash64
+
+    if freq_ds is None:  # driver combine ran but the set outgrew the cap
+        freq_ds = ray.data.from_arrow(
+            pa.table({"chunk": pa.array(freq_sorted, pa.string())})
+        )
 
     def explode_with_bucket(batch: pa.Table) -> pa.Table:
         ex = _explode_chunks(batch, width)
