@@ -820,6 +820,8 @@ def q_embed_neardup(
     threshold: float = 0.45,
     n_centroids: int = 16,
     n_assign: int = 6,
+    driver_vecs_max: int = 500_000,
+    force_distributed: bool = False,
 ):
     """Embedding-cosine near-dup pairs via IVF bucketing (the scale
     path): coarse centroids fit on a sample, every vector multi-assigned
@@ -833,8 +835,17 @@ def q_embed_neardup(
     cosine >= threshold has near-parallel vectors, so their top-cell
     rankings agree within the first few entries; tests assert equality
     against the brute-force all-pairs result (and the DuckDB oracle
-    cross-join is the driver's check). Returns (vec_a, vec_b,
-    cos_sim_e4), vec_a < vec_b."""
+    cross-join is the driver's check). Size-adaptive: the distributed
+    plan replicates every embedding ``n_assign``x through TWO
+    all-to-alls (the cell shuffle, then the pair-dedup shuffle) —
+    correct at corpus scale, pure tax under ``driver_vecs_max`` rows
+    (exact parquet metadata), where the identical assign/cell_pairs
+    kernels run in one driver pass (same first-2048 centroid sample,
+    same e4 rounding, so the forks are bit-identical —
+    equivalence-tested). Returns (vec_a, vec_b, cos_sim_e4),
+    vec_a < vec_b."""
+    import pyarrow.parquet as pq_mod
+
     ds = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"], split=True)
     sample = as_matrix(ds.limit(2048).to_pandas()["embedding"].tolist())
     index = IVFIndex(n_centroids=n_centroids).fit(sample)
@@ -892,13 +903,6 @@ def q_embed_neardup(
             }
         )
 
-    pairs_ds = (
-        ds.map_batches(assign_explode, batch_format="pyarrow")
-        .groupby("cell")
-        .map_groups(cell_pairs, batch_format="pandas")
-    )
-    pairs_ds = _dedup_pairs(pairs_ds, "vec_a", "vec_b")
-    blocks = arrow_blocks(pairs_ds)
     empty = pa.table(
         {
             "vec_a": pa.array([], pa.int64()),
@@ -906,6 +910,43 @@ def q_embed_neardup(
             "cos_sim_e4": pa.array([], pa.int64()),
         }
     )
+
+    emb_rows = pq_mod.read_metadata(
+        os.path.join(sf_dir, "embeddings.parquet")
+    ).num_rows
+    if emb_rows <= driver_vecs_max and not force_distributed:
+        edf = pq_mod.read_table(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+        ).to_pandas()  # gate-bounded
+        ids = edf["vec_id"].to_numpy()
+        cells = index.assign_topn(
+            as_matrix(edf["embedding"].tolist()), n_assign
+        )
+        rep = np.repeat(np.arange(len(ids)), cells.shape[1])
+        g = pd.DataFrame(
+            {
+                "cell": cells.ravel(),
+                "vec_id": ids[rep].astype(np.int64),
+                "embedding": edf["embedding"].to_numpy()[rep],
+            }
+        )
+        out = (
+            cell_pairs(g)
+            .drop_duplicates(["vec_a", "vec_b"])
+            .sort_values(["vec_a", "vec_b"], kind="mergesort")
+        )
+        if not len(out):
+            return empty
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    pairs_ds = (
+        ds.map_batches(assign_explode, batch_format="pyarrow")
+        .groupby("cell")
+        .map_groups(cell_pairs, batch_format="pandas")
+    )
+    pairs_ds = _dedup_pairs(pairs_ds, "vec_a", "vec_b")
+    blocks = arrow_blocks(pairs_ds)
     if not blocks:
         return empty
 
@@ -4038,7 +4079,13 @@ def q_inverted_index(sf_dir: str, min_df: int = 2, max_df: int = 50):
     )
 
 
-def q_kmeans(sf_dir: str, k: int = 8, n_iter: int = 5, dims: int = 64):
+def q_kmeans(
+    sf_dir: str,
+    k: int = 8,
+    n_iter: int = 5,
+    dims: int = 64,
+    force_distributed: bool = False,
+):
     """Distributed Lloyd's k-means over the embedding column — the
     iterative-refinement class (like q_pagerank) applied to vectors:
     per iteration ONE broadcast (k x dims centroid matrix via ray.put)
@@ -4056,7 +4103,8 @@ def q_kmeans(sf_dir: str, k: int = 8, n_iter: int = 5, dims: int = 64):
     r2 #1's rule). Output: (vec_id, cluster) assignments after n_iter
     rounds; a single-process numpy replica must match exactly
     (tests/test_corpus_hygiene.py)."""
-    ds, C, _mat = _kmeans_fit(sf_dir, k, n_iter, dims)
+    ds, C, _mat = _kmeans_fit(sf_dir, k, n_iter, dims,
+                              force_distributed=force_distributed)
     cref = ray.put(C)
 
     def assign(batch: pa.Table) -> pa.Table:
@@ -4073,13 +4121,30 @@ def q_kmeans(sf_dir: str, k: int = 8, n_iter: int = 5, dims: int = 64):
     return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def _kmeans_fit(sf_dir: str, k: int, n_iter: int, dims: int):
+def _kmeans_fit(
+    sf_dir: str,
+    k: int,
+    n_iter: int,
+    dims: int,
+    driver_vecs_max: int = 500_000,
+    force_distributed: bool = False,
+):
     """q_kmeans' Lloyd loop, factored so composites (q_semdedup) can
-    reuse the fitted centroids: returns (materialized embeddings ds,
-    final k x dims float64 centroid matrix, batch->(ids, matrix)
-    helper). Same determinism contract as q_kmeans."""
+    reuse the fitted centroids: returns (embeddings ds, final k x dims
+    float64 centroid matrix, batch->(ids, matrix) helper). Same
+    determinism contract as q_kmeans.
+
+    Size-adaptive: the per-cluster component sums are EXACT int64 in
+    e6 fixed point, so under ``driver_vecs_max`` rows (parquet
+    metadata) the whole Lloyd loop runs in one driver numpy pass and
+    produces BIT-IDENTICAL centroids to the distributed
+    block-partial + combine plan (integer adds are order-free) —
+    n_iter full Dataset executions of fixed cost collapse to zero.
+    Above the gate the original per-iteration combiner plan runs.
+    Forks equivalence-tested via q_kmeans/q_semdedup."""
     import pyarrow.compute as _pc
     import pyarrow.dataset as _pads
+    import pyarrow.parquet as pq_mod
 
     from ray.data.aggregate import Sum
 
@@ -4090,18 +4155,44 @@ def _kmeans_fit(sf_dir: str, k: int, n_iter: int, dims: int):
     order = np.argsort(init_tbl.column("vec_id").to_numpy())
     C = as_matrix(init_tbl.column("embedding").to_pylist())[order].astype(np.float64)
 
-    # materialized once: every iteration re-scans the SAME blocks from
-    # the object store (spill-backed at scale) instead of re-reading and
-    # re-splitting parquet 6 times — the standard iterative-algorithm
-    # trade q_pagerank also makes
-    ds = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"], split=True).materialize()
-
     def _mat(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
         flat = batch.column("embedding").combine_chunks().flatten().to_numpy(
             zero_copy_only=False
         )
         return ids, flat.reshape(len(ids), dims).astype(np.float64)
+
+    emb_rows = pq_mod.read_metadata(path).num_rows
+    if emb_rows <= driver_vecs_max and not force_distributed:
+        tbl = _pads.dataset(path).to_table(columns=["vec_id", "embedding"])
+        _ids, X = _mat(tbl)
+        v = np.round(X * 1e6).astype(np.int64)
+        for _ in range(n_iter):
+            d = ((X * X).sum(1)[:, None] - 2.0 * (X @ C.T)
+                 + (C * C).sum(1)[None, :])
+            a = np.argmin(d, axis=1)
+            # exact int sums via per-dim bincount (float64 carries the
+            # int64 exactly below 2^53; the gate bounds the magnitude)
+            sums = np.stack(
+                [
+                    np.bincount(a, weights=v[:, j], minlength=k)
+                    for j in range(dims)
+                ],
+                axis=1,
+            ).astype(np.int64)
+            counts = np.bincount(a, minlength=k)
+            C = C.copy()
+            nz = counts > 0
+            C[nz] = sums[nz].astype(np.float64) / 1e6 / counts[nz][:, None]
+        # lazy ds: no further iteration re-scans it on this fork
+        ds = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"], split=True)
+        return ds, C, _mat
+
+    # materialized once: every iteration re-scans the SAME blocks from
+    # the object store (spill-backed at scale) instead of re-reading and
+    # re-splitting parquet 6 times — the standard iterative-algorithm
+    # trade q_pagerank also makes
+    ds = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"], split=True).materialize()
 
     for _ in range(n_iter):
         cref = ray.put(C)
@@ -6909,6 +7000,7 @@ def q_semdedup(
     n_iter: int = 5,
     dims: int = 64,
     tau: float = 0.45,
+    force_distributed: bool = False,
 ):
     """SemDeDup semantic deduplication (Abbas et al. 2023, "SemDeDup:
     Data-efficient learning at web-scale through semantic
@@ -6927,7 +7019,8 @@ def q_semdedup(
     sized so a cluster fits a worker. Not SQL-expressible (iterative
     k-means); pinned against a single-process numpy replica in tests.
     Output: (vec_id, cluster) of kept exemplars."""
-    ds, C, _mat = _kmeans_fit(sf_dir, k, n_iter, dims)
+    ds, C, _mat = _kmeans_fit(sf_dir, k, n_iter, dims,
+                              force_distributed=force_distributed)
 
     def assign_with_vec(batch: pa.Table) -> pa.Table:
         ids, x = _mat(batch)
@@ -6942,10 +7035,6 @@ def q_semdedup(
                 "embedding": batch.column("embedding"),
             }
         )
-
-    assigned = ds.map_batches(
-        assign_with_vec, batch_format="pyarrow", zero_copy_batch=True
-    )
 
     def leader(g: pd.DataFrame) -> pd.DataFrame:
         cid = int(g["cluster"].iloc[0])
@@ -6965,6 +7054,50 @@ def q_semdedup(
             {"vec_id": io[kept], "cluster": np.full(len(kept), cid, np.int64)}
         )
 
+    import pyarrow.dataset as _pads
+    import pyarrow.parquet as pq_mod
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    emb_rows = pq_mod.read_metadata(path).num_rows
+    if emb_rows <= 500_000 and not force_distributed:
+        # driver fork (same gate as _kmeans_fit's): assign + per-cluster
+        # leader run through the identical kernels in one driver pass —
+        # the cluster-key shuffle moved every embedding for k=|clusters|
+        # groups of driver-bounded size
+        tbl = _pads.dataset(path).to_table(columns=["vec_id", "embedding"])
+        ids, X = _mat(tbl)
+        d = ((X * X).sum(1)[:, None] - 2.0 * (X @ C.T)
+             + (C * C).sum(1)[None, :])
+        a = np.argmin(d, axis=1).astype(np.int64)
+        frames = []
+        for cid in np.unique(a):
+            sel = np.flatnonzero(a == cid)
+            frames.append(
+                leader(
+                    pd.DataFrame(
+                        {
+                            "cluster": np.full(len(sel), cid, np.int64),
+                            "vec_id": ids[sel],
+                            "embedding": [X[i] for i in sel],
+                        }
+                    )
+                )
+            )
+        out = (
+            pd.concat(frames, ignore_index=True)
+            if frames
+            else pd.DataFrame(
+                {
+                    "vec_id": pd.Series(dtype=np.int64),
+                    "cluster": pd.Series(dtype=np.int64),
+                }
+            )
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    assigned = ds.map_batches(
+        assign_with_vec, batch_format="pyarrow", zero_copy_batch=True
+    )
     return assigned.groupby("cluster").map_groups(
         leader, batch_format="pandas"
     )

@@ -315,3 +315,24 @@ def test_semdedup_matches_single_process_replica(ray_session):
         expect |= {int(ids[i]) for i in kept}
     assert got == expect
     assert 0 < len(got) < len(ids)  # some dups actually removed
+
+
+def test_semdedup_distributed_fork_equivalence(ray_session):
+    """force_distributed routes both the Lloyd loop and the leader pass
+    through the shuffle plans; exemplar set must be identical to the
+    driver fork (int64-e6 centroid sums are order-free)."""
+    from heroshi_ray.pipelines.dataops import q_semdedup
+
+    a = canon(to_df(q_semdedup(SF_DIR)))
+    b = canon(to_df(q_semdedup(SF_DIR, force_distributed=True)))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+
+
+def test_kmeans_distributed_fork_equivalence(ray_session):
+    """Driver Lloyd loop vs distributed combiner plan: assignments must
+    be bit-identical."""
+    from heroshi_ray.pipelines.dataops import q_kmeans
+
+    a = canon(to_df(q_kmeans(SF_DIR)))
+    b = canon(to_df(q_kmeans(SF_DIR, force_distributed=True)))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)

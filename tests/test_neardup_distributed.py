@@ -125,6 +125,17 @@ def test_embed_neardup_ivf_recall_exact(ray_session, sf_dir):
     assert len(expect) > 0
 
 
+def test_embed_neardup_driver_fork_equivalence(ray_session):
+    """The driver assign/cell_pairs pass must reproduce the distributed
+    explode+shuffle plan exactly (same centroid sample, same e4
+    rounding)."""
+    from heroshi_ray.pipelines.dataops import q_embed_neardup
+
+    a = q_embed_neardup(SF_DIR).to_pandas()
+    b = q_embed_neardup(SF_DIR, force_distributed=True).to_pandas()
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+
+
 def test_minhash_join_path_equals_broadcast_path(ray_session):
     """broadcast_limit=0 forces the distributed hash-join verify; both
     layouts must return identical pairs+values."""
