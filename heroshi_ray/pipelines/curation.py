@@ -141,6 +141,8 @@ def llm_corpus_run(
     n_shards: int = 8,
     decon_n: int = 16,
     eval_mod: int = 97,
+    driver_docs_max: int = 500_000,
+    force_distributed: bool = False,
 ) -> "ray.data.Dataset":
     """End-to-end TEXT corpus production — the LLM-pretraining twin of
     curate_to_shards (what a user runs nightly to turn a crawled text
@@ -201,14 +203,16 @@ def llm_corpus_run(
                 )
         return pa.table({"g": pa.array(sorted(grams), pa.string())})
 
-    ev = (
-        ds.map_batches(eval_grams, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("g")
-        .count()
-        .select_columns(["g"])
-        .take_all()
-    )  # benchmark-sized by definition
-    ev_strings = [r["g"] for r in ev]
+    # distinct across batches: the set is benchmark-bounded and pulled
+    # to the driver either way — one set-union replaces the string
+    # groupby all-to-all (q_decontaminate's recipe)
+    ev_strings = sorted(
+        set(
+            ds.map_batches(
+                eval_grams, batch_format="pyarrow", zero_copy_batch=True
+            ).to_pandas()["g"]
+        )
+    )
     pw = _poly_powers(decon_n)
     _d, ev_hh = _batch_distinct_grams(ev_strings, decon_n, pw)
     ev_ref = ray.put((pa.array(ev_strings, pa.string()), np.unique(ev_hh)))
@@ -243,36 +247,8 @@ def llm_corpus_run(
         return out.filter(pa.array(~contaminated))
 
     gated = ds.map_batches(gates, batch_format="pyarrow", zero_copy_batch=True)
-    deduped = dedup_first(
-        gated, key="text", tie_cols=("doc_id",), n_buckets=default_buckets()
-    ).materialize()
 
-    # -- shard routing on ints, text re-attached by one hash join
     import polars as pl
-
-    def toklen(batch: pa.Table) -> pa.Table:
-        w = (
-            pl.from_arrow(batch.column("text"))
-            .str.split(" ")
-            .list.len()
-            .cast(pl.Int64)
-            .to_numpy()
-        )
-        return pa.table(
-            {"doc_id": batch.column("doc_id"), "w": pa.array(w, pa.int64())}
-        )
-
-    lens = deduped.map_batches(toklen, batch_format="pyarrow",
-                               zero_copy_batch=True)
-    routed = size_rank_shards(lens, n_shards)
-    tune_join_resources()
-    nparts = join_partitions(8)
-    sharded = deduped.repartition(nparts).join(
-        routed.select_columns(["doc_id", "shard"]).repartition(nparts),
-        join_type="inner",
-        num_partitions=nparts,
-        on=("doc_id",),
-    )
 
     os.makedirs(out_dir, exist_ok=True)
 
@@ -312,6 +288,79 @@ def llm_corpus_run(
                 "path": [path],
             }
         )
+
+    docs_rows = pq_mod.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")
+    ).num_rows
+    if docs_rows <= driver_docs_max and not force_distributed:
+        # driver fork: survivors are gate-bounded; the first-per-text
+        # dedup, size-rank routing and shard writes run through the
+        # SAME kernels in one driver pass — the streaming plan's text
+        # dedup shuffle + rank shuffle + repartition + hash join were
+        # four all-to-alls of fixed cost at this scale. Streaming plan
+        # unchanged above the gate; forks equivalence-tested.
+        from ..stages.dedup import _first_per_key
+
+        sdf = gated.to_pandas()
+        frames = []
+        if len(sdf):
+            sdf = _first_per_key(sdf, "text", ["doc_id"])
+            w = (
+                pl.from_pandas(sdf["text"])
+                .str.split(" ")
+                .list.len()
+                .cast(pl.Int64)
+                .to_numpy()
+            )
+            order = np.lexsort((sdf["doc_id"].to_numpy(), -w))
+            shard = np.empty(len(sdf), np.int64)
+            shard[order] = np.arange(len(sdf), dtype=np.int64) % n_shards
+            sdf = sdf.assign(shard=shard)
+            frames = [
+                write_shard(g) for _, g in sdf.groupby("shard", sort=True)
+            ]
+        man = (
+            pd.concat(frames, ignore_index=True)
+            if frames
+            else pd.DataFrame(
+                {
+                    "shard": pd.Series(dtype=np.int64),
+                    "n_docs": pd.Series(dtype=np.int64),
+                    "n_tokens": pd.Series(dtype=np.int64),
+                    "path": pd.Series(dtype=object),
+                }
+            )
+        )
+        return pa.Table.from_pandas(man, preserve_index=False)
+
+    deduped = dedup_first(
+        gated, key="text", tie_cols=("doc_id",), n_buckets=default_buckets()
+    ).materialize()
+
+    # -- shard routing on ints, text re-attached by one hash join
+    def toklen(batch: pa.Table) -> pa.Table:
+        w = (
+            pl.from_arrow(batch.column("text"))
+            .str.split(" ")
+            .list.len()
+            .cast(pl.Int64)
+            .to_numpy()
+        )
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "w": pa.array(w, pa.int64())}
+        )
+
+    lens = deduped.map_batches(toklen, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    routed = size_rank_shards(lens, n_shards)
+    tune_join_resources()
+    nparts = join_partitions(8)
+    sharded = deduped.repartition(nparts).join(
+        routed.select_columns(["doc_id", "shard"]).repartition(nparts),
+        join_type="inner",
+        num_partitions=nparts,
+        on=("doc_id",),
+    )
 
     return sharded.groupby("shard").map_groups(write_shard,
                                                batch_format="pandas")

@@ -2836,15 +2836,18 @@ def q_decontaminate(sf_dir: str, n: int = 16, eval_mod: int = 97):
                 grams.update(t[j : j + n] for j in range(len(t) - n + 1))
         return pa.table({"g": pa.array(sorted(grams), pa.string())})
 
-    # distinct across batches (combiner already dedups within a batch)
-    ev = (
-        ds.map_batches(eval_grams, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("g")
-        .count()
-        .select_columns(["g"])
-        .take_all()
+    # distinct across batches (combiner already dedups within a batch):
+    # the distinct set is benchmark-bounded and pulled to the driver
+    # either way, so a distributed groupby first was a pure string
+    # all-to-all tax — one driver set-union replaces it
+    ev_strings = sorted(
+        set(
+            ds.map_batches(
+                eval_grams, batch_format="pyarrow", zero_copy_batch=True
+            )
+            .to_pandas()["g"]
+        )
     )  # driver contact = benchmark gram set, fixed-size by definition
-    ev_strings = [r["g"] for r in ev]
     ev_set = pa.array(ev_strings, pa.string())
     pw = _poly_powers(n)
     # each eval gram is an n-char text with exactly one window — hashing

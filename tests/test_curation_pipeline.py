@@ -181,3 +181,30 @@ def test_llm_corpus_run_matches_replica_and_resumes(ray_session, tmp_path):
         man2.reset_index(drop=True), man.reset_index(drop=True)
     )
     assert {p: os.path.getmtime(p) for p in man2["path"]} == mtimes
+
+
+def test_llm_corpus_run_streaming_fork_equivalence(ray_session, tmp_path):
+    """force_distributed routes the dedup/routing/join/write through the
+    streaming plans; the manifest and written shards must be identical
+    to the driver fork."""
+    import pandas as pd
+
+    from heroshi_ray.pipelines.curation import llm_corpus_run
+
+    sf = "/root/testdata/sf0.001"
+    out_a = str(tmp_path / "drv")
+    out_b = str(tmp_path / "dist")
+    a = llm_corpus_run(sf, out_a).to_pandas().sort_values("shard").reset_index(drop=True)
+    b = (
+        llm_corpus_run(sf, out_b, force_distributed=True)
+        .to_pandas()
+        .sort_values("shard")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        a.drop(columns="path"), b.drop(columns="path"), check_dtype=False
+    )
+    for pa_, pb_ in zip(a["path"], b["path"]):
+        da = pq.read_table(pa_).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        db = pq.read_table(pb_).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(da, db[da.columns], check_dtype=False)
