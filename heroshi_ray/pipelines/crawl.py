@@ -74,7 +74,7 @@ from ..sources.io import (
 from ..stages.canonicalize import canonicalize_dataset
 from ..stages.dedup import dedup_first
 from ..stages.extract import ImageRowBuilder, LinkExtractor
-from ..stages.fetch import fetch_dataset, pages_index
+from ..stages.fetch import fetch_dataset
 from ..stages.schedule import (
     _ALLOWED_COL,
     budget_topk_order,
@@ -189,7 +189,9 @@ class Crawler:
 
         # broadcast small sides ONCE (ray.put; read per actor/task, never per batch)
         pages_tbl = pq.read_table(fixture_paths["pages"])
-        self.pages_ref = ray.put(pages_index(pages_tbl))
+        # ship the Arrow table (zero-copy put); each fetch worker builds
+        # its url->row dict once (SyntheticFetcher handles both forms)
+        self.pages_ref = ray.put(pages_tbl)
         robots_tbl = pq.read_table(fixture_paths["robots"])
         self.robots: dict = {}
         for h, b, s in zip(

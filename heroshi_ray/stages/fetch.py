@@ -59,7 +59,11 @@ class SyntheticFetcher:
     def __init__(self, pages_ref, now_us: int = 0, counters=None):
         from ..functions.urlnorm import resolve
 
-        self.pages = ray.get(pages_ref)  # broadcast: one get per ACTOR, zero per batch
+        obj = ray.get(pages_ref)  # broadcast: one get per ACTOR, zero per batch
+        # an Arrow pages TABLE ships zero-copy through the object store
+        # (a 146k-entry dict cost ~1 s to build+pickle on the driver);
+        # the url->row dict is built here, once per actor/worker process
+        self.pages = pages_index(obj) if isinstance(obj, pa.Table) else obj
         self.now_us = now_us
         self.counters = counters  # A-C actor handle; fire-and-forget reporting
         self.resolve = resolve
