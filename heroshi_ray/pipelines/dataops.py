@@ -4961,7 +4961,13 @@ def q_compression_stats(sf_dir: str, level: int = 6):
 
 
 # ------------------------------------------ duplicated substring spans --
-def q_dup_spans(sf_dir: str, k: int = 30, n_buckets: int | None = None):
+def q_dup_spans(
+    sf_dir: str,
+    k: int = 30,
+    n_buckets: int | None = None,
+    driver_hits_max: int = 5_000_000,
+    force_distributed: bool = False,
+):
     """EXACT cross-document duplicated-substring SPANS — the
     substring-level dedup signal of Lee et al. 2022 ("Deduplicating
     Training Data Makes Language Models Better", arXiv:2107.06499):
@@ -5017,7 +5023,7 @@ def q_dup_spans(sf_dir: str, k: int = 30, n_buckets: int | None = None):
         ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("__b")
         .map_groups(dup_hits, batch_format="pandas")
-    )
+    ).materialize()
 
     def add_doc_bucket(batch: pa.Table) -> pa.Table:
         d = batch.column("doc_id").to_numpy(zero_copy_only=False)
@@ -5040,6 +5046,25 @@ def q_dup_spans(sf_dir: str, k: int = 30, n_buckets: int | None = None):
                 "span_start": pos[idx],
                 "span_len": pos[last] + k - pos[idx],
             }
+        )
+
+    # size-adaptive span merge: hits are removal-mass-scale (already a
+    # driver-safe trickle at small corpora), so under the gate the
+    # gaps-and-islands merge is one driver pass with the SAME kernel
+    # (it handles doc transitions itself — the doc%B shuffle only
+    # partitioned its input); the keyed shuffle runs above the gate.
+    if hits.count() <= driver_hits_max and not force_distributed:
+        hdf = hits.to_pandas()
+        if not len(hdf):
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "span_start": pa.array([], pa.int64()),
+                    "span_len": pa.array([], pa.int64()),
+                }
+            )
+        return pa.Table.from_pandas(
+            merge_spans(hdf).astype("int64"), preserve_index=False
         )
 
     return (
@@ -5330,6 +5355,8 @@ def q_dup_span_removal(
     k: int = 30,
     n_buckets: int | None = None,
     span_broadcast_limit: int = 2_000_000,
+    driver_hits_max: int = 5_000_000,
+    force_distributed: bool = False,
 ):
     """Substring-dedup REMOVAL (the apply step of Lee et al. 2022,
     arXiv:2107.06499 §3: keep ONE occurrence of every duplicated
@@ -5393,7 +5420,7 @@ def q_dup_span_removal(
         ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("__b")
         .map_groups(removal_hits, batch_format="pandas")
-    )
+    ).materialize()
 
     def add_doc_bucket(batch: pa.Table) -> pa.Table:
         d = batch.column("doc_id").to_numpy(zero_copy_only=False)
@@ -5418,18 +5445,36 @@ def q_dup_span_removal(
             }
         )
 
-    spans_ds = (
-        hits.map_batches(add_doc_bucket, batch_format="pyarrow")
-        .groupby("__db")
-        .map_groups(merge_spans, batch_format="pandas")
-        .materialize()
-    )
-    n_spans = spans_ds.count()
-    assert n_spans <= span_broadcast_limit, (
-        "above the broadcast bound, attach spans via the documented "
-        "spans join documents hash join + groupby(doc) reconstruction"
-    )
-    sp = spans_ds.to_pandas()
+    # size-adaptive span merge (q_dup_spans' rule): one driver pass
+    # under the gate — the doc%B shuffle only partitioned the kernel's
+    # input and the span table heads to the driver broadcast anyway
+    if hits.count() <= driver_hits_max and not force_distributed:
+        hdf = hits.to_pandas()
+        sp = (
+            merge_spans(hdf).astype("int64")
+            if len(hdf)
+            else pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype=np.int64),
+                    "s": pd.Series(dtype=np.int64),
+                    "e": pd.Series(dtype=np.int64),
+                }
+            )
+        )
+        assert len(sp) <= span_broadcast_limit
+    else:
+        spans_ds = (
+            hits.map_batches(add_doc_bucket, batch_format="pyarrow")
+            .groupby("__db")
+            .map_groups(merge_spans, batch_format="pandas")
+            .materialize()
+        )
+        n_spans = spans_ds.count()
+        assert n_spans <= span_broadcast_limit, (
+            "above the broadcast bound, attach spans via the documented "
+            "spans join documents hash join + groupby(doc) reconstruction"
+        )
+        sp = spans_ds.to_pandas()
     span_map: dict[int, list] = {}
     for doc, s, e in zip(
         sp["doc_id"].astype(int), sp["s"].astype(int), sp["e"].astype(int)

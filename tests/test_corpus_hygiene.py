@@ -336,3 +336,16 @@ def test_kmeans_distributed_fork_equivalence(ray_session):
     a = canon(to_df(q_kmeans(SF_DIR)))
     b = canon(to_df(q_kmeans(SF_DIR, force_distributed=True)))
     pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+
+
+def test_dup_spans_distributed_fork_equivalence(ray_session):
+    """Driver gaps-and-islands merge vs the doc-keyed shuffle: spans
+    must be identical for both q_dup_spans and q_dup_span_removal."""
+    from heroshi_ray.pipelines.dataops import q_dup_span_removal, q_dup_spans
+
+    a = canon(to_df(q_dup_spans(SF_DIR)))
+    b = canon(to_df(q_dup_spans(SF_DIR, force_distributed=True)))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+    c = canon(to_df(q_dup_span_removal(SF_DIR)))
+    d = canon(to_df(q_dup_span_removal(SF_DIR, force_distributed=True)))
+    pd.testing.assert_frame_equal(c, d, check_dtype=False, check_exact=True)
