@@ -4735,6 +4735,8 @@ def _batch_distinct_grams(texts: list, n: int, pw: np.ndarray):
 def q_containment_neardup(
     sf_dir: str, n: int = 12, threshold_e4: int = 8000,
     n_buckets: int | None = None, size_broadcast_limit: int = 1_000_000,
+    driver_pairs_max: int = 5_000_000, force_distributed: bool = False,
+    df_broadcast_limit: int = 5_000_000, cand_broadcast_limit: int = 2_000_000,
 ):
     """EXACT char-n-gram CONTAINMENT self-join: pairs where
     |grams(A) ∩ grams(B)| / min(|A|, |B|) >= threshold — the asymmetric
@@ -4764,13 +4766,224 @@ def q_containment_neardup(
     collision overcounts ni by 1. The DuckDB twin hash-matched at both
     test SFs. Same stopword-gram blowup caveat as q_ngram_jaccard:
     an exact op has no df cap; deployments that accept recall loss cap
-    posting length at step 2."""
+    posting length at step 2.
+
+    FAST PATH (bounded gram space, the default below
+    ``df_broadcast_limit`` DF-partial rows): the step-2 pairwise
+    partial-count expansion is Σ_g c_g² — measured 55M partial pair
+    rows for 256 output pairs at sf0.1 — so instead the prefix-filter
+    lemma is applied in its CONTAINMENT form: C(A,B) >= t forces
+    |A∩B| >= ceil(t·m) for the smaller doc S (m=|S|), so the shared
+    set must intersect S's first m-ceil(t·m)+1 grams under ANY fixed
+    global order (ascending document frequency here, so prefixes hold
+    rare grams). Candidates are therefore (prefix row × full posting)
+    collisions only — no length filter exists for containment (a tiny
+    doc inside a huge one qualifies), but DF-ordered prefixes keep the
+    expansion candidate-scale. Exact verify recomputes |A∩B| from the
+    candidate docs' sorted gram-hash arrays (q_ngram_jaccard's
+    broadcast verify), so the result is bit-identical to the pairwise
+    plan — equivalence-tested; the pairwise plan remains the
+    ``force_distributed`` / unbounded-gram-space fork."""
     from ray.data.aggregate import Sum
 
     B = n_buckets or default_buckets(per_cpu=8, hi=1024)
     ds = _pq(sf_dir, "documents", columns=["doc_id", "text"], split=True)
 
     pw = _poly_powers(n)
+
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "cont_e4": pa.array([], pa.int64()),
+        }
+    )
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        _d, hh = _batch_distinct_grams(texts, n, pw)
+        uniq, counts = np.unique(hh, return_counts=True)
+        return pa.table(
+            {
+                "gram": pa.array(uniq.view(np.int64), pa.int64()),
+                "df": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    if not force_distributed:
+        df_parts = ds.map_batches(
+            df_partial, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+        if df_parts.count() <= df_broadcast_limit:
+            parts_tbls = arrow_blocks(df_parts)
+            if not parts_tbls:
+                return empty
+            part_tbl = pa.concat_tables(parts_tbls, promote_options="none")
+            g_all = part_tbl.column("gram").to_numpy(zero_copy_only=False)
+            d_all = part_tbl.column("df").to_numpy(zero_copy_only=False)
+            dfk_s, inv = np.unique(g_all, return_inverse=True)
+            dfv_s = np.zeros(len(dfk_s), np.int64)
+            np.add.at(dfv_s, inv, d_all)
+            df_ref = ray.put((dfk_s, dfv_s))
+
+            def explode_pref(batch: pa.Table) -> pa.Table:
+                dfk, dfv = ray.get(df_ref)
+                ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+                texts = batch.column("text").to_pylist()
+                d, hh = _batch_distinct_grams(texts, n, pw)
+                if not len(d):
+                    return pa.table(
+                        {
+                            "g": pa.array([], pa.int64()),
+                            "doc_id": pa.array([], pa.int64()),
+                            "pref": pa.array([], pa.bool_()),
+                            "__b": pa.array([], pa.int32()),
+                        }
+                    )
+                h_all = hh.view(np.int64)
+                dfs_all = dfv[np.searchsorted(dfk, h_all)]
+                bounds = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+                ends = np.r_[bounds[1:], len(d)]
+                pref = np.zeros(len(d), bool)
+                for s0, e0 in zip(bounds, ends):
+                    m = e0 - s0
+                    L = m - (threshold_e4 * m + 9999) // 10000 + 1
+                    order = np.lexsort((h_all[s0:e0], dfs_all[s0:e0]))
+                    pref[s0 + order[:L]] = True
+                return pa.table(
+                    {
+                        "g": pa.array(h_all, pa.int64()),
+                        "doc_id": pa.array(ids[d].astype(np.int64), pa.int64()),
+                        "pref": pa.array(pref),
+                        "__b": pa.array(
+                            (hh % np.uint64(B)).astype(np.int32), pa.int32()
+                        ),
+                    }
+                )
+
+            def bucket_cand(gdf: pd.DataFrame) -> pd.DataFrame:
+                order = np.lexsort(
+                    (gdf["doc_id"].to_numpy(), gdf["g"].to_numpy())
+                )
+                gh = gdf["g"].to_numpy()[order]
+                doc = gdf["doc_id"].to_numpy()[order]
+                pf = gdf["pref"].to_numpy()[order].astype(bool)
+                change = np.r_[True, gh[1:] != gh[:-1]]
+                gid = np.cumsum(change) - 1
+                csize = np.bincount(gid)
+                starts = np.r_[0, np.cumsum(csize)[:-1]]
+                pref_pos = np.flatnonzero(pf)
+                g_of = gid[pref_pos]
+                c_of = csize[g_of]
+                keep = c_of > 1
+                pref_pos, g_of, c_of = pref_pos[keep], g_of[keep], c_of[keep]
+                if not len(pref_pos):
+                    return pd.DataFrame(
+                        {
+                            "doc_a": pd.Series(dtype=np.int64),
+                            "doc_b": pd.Series(dtype=np.int64),
+                        }
+                    )
+                left = np.repeat(pref_pos, c_of)
+                tot = int(c_of.sum())
+                off = np.repeat(np.cumsum(c_of) - c_of, c_of)
+                right = np.arange(tot, dtype=np.int64) - off + np.repeat(
+                    starts[g_of], c_of
+                )
+                mm = left != right
+                a = doc[left[mm]]
+                b = doc[right[mm]]
+                lo, hi = np.minimum(a, b), np.maximum(a, b)
+                ab = np.unique(np.stack([lo, hi], axis=1), axis=0)
+                return pd.DataFrame(
+                    {"doc_a": ab[:, 0], "doc_b": ab[:, 1]}
+                ).astype("int64")
+
+            cand = (
+                ds.map_batches(
+                    explode_pref, batch_format="pyarrow", zero_copy_batch=True
+                )
+                .groupby("__b")
+                .map_groups(bucket_cand, batch_format="pandas")
+            ).materialize()
+            n_cand = cand.count()
+            if n_cand == 0:
+                return empty
+            assert n_cand <= cand_broadcast_limit, (
+                "candidate set outgrew the broadcast bound — rerun with "
+                "force_distributed=True (the pairwise partial-count plan)"
+            )
+            cd = cand.to_pandas().drop_duplicates(["doc_a", "doc_b"])
+            ids_arr = pa.array(
+                sorted(set(cd["doc_a"]) | set(cd["doc_b"])), pa.int64()
+            )
+            ids_ref = ray.put(ids_arr)
+
+            def doc_arrays(batch: pa.Table) -> pa.Table:
+                b = batch.filter(
+                    pc.is_in(batch.column("doc_id"), value_set=ray.get(ids_ref))
+                )
+                texts = b.column("text").to_pylist()
+                d, hh = _batch_distinct_grams(texts, n, pw)
+                h_all = hh.view(np.int64)
+                bounds = (
+                    np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+                    if len(d)
+                    else np.empty(0, np.int64)
+                )
+                ends = np.r_[bounds[1:], len(d)] if len(d) else np.empty(0, np.int64)
+                arrs = [np.empty(0, np.int64)] * len(texts)
+                for s0, e0 in zip(bounds, ends):
+                    arrs[d[s0]] = np.sort(h_all[s0:e0])
+                return pa.table(
+                    {
+                        "doc_id": b.column("doc_id"),
+                        "grams": pa.array(
+                            [a.tolist() for a in arrs], pa.list_(pa.int64())
+                        ),
+                    }
+                )
+
+            gdf = ds.map_batches(doc_arrays, batch_format="pyarrow").to_pandas()
+            gmap_ref = ray.put(
+                {
+                    int(i): np.asarray(g, dtype=np.int64)
+                    for i, g in zip(gdf["doc_id"], gdf["grams"])
+                }
+            )
+
+            def verify_pairs(batch: pa.Table) -> pa.Table:
+                gm = ray.get(gmap_ref)
+                da = batch.column("doc_a").to_pylist()
+                db = batch.column("doc_b").to_pylist()
+                out_a, out_b, out_c = [], [], []
+                for x, y in zip(da, db):
+                    A = gm.get(int(x))
+                    Bb = gm.get(int(y))
+                    if A is None or Bb is None or not len(A) or not len(Bb):
+                        continue
+                    if len(A) > len(Bb):
+                        A, Bb = Bb, A
+                    pos = np.searchsorted(Bb, A)
+                    msk = pos < len(Bb)
+                    ni = int((Bb[pos[msk]] == A[msk]).sum())
+                    mn = len(A)
+                    if ni * 10000 >= threshold_e4 * mn:
+                        out_a.append(int(x))
+                        out_b.append(int(y))
+                        out_c.append(ni * 10000 // mn)
+                return pa.table(
+                    {
+                        "doc_a": pa.array(out_a, pa.int64()),
+                        "doc_b": pa.array(out_b, pa.int64()),
+                        "cont_e4": pa.array(out_c, pa.int64()),
+                    }
+                )
+
+            cand_dd = ray.data.from_arrow(
+                pa.Table.from_pandas(cd, preserve_index=False)
+            ).repartition(max(1, min(default_buckets(), len(cd) // 2048)))
+            return cand_dd.map_batches(verify_pairs, batch_format="pyarrow")
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
@@ -4809,24 +5022,7 @@ def q_containment_neardup(
         ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("__b")
         .map_groups(bucket_pairs, batch_format="pandas")
-    )
-
-    def add_pair_bucket(batch: pa.Table) -> pa.Table:
-        a = batch.column("a").to_numpy(zero_copy_only=False).astype(np.uint64)
-        b = batch.column("b").to_numpy(zero_copy_only=False).astype(np.uint64)
-        pk = (
-            ((a * np.uint64(0x9E3779B97F4A7C15)) ^ b) % np.uint64(B)
-        ).astype(np.int32)
-        return batch.append_column("__pk", pa.array(pk, pa.int32()))
-
-    ni = (
-        pairs.map_batches(add_pair_bucket, batch_format="pyarrow")
-        .groupby("__pk")
-        .map_groups(
-            lambda g: g.groupby(["a", "b"], as_index=False)["ni"].sum(),
-            batch_format="pandas",
-        )
-    )
+    ).materialize()
 
     # per-doc distinct-gram counts: doc-bounded (one int per doc)
     def doc_sizes(batch: pa.Table) -> pa.Table:
@@ -4849,16 +5045,17 @@ def q_containment_neardup(
         "the broadcast"
     )
     sz_df = sizes_ds.to_pandas()
-    sz_map_ref = ray.put(
-        dict(zip(sz_df["doc_id"].astype(int), sz_df["sz"].astype(int)))
-    )
+    sz_k = np.sort(sz_df["doc_id"].to_numpy(np.int64))
+    sz_v = sz_df.set_index("doc_id")["sz"].astype(np.int64).loc[sz_k].to_numpy()
 
-    def verify(batch: pa.Table) -> pa.Table:
-        sz = ray.get(sz_map_ref)
-        a = batch.column("a").to_numpy(zero_copy_only=False)
-        b = batch.column("b").to_numpy(zero_copy_only=False)
-        cnt = batch.column("ni").to_numpy(zero_copy_only=False)
-        mn = np.array([min(sz[int(x)], sz[int(y)]) for x, y in zip(a, b)], np.int64)
+    sz_ref = ray.put((sz_k, sz_v))  # broadcast once for the distributed fork
+
+    def _verify_frame(a, b, cnt, sz_k, sz_v) -> pa.Table:
+        # |A∩B| * 1e4 >= t_e4 * min(|A|,|B|), all-int; size lookup via
+        # one sorted searchsorted gather (no per-row Python)
+        mn = np.minimum(
+            sz_v[np.searchsorted(sz_k, a)], sz_v[np.searchsorted(sz_k, b)]
+        )
         ok = (mn > 0) & (cnt * 10000 >= threshold_e4 * mn)
         return pa.table(
             {
@@ -4866,6 +5063,56 @@ def q_containment_neardup(
                 "doc_b": pa.array(b[ok], pa.int64()),
                 "cont_e4": pa.array(cnt[ok] * 10000 // mn[ok], pa.int64()),
             }
+        )
+
+    # size-adaptive pair-sum: the per-bucket partials are intersection-
+    # mass-scale; under the gate ONE driver groupby-sum + vectorized
+    # verify replaces the pair-keyed second all-to-all and the verify
+    # pass's plan launch. The distributed sum runs above the gate.
+    if pairs.count() <= driver_pairs_max and not force_distributed:
+        pdf = pairs.to_pandas()
+        if not len(pdf):
+            return pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "cont_e4": pa.array([], pa.int64()),
+                }
+            )
+        nidf = pdf.groupby(["a", "b"], as_index=False, sort=False)["ni"].sum()
+        return _verify_frame(
+            nidf["a"].to_numpy(np.int64),
+            nidf["b"].to_numpy(np.int64),
+            nidf["ni"].to_numpy(np.int64),
+            sz_k,
+            sz_v,
+        )
+
+    def add_pair_bucket(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = batch.column("b").to_numpy(zero_copy_only=False).astype(np.uint64)
+        pk = (
+            ((a * np.uint64(0x9E3779B97F4A7C15)) ^ b) % np.uint64(B)
+        ).astype(np.int32)
+        return batch.append_column("__pk", pa.array(pk, pa.int32()))
+
+    ni = (
+        pairs.map_batches(add_pair_bucket, batch_format="pyarrow")
+        .groupby("__pk")
+        .map_groups(
+            lambda g: g.groupby(["a", "b"], as_index=False)["ni"].sum(),
+            batch_format="pandas",
+        )
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        szk, szv = ray.get(sz_ref)
+        return _verify_frame(
+            batch.column("a").to_numpy(zero_copy_only=False).astype(np.int64),
+            batch.column("b").to_numpy(zero_copy_only=False).astype(np.int64),
+            batch.column("ni").to_numpy(zero_copy_only=False).astype(np.int64),
+            szk,
+            szv,
         )
 
     return ni.map_batches(verify, batch_format="pyarrow")

@@ -674,3 +674,17 @@ def test_cc_attach_str_variable_length_ids(ray_session):
     assert out["z"] == "aa_long"
     assert out["aa_long"] == "aa_long"
     assert out["mmm"] == "mmm"
+
+
+def test_containment_prefix_fork_equivalence(ray_session):
+    """The prefix-filtered candidate+verify fast path must reproduce the
+    pairwise partial-count plan exactly (same pairs, same cont_e4)."""
+    from heroshi_ray.pipelines.dataops import q_containment_neardup
+
+    def norm(r):
+        df = r.to_pandas() if hasattr(r, "to_pandas") else r
+        return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+    a = norm(q_containment_neardup(SF_DIR))
+    b = norm(q_containment_neardup(SF_DIR, force_distributed=True))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
