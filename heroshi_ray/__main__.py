@@ -86,6 +86,15 @@ def main(argv=None) -> int:
     rs.add_argument("--out", required=True)
     rs.add_argument("--samples-per-shard", type=int, default=256)
 
+    we = sub.add_parser("warc-export")  # fetch-result parquet -> WARC 1.1
+    we.add_argument("--fetch-parquet", required=True)
+    we.add_argument("--out", required=True)
+    we.add_argument("--records-per-file", type=int, default=2048)
+
+    wi = sub.add_parser("warc-import")  # WARC 1.1 -> parquet
+    wi.add_argument("--warc-dir", required=True)
+    wi.add_argument("--out", required=True)
+
     args = p.parse_args(argv)
 
     if args.cmd == "fixtures":
@@ -179,6 +188,29 @@ def main(argv=None) -> int:
                     }
                 )
             )
+        elif args.cmd == "warc-export":
+            import ray.data as _rd
+
+            from .sources.warc import write_warc
+
+            m = write_warc(
+                _rd.read_parquet(args.fetch_parquet), args.out,
+                records_per_file=args.records_per_file,
+            ).to_pandas()
+            print(
+                json.dumps(
+                    {
+                        "files": int(len(m)),
+                        "records": int(m["n_records"].sum()),
+                        "bytes": int(m["n_bytes"].sum()),
+                    }
+                )
+            )
+        elif args.cmd == "warc-import":
+            from .sources.warc import read_warc
+
+            read_warc(args.warc_dir).write_parquet(args.out)
+            print(json.dumps({"out": args.out}))
         elif args.cmd == "reshard":
             from .sources.tarshards import reshard_tar_shards
 
