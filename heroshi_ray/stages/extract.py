@@ -54,6 +54,10 @@ class LinkExtractor:
     def __call__(self, batch: pa.Table) -> pa.Table:
         # relative hrefs resolve against the URL that actually served the
         # content — the redirect-terminal final_url (browser semantics)
+        from urllib.parse import urljoin
+
+        from ..functions.urlnorm import canonicalize_batch_arrow
+
         urls = (
             batch.column("final_url").to_pylist()
             if "final_url" in batch.column_names
@@ -68,10 +72,30 @@ class LinkExtractor:
         ctypes = batch.column("content_type").to_pylist()
         ok = batch.column("success").to_pylist()
         contents = batch.column("content").to_pylist()
-        out_url: list[str] = []
+        # gather raw (absolute-url, parent, depth, caption) rows first,
+        # then canonicalize ONCE via the vectorized Arrow/RE2 kernel —
+        # the scalar resolve() ran the full canonicalizer per href
+        # (resolve()'s skip/urljoin semantics replicated verbatim)
+        abs_url: list[str] = []
         out_parent: list[str] = []
         out_depth: list[int] = []
         out_cap: list[str] = []
+
+        def _emit(base, href, surt, depth, cap):
+            href = href.strip()
+            if not href or href.startswith(
+                ("javascript:", "mailto:", "data:", "#")
+            ):
+                return
+            try:
+                absu = urljoin(base, href)
+            except ValueError:
+                return
+            abs_url.append(absu)
+            out_parent.append(surt)
+            out_depth.append(depth + 1)
+            out_cap.append(cap)
+
         for url, surt, depth, ct, succ, content in zip(
             urls, surts, depths, ctypes, ok, contents
         ):
@@ -79,28 +103,26 @@ class LinkExtractor:
                 continue
             html = content.decode("utf-8", "replace")
             for href in self.href_re.findall(html):
-                r = resolve(url, href)
-                if r is not None:
-                    out_url.append(r)
-                    out_parent.append(surt)
-                    out_depth.append(depth + 1)
-                    out_cap.append("")
+                _emit(url, href, surt, depth, "")
             for src, alt in self.img_re.findall(html):
-                r = resolve(url, src)
-                if r is not None:
-                    out_url.append(r)
-                    out_parent.append(surt)
-                    out_depth.append(depth + 1)
-                    out_cap.append(alt or "")
+                _emit(url, src, surt, depth, alt or "")
+        if not abs_url:
+            return LINKS_SCHEMA.empty_table()
+        canon, _surt, _host, okm = canonicalize_batch_arrow(
+            pa.array(abs_url, pa.string())
+        )
+        keep = pa.array(
+            np.asarray(okm.to_numpy(zero_copy_only=False), dtype=bool)
+        )
         return pa.table(
             {
-                "url": pa.array(out_url, pa.string()),
+                "url": canon,
                 "parent_surt": pa.array(out_parent, pa.string()),
                 "depth": pa.array(out_depth, pa.int32()),
                 "caption": pa.array(out_cap, pa.string()),
             },
             schema=LINKS_SCHEMA,
-        )
+        ).filter(keep)
 
 
 _IMG_EXT_RE = re.compile(r"/([^/]+)\.(png|qpng)$")
