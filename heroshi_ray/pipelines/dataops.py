@@ -728,10 +728,23 @@ def _merge_topk(parts: pd.DataFrame, k: int) -> pa.Table:
     )
 
 
-def q_ann_knn(sf_dir: str, n_queries: int = 5, k: int = 3):
+def q_ann_knn(
+    sf_dir: str,
+    n_queries: int = 5,
+    k: int = 3,
+    driver_vecs_max: int = 500_000,
+    force_distributed: bool = False,
+):
     """Brute-force cosine top-k per query: per-batch matmul against the
     broadcast query matrix, per-batch partial top-k, driver merge of
-    (n_queries × k) rows. Exact — the DuckDB twin cross-joins."""
+    (n_queries × k) rows. Exact — the DuckDB twin cross-joins.
+
+    Size-adaptive: exact scoring makes the per-batch top-k union
+    batching-independent, so under ``driver_vecs_max`` rows (parquet
+    metadata) the SAME partial kernel runs once on a driver-read table
+    — identical output, zero plan launches. Equivalence-tested."""
+    import pyarrow.parquet as pq_mod
+
     qids, qmat = _query_matrix(sf_dir, n_queries)
     q_ref = ray.put((qids, l2_normalize(qmat.astype(np.float64))))
     ds = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"])
@@ -759,15 +772,36 @@ def q_ann_knn(sf_dir: str, n_queries: int = 5, k: int = 3):
             }
         )
 
+    emb_rows = pq_mod.read_metadata(
+        os.path.join(sf_dir, "embeddings.parquet")
+    ).num_rows
+    if emb_rows <= driver_vecs_max and not force_distributed:
+        tbl = pq_mod.read_table(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+        )
+        return _merge_topk(partial(tbl).to_pandas(), k)
+
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     return _merge_topk(parts, k)
 
 
-def q_ann_ivf(sf_dir: str, n_queries: int = 5, k: int = 3, nprobe: int = 8):
+def q_ann_ivf(
+    sf_dir: str,
+    n_queries: int = 5,
+    k: int = 3,
+    nprobe: int = 8,
+    driver_vecs_max: int = 500_000,
+    force_distributed: bool = False,
+):
     """IVF-bucketed ANN (the scale path): centroids fit on a driver
     sample, bucket assignment is one map_batches pass, each query scans
     only its nprobe probed buckets. Approximate; rows-only check, with
-    recall vs q_ann_knn asserted in tests."""
+    recall vs q_ann_knn asserted in tests. Same size-adaptive driver
+    fork as q_ann_knn (per-query probed-bucket top-ks are exact within
+    the probed set, so the union is batching-independent)."""
+    import pyarrow.parquet as pq_mod
+
     qids, qmat = _query_matrix(sf_dir, n_queries)
     ds = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     sample = as_matrix(
@@ -810,6 +844,16 @@ def q_ann_ivf(sf_dir: str, n_queries: int = 5, k: int = 3, nprobe: int = 8):
                 "cos_sim_raw": pa.array(out_s, pa.float64()),
             }
         )
+
+    emb_rows = pq_mod.read_metadata(
+        os.path.join(sf_dir, "embeddings.parquet")
+    ).num_rows
+    if emb_rows <= driver_vecs_max and not force_distributed:
+        tbl = pq_mod.read_table(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+        )
+        return _merge_topk(partial(tbl).to_pandas(), k)
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     return _merge_topk(parts, k)

@@ -269,3 +269,22 @@ def test_minhash_batch_signatures_bit_identical():
     batch = mh.signatures(sets, chunk_shingles=257)  # force many chunks
     ref = np.stack([mh.signature(s) for s in sets])
     assert (batch == ref).all()
+
+
+def test_ann_driver_fork_equivalence(ray_session):
+    """q_ann_knn / q_ann_ivf driver forks (one partial call on a
+    driver-read table) must equal the distributed partial+merge plans
+    exactly — exact scoring makes the top-k union batching-free."""
+    import pandas as pd
+
+    from heroshi_ray.pipelines.dataops import q_ann_ivf, q_ann_knn
+
+    for fn in (q_ann_knn, q_ann_ivf):
+        a = fn("/root/testdata/sf0.001")
+        b = fn("/root/testdata/sf0.001", force_distributed=True)
+        a = a.to_pandas() if hasattr(a, "to_pandas") else a
+        b = b.to_pandas() if hasattr(b, "to_pandas") else b
+        pd.testing.assert_frame_equal(
+            a.reset_index(drop=True), b.reset_index(drop=True),
+            check_dtype=False, check_exact=True,
+        )
