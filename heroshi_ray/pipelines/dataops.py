@@ -4953,81 +4953,82 @@ def q_containment_neardup(
             n_cand = cand.count()
             if n_cand == 0:
                 return empty
-            assert n_cand <= cand_broadcast_limit, (
-                "candidate set outgrew the broadcast bound — rerun with "
-                "force_distributed=True (the pairwise partial-count plan)"
-            )
-            cd = cand.to_pandas().drop_duplicates(["doc_a", "doc_b"])
-            ids_arr = pa.array(
-                sorted(set(cd["doc_a"]) | set(cd["doc_b"])), pa.int64()
-            )
-            ids_ref = ray.put(ids_arr)
+            if n_cand <= cand_broadcast_limit:
+                cd = cand.to_pandas().drop_duplicates(["doc_a", "doc_b"])
+                ids_arr = pa.array(
+                    sorted(set(cd["doc_a"]) | set(cd["doc_b"])), pa.int64()
+                )
+                ids_ref = ray.put(ids_arr)
 
-            def doc_arrays(batch: pa.Table) -> pa.Table:
-                b = batch.filter(
-                    pc.is_in(batch.column("doc_id"), value_set=ray.get(ids_ref))
-                )
-                texts = b.column("text").to_pylist()
-                d, hh = _batch_distinct_grams(texts, n, pw)
-                h_all = hh.view(np.int64)
-                bounds = (
-                    np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
-                    if len(d)
-                    else np.empty(0, np.int64)
-                )
-                ends = np.r_[bounds[1:], len(d)] if len(d) else np.empty(0, np.int64)
-                arrs = [np.empty(0, np.int64)] * len(texts)
-                for s0, e0 in zip(bounds, ends):
-                    arrs[d[s0]] = np.sort(h_all[s0:e0])
-                return pa.table(
+                def doc_arrays(batch: pa.Table) -> pa.Table:
+                    b = batch.filter(
+                        pc.is_in(batch.column("doc_id"), value_set=ray.get(ids_ref))
+                    )
+                    texts = b.column("text").to_pylist()
+                    d, hh = _batch_distinct_grams(texts, n, pw)
+                    h_all = hh.view(np.int64)
+                    bounds = (
+                        np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+                        if len(d)
+                        else np.empty(0, np.int64)
+                    )
+                    ends = np.r_[bounds[1:], len(d)] if len(d) else np.empty(0, np.int64)
+                    arrs = [np.empty(0, np.int64)] * len(texts)
+                    for s0, e0 in zip(bounds, ends):
+                        arrs[d[s0]] = np.sort(h_all[s0:e0])
+                    return pa.table(
+                        {
+                            "doc_id": b.column("doc_id"),
+                            "grams": pa.array(
+                                [a.tolist() for a in arrs], pa.list_(pa.int64())
+                            ),
+                        }
+                    )
+
+                gdf = ds.map_batches(doc_arrays, batch_format="pyarrow").to_pandas()
+                gmap_ref = ray.put(
                     {
-                        "doc_id": b.column("doc_id"),
-                        "grams": pa.array(
-                            [a.tolist() for a in arrs], pa.list_(pa.int64())
-                        ),
+                        int(i): np.asarray(g, dtype=np.int64)
+                        for i, g in zip(gdf["doc_id"], gdf["grams"])
                     }
                 )
 
-            gdf = ds.map_batches(doc_arrays, batch_format="pyarrow").to_pandas()
-            gmap_ref = ray.put(
-                {
-                    int(i): np.asarray(g, dtype=np.int64)
-                    for i, g in zip(gdf["doc_id"], gdf["grams"])
-                }
-            )
+                def verify_pairs(batch: pa.Table) -> pa.Table:
+                    gm = ray.get(gmap_ref)
+                    da = batch.column("doc_a").to_pylist()
+                    db = batch.column("doc_b").to_pylist()
+                    out_a, out_b, out_c = [], [], []
+                    for x, y in zip(da, db):
+                        A = gm.get(int(x))
+                        Bb = gm.get(int(y))
+                        if A is None or Bb is None or not len(A) or not len(Bb):
+                            continue
+                        if len(A) > len(Bb):
+                            A, Bb = Bb, A
+                        pos = np.searchsorted(Bb, A)
+                        msk = pos < len(Bb)
+                        ni = int((Bb[pos[msk]] == A[msk]).sum())
+                        mn = len(A)
+                        if ni * 10000 >= threshold_e4 * mn:
+                            out_a.append(int(x))
+                            out_b.append(int(y))
+                            out_c.append(ni * 10000 // mn)
+                    return pa.table(
+                        {
+                            "doc_a": pa.array(out_a, pa.int64()),
+                            "doc_b": pa.array(out_b, pa.int64()),
+                            "cont_e4": pa.array(out_c, pa.int64()),
+                        }
+                    )
 
-            def verify_pairs(batch: pa.Table) -> pa.Table:
-                gm = ray.get(gmap_ref)
-                da = batch.column("doc_a").to_pylist()
-                db = batch.column("doc_b").to_pylist()
-                out_a, out_b, out_c = [], [], []
-                for x, y in zip(da, db):
-                    A = gm.get(int(x))
-                    Bb = gm.get(int(y))
-                    if A is None or Bb is None or not len(A) or not len(Bb):
-                        continue
-                    if len(A) > len(Bb):
-                        A, Bb = Bb, A
-                    pos = np.searchsorted(Bb, A)
-                    msk = pos < len(Bb)
-                    ni = int((Bb[pos[msk]] == A[msk]).sum())
-                    mn = len(A)
-                    if ni * 10000 >= threshold_e4 * mn:
-                        out_a.append(int(x))
-                        out_b.append(int(y))
-                        out_c.append(ni * 10000 // mn)
-                return pa.table(
-                    {
-                        "doc_a": pa.array(out_a, pa.int64()),
-                        "doc_b": pa.array(out_b, pa.int64()),
-                        "cont_e4": pa.array(out_c, pa.int64()),
-                    }
-                )
-
-            cand_dd = ray.data.from_arrow(
-                pa.Table.from_pandas(cd, preserve_index=False)
-            ).repartition(max(1, min(default_buckets(), len(cd) // 2048)))
-            return cand_dd.map_batches(verify_pairs, batch_format="pyarrow")
+                cand_dd = ray.data.from_arrow(
+                    pa.Table.from_pandas(cd, preserve_index=False)
+                ).repartition(max(1, min(default_buckets(), len(cd) // 2048)))
+                return cand_dd.map_batches(verify_pairs, batch_format="pyarrow")
+            # candidate set outgrew the driver broadcast bound: fall
+            # through to the distributed pairwise partial-count plan below
+            # (bit-identical output; previously an assert, which python -O
+            # strips — an unbounded to_pandas would then hit the driver).
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)

@@ -47,24 +47,25 @@ _CRLF = "\r\n"
 
 
 def _iso_date(ts_us: int) -> str:
-    # fixed epoch arithmetic (no tz deps): WARC-Date is UTC ISO-8601
+    # fixed epoch arithmetic (no tz deps): WARC-Date is UTC ISO-8601.
+    # WARC 1.1 allows sub-second precision; emit microseconds so an
+    # export -> import roundtrip preserves fetched_at exactly (whole-
+    # second timestamps previously truncated sub-second values).
     import datetime as _dt
 
     return (
         _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=int(ts_us))
-    ).strftime("%Y-%m-%dT%H:%M:%SZ")
+    ).strftime("%Y-%m-%dT%H:%M:%S.%fZ")
 
 
 def _parse_iso_us(s: str) -> int:
+    # accept both the WARC 1.1 fractional form (ours) and the whole-
+    # second WARC 1.0 form (foreign archives, pre-1.1 writers)
     import datetime as _dt
 
-    return int(
-        (
-            _dt.datetime.strptime(s, "%Y-%m-%dT%H:%M:%SZ")
-            - _dt.datetime(1970, 1, 1)
-        ).total_seconds()
-        * 1_000_000
-    )
+    fmt = "%Y-%m-%dT%H:%M:%S.%fZ" if "." in s else "%Y-%m-%dT%H:%M:%SZ"
+    delta = _dt.datetime.strptime(s, fmt) - _dt.datetime(1970, 1, 1)
+    return delta.days * 86_400_000_000 + delta.seconds * 1_000_000 + delta.microseconds
 
 
 def _record_id(url: str, date: str) -> str:
@@ -88,6 +89,14 @@ def record_bytes(
     http_lines = [f"HTTP/1.1 {int(status)} {reason}"]
     seen_ct = False
     for k, v in headers or []:
+        # the writer owns framing: a fetch row recorded from the wire may
+        # carry its own Content-Length / Transfer-Encoding, but the stored
+        # body is already de-chunked and this function appends the
+        # authoritative Content-Length below — copying the originals would
+        # emit duplicate/conflicting framing headers that the reader then
+        # drops anyway (lossy roundtrip)
+        if k.lower() in ("content-length", "transfer-encoding"):
+            continue
         http_lines.append(f"{k}: {v}")
         if k.lower() == "content-type":
             seen_ct = True
@@ -117,7 +126,17 @@ def write_warc(
     prefix: str = "crawl",
 ) -> "ray.data.Dataset":
     """FETCH-shaped Dataset -> {out_dir}/{prefix}-{key}.warc.gz files +
-    manifest Dataset (path, n_records, n_bytes, url_min, url_max)."""
+    manifest Dataset (path, n_records, n_bytes, url_min, url_max).
+
+    EAGER sink (the manifest materializes before returning) so the
+    out_dir can be reconciled against it: file names are
+    content-addressed by min-url hash, so a re-export with a different
+    ``records_per_file`` or a shrunken input would otherwise leave
+    stale ``{prefix}-*.warc.gz`` files behind that read_warc silently
+    includes as phantom records. Files under this prefix that the new
+    manifest does not claim are deleted (same cleared-prefix contract
+    as the parquet epoch sink); foreign prefixes in the dir are left
+    alone."""
     os.makedirs(out_dir, exist_ok=True)
 
     def write_file(batch: pa.Table) -> pa.Table:
@@ -143,9 +162,16 @@ def write_warc(
         payload = b"".join(parts)
         key = hashlib.md5(min(urls).encode()).hexdigest()[:12] if urls else "empty"
         path = os.path.join(out_dir, f"{prefix}-{key}.warc.gz")
-        if not (
-            os.path.exists(path) and os.path.getsize(path) == len(payload)
-        ):
+        # skip-if-complete must honor the byte-deterministic contract:
+        # size alone keeps a stale same-size file with wrong bytes, so
+        # compare content (the payload is in memory; reading the existing
+        # file back is file-size-bounded, same as writing it)
+        complete = (
+            os.path.exists(path)
+            and os.path.getsize(path) == len(payload)
+            and open(path, "rb").read() == payload
+        )
+        if not complete:
             tmp = path + ".tmp"
             with open(tmp, "wb") as f:
                 f.write(payload)
@@ -160,9 +186,20 @@ def write_warc(
             }
         )
 
-    return ds.map_batches(
+    man = ds.map_batches(
         write_file, batch_format="pyarrow", batch_size=records_per_file
-    )
+    ).materialize()
+    claimed = {
+        os.path.basename(p) for p in man.to_pandas()["path"] if p
+    }
+    for f in os.listdir(out_dir):
+        if (
+            f.startswith(f"{prefix}-")
+            and (f.endswith(".warc.gz") or f.endswith(".warc.gz.tmp"))
+            and f not in claimed
+        ):
+            os.unlink(os.path.join(out_dir, f))
+    return man
 
 
 def _gzip_members(data: bytes):
@@ -177,9 +214,16 @@ def _gzip_members(data: bytes):
 def _raw_records(raw: bytes):
     """Sequential record walk over a decompressed WARC stream: yields
     (warc-header dict, block bytes) per record, advancing by
-    Content-Length (the spec's framing)."""
+    Content-Length (the spec's framing). Tolerant of foreign writers:
+    header names are case-folded and order-free, the version line may
+    be WARC/1.0 or WARC/1.1, and any run of extra CRLFs between
+    records (some tools pad) is skipped."""
     i, n = 0, len(raw)
     while i < n:
+        while raw.startswith(b"\r\n", i):  # inter-record padding
+            i += 2
+        if i >= n:
+            return
         j = raw.find(b"\r\n\r\n", i)
         if j < 0:
             return
@@ -204,11 +248,39 @@ def parse_warc_file(data: bytes) -> pa.Table:
     else:
         streams = [data]
     urls, sts, hds, cts, bods, tss = [], [], [], [], [], []
+    # segmented records (WARC 1.1 §continuation): a response whose
+    # payload spans records carries WARC-Segment-Number: 1; follow-up
+    # records of type "continuation" reference it via
+    # WARC-Segment-Origin-ID and the LAST one carries
+    # WARC-Segment-Total-Length. Reassembly here is within-file (the
+    # common archive layout, and the only one a one-file-per-task
+    # reader can honor — a segment chain split ACROSS files is dropped
+    # with its partial prefix rather than emitted truncated).
+    pending: dict = {}  # origin-id -> (first-record headers, [blocks])
     for raw in streams:
         if not raw:
             continue
         for wh, block in _raw_records(raw):
-            if wh.get("warc-type") != "response":
+            wtype = wh.get("warc-type")
+            if wtype == "continuation":
+                origin = wh.get("warc-segment-origin-id", "")
+                ent = pending.get(origin)
+                if ent is None:
+                    continue  # orphan segment (chain started elsewhere)
+                ent[1].append(block)
+                if "warc-segment-total-length" in wh:
+                    head, blocks = pending.pop(origin)
+                    whole = b"".join(blocks)
+                    total = int(wh["warc-segment-total-length"])
+                    if len(whole) == total:
+                        _parse_response(
+                            head, whole, urls, sts, hds, cts, bods, tss
+                        )
+                continue
+            if wtype != "response":
+                continue
+            if wh.get("warc-segment-number", "").strip() == "1":
+                pending[wh.get("warc-record-id", "")] = (wh, [block])
                 continue
             _parse_response(wh, block, urls, sts, hds, cts, bods, tss)
     return pa.table(

@@ -688,3 +688,8 @@ def test_containment_prefix_fork_equivalence(ray_session):
     a = norm(q_containment_neardup(SF_DIR))
     b = norm(q_containment_neardup(SF_DIR, force_distributed=True))
     pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+    # candidate-overflow guard: when the prefix-filter candidate set
+    # outgrows the broadcast bound the fast path must FALL THROUGH to
+    # the pairwise plan (not assert/crash) with identical output
+    c = norm(q_containment_neardup(SF_DIR, cand_broadcast_limit=1))
+    pd.testing.assert_frame_equal(a, c, check_dtype=False, check_exact=True)
