@@ -64,6 +64,51 @@ def _pq(sf_dir: str, name: str, columns=None, split: bool = False):
     )
 
 
+def _centroid_sample(
+    sf_dir: str, n_centroids: int, per_centroid: int = 64, floor: int = 2048
+) -> np.ndarray:
+    """Deterministic, corpus-spread codebook training sample (the
+    10^9-vector sizing rule): target = max(floor, per_centroid *
+    n_centroids) rows — ~64 points per centroid keeps Lloyd's variance
+    flat as n_centroids grows, and the floor keeps PQ subquantizers
+    (ksub=16 per subspace) saturated. Rows are drawn by vec_id hash
+    threshold, NOT ``limit(n)``: at 10^9 vectors limit() trains the
+    codebook on the first blocks of one shard's distribution (the
+    recall cliff when ingest order correlates with content — e.g. a
+    corpus appended source-by-source); the hash draw touches every
+    block of ONE column-pruned pass and is batching/order independent.
+    Expected draw is ~2x target (exact parquet row counts size the
+    threshold), then cut deterministically to exactly target by
+    (hash, vec_id)."""
+    import pyarrow.parquet as pq_mod
+
+    from ..functions.ann import as_matrix
+    from ..functions.hashing import hash64
+
+    target = max(floor, per_centroid * n_centroids)
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    n_rows = pq_mod.read_metadata(path).num_rows
+    ds = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"], split=True)
+    if n_rows <= target:
+        df = ds.to_pandas()
+        order = np.lexsort((df["vec_id"].to_numpy(),))
+        return as_matrix(df["embedding"].to_numpy()[order].tolist())
+    # uint64 threshold for ~2x-target expected keep rate
+    thresh = np.uint64(min((2 * target / n_rows), 1.0) * float(2**64 - 1))
+
+    def pick(batch: pa.Table) -> pa.Table:
+        h = hash64(batch.column("vec_id"))
+        return batch.filter(pa.array(h <= thresh)).append_column(
+            "__h", pa.array(h[h <= thresh].view(np.int64), pa.int64())
+        )
+
+    df = ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    order = np.lexsort(
+        (df["vec_id"].to_numpy(), df["__h"].to_numpy().view(np.uint64))
+    )[:target]
+    return as_matrix(df["embedding"].to_numpy()[order].tolist())
+
+
 # ------------------------------------------------------------ exact dedup
 def q_dedup_exact(sf_dir: str):
     """Exact dedup on text content: min doc_id per text. Shuffle keyed on
@@ -362,19 +407,26 @@ def q_minhash_neardup(
         return batch.append_column("__bkt", pa.array(b, pa.int32()))
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["band", "band_key", "doc_id"], kind="mergesort")
+        # vectorized in-bucket pair walk — the same _group_pairs kernel
+        # the driver fork and q_ngram_jaccard use (a skewed LSH bucket
+        # previously fell into a Python double loop here): dedup
+        # (band-key, doc) rows, then one degree-class-vectorized triu
+        # gather per group size. Cross-group duplicate pairs collapse in
+        # the downstream _dedup_pairs shuffle, exactly as before.
         key = g["band"].to_numpy().astype(np.int64) * (1 << 33) + g[
             "band_key"
         ].to_numpy().astype(np.int64)
-        docs = g["doc_id"].to_numpy()
-        uniq, start, counts = np.unique(key, return_index=True, return_counts=True)
-        rows = []
-        for s, c in zip(start[counts > 1], counts[counts > 1]):
-            ids = np.unique(docs[s : s + c])
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    rows.append((ids[i], ids[j]))
-        return pd.DataFrame(rows, columns=["doc_a", "doc_b"], dtype=np.int64)
+        docs = g["doc_id"].to_numpy().astype(np.int64)
+        kd = np.unique(np.stack([key, docs], axis=1), axis=0)  # sorted (key, doc)
+        (pair_ab,) = _group_pairs(kd[:, 0], [kd[:, 1]])
+        a, b = pair_ab
+        if not len(a):
+            return pd.DataFrame({"doc_a": [], "doc_b": []}).astype(np.int64)
+        # rows within a group arrive doc-ascending, so triu already
+        # emits a < b; keep the explicit ordering for safety
+        return pd.DataFrame(
+            {"doc_a": np.minimum(a, b), "doc_b": np.maximum(a, b)}
+        ).astype(np.int64)
 
     cand = (
         bands.map_batches(add_bucket, batch_format="pyarrow")
@@ -804,9 +856,7 @@ def q_ann_ivf(
 
     qids, qmat = _query_matrix(sf_dir, n_queries)
     ds = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    sample = as_matrix(
-        ds.limit(2048).to_pandas()["embedding"].tolist()
-    )
+    sample = _centroid_sample(sf_dir, 16)
     index = IVFIndex(n_centroids=16).fit(sample)
     idx_ref = ray.put(index)
     # per-query probed cells as sorted int arrays: the scan-side filter
@@ -884,14 +934,15 @@ def q_embed_neardup(
     all-to-alls (the cell shuffle, then the pair-dedup shuffle) —
     correct at corpus scale, pure tax under ``driver_vecs_max`` rows
     (exact parquet metadata), where the identical assign/cell_pairs
-    kernels run in one driver pass (same first-2048 centroid sample,
+    kernels run in one driver pass (same deterministic hash-drawn
+    centroid sample — _centroid_sample, batching-independent,
     same e4 rounding, so the forks are bit-identical —
     equivalence-tested). Returns (vec_a, vec_b, cos_sim_e4),
     vec_a < vec_b."""
     import pyarrow.parquet as pq_mod
 
     ds = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"], split=True)
-    sample = as_matrix(ds.limit(2048).to_pandas()["embedding"].tolist())
+    sample = _centroid_sample(sf_dir, n_centroids)
     index = IVFIndex(n_centroids=n_centroids).fit(sample)
     idx_ref = ray.put(index)
 
@@ -3454,7 +3505,7 @@ def q_ann_ivfpq(
     tests/test_text_ann.py."""
     qids, qmat = _query_matrix(sf_dir, n_queries)
     ds = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"], split=True)
-    sample = as_matrix(ds.limit(2048).to_pandas()["embedding"].tolist())
+    sample = _centroid_sample(sf_dir, 16)
     index = IVFIndex(n_centroids=16).fit(sample)
     pq_book = PQCodebook(m=8, ksub=16).fit(sample)
     idx_ref = ray.put((index, pq_book))
@@ -3692,7 +3743,7 @@ def build_ann_index(sf_dir: str, out_dir: str, n_centroids: int = 16) -> None:
     import pyarrow.parquet as pq_mod
 
     ds = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"], split=True)
-    sample = as_matrix(ds.limit(2048).to_pandas()["embedding"].tolist())
+    sample = _centroid_sample(sf_dir, n_centroids)
     index = IVFIndex(n_centroids=n_centroids).fit(sample)
     idx_ref = ray.put(index)
 

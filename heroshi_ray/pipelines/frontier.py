@@ -28,7 +28,8 @@ from ..state.seen import SeenSet
 
 
 def synth_frontier_from_sf(
-    sf_dir: str, expand: int = 1, num_blocks: int | None = None
+    sf_dir: str, expand: int = 1, num_blocks: int | None = None,
+    with_depth: bool = False,
 ) -> "ray.data.Dataset":
     """lineitem rows -> URL candidates. Hosts come from l_suppkey (skewed:
     supplier activity is not uniform), paths from order/line keys;
@@ -39,7 +40,15 @@ def synth_frontier_from_sf(
     bench needs enough rows that every worker has real work — at sf0.1
     lineitem is only 600k rows / ~30 MB). ``num_blocks`` pins the block
     count so shuffle fan-out stays proportional to workers, not to the
-    row count (the too-many-tiny-blocks pitfall)."""
+    row count (the too-many-tiny-blocks pitfall). ``with_depth`` adds a
+    ``depth`` column = (l_orderkey + l_linenumber) % 5 — a pure function
+    of the canonical path, so every noise variant of a URL carries the
+    same depth (the flagship's DuckDB oracle twin recomputes it in SQL).
+
+    String building is all-polars (pl.format): this synthesis sits
+    inside every headline/scaling measurement, and the per-row f-string
+    loop it replaces taxed each 100k-row block ~6x (same profile as
+    q_trap_detect's to_keys)."""
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_orderkey", "l_suppkey", "l_linenumber", "l_partkey"],
@@ -47,28 +56,53 @@ def synth_frontier_from_sf(
     )
 
     def to_urls(batch: pa.Table) -> pa.Table:
-        ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
-        sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
-        ln = batch.column("l_linenumber").to_numpy(zero_copy_only=False)
-        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        import polars as pl
+
+        d = pl.from_arrow(batch)
+        if expand > 1:
+            # v varies fastest, matching the per-row inner loop order
+            d = d.with_columns(
+                pl.lit(list(range(expand)), dtype=pl.List(pl.Int64)).alias("__v")
+            ).explode("__v")
         # skew: fold suppliers into a few hot hosts + a long tail
-        hostid = np.where(sk % 7 == 0, 0, sk % 97)
-        urls = []
-        for i in range(len(ok)):
-            # noise variants exercise the canonicalizer (collapse to one URL)
-            style = pk[i] % 4
-            h = f"host{hostid[i]}.example"
-            for v in range(expand):
-                path = f"/o/{ok[i]}/l/{ln[i]}/v/{v}" if expand > 1 else f"/o/{ok[i]}/l/{ln[i]}"
-                if style == 0:
-                    urls.append(f"http://{h}{path}")
-                elif style == 1:
-                    urls.append(f"HTTP://{h.upper()}:80{path}")
-                elif style == 2:
-                    urls.append(f"http://{h}/x/..{path}#frag")
-                else:
-                    urls.append(f"http://{h}/.{path}")
-        return pa.table({"url": pa.array(urls, pa.string())})
+        hostid = (
+            pl.when(pl.col("l_suppkey") % 7 == 0)
+            .then(pl.lit(0, dtype=pl.Int64))
+            .otherwise(pl.col("l_suppkey").cast(pl.Int64) % 97)
+        )
+        h = pl.format("host{}.example", hostid)
+        path = (
+            pl.format(
+                "/o/{}/l/{}/v/{}",
+                pl.col("l_orderkey"), pl.col("l_linenumber"), pl.col("__v"),
+            )
+            if expand > 1
+            else pl.format("/o/{}/l/{}", pl.col("l_orderkey"), pl.col("l_linenumber"))
+        )
+        # noise variants exercise the canonicalizer (collapse to one URL)
+        style = pl.col("l_partkey") % 4
+        url = (
+            pl.when(style == 0)
+            .then(pl.format("http://{}{}", h, path))
+            .when(style == 1)
+            .then(pl.format("HTTP://{}:80{}", h.str.to_uppercase(), path))
+            .when(style == 2)
+            .then(pl.format("http://{}/x/..{}#frag", h, path))
+            .otherwise(pl.format("http://{}/.{}", h, path))
+        )
+        cols = [url.alias("url")]
+        if with_depth:
+            cols.append(
+                ((pl.col("l_orderkey") + pl.col("l_linenumber")) % 5)
+                .cast(pl.Int32)
+                .alias("depth")
+            )
+        out = d.select(cols).to_arrow()
+        # downstream stages expect utf8 (not polars' large_utf8)
+        return pa.table(
+            {c: out.column(c).cast(pa.string()) if out.schema.field(c).type
+             in (pa.large_string(),) else out.column(c) for c in out.column_names}
+        )
 
     return ds.map_batches(to_urls, batch_format="pyarrow", zero_copy_batch=True)
 
