@@ -1757,6 +1757,101 @@ def q_jpeg_decode(sf_dir: str):
     return verify_corpus(ds, ref_tbl)
 
 
+def _ensure_codec_oracle(sf_dir: str) -> str:
+    """SQL-predictable codec corpus keyed off the ``part`` table (the
+    r4 VERDICT's 'promote the codec invariants into the driver window'
+    item): for every p_partkey < 96 the image's width, height and fmt
+    are pure integer functions of the key — w = 32 + 16*(k % 3),
+    h = 32 + 16*((k // 3) % 3), fmt = (png, jpeg, gif, qpng)[k % 4] —
+    while the PIXELS are the standard fixture synthesis seeded by k.
+    The DuckDB twin states the expected (image_id, w, h, fmt, ok) rows
+    from ``part`` alone, so a hash-green driver row certifies that the
+    real T.81 JPEG and LZW GIF decoders (plus the PNG path) produced
+    the right dimensions and >= 40 dB fidelity on every row."""
+    import pyarrow.parquet as pq_mod
+
+    from ..fixtures import _pixels
+    from ..functions.image import encode_image
+
+    cache = "/tmp/heroshi_ray_cache"
+    os.makedirs(cache, exist_ok=True)
+    path = os.path.join(cache, "codec_oracle96.parquet")
+    if not os.path.exists(path):
+        keys = pq_mod.read_table(
+            os.path.join(sf_dir, "part.parquet"), columns=["p_partkey"]
+        ).column("p_partkey").to_numpy()
+        keys = np.sort(keys[keys < 96])
+        fmts4 = ("png", "jpeg", "gif", "qpng")
+        ids, blobs, fmts = [], [], []
+        for k in keys.tolist():
+            w = 32 + 16 * (k % 3)
+            h = 32 + 16 * ((k // 3) % 3)
+            px = _pixels(np.random.default_rng(k), h, w)
+            fmt = fmts4[k % 4]
+            ids.append(f"img{k}")
+            blobs.append(encode_image(px, fmt))
+            fmts.append(fmt)
+        tbl = pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "bytes": pa.array(blobs, pa.binary()),
+                "fmt": pa.array(fmts, pa.string()),
+            }
+        )
+        tmp = path + ".tmp"
+        pq_mod.write_table(tbl, tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def q_codec_decode(sf_dir: str):
+    """Driver-trust codec gate (SQL-oracled, unlike the rows-only
+    q_jpeg_decode/q_gif_decode pair): decode every row of the
+    part-keyed codec corpus with the REAL decoders, regenerate the
+    source pixels from the key, and emit (image_id, w, h, fmt, ok)
+    where w/h are the DECODED dimensions and ok is the BASELINE.json:15
+    per-row invariant (bytes-exact for png, PSNR >= 40 dB for
+    jpeg/gif/qpng). The DuckDB twin predicts every column from
+    ``part`` arithmetic with ok = TRUE, so any wrong dimension, failed
+    decode, or fidelity miss is a driver hash mismatch."""
+    path = _ensure_codec_oracle(sf_dir)
+    ds = ray.data.read_parquet(path)
+
+    def check(batch: pa.Table) -> pa.Table:
+        from ..fixtures import _pixels
+        from ..functions.image import decode_image, psnr
+
+        ids = batch.column("image_id").to_pylist()
+        blobs = batch.column("bytes").to_pylist()
+        fmts = batch.column("fmt").to_pylist()
+        ws, hs, oks = [], [], []
+        for i, f, b in zip(ids, fmts, blobs):
+            k = int(i[3:])
+            arr = decode_image(b, f)  # strict: raises on bad bytes
+            hs.append(int(arr.shape[0]))
+            ws.append(int(arr.shape[1]))
+            src = _pixels(
+                np.random.default_rng(k), 32 + 16 * ((k // 3) % 3), 32 + 16 * (k % 3)
+            )
+            if src.shape != arr.shape:
+                oks.append(False)
+            elif f == "png":
+                oks.append(bool(np.array_equal(src, arr)))
+            else:
+                oks.append(bool(psnr(src, arr) >= 40.0))
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "w": pa.array(ws, pa.int32()),
+                "h": pa.array(hs, pa.int32()),
+                "fmt": pa.array(fmts, pa.string()),
+                "ok": pa.array(oks, pa.bool_()),
+            }
+        )
+
+    return ds.map_batches(check, batch_format="pyarrow", batch_size=16)
+
+
 def _ensure_media(kind: str) -> str:
     """Deterministic synthetic audio/video corpus cached under /tmp."""
     import pyarrow.parquet as pq

@@ -41,9 +41,12 @@ def synth_frontier_from_sf(
     lineitem is only 600k rows / ~30 MB). ``num_blocks`` pins the block
     count so shuffle fan-out stays proportional to workers, not to the
     row count (the too-many-tiny-blocks pitfall). ``with_depth`` adds a
-    ``depth`` column = (l_orderkey + l_linenumber) % 5 — a pure function
+    ``depth`` column = (l_orderkey + l_linenumber) % 37 — a pure function
     of the canonical path, so every noise variant of a URL carries the
-    same depth (the flagship's DuckDB oracle twin recomputes it in SQL).
+    same depth (the flagship's DuckDB oracle twin recomputes it in SQL;
+    37 classes keep per-(host, depth) counts small enough that the
+    per-host budget boundary lands MID-CLASS at the driver's sf, which
+    is what makes the window-function twin a real test).
 
     String building is all-polars (pl.format): this synthesis sits
     inside every headline/scaling measurement, and the per-row f-string
@@ -93,7 +96,7 @@ def synth_frontier_from_sf(
         cols = [url.alias("url")]
         if with_depth:
             cols.append(
-                ((pl.col("l_orderkey") + pl.col("l_linenumber")) % 5)
+                ((pl.col("l_orderkey") + pl.col("l_linenumber")) % 37)
                 .cast(pl.Int32)
                 .alias("depth")
             )
@@ -214,6 +217,7 @@ def fused_schedule_pipeline(
     gate_concurrency: tuple[int, int] | None = None,
     driver_merge_max: int = 4_000_000,
     robots: dict | None = None,
+    depth_col: str | None = None,
 ):
     """Combiner-style schedule path — the full frontier NEVER shuffles:
 
@@ -254,7 +258,7 @@ def fused_schedule_pipeline(
     if seen is None:
         seen = SeenSet(n_seen_shards, seen_capacity)
     try:
-        cand = canonicalize_dataset(urls)
+        cand = canonicalize_dataset(urls, depth_col=depth_col)
 
         def final_topk(g: pa.Table) -> pa.Table:
             """Exact global per-host top-budget over the capped stream."""
@@ -386,6 +390,60 @@ def synth_robots(n_hosts: int = 97) -> dict:
             continue  # allow-all: absent from the dict
         robots[f"host{k}.example"] = parse_robots(body)
     return robots
+
+
+def frontier_schedule_counts(
+    sf_dir: str, per_host_budget: int = 16
+) -> pa.Table:
+    """Driver-trust twin of the FLAGSHIP schedule (VERDICT r4 item 1):
+    runs the real fused pipeline — canonicalize -> robots gate -> cuckoo
+    seen-dedup -> per-host top-budget -> global order — over the synth
+    frontier WITH a depth column, then projects the handout to
+    (host, depth, n) counts.
+
+    Why counts, not rows: with default inputs every candidate has
+    depth 0, so the per-host top-k tie-breaks entirely on surt-hash64
+    (polars xxhash) — not SQL-expressible. With depth = (ok + ln) % 37
+    the priority ladder (1 / (1 + depth)) is real, and the SET of
+    scheduled rows per (host, priority-class) is uniquely determined by
+    the budget even though WHICH rows win inside the boundary class
+    stays hash-chosen: top-budget-by-priority takes whole classes in
+    depth order plus a deterministic partial count at the boundary.
+    A DuckDB ROW_NUMBER() OVER (PARTITION BY host ORDER BY depth) twin
+    reproduces exactly these counts, so a green row certifies the
+    canonicalizer collapse, robots longest-match gate, global exact
+    dedup, and the per-host budget arithmetic of the flagship path in
+    one driver check. epoch_budget is set non-binding (97 hosts x
+    budget rows total — the global cut is driver-green separately via
+    q_global_topk).
+
+    The handout is bounded by design (hosts x budget); the final
+    projection groups it with one polars pass on the driver, exactly
+    like the fused pipeline's own driver merge."""
+    import polars as pl
+
+    out = fused_schedule_pipeline(
+        synth_frontier_from_sf(sf_dir, with_depth=True),
+        per_host_budget=per_host_budget,
+        epoch_budget=1 << 40,
+        robots=synth_robots(),
+        depth_col="depth",
+    )
+    blocks = arrow_blocks(out.materialize())
+    tbl = pa.concat_tables(blocks, promote_options="none")
+    g = (
+        pl.from_arrow(tbl.select(["host", "depth"]))
+        .group_by(["host", "depth"])
+        .len()
+        .sort(["host", "depth"])
+    )
+    return pa.table(
+        {
+            "host": g["host"].to_arrow().cast(pa.string()),
+            "depth": g["depth"].to_arrow().cast(pa.int32()),
+            "n": g["len"].to_arrow().cast(pa.int64()),
+        }
+    )
 
 
 def run_flagship(sf_dir: str, **kwargs):

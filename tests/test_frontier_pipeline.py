@@ -61,6 +61,31 @@ def test_synth_frontier_deterministic(ray_session):
     assert len(a) == 2 * 6001 or len(a) > 10000  # 2x lineitem rows
 
 
+def test_frontier_schedule_counts_budget_semantics(ray_session):
+    """The flagship's driver-trust twin must exercise the budget for
+    real: per-host totals capped at the budget, at least one host
+    truncated mid-priority-class (the window-function boundary), and
+    counts stable across runs (fresh seen set per call)."""
+    from heroshi_ray.pipelines.frontier import frontier_schedule_counts
+
+    sf = "/root/testdata/sf0.001"
+    t = frontier_schedule_counts(sf).to_pandas()
+    per_host = t.groupby("host")["n"].sum()
+    assert (per_host <= 16).all()
+    assert (per_host == 16).any()  # budget binds somewhere
+    # boundary class is partial for at least one host: its last depth
+    # class count is below the class's full size iff the cumulative cut
+    # landed mid-class — detectable as a host where the budget binds
+    # across >1 depth class (pure-class cuts of 16 rows with ~37 depth
+    # classes at sf0.001 class sizes are measure-zero)
+    multi = t[t["host"].isin(per_host[per_host == 16].index)]
+    assert (multi.groupby("host").size() > 1).any()
+    t2 = frontier_schedule_counts(sf).to_pandas()
+    assert t.sort_values(["host", "depth"]).reset_index(drop=True).equals(
+        t2.sort_values(["host", "depth"]).reset_index(drop=True)
+    )
+
+
 def test_minhash_finds_planted_neardups(ray_session, tmp_path):
     from heroshi_ray.pipelines.dataops import q_minhash_neardup
 
