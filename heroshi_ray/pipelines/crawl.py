@@ -161,6 +161,11 @@ class CrawlConfig:
     # extension hooks (SURVEY.md §2.9) — batch-level, cloudpickle-shipped
     url_filter: object = None       # fn(urls, hosts, depth) -> bool mask
     priority_fn: object = None      # fn(depth array) -> float array
+    # A-F fetcher selection: None = SyntheticFetcher over the pages
+    # fixture; pass stages.fetch.HttpFetcher (+ kwargs: resolve_to,
+    # max_per_host, timeout_s, ...) for a live HTTP crawl
+    fetcher_cls: object = None
+    fetcher_kwargs: dict = None
 
 
 @dataclass
@@ -477,6 +482,8 @@ class Crawler:
             batch_size=cfg.fetch_batch_size,
             counters=self.counters,
             mode=mode,
+            fetcher_cls=cfg.fetcher_cls,
+            fetcher_kwargs=cfg.fetcher_kwargs,
         ).materialize()
 
         _pf("fetch")
