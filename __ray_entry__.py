@@ -327,6 +327,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_nation_presence": r.q_nation_presence,
         "q_status_year_revenue": r.q_status_year_revenue,
         "q_first_purchase": r.q_first_purchase,
+        # round-5 final wave (appended AFTER the r5 window; driver-green
+        # via window rotation would land in a hypothetical r6 — until
+        # then they are pytest-oracled by the parametrized sweep)
+        "q_freq_filter": d.q_freq_filter,
+        "q_cross_source_dups": d.q_cross_source_dups,
+        "q_ndcg": d.q_ndcg,
     }
 
     # round-5 driver window (the FINAL rotation): the flagship's new
@@ -3427,5 +3433,73 @@ def oracle_sql() -> dict[str, str]:
               FROM events WHERE event_type = 'purchase')
             SELECT user_id, CAST(cents AS BIGINT) AS first_value_cents
             FROM p WHERE rn = 1
+        """,
+        # vocab min-count / max-df pruning plan; gates are integer-
+        # exact (df * 100 > 60 * N) with N a scalar subquery; planted
+        # 'rare-<id>' rows mirror the engine's drop_rare seeding
+        "q_freq_filter": r"""
+            WITH toks AS (
+                SELECT doc_id, t AS token FROM (
+                    SELECT doc_id,
+                           unnest(string_split_regex(lower(text), '\s+')) AS t
+                    FROM documents
+                ) WHERE t <> ''
+                UNION ALL
+                SELECT doc_id, 'rare-' || CAST(doc_id AS VARCHAR)
+                FROM documents WHERE doc_id % 11 = 0
+            ), agg AS (
+                SELECT token, CAST(count(*) AS BIGINT) AS cnt,
+                       CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                FROM toks GROUP BY token
+            )
+            SELECT token, cnt, df,
+                   CASE WHEN cnt < 5 THEN 'drop_rare'
+                        WHEN df * 100 > 60 * total.n THEN 'drop_common'
+                        ELSE 'keep' END AS action
+            FROM agg, (SELECT count(*) AS n FROM documents) total
+        """,
+        # cross-source duplicate matrix over the same planted dup mass
+        # as q_dup_rate_by_source (CASE replicated; count(*) over the
+        # DISTINCT (source, txt) set = distinct shared texts per pair)
+        "q_cross_source_dups": r"""
+            WITH t AS (
+              SELECT DISTINCT source,
+                     CASE WHEN doc_id % 7 = 0
+                          THEN 'dup-' || CAST((doc_id // 7) % 13 AS VARCHAR)
+                          ELSE text END AS txt
+              FROM documents
+            )
+            SELECT a.source AS source_a, b.source AS source_b,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM t a JOIN t b ON a.txt = b.txt AND a.source < b.source
+            GROUP BY 1, 2
+        """,
+        # nDCG@10 with arithmetic queries/scores/graded labels; both
+        # rankings tie-break on doc_id (equal-rel swaps leave the DCG
+        # sum invariant); e6 half-away rounding via FLOOR(x + 0.5)
+        "q_ndcg": r"""
+            WITH s AS (
+              SELECT doc_id, doc_id % 10 AS qid,
+                     (doc_id * 2654435761) % 1000003 AS score,
+                     (doc_id * 7 + doc_id % 13) % 4 AS rel
+              FROM documents
+            ), ranked AS (
+              SELECT qid, rel, row_number() OVER (
+                       PARTITION BY qid ORDER BY score DESC, doc_id) AS rn
+              FROM s
+            ), ideal AS (
+              SELECT qid, rel, row_number() OVER (
+                       PARTITION BY qid ORDER BY rel DESC, doc_id) AS rn
+              FROM s
+            ), dcg AS (
+              SELECT qid, SUM((POW(2, rel) - 1) / LOG2(rn + 1)) AS v
+              FROM ranked WHERE rn <= 10 GROUP BY qid
+            ), idcg AS (
+              SELECT qid, SUM((POW(2, rel) - 1) / LOG2(rn + 1)) AS v
+              FROM ideal WHERE rn <= 10 GROUP BY qid
+            )
+            SELECT CAST(d.qid AS BIGINT) AS qid,
+                   CAST(FLOOR(d.v / i.v * 1000000 + 0.5) AS BIGINT) AS ndcg_e6
+            FROM dcg d JOIN idcg i ON d.qid = i.qid
         """,
     }

@@ -8959,3 +8959,251 @@ def q_video_neardup(sf_dir: str, n_frames: int = 6, max_hamming: int = 6):
         b_col="frame_b",
         id_arrow_type=pa.string(),
     )
+
+
+# ------------------------------------------------ round-5 final wave ----
+def q_freq_filter(sf_dir: str, min_count: int = 5, max_df_pct: int = 60):
+    """Vocabulary frequency-pruning PLAN (the min-count / max-document-
+    frequency gate every tokenizer- or embedding-vocab build runs
+    before fitting — the sklearn CountVectorizer min_df/max_df
+    contract, Manning/Raghavan/Schuetze IIR ch.2 term statistics):
+    per token, total count, document frequency, and the gate decision
+    — 'drop_rare' (cnt < ``min_count``), 'drop_common' (stopword-like:
+    df > ``max_df_pct``% of docs), else 'keep'. Emitting the full
+    plan rather than the survivors is what a curation run records
+    anyway (the drop lists ARE the artifact), and it hash-checks every
+    vocabulary row. The fixture vocab is fully saturated (every
+    natural token clears min_count), so — the q_dup_rate_by_source
+    planting discipline — every 11th doc contributes a doc-unique
+    'rare-<id>' token so the drop_rare branch fires at every sf; the
+    twin plants the identical rows via UNION ALL.
+
+    Scale shape: ONE corpus pass — each batch lowercases + whitespace-
+    tokenizes in polars (Rust regex, zero Python per row) and emits
+    per-batch (token, cnt, df) partials; because every document lives
+    in exactly one batch, per-batch distinct-doc counts are exact df
+    partials and the single token-keyed groupby moves per-batch
+    vocabulary partials, never one row per occurrence. The df gate
+    compares integers (df * 100 <= max_df_pct * N) with N from parquet
+    metadata (exact, no scan)."""
+    import polars as pl
+    import pyarrow.parquet as pq_mod
+
+    from ray.data.aggregate import Sum
+
+    n_docs = pq_mod.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")
+    ).num_rows
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"], split=True)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = (
+            pl.from_arrow(batch)
+            .select(
+                doc_id=pl.col("doc_id"),
+                token=pl.col("text").str.to_lowercase().str.extract_all(r"\S+"),
+            )
+            .explode("token")
+            .drop_nulls("token")
+        )
+        planted = (
+            pl.from_arrow(batch)
+            .filter(pl.col("doc_id") % 11 == 0)
+            .select(
+                doc_id=pl.col("doc_id"),
+                token=pl.lit("rare-") + pl.col("doc_id").cast(pl.String),
+            )
+        )
+        df = pl.concat([toks, planted])
+        cnt = df.group_by("token").len().rename({"len": "cnt"})
+        dfreq = (
+            df.unique(subset=["doc_id", "token"])
+            .group_by("token")
+            .len()
+            .rename({"len": "df"})
+        )
+        j = cnt.join(dfreq, on="token")
+        return pa.table(
+            {
+                "token": j["token"].to_arrow(),
+                "cnt": j["cnt"].cast(pl.Int64).to_arrow(),
+                "df": j["df"].cast(pl.Int64).to_arrow(),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Sum("cnt", alias_name="cnt"), Sum("df", alias_name="df"))
+    )
+
+    def gate(batch: pa.Table) -> pa.Table:
+        cnt = batch.column("cnt")
+        dfc = batch.column("df")
+        rare = pc.less(cnt, min_count)
+        common = pc.greater(pc.multiply(dfc, 100), max_df_pct * n_docs)
+        action = pc.if_else(
+            rare,
+            pa.scalar("drop_rare"),
+            pc.if_else(common, pa.scalar("drop_common"), pa.scalar("keep")),
+        )
+        return batch.append_column("action", action)
+
+    return agg.map_batches(gate, batch_format="pyarrow")
+
+
+def q_cross_source_dups(sf_dir: str):
+    """Cross-source duplicate matrix (the corpus-forensics report run
+    before mixing feeds: which source PAIRS share identical documents —
+    mirror feeds, syndication, scraper overlap; Dolma/CCNet-style
+    provenance diagnostics): for every source pair (a < b), the number
+    of distinct texts present in BOTH sources.
+
+    The fixture corpus is dup-free, so — exactly like
+    q_dup_rate_by_source — deterministic dup mass is planted (every
+    7th doc collapses to the shared template 'dup-' || (doc_id//7)%13;
+    source is doc_id%20 in the fixture, so the 13 templates land in
+    rotating sources and genuinely cross source boundaries) and the
+    DuckDB twin applies the same CASE, doubling as the hash-collision
+    canary.
+
+    Scale shape: per-batch local unique on (source, hash64(text))
+    8-byte keys, ONE text-hash-keyed shuffle; each map_group holds one
+    text's source set (bounded by the source COUNT, a small constant by
+    definition — never corpus-sized) and emits its (a < b) pairs via
+    np.triu_indices; a final tiny pair-keyed groupby sums. Only
+    (source_a, source_b, n) rows ever reach the driver."""
+    import polars as pl
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import hash64
+
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "source", "text"], split=True)
+
+    def to_keys(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch).select(
+            source=pl.col("source"),
+            key=pl.when(pl.col("doc_id") % 7 == 0)
+            .then(
+                pl.lit("dup-")
+                + ((pl.col("doc_id") // 7) % 13).cast(pl.String)
+            )
+            .otherwise(pl.col("text")),
+        )
+        sub = df.unique()
+        h = hash64(sub["key"].to_list()).astype(np.int64)
+        return pa.table(
+            {
+                "source": sub["source"].to_arrow(),
+                "h": pa.array(h, pa.int64()),
+            }
+        )
+
+    def pairs(g: pa.Table) -> pa.Table:
+        srcs = np.sort(
+            np.asarray(pc.unique(g.column("source")).to_pylist(), dtype=object)
+        )
+        if len(srcs) < 2:
+            return pa.table(
+                {"source_a": pa.array([], pa.string()),
+                 "source_b": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64())}
+            )
+        ia, ib = np.triu_indices(len(srcs), k=1)
+        return pa.table(
+            {"source_a": pa.array(srcs[ia], pa.string()),
+             "source_b": pa.array(srcs[ib], pa.string()),
+             "n": pa.array(np.ones(len(ia), np.int64), pa.int64())}
+        )
+
+    return (
+        ds.map_batches(to_keys, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("h")
+        .map_groups(pairs, batch_format="pyarrow")
+        .groupby(["source_a", "source_b"])
+        .aggregate(Sum("n", alias_name="n_shared"))
+    )
+
+
+def q_ndcg(sf_dir: str, k: int = 10, n_queries: int = 10):
+    """nDCG@k ranking-quality evaluation (Jarvelin & Kekalainen, TOIS
+    2002 — the standard graded-relevance retrieval metric; every
+    search/RAG eval harness reports it): per query, DCG@k of the
+    system ranking over IDCG@k of the ideal ordering, with the
+    exponential gain (2^rel - 1) / log2(pos + 1).
+
+    Queries, scores and graded labels are deterministic arithmetic
+    over doc_id (qid = doc_id % n_queries; score = Knuth
+    multiplicative hash mod 1000003; rel = (doc_id*7 + doc_id%13) % 4)
+    so the DuckDB window-function twin constructs the identical eval
+    set. Both rankings tie-break on doc_id; within equal rel the DCG
+    sum is ordering-invariant (the position->rel map is unchanged
+    under equal-rel swaps), so engine and twin agree exactly; the
+    float ratio rounds e6 half-away-from-zero (the q_rrf_fusion
+    convention).
+
+    Scale shape: per-batch partial top-k per qid for BOTH orderings
+    (system: score desc; ideal: rel desc) — the q_global_topk pattern
+    — so the driver merge sees <= 2*k*n_queries*blocks label rows,
+    never the corpus. Output: (qid, ndcg_e6)."""
+    ds = _pq(sf_dir, "documents", columns=["doc_id"], split=True)
+
+    def part(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        qid = did % n_queries
+        score = (did * 2654435761) % 1000003
+        rel = (did * 7 + did % 13) % 4
+        out = []
+        for kind, order_key in ((0, score), (1, rel)):
+            # per-qid partial top-k: lexsort on (qid, -key, doc_id)
+            idx = np.lexsort((did, -order_key, qid))
+            q_sorted = qid[idx]
+            pos = np.arange(len(idx)) - np.searchsorted(
+                q_sorted, q_sorted, side="left"
+            )
+            keep = idx[pos < k]
+            out.append(
+                pd.DataFrame(
+                    {"qid": qid[keep], "kind": kind, "rel": rel[keep],
+                     "score": score[keep], "doc_id": did[keep]}
+                )
+            )
+        m = pd.concat(out)
+        return pa.table(
+            {
+                "qid": pa.array(m["qid"].to_numpy(), pa.int64()),
+                "kind": pa.array(m["kind"].to_numpy().astype(np.int32), pa.int32()),
+                "rel": pa.array(m["rel"].to_numpy(), pa.int64()),
+                "score": pa.array(m["score"].to_numpy(), pa.int64()),
+                "doc_id": pa.array(m["doc_id"].to_numpy(), pa.int64()),
+            }
+        )
+
+    parts = (
+        ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()  # <= 2*k*n_queries*blocks rows
+    )
+    disc = 1.0 / np.log2(np.arange(1, k + 1) + 1.0)
+    qids, ndcg = [], []
+    for qid, g in parts.groupby("qid", sort=True):
+        sys_g = g[g["kind"] == 0].sort_values(
+            ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        ide_g = g[g["kind"] == 1].sort_values(
+            ["rel", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        gain_s = (2.0 ** sys_g["rel"].to_numpy(dtype=np.float64)) - 1.0
+        gain_i = (2.0 ** ide_g["rel"].to_numpy(dtype=np.float64)) - 1.0
+        dcg = float(np.sum(gain_s * disc[: len(gain_s)]))
+        idcg = float(np.sum(gain_i * disc[: len(gain_i)]))
+        qids.append(int(qid))
+        ndcg.append(
+            int(np.floor(dcg / idcg * 1_000_000 + 0.5)) if idcg > 0 else 0
+        )
+    return pa.table(
+        {
+            "qid": pa.array(qids, pa.int64()),
+            "ndcg_e6": pa.array(ndcg, pa.int64()),
+        }
+    )
