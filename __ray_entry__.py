@@ -333,6 +333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_freq_filter": d.q_freq_filter,
         "q_cross_source_dups": d.q_cross_source_dups,
         "q_ndcg": d.q_ndcg,
+        "q_dedup_keep_best": d.q_dedup_keep_best,
     }
 
     # round-5 driver window (the FINAL rotation): the flagship's new
@@ -3501,5 +3502,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(d.qid AS BIGINT) AS qid,
                    CAST(FLOOR(d.v / i.v * 1000000 + 0.5) AS BIGINT) AS ndcg_e6
             FROM dcg d JOIN idcg i ON d.qid = i.qid
+        """,
+        # quality-aware exact dedup: keep max-n_chars (doc_id tiebreak)
+        # per distinct text, same planted dup mass as q_cross_source_dups
+        "q_dedup_keep_best": r"""
+            WITH d AS (
+              SELECT doc_id, n_chars,
+                     CASE WHEN doc_id % 7 = 0
+                          THEN 'dup-' || CAST((doc_id // 7) % 13 AS VARCHAR)
+                          ELSE text END AS key
+              FROM documents
+            ), r AS (
+              SELECT doc_id, n_chars, row_number() OVER (
+                       PARTITION BY key ORDER BY n_chars DESC, doc_id) AS rn
+              FROM d
+            )
+            SELECT doc_id, n_chars FROM r WHERE rn = 1
         """,
     }

@@ -9207,3 +9207,62 @@ def q_ndcg(sf_dir: str, k: int = 10, n_queries: int = 10):
             "ndcg_e6": pa.array(ndcg, pa.int64()),
         }
     )
+
+
+def q_dedup_keep_best(sf_dir: str):
+    """Quality-aware exact dedup (keep-BEST, not keep-first — the LLM-
+    curation flavor: when a page is scraped N times, keep the longest/
+    highest-quality capture and drop the rest; CCNet and RefinedWeb
+    both resolve exact-dup groups by a quality key, not arrival order).
+    Per distinct text, keep the doc with the largest ``n_chars``
+    (doc_id ascending tie-break). Dup mass is planted exactly like
+    q_cross_source_dups ('dup-' || (doc_id//7)%13 for every 7th doc)
+    and the twin applies the same CASE.
+
+    Scale shape: the max/argmax combiner is associative, so each batch
+    first reduces to its LOCAL best per 8-byte text hash (one polars
+    sort + first-per-key, zero Python per row) and the single
+    hash-keyed groupby moves at most one row per (batch, key) — a
+    template-heavy corpus collapses map-side, the q_groupby_host
+    combiner discipline. Output: (doc_id, n_chars) of the keepers."""
+    import polars as pl
+
+    from ..functions.hashing import hash64
+
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text", "n_chars"], split=True)
+
+    def local_best(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch).select(
+            doc_id=pl.col("doc_id"),
+            n_chars=pl.col("n_chars"),
+            key=pl.when(pl.col("doc_id") % 7 == 0)
+            .then(
+                pl.lit("dup-")
+                + ((pl.col("doc_id") // 7) % 13).cast(pl.String)
+            )
+            .otherwise(pl.col("text")),
+        )
+        h = hash64(df["key"].to_list()).astype(np.int64)
+        df = df.drop("key").with_columns(h=pl.Series(h)).sort(
+            ["h", "n_chars", "doc_id"], descending=[False, True, False]
+        )
+        best = df.unique(subset=["h"], keep="first", maintain_order=True)
+        return pa.table(
+            {
+                "h": best["h"].to_arrow(),
+                "doc_id": best["doc_id"].to_arrow(),
+                "n_chars": best["n_chars"].to_arrow(),
+            }
+        )
+
+    def final_best(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["n_chars", "doc_id"], ascending=[False, True], kind="mergesort"
+        )
+        return g.head(1)[["doc_id", "n_chars"]]
+
+    return (
+        ds.map_batches(local_best, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("h")
+        .map_groups(final_best, batch_format="pandas")
+    )
