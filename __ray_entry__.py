@@ -334,6 +334,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_cross_source_dups": d.q_cross_source_dups,
         "q_ndcg": d.q_ndcg,
         "q_dedup_keep_best": d.q_dedup_keep_best,
+        "q_host_gini": w.q_host_gini,
     }
 
     # round-5 driver window (the FINAL rotation): the flagship's new
@@ -3518,5 +3519,28 @@ def oracle_sql() -> dict[str, str]:
               FROM d
             )
             SELECT doc_id, n_chars FROM r WHERE rn = 1
+        """,
+        # host-concentration Gini over the flagship's hostid fold;
+        # integer-exact rational rounding ((2p+q)//(2q) half-away) —
+        # rank ties contribute i*x sums invariantly, so ORDER BY n alone
+        # is deterministic
+        "q_host_gini": r"""
+            WITH h AS (
+              SELECT CASE WHEN l_suppkey % 7 = 0 THEN 0
+                          ELSE l_suppkey % 97 END AS hostid,
+                     count(*) AS n
+              FROM lineitem GROUP BY 1
+            ), ranked AS (
+              SELECT n, row_number() OVER (ORDER BY n, hostid) AS i FROM h
+            ), s AS (
+              SELECT CAST(count(*) AS BIGINT) AS nh,
+                     CAST(sum(n) AS BIGINT) AS s0,
+                     CAST(sum(i * n) AS BIGINT) AS s1
+              FROM ranked
+            )
+            SELECT nh AS n_hosts, s0 AS n_urls,
+                   CAST((2 * ((2 * s1 - (nh + 1) * s0) * 1000000)
+                         + nh * s0) // (2 * nh * s0) AS BIGINT) AS gini_e6
+            FROM s
         """,
     }

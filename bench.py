@@ -331,6 +331,7 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         "q_cross_source_dups",
         "q_ndcg",
         "q_dedup_keep_best",
+        "q_host_gini",
     ]
     # per-query best-of-2 with the same rationale as the headline reps.
     # The two sub-2 s fixed-overhead-dominated queries get extra reps:

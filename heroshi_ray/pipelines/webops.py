@@ -1061,3 +1061,61 @@ def q_cdx_revisits(sf_dir: str, n_hosts: int = 40):
         .groupby("__b")
         .map_groups(mark, batch_format="pandas")
     )
+
+
+def q_host_gini(sf_dir: str):
+    """Host-concentration inequality — the Gini coefficient of the
+    per-host URL-count distribution (the skew report a crawl planner
+    reads before setting politeness budgets: gini near 0 = load spreads
+    evenly, near 1 = a handful of mega-hosts own the frontier; web
+    crawl frontiers are famously heavy-tailed, Broder et al. 2000).
+    Hosts derive from the flagship's synthetic fold (hostid 0 is the
+    planted hot host when l_suppkey % 7 = 0, else l_suppkey % 97 —
+    pipelines/frontier.py conventions), so the skew being measured is
+    the same skew the politeness stress tests exercise.
+
+    Exactness: with counts sorted ascending and rank i in 1..n,
+    gini = (2*S1 - (n+1)*S0) / (n*S0) where S0 = sum(x), S1 = sum(i*x)
+    — ALL integers, and equal counts make S1 order-invariant, so the
+    e6 value rounds as pure integer arithmetic ((2p + q) // (2q), the
+    half-away rule) with zero float divergence between engine and twin.
+
+    Scale shape: ONE combiner groupby to per-host counts (output is
+    host-bounded, <=97 rows here; real frontiers: hosts << URLs), then
+    driver integer arithmetic on the output-sized table. Output: one
+    row (n_hosts, n_urls, gini_e6)."""
+    from ray.data.aggregate import Sum
+
+    ds = _pq(sf_dir, "lineitem", columns=["l_suppkey"], split=True)
+
+    def fold(batch: pa.Table) -> pa.Table:
+        sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        hostid = np.where(sk % 7 == 0, 0, sk % 97)
+        ids, cnt = np.unique(hostid, return_counts=True)
+        return pa.table(
+            {
+                "hostid": pa.array(ids, pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(fold, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("hostid")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # host-bounded: the operator's OUTPUT scale
+    )
+    x = np.sort(counts["n"].to_numpy(dtype=np.int64))
+    n = int(len(x))
+    s0 = int(x.sum())
+    s1 = int(np.sum(np.arange(1, n + 1, dtype=np.int64) * x))
+    p = (2 * s1 - (n + 1) * s0) * 1_000_000
+    q = n * s0
+    gini_e6 = (2 * p + q) // (2 * q)
+    return pa.table(
+        {
+            "n_hosts": pa.array([n], pa.int64()),
+            "n_urls": pa.array([s0], pa.int64()),
+            "gini_e6": pa.array([gini_e6], pa.int64()),
+        }
+    )
