@@ -335,6 +335,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ndcg": d.q_ndcg,
         "q_dedup_keep_best": d.q_dedup_keep_best,
         "q_host_gini": w.q_host_gini,
+        # round-5 wave 3 (same post-window status as above)
+        "q_soft_dedup": d.q_soft_dedup,
+        "q_theta_intersect": d.q_theta_intersect,
+        "q_weighted_sample": d.q_weighted_sample,
+        # rows-only (rolling-hash chunking / iterative Lloyd are not
+        # SQL-expressible) — pinned by pure-Python/numpy replica tests
+        "q_cdc_chunks": d.q_cdc_chunks,
+        "q_davies_bouldin": d.q_davies_bouldin,
     }
 
     # round-5 driver window (the FINAL rotation): the flagship's new
@@ -3542,5 +3550,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST((2 * ((2 * s1 - (nh + 1) * s0) * 1000000)
                          + nh * s0) // (2 * nh * s0) AS BIGINT) AS gini_e6
             FROM s
+        """,
+        # soft dedup: every member of an exact-dup group of size n
+        # keeps weight 1/n (same planted dup mass as q_dedup_keep_best)
+        "q_soft_dedup": r"""
+            WITH keyed AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0
+                          THEN 'dup-' || CAST((doc_id // 7) % 13 AS VARCHAR)
+                          ELSE text END AS key
+              FROM documents
+            ), counts AS (
+              SELECT key, CAST(count(*) AS BIGINT) AS n FROM keyed GROUP BY key
+            )
+            SELECT k.doc_id, c.n AS n_dups, 1.0 / c.n AS weight
+            FROM keyed k JOIN counts c ON k.key = c.key
+        """,
+        # theta/KMV intersection — EXACT in the unsaturated regime the
+        # fixture sits in, so the twin is the plain distinct self-join
+        "q_theta_intersect": r"""
+            WITH du AS (SELECT DISTINCT event_type, user_id FROM events)
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(count(*) AS BIGINT) AS n_common
+            FROM du a JOIN du b
+              ON a.user_id = b.user_id AND a.event_type < b.event_type
+            GROUP BY 1, 2
+        """,
+        # A-Res weighted sample: the n_sample smallest -ln(u)/w keys
+        # with u the Knuth-hash uniform — deterministic, so the twin
+        # replays the identical race (key gaps at the rank boundary are
+        # ~1/n^2 of scale, 10 orders above any ln() ULP divergence)
+        "q_weighted_sample": r"""
+            SELECT doc_id, n_chars FROM (
+              SELECT doc_id, n_chars,
+                     -ln((((doc_id * 2654435761) % 4294967296) + 1)
+                         / 4294967296.0) / n_chars AS key
+              FROM documents
+              ORDER BY key, doc_id
+              LIMIT 100
+            )
         """,
     }

@@ -9266,3 +9266,415 @@ def q_dedup_keep_best(sf_dir: str):
         .groupby("h")
         .map_groups(final_best, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------- soft dedup (weights) --
+def q_soft_dedup(sf_dir: str):
+    """SOFT deduplication — down-WEIGHT duplicates instead of dropping
+    them (the SoftDeDup recipe, Xue et al. 2024 "To be or not to be
+    (deduplicated)?" family: exact dropping loses the small signal that
+    a text recurring N times carries, so every member of an exact-dup
+    group of size n trains at weight 1/n and the group contributes one
+    effective copy). Per distinct text, every doc keeps
+    ``weight = 1/n_dups``. Dup mass is planted exactly like
+    q_dedup_keep_best / q_cross_source_dups ('dup-' || (doc_id//7)%13
+    for every 7th doc) and the DuckDB twin applies the same CASE.
+
+    Scale shape: docs travel ONE hash-keyed shuffle as (h, doc_id)
+    8+8-byte rows and each group emits its members with 1/len — the
+    same single-exchange layout as q_dedup_first. A pathologically hot
+    template (10^8 copies of one boilerplate text at 100 TB) would
+    make one group large; the fix is the q_chunk_dedup pattern (map-
+    side partial counts + bucketed count join), kept out of the
+    default path because weight assignment needs every doc row to
+    pass through the exchange anyway. Output (doc_id, n_dups, weight)."""
+    import polars as pl
+
+    from ..functions.hashing import hash64
+
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"], split=True)
+
+    def to_keys(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch).select(
+            doc_id=pl.col("doc_id"),
+            key=pl.when(pl.col("doc_id") % 7 == 0)
+            .then(
+                pl.lit("dup-")
+                + ((pl.col("doc_id") // 7) % 13).cast(pl.String)
+            )
+            .otherwise(pl.col("text")),
+        )
+        h = hash64(df["key"].to_list()).astype(np.int64)
+        return pa.table(
+            {
+                "h": pa.array(h, pa.int64()),
+                "doc_id": df["doc_id"].to_arrow(),
+            }
+        )
+
+    def weights(g: pd.DataFrame) -> pd.DataFrame:
+        n = len(g)
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(),
+                "n_dups": np.full(n, n, np.int64),
+                "weight": np.full(n, 1.0 / np.float64(n)),
+            }
+        )
+
+    return (
+        ds.map_batches(to_keys, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("h")
+        .map_groups(weights, batch_format="pandas")
+    )
+
+
+# ------------------------------------------- theta-sketch set intersection --
+def q_theta_intersect(sf_dir: str, k: int = 1 << 16):
+    """Distinct-set INTERSECTION cardinality between every pair of
+    event types via KMV/theta sketches (Bar-Yossef et al. 2002;
+    Dasgupta et al. 2016 "Theta sketch framework") — the cross-segment
+    audience-overlap report ("how many users both viewed AND
+    purchased") that an exact COUNT(DISTINCT) self-join would compute
+    with an all-to-all user shuffle; the sketch answers it with ONE
+    bounded exchange of at most k hashes per (batch, type).
+
+    KMV: per type keep the k SMALLEST distinct uint64 hashes of
+    user_id. Sketches merge associatively (union = k smallest of the
+    concat), and A∩B is estimated by counting shared hashes below the
+    joint threshold theta = min(theta_A, theta_B). An UNSATURATED
+    sketch (fewer than k values survived) has seen every distinct hash
+    of its set, so the estimate degenerates to the EXACT intersection
+    — the fixture (and any segment with < 64Ki distinct users) sits in
+    that regime, which is what the DuckDB COUNT-DISTINCT twin checks;
+    at 10^9 users per segment the same code answers with relative
+    error ~1/sqrt(k) ≈ 0.4% and the exchange stays k * n_types rows.
+
+    Output: (type_a, type_b, n_common) for a < b with n_common > 0."""
+    import polars as pl
+
+    from ..functions.hashing import hash64
+
+    ds = _pq(sf_dir, "events", columns=["event_type", "user_id"], split=True)
+
+    def local_sketch(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch).unique()
+        h = hash64(df["user_id"])  # uint64, keyed polars hash
+        out_t, out_h = [], []
+        types = df["event_type"].to_numpy()
+        order = np.lexsort((h, types))
+        types, h = types[order], h[order]
+        # per-type k smallest distinct hashes, vectorized per run
+        starts = np.flatnonzero(
+            np.concatenate(([True], types[1:] != types[:-1]))
+        )
+        ends = np.concatenate((starts[1:], [len(types)]))
+        for s, e in zip(starts, ends):  # n_event_types runs, not rows
+            hh = np.unique(h[s:e])[:k]
+            out_t.append(np.repeat(types[s], len(hh)))
+            out_h.append(hh)
+        if not out_t:
+            return pa.table(
+                {"event_type": pa.array([], pa.string()),
+                 "h": pa.array([], pa.uint64())}
+            )
+        return pa.table(
+            {
+                "event_type": pa.array(np.concatenate(out_t)),
+                "h": pa.array(np.concatenate(out_h), pa.uint64()),
+            }
+        )
+
+    def merge_sketch(g: pd.DataFrame) -> pd.DataFrame:
+        hh = np.unique(g["h"].to_numpy().astype(np.uint64))[:k]
+        return pd.DataFrame(
+            {"event_type": [g["event_type"].iloc[0]], "sketch": [hh.tolist()]}
+        )
+
+    sk = (
+        ds.map_batches(local_sketch, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .map_groups(merge_sketch, batch_format="pandas")
+    ).to_pandas()  # n_types rows, <= k hashes each — driver-small by design
+
+    types = sorted(sk["event_type"].tolist())
+    by_t = {r["event_type"]: np.asarray(r["sketch"], np.uint64)
+            for _, r in sk.iterrows()}
+    rows = []
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            sa, sb = by_t[a], by_t[b]
+            if len(sa) < k and len(sb) < k:  # both exact — no threshold cut
+                n = int(len(np.intersect1d(sa, sb, assume_unique=True)))
+            else:
+                theta = min(sa[-1], sb[-1])  # kth-smallest joint threshold
+                common = np.intersect1d(sa, sb, assume_unique=True)
+                below = common[common <= theta]
+                # est = |common below theta| / (theta / 2^64)
+                n = int(round(len(below) * (2.0 ** 64) / float(theta)))
+            if n > 0:
+                rows.append((a, b, n))
+    return pd.DataFrame(
+        rows, columns=["type_a", "type_b", "n_common"]
+    ).astype({"n_common": np.int64})
+
+
+# -------------------------------------- weighted reservoir sample (A-Res) --
+def q_weighted_sample(sf_dir: str, n_sample: int = 100):
+    """Weighted sampling WITHOUT replacement via the exponential race
+    (Efraimidis & Spirakis 2006, A-Res): each doc draws
+    ``key = -ln(u)/w`` with weight w = n_chars and a DETERMINISTIC
+    uniform u from the Knuth multiplicative hash of doc_id (the same
+    SQL-expressible gate q_data_mix / q_train_split use, so the DuckDB
+    twin reproduces the EXACT selection); the sample is the n_sample
+    smallest keys. Length-weighted sampling is the standard corpus-
+    probe shape (inspect/eval tokens, not documents, so long docs must
+    be proportionally likelier).
+
+    Scale shape: the race is embarrassingly parallel — each block
+    reduces to its LOCAL n_sample smallest keys (the union of block
+    top-k provably contains the global top-k), so the final sort runs
+    over <= n_sample * n_blocks rows, never the corpus. Same partial
+    top-k + tiny-global-merge layout as q_ann_knn. Output (doc_id,
+    n_chars) of the selected rows."""
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "n_chars"], split=True)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        w = batch.column("n_chars").to_numpy(zero_copy_only=False).astype(np.float64)
+        u = (
+            (ids.astype(np.uint64) * np.uint64(2654435761))
+            % np.uint64(1 << 32)
+        ).astype(np.float64)
+        u = (u + 1.0) / np.float64(1 << 32)  # (0, 1], never ln(0)
+        key = -np.log(u) / w
+        order = np.lexsort((ids, key))[:n_sample]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order], pa.int64()),
+                "n_chars": pa.array(
+                    batch.column("n_chars").take(pa.array(order)).to_numpy(
+                        zero_copy_only=False
+                    ).astype(np.int64),
+                    pa.int64(),
+                ),
+                "key": pa.array(key[order], pa.float64()),
+            }
+        )
+
+    pre = ds.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+    final = pre.sort(["key", "doc_id"]).limit(n_sample)
+    return final.select_columns(["doc_id", "n_chars"])
+
+
+# ------------------------------------- content-defined chunking (CDC) dedup --
+def q_cdc_chunks(sf_dir: str, w: int = 16, mask_mod: int = 64):
+    """Content-defined chunking dedup statistics — the storage-dedup
+    view of corpus redundancy (Muthitacharoen et al. 2001 LBFS anchors;
+    Xia et al. 2016 FastCDC): chunk boundaries are declared wherever
+    the w-char Karp-Rabin window hash lands in a fixed residue class
+    (P(boundary) = 1/mask_mod, expected chunk ~= mask_mod chars), so an
+    insertion/deletion only reshuffles chunks NEAR the edit — the
+    shift-resistance fixed-size chunking (q_chunk_dedup) lacks. Per
+    source: total chunks, distinct chunk hashes, and the duplicate-
+    chunk ratio (the fraction of chunk mass a content-addressed store
+    would dedup away).
+
+    Vectorization: window hashes are ONE sliding_window_view
+    (T,w)·(w,) uint64 polynomial dot (the q_dup_spans kernel); chunk
+    hashes come from prefix sums with MODULAR-INVERSE powers —
+    hash(l,r) = P^(r-1) * (S[r]-S[l]) with S[i] = cumsum(c_t * P^-t)
+    mod 2^64 (the FNV prime is odd, hence invertible) — so EVERY chunk
+    of a batch is hashed by one cumsum + one gather, no Python per
+    chunk; the only per-doc Python assembles each doc's cut positions
+    into (l, r) spans (O(#docs), same budget as the per-doc utf-32
+    encode every text kernel here pays).
+
+    Scale shape: chunks leave each batch pre-counted as
+    (source, chunk_hash, cnt) rows; ONE (source, hash)-keyed groupby
+    sums multiplicities, a second tiny groupby folds per-source
+    totals. Nothing doc-sized crosses the exchange twice. Output
+    (source, n_chunks, n_distinct, dup_ratio). No SQL twin (rolling
+    hashes are not SQL-expressible) — pinned by a pure-Python replica
+    test instead."""
+    import polars as pl
+
+    pww = _poly_powers(w)
+    mm = np.uint64(mask_mod)
+    P_INT = 1099511628211
+    IP = np.uint64(pow(P_INT, -1, 1 << 64))
+    P = np.uint64(P_INT)
+
+    ds = _pq(sf_dir, "documents", columns=["source", "text"], split=True)
+
+    def chunk_counts(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        src = np.asarray(batch.column("source").to_pylist(), dtype=object)
+        enc = [(t or "").encode("utf-32-le") for t in texts]
+        lens = np.array([len(e) >> 2 for e in enc], np.int64)
+        buf = np.frombuffer(b"".join(enc), np.uint32).astype(np.uint64)
+        n_buf = len(buf)
+        starts = np.cumsum(lens) - lens
+        ends = starts + lens
+        # boundary cut positions (global, exclusive) per doc
+        if n_buf >= w:
+            win = np.lib.stride_tricks.sliding_window_view(buf, w)
+            with np.errstate(over="ignore"):
+                h = (win * pww).sum(axis=1, dtype=np.uint64)
+            p = np.arange(len(h), dtype=np.int64)
+            doc_of = np.searchsorted(ends, p, side="right")
+            valid = p <= ends[doc_of] - w
+            bsel = valid & ((h % mm) == mm - np.uint64(1))
+            bdoc, bcut = doc_of[bsel], p[bsel] + w
+        else:
+            bdoc = np.empty(0, np.int64)
+            bcut = np.empty(0, np.int64)
+        # prefix machinery: S[i] = sum_{t<i} c_t * P^-t; powers wrap mod 2^64
+        with np.errstate(over="ignore"):
+            ppow = np.concatenate(
+                ([np.uint64(1)], np.cumprod(np.full(n_buf, P, np.uint64)))
+            )
+            ipow = np.concatenate(
+                ([np.uint64(1)], np.cumprod(np.full(n_buf, IP, np.uint64)))
+            )[:n_buf]
+            S = np.zeros(n_buf + 1, np.uint64)
+            if n_buf:
+                S[1:] = np.cumsum(buf * ipow)
+        ls, rs, di = [], [], []
+        splits = np.searchsorted(bdoc, np.arange(1, len(texts)))
+        for i, cuts in enumerate(np.split(bcut, splits)):
+            L = int(lens[i])
+            if L == 0:
+                continue
+            end = int(ends[i])
+            e = cuts if (len(cuts) and cuts[-1] == end) else np.append(cuts, end)
+            ls.append(np.concatenate(([starts[i]], e[:-1])))
+            rs.append(e)
+            di.append(np.full(len(e), i, np.int64))
+        if not ls:
+            return pa.table(
+                {"source": pa.array([], pa.string()),
+                 "h": pa.array([], pa.int64()),
+                 "cnt": pa.array([], pa.int64())}
+            )
+        l = np.concatenate(ls).astype(np.int64)
+        r = np.concatenate(rs).astype(np.int64)
+        d = np.concatenate(di)
+        with np.errstate(over="ignore"):
+            ch = ((S[r] - S[l]) * ppow[r - 1]).astype(np.int64)
+        out = (
+            pl.DataFrame({"source": src[d], "h": ch})
+            .group_by(["source", "h"])
+            .len(name="cnt")
+        )
+        return pa.table(
+            {
+                "source": out["source"].to_arrow(),
+                "h": out["h"].to_arrow(),
+                "cnt": out["cnt"].cast(pl.Int64).to_arrow(),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    per_hash = (
+        ds.map_batches(chunk_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["source", "h"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def to_partials(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "source": batch.column("source"),
+                "n_chunks": batch.column("cnt"),
+                "n_distinct": pa.array(np.ones(n, np.int64), pa.int64()),
+            }
+        )
+
+    stats = (
+        per_hash.map_batches(to_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .aggregate(
+            Sum("n_chunks", alias_name="n_chunks"),
+            Sum("n_distinct", alias_name="n_distinct"),
+        )
+    )
+
+    def ratio(batch: pa.Table) -> pa.Table:
+        tot = batch.column("n_chunks").to_numpy(zero_copy_only=False).astype(np.float64)
+        dis = batch.column("n_distinct").to_numpy(zero_copy_only=False).astype(np.float64)
+        return batch.append_column(
+            "dup_ratio", pa.array(1.0 - dis / tot, pa.float64())
+        )
+
+    return stats.map_batches(ratio, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ----------------------------------- clustering quality (Davies-Bouldin) --
+def q_davies_bouldin(sf_dir: str, k: int = 8, n_iter: int = 5, dims: int = 64):
+    """Davies-Bouldin index of the q_kmeans clustering (Davies &
+    Bouldin 1979) — the internal cluster-quality gauge a curation run
+    consults before trusting k-means-derived pruning (SemDeDup,
+    cluster-balanced sampling): DB = mean_i max_{j!=i}
+    (S_i + S_j) / ||c_i - c_j||, with S_i the mean point-to-centroid
+    distance of cluster i. Lower = tighter, better-separated clusters.
+
+    Scale shape: reuses the fitted centroids from _kmeans_fit (its
+    size-adaptive driver/combiner forks are equivalence-tested), then
+    ONE more combiner pass: each batch assigns rows to the broadcast
+    centroid matrix and emits per-cluster (n, sum_dist) partials with
+    the distance sums in EXACT e6 fixed-point int64 (the q_kmeans
+    determinism contract — integer adds are order/batching-free), so
+    the groupby moves <= k rows per batch and the driver only ever
+    sees k numbers. Output one row (k, n_clusters, db_index). No SQL
+    twin (iterative Lloyd + argmin is not SQL-expressible) — pinned by
+    a pure-numpy replica test on the same centroids."""
+    from ray.data.aggregate import Sum
+
+    ds, C, _mat = _kmeans_fit(sf_dir, k, n_iter, dims)
+    cref = ray.put(C)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cc = ray.get(cref)
+        _ids, x = _mat(batch)
+        d2 = ((x * x).sum(1)[:, None] - 2.0 * (x @ cc.T)
+              + (cc * cc).sum(1)[None, :])
+        a = np.argmin(d2, axis=1)
+        dist = np.sqrt(np.maximum(d2[np.arange(len(a)), a], 0.0))
+        f = np.round(dist * 1e6).astype(np.int64)
+        uniq, inv = np.unique(a, return_inverse=True)
+        s = np.zeros(len(uniq), np.int64)
+        np.add.at(s, inv, f)
+        n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {
+                "cluster": pa.array(uniq.astype(np.int64), pa.int64()),
+                "n": pa.array(n, pa.int64()),
+                "s_e6": pa.array(s, pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cluster")
+        .aggregate(Sum("n", alias_name="n"), Sum("s_e6", alias_name="s_e6"))
+    ).to_pandas()  # <= k rows
+
+    agg = agg[agg["n"] > 0].sort_values("cluster")
+    cid = agg["cluster"].to_numpy()
+    S = (agg["s_e6"].to_numpy() / 1e6) / agg["n"].to_numpy()
+    cc = C[cid]
+    diff = cc[:, None, :] - cc[None, :, :]
+    M = np.sqrt((diff * diff).sum(-1))
+    m = len(cid)
+    if m < 2:
+        db = 0.0
+    else:
+        R = (S[:, None] + S[None, :]) / np.where(M > 0, M, np.inf)
+        np.fill_diagonal(R, -np.inf)
+        db = float(np.mean(R.max(axis=1)))
+    return pd.DataFrame(
+        {"k": [np.int64(k)], "n_clusters": [np.int64(m)], "db_index": [db]}
+    )
