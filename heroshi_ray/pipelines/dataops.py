@@ -9221,15 +9221,18 @@ def q_dedup_keep_best(sf_dir: str):
 
     Scale shape: the max/argmax combiner is associative, so each batch
     first reduces to its LOCAL best per 8-byte text hash (one polars
-    sort + first-per-key, zero Python per row) and the single
-    hash-keyed groupby moves at most one row per (batch, key) — a
-    template-heavy corpus collapses map-side, the q_groupby_host
-    combiner discipline. Output: (doc_id, n_chars) of the keepers."""
+    sort + first-per-key, zero Python per row) and the single shuffle
+    — keyed on the COARSE bucket h % n_buckets, the dedup_first
+    discipline: O(n_buckets) Python group calls, not O(#texts) —
+    moves at most one row per (batch, key); a template-heavy corpus
+    collapses map-side, the q_groupby_host combiner discipline.
+    Output: (doc_id, n_chars) of the keepers."""
     import polars as pl
 
     from ..functions.hashing import hash64
 
     ds = _pq(sf_dir, "documents", columns=["doc_id", "text", "n_chars"], split=True)
+    n_buckets = default_buckets()
 
     def local_best(batch: pa.Table) -> pa.Table:
         df = pl.from_arrow(batch).select(
@@ -9242,13 +9245,19 @@ def q_dedup_keep_best(sf_dir: str):
             )
             .otherwise(pl.col("text")),
         )
-        h = hash64(df["key"].to_list()).astype(np.int64)
-        df = df.drop("key").with_columns(h=pl.Series(h)).sort(
+        hu = hash64(df["key"].to_list())
+        df = df.drop("key").with_columns(
+            h=pl.Series(hu.astype(np.int64))
+        ).sort(
             ["h", "n_chars", "doc_id"], descending=[False, True, False]
         )
         best = df.unique(subset=["h"], keep="first", maintain_order=True)
+        b = (
+            best["h"].to_numpy().astype(np.uint64) % np.uint64(n_buckets)
+        ).astype(np.int32)
         return pa.table(
             {
+                "b": pa.array(b, pa.int32()),
                 "h": best["h"].to_arrow(),
                 "doc_id": best["doc_id"].to_arrow(),
                 "n_chars": best["n_chars"].to_arrow(),
@@ -9257,13 +9266,17 @@ def q_dedup_keep_best(sf_dir: str):
 
     def final_best(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(
-            ["n_chars", "doc_id"], ascending=[False, True], kind="mergesort"
+            ["h", "n_chars", "doc_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
         )
-        return g.head(1)[["doc_id", "n_chars"]]
+        return g.drop_duplicates(subset=["h"], keep="first")[
+            ["doc_id", "n_chars"]
+        ]
 
     return (
         ds.map_batches(local_best, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("h")
+        .groupby("b")
         .map_groups(final_best, batch_format="pandas")
     )
 
@@ -9280,19 +9293,22 @@ def q_soft_dedup(sf_dir: str):
     q_dedup_keep_best / q_cross_source_dups ('dup-' || (doc_id//7)%13
     for every 7th doc) and the DuckDB twin applies the same CASE.
 
-    Scale shape: docs travel ONE hash-keyed shuffle as (h, doc_id)
-    8+8-byte rows and each group emits its members with 1/len — the
-    same single-exchange layout as q_dedup_first. A pathologically hot
-    template (10^8 copies of one boilerplate text at 100 TB) would
-    make one group large; the fix is the q_chunk_dedup pattern (map-
-    side partial counts + bucketed count join), kept out of the
-    default path because weight assignment needs every doc row to
-    pass through the exchange anyway. Output (doc_id, n_dups, weight)."""
+    Scale shape: docs travel ONE shuffle as (h, doc_id) 8+8-byte rows,
+    keyed on the COARSE bucket h % n_buckets (the dedup_first
+    discipline — O(n_buckets) Python group calls, not O(#texts)), and
+    each bucket computes group sizes with one vectorized transform. A
+    pathologically hot template (10^8 copies of one boilerplate text at
+    100 TB) still lands in one bucket; the fix is the q_chunk_dedup
+    pattern (map-side partial counts + bucketed count join), kept out
+    of the default path because weight assignment needs every doc row
+    to pass through the exchange anyway. Output (doc_id, n_dups,
+    weight)."""
     import polars as pl
 
     from ..functions.hashing import hash64
 
     ds = _pq(sf_dir, "documents", columns=["doc_id", "text"], split=True)
+    n_buckets = default_buckets()
 
     def to_keys(batch: pa.Table) -> pa.Table:
         df = pl.from_arrow(batch).select(
@@ -9304,27 +9320,29 @@ def q_soft_dedup(sf_dir: str):
             )
             .otherwise(pl.col("text")),
         )
-        h = hash64(df["key"].to_list()).astype(np.int64)
+        h = hash64(df["key"].to_list())
         return pa.table(
             {
-                "h": pa.array(h, pa.int64()),
+                "b": pa.array((h % np.uint64(n_buckets)).astype(np.int32),
+                              pa.int32()),
+                "h": pa.array(h.astype(np.int64), pa.int64()),
                 "doc_id": df["doc_id"].to_arrow(),
             }
         )
 
     def weights(g: pd.DataFrame) -> pd.DataFrame:
-        n = len(g)
+        n = g.groupby("h")["doc_id"].transform("size").to_numpy(np.int64)
         return pd.DataFrame(
             {
                 "doc_id": g["doc_id"].to_numpy(),
-                "n_dups": np.full(n, n, np.int64),
-                "weight": np.full(n, 1.0 / np.float64(n)),
+                "n_dups": n,
+                "weight": 1.0 / n.astype(np.float64),
             }
         )
 
     return (
         ds.map_batches(to_keys, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("h")
+        .groupby("b")
         .map_groups(weights, batch_format="pandas")
     )
 
