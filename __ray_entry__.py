@@ -339,10 +339,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_soft_dedup": d.q_soft_dedup,
         "q_theta_intersect": d.q_theta_intersect,
         "q_weighted_sample": d.q_weighted_sample,
-        # rows-only (rolling-hash chunking / iterative Lloyd are not
-        # SQL-expressible) — pinned by pure-Python/numpy replica tests
+        "q_common_neighbors": d.q_common_neighbors,
+        # rows-only (rolling-hash chunking / iterative Lloyd / BPE are
+        # not SQL-expressible) — pinned by replica tests
         "q_cdc_chunks": d.q_cdc_chunks,
         "q_davies_bouldin": d.q_davies_bouldin,
+        "q_tokenizer_fertility": d.q_tokenizer_fertility,
     }
 
     # round-5 driver window (the FINAL rotation): the flagship's new
@@ -3589,5 +3591,20 @@ def oracle_sql() -> dict[str, str]:
               ORDER BY key, doc_id
               LIMIT 100
             )
+        """,
+        # common-neighbor link prediction over the deterministic
+        # customer graph (q_pagerank's edge set); hub_cap inactive at
+        # fixture scale so the wedge self-join is exact
+        "q_common_neighbors": r"""
+            WITH e AS (
+              SELECT DISTINCT o_custkey AS src,
+                     o_orderkey % (SELECT count(*) FROM customer) AS dst
+              FROM orders
+            )
+            SELECT a.src AS node_a, b.src AS node_b,
+                   CAST(count(*) AS BIGINT) AS n_common
+            FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
+            GROUP BY 1, 2
+            HAVING count(*) >= 3
         """,
     }

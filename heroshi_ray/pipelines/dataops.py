@@ -9696,3 +9696,186 @@ def q_davies_bouldin(sf_dir: str, k: int = 8, n_iter: int = 5, dims: int = 64):
     return pd.DataFrame(
         {"k": [np.int64(k)], "n_clusters": [np.int64(m)], "db_index": [db]}
     )
+
+
+# --------------------------------------- link prediction (common neighbors) --
+def q_common_neighbors(sf_dir: str, min_common: int = 3, hub_cap: int = 65536):
+    """Common-neighbor link prediction over the deterministic customer
+    graph (the q_pagerank / q_degree_stats edge set: src = o_custkey,
+    dst = o_orderkey % |customer|) — the classic similarity score
+    (Liben-Nowell & Kleinberg 2003) a crawl planner uses to find
+    mirror-candidate hosts / co-citation pairs: node pairs (a < b)
+    whose OUT-neighborhoods share at least ``min_common`` targets,
+    with the shared count.
+
+    Scale shape: the pair explosion is Σ indeg² over dst groups — the
+    wedge count, exactly q_triangle_count's shape — so dst groups
+    co-locate via ONE bucketed shuffle (dst % n_buckets), each bucket
+    dedups its (src, dst) edges globally and emits wedge pairs through
+    the vectorized ``_group_pairs`` kernel (zero per-group Python),
+    pre-counted per bucket; the cross-bucket merge keys on the COARSE
+    pair-hash bucket (the _dedup_pairs discipline — a raw
+    (a, b)-keyed Ray aggregate pays per-group reduce overhead on
+    #distinct-pairs groups, measured 58 s vs 0.4 s at sf0.1) and sums
+    + thresholds with one vectorized polars pass per bucket.
+    ``hub_cap`` drops dst groups above that
+    in-degree (a 10^7-indeg hub contributes Σcap² wedges to EVERY
+    pair — the standard heavy-hub exclusion, inactive at fixture
+    scale so the DuckDB twin stays exact)."""
+    import polars as pl
+
+    import pyarrow.parquet as pq_mod
+
+    from ray.data.aggregate import Sum
+
+    n_nodes = pq_mod.read_metadata(
+        os.path.join(sf_dir, "customer.parquet")
+    ).num_rows
+    orders = _pq(sf_dir, "orders", columns=["o_custkey", "o_orderkey"], split=True)
+    n_buckets = default_buckets()
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        src = batch.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = (
+            batch.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+            % n_nodes
+        )
+        df = pl.DataFrame({"src": src, "dst": dst}).unique()
+        return pa.table(
+            {
+                "b": pa.array(
+                    (df["dst"].to_numpy() % n_buckets).astype(np.int32), pa.int32()
+                ),
+                "src": df["src"].to_arrow(),
+                "dst": df["dst"].to_arrow(),
+            }
+        )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        df = pl.from_pandas(g[["src", "dst"]]).unique()
+        deg = df.group_by("dst").len(name="d")
+        keep = deg.filter(pl.col("d") <= hub_cap)["dst"]
+        df = df.filter(pl.col("dst").is_in(keep)).sort("dst")
+        dst = df["dst"].to_numpy()
+        src = df["src"].to_numpy()
+        if len(dst) == 0:
+            return pd.DataFrame(
+                {"node_a": pd.Series([], dtype=np.int64),
+                 "node_b": pd.Series([], dtype=np.int64),
+                 "n": pd.Series([], dtype=np.int64)}
+            )
+        (pa_, pb_), = _group_pairs(dst, [src])
+        lo, hi = np.minimum(pa_, pb_), np.maximum(pa_, pb_)
+        out = (
+            pl.DataFrame({"node_a": lo, "node_b": hi})
+            .group_by(["node_a", "node_b"])
+            .len(name="n")
+            .with_columns(pl.col("n").cast(pl.Int64))
+        )
+        b2 = (
+            (
+                out["node_a"].to_numpy().astype(np.uint64)
+                * np.uint64(2654435761)
+                ^ out["node_b"].to_numpy().astype(np.uint64)
+            )
+            % np.uint64(n_buckets)
+        ).astype(np.int32)
+        return out.with_columns(b2=pl.Series(b2)).to_pandas()
+
+    def merge_counts(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            pl.from_pandas(g[["node_a", "node_b", "n"]])
+            .group_by(["node_a", "node_b"])
+            .agg(pl.col("n").sum().alias("n_common"))
+            .filter(pl.col("n_common") >= min_common)
+        )
+        return out.to_pandas()
+
+    return (
+        orders.map_batches(to_edges, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("b")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby("b2")
+        .map_groups(merge_counts, batch_format="pandas")
+    )
+
+
+# ------------------------------------------------ tokenizer fertility eval --
+def q_tokenizer_fertility(sf_dir: str, k: int = 10):
+    """Tokenizer FERTILITY by language — chars per subword token under
+    the q_bpe_train merges (the standard multilingual-tokenizer equity
+    report: a tokenizer with low chars/token on a language inflates
+    that language's effective sequence length and training cost; cf.
+    the fertility tables in the XLM-R / BLOOM tokenizer analyses).
+
+    Scale shape: the encode actor pool (BPEEncodeStage's memoized
+    merge-table state) carries lang + n_chars THROUGH the stage and
+    pre-aggregates per batch, so the corpus is touched once, nothing
+    joins, and the single groupby moves <= n_langs rows per batch.
+    Output (lang, n_docs, n_chars, n_subwords, chars_per_token). No
+    SQL twin (BPE segmentation is not SQL-expressible) — pinned
+    against a q_bpe_encode + documents pandas recompute."""
+    import polars as pl
+
+    from ray.data.aggregate import Sum
+
+    tr = q_bpe_train(sf_dir, k=k)
+    merges = list(zip(tr.column("left").to_pylist(), tr.column("right").to_pylist()))
+    merges_ref = ray.put(merges)
+    ds = _pq(
+        sf_dir, "documents",
+        columns=["doc_id", "text", "lang", "n_chars"], split=True,
+    )
+
+    class FertilityStage(BPEEncodeStage):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            texts = batch.column("text").to_pylist()
+            n = np.array(
+                [sum(self._encode_len(w) for w in t.split(" ")) for t in texts],
+                np.int64,
+            )
+            out = (
+                pl.DataFrame(
+                    {
+                        "lang": pl.from_arrow(
+                            batch.column("lang").combine_chunks()
+                        ),
+                        "n_chars": pl.from_arrow(
+                            batch.column("n_chars").combine_chunks()
+                        ),
+                        "n_subwords": n,
+                    }
+                )
+                .group_by("lang")
+                .agg(
+                    pl.len().cast(pl.Int64).alias("n_docs"),
+                    pl.col("n_chars").sum().alias("n_chars"),
+                    pl.col("n_subwords").sum().alias("n_subwords"),
+                )
+            )
+            return out.to_arrow()
+
+    agg = (
+        ds.map_batches(
+            FertilityStage,
+            fn_constructor_args=(merges_ref,),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=(1, 8),
+        )
+        .groupby("lang")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_chars", alias_name="n_chars"),
+            Sum("n_subwords", alias_name="n_subwords"),
+        )
+    )
+
+    def ratio(batch: pa.Table) -> pa.Table:
+        c = batch.column("n_chars").to_numpy(zero_copy_only=False).astype(np.float64)
+        s = batch.column("n_subwords").to_numpy(zero_copy_only=False).astype(np.float64)
+        return batch.append_column(
+            "chars_per_token", pa.array(c / s, pa.float64())
+        )
+
+    return agg.map_batches(ratio, batch_format="pyarrow", zero_copy_batch=True)

@@ -137,3 +137,36 @@ def test_theta_intersect_estimator_branch(ray_session):
     for key, row in exact.iterrows():
         e = est.loc[key, "n_common"]
         assert row["n"] / 3 <= e <= row["n"] * 3, (key, e, row["n"])
+
+
+def test_tokenizer_fertility_matches_encode_recompute(ray_session):
+    """Fertility must equal the per-doc q_bpe_encode counts joined with
+    the documents table and re-aggregated in pandas (exact int sums,
+    identical float division)."""
+    from heroshi_ray.pipelines import dataops as d
+
+    got = (
+        d.q_tokenizer_fertility(SF_DIR)
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+
+    enc = d.q_bpe_encode(SF_DIR).to_pandas()
+    docs = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    ).to_pandas()
+    j = docs.merge(enc, on="doc_id")
+    want = (
+        j.groupby("lang", sort=True)
+        .agg(
+            n_docs=("doc_id", "size"),
+            n_chars=("n_chars", "sum"),
+            n_subwords=("n_subwords", "sum"),
+        )
+        .reset_index()
+    )
+    want["chars_per_token"] = want["n_chars"].astype(np.float64) / want[
+        "n_subwords"
+    ].astype(np.float64)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
