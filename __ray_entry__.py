@@ -340,6 +340,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_theta_intersect": d.q_theta_intersect,
         "q_weighted_sample": d.q_weighted_sample,
         "q_common_neighbors": d.q_common_neighbors,
+        "q_distinct_growth": r.q_distinct_growth,
+        "q_burst_detect": r.q_burst_detect,
         # rows-only (rolling-hash chunking / iterative Lloyd / BPE are
         # not SQL-expressible) — pinned by replica tests
         "q_cdc_chunks": d.q_cdc_chunks,
@@ -3606,5 +3608,53 @@ def oracle_sql() -> dict[str, str]:
             FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
             GROUP BY 1, 2
             HAVING count(*) >= 3
+        """,
+        # distinct-coverage growth: new users by first-seen day + the
+        # running cumulative (the crawl discovery curve)
+        "q_distinct_growth": r"""
+            WITH f AS (
+              SELECT user_id,
+                     min(CAST(epoch_us(ts) AS BIGINT) // 86400000000) AS day
+              FROM events GROUP BY 1
+            ), c AS (
+              SELECT day, CAST(count(*) AS BIGINT) AS new_users
+              FROM f GROUP BY 1
+            )
+            SELECT CAST(day AS BIGINT) AS day, new_users,
+                   CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT)
+                     AS cum_users
+            FROM c
+        """,
+        # burst detection: per-type TOP-3 days by n / trailing-3-day sum
+        # over a COMPLETE consecutive-day window (identical IEEE division
+        # of the same int64s on both sides; day tie-break)
+        "q_burst_detect": r"""
+            WITH c AS (
+              SELECT event_type,
+                     CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ), w AS (
+              SELECT event_type, day, n,
+                     lag(day, 1) OVER
+                       (PARTITION BY event_type ORDER BY day) AS d1,
+                     lag(day, 2) OVER
+                       (PARTITION BY event_type ORDER BY day) AS d2,
+                     lag(day, 3) OVER
+                       (PARTITION BY event_type ORDER BY day) AS d3,
+                     lag(n, 1) OVER (PARTITION BY event_type ORDER BY day)
+                     + lag(n, 2) OVER (PARTITION BY event_type ORDER BY day)
+                     + lag(n, 3) OVER (PARTITION BY event_type ORDER BY day)
+                       AS prev3
+              FROM c
+            )
+            SELECT event_type, CAST(day AS BIGINT) AS day, n,
+                   CAST(prev3 AS BIGINT) AS prev3
+            FROM w
+            WHERE d1 = day - 1 AND d2 = day - 2 AND d3 = day - 3
+            QUALIFY row_number() OVER (
+              PARTITION BY event_type
+              ORDER BY CAST(n AS DOUBLE) / prev3 DESC, day
+            ) <= 3
         """,
     }

@@ -6847,3 +6847,139 @@ def q_first_purchase(sf_dir: str):
         .groupby("__b")
         .map_groups(first, batch_format="pandas")
     )
+
+
+# ------------------------------------------------ distinct coverage curve --
+def q_distinct_growth(sf_dir: str, day_us: int = 86_400_000_000):
+    """Cumulative distinct-coverage curve (the crawl-monitoring chart:
+    how many NEW distinct users/hosts/URLs each day adds, and the
+    running total — a flattening curve means the frontier is recrawling,
+    not discovering). Per day: the count of users whose FIRST-ever event
+    lands on that day, plus the running cumulative.
+
+    Scale shape: first-seen day is a per-user MIN — each batch emits one
+    (user, local_min_day) partial, ONE bucketed shuffle (user % B)
+    resolves the global min vectorized per bucket (the q_retention
+    layout), and the day-grain count table that leaves the exchange is
+    CALENDAR-bounded (a 10-year crawl is ~3.7k rows), so the running sum
+    is a driver cumsum by definition of the output grain."""
+    from ray.data.aggregate import Sum
+
+    ds = _pq(sf_dir, "events", columns=["user_id", "ts"])
+    n_buckets = default_buckets()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        day = (
+            batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // day_us
+        )
+        order = np.lexsort((day, uid))
+        uid, day = uid[order], day[order]
+        first = np.r_[True, uid[1:] != uid[:-1]]
+        u, dmin = uid[first], day[first]
+        return pa.table(
+            {
+                "b": pa.array((u % n_buckets).astype(np.int32), pa.int32()),
+                "user_id": pa.array(u, pa.int64()),
+                "day": pa.array(dmin, pa.int64()),
+            }
+        )
+
+    def bucket_first(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("user_id", sort=False)["day"].min()
+        cnt = m.value_counts().sort_index()
+        return pd.DataFrame(
+            {"day": cnt.index.to_numpy(np.int64),
+             "new_users": cnt.to_numpy(np.int64)}
+        )
+
+    days = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("b")
+        .map_groups(bucket_first, batch_format="pandas")
+        .groupby("day")
+        .aggregate(Sum("new_users", alias_name="new_users"))
+    ).to_pandas()  # calendar-bounded by definition
+    days = days.sort_values("day").reset_index(drop=True)
+    days["cum_users"] = days["new_users"].cumsum().astype(np.int64)
+    return days
+
+
+# ----------------------------------------------------- burst detection ----
+def q_burst_detect(sf_dir: str, day_us: int = 86_400_000_000):
+    """Volume-burst detection per event type (the trap/hot-topic tripwire
+    a crawl scheduler watches: a host or topic whose daily volume spikes
+    against its trailing-3-day mean gets throttled or prioritized). Per
+    type, the TOP-3 burstiest days by n / sum(previous 3 days) over a
+    COMPLETE consecutive-day trailing window — the ratio is one IEEE
+    division of the same two int64s on both sides, so the DuckDB window
+    twin orders identically (day tie-break), and a top-k (unlike a fixed
+    threshold) stays calibrated as volume smooths with scale.
+
+    Scale shape: the per-(type, day) counts reduce via the combiner
+    (one partial row per batch-type-day), and the lag/rank logic runs on
+    the count table, which is (#types x calendar)-bounded — never
+    event-scale; per-type Python is O(#types)."""
+    from ray.data.aggregate import Sum
+
+    ds = _pq(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type").to_pandas()
+        day = (
+            batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // day_us
+        )
+        g = (
+            pd.DataFrame({"event_type": et, "day": day})
+            .groupby(["event_type", "day"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(g["event_type"], pa.string()),
+                "day": pa.array(g["day"].to_numpy(np.int64), pa.int64()),
+                "n": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "day"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def bursts(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("day", kind="mergesort").reset_index(drop=True)
+        n = g["n"].to_numpy(np.int64)
+        days = g["day"].to_numpy(np.int64)
+        prev3 = np.full(len(g), -1, np.int64)
+        if len(g) >= 4:
+            # complete trailing window = three CONSECUTIVE calendar days
+            consec = (
+                (days[3:] - days[2:-1] == 1)
+                & (days[2:-1] - days[1:-2] == 1)
+                & (days[1:-2] - days[:-3] == 1)
+            )
+            sums = n[:-3] + n[1:-2] + n[2:-1]
+            prev3[3:] = np.where(consec, sums, -1)
+        mask = prev3 > 0
+        out = pd.DataFrame(
+            {
+                "event_type": g["event_type"].to_numpy()[mask],
+                "day": days[mask],
+                "n": n[mask],
+                "prev3": prev3[mask],
+            }
+        )
+        out["__r"] = out["n"].to_numpy(np.float64) / out["prev3"].to_numpy(
+            np.float64
+        )
+        out = out.sort_values(
+            ["__r", "day"], ascending=[False, True], kind="mergesort"
+        ).head(3)
+        return out.drop(columns="__r")
+
+    return counts.groupby("event_type").map_groups(bursts, batch_format="pandas")
