@@ -9,6 +9,7 @@ schedule  --sf-dir DIR [--budget N]
 curate    --corpus PATH --out DIR [--samples-per-shard N]
 llm-corpus --sf-dir DIR --out DIR [--shards N]
 reshard   --shards-in DIR --out DIR [--samples-per-shard N]
+query     [NAME] [--sf-dir DIR --out PATH --head N --oracle]
 
 These own a Ray session (ray.init / ray.shutdown); the library itself
 never initialises Ray (driver contract, __ray_entry__.py).
@@ -94,6 +95,16 @@ def main(argv=None) -> int:
     wi = sub.add_parser("warc-import")  # WARC 1.1 -> parquet
     wi.add_argument("--warc-dir", required=True)
     wi.add_argument("--out", required=True)
+
+    q = sub.add_parser("query")  # run any registered operator by name
+    q.add_argument("name", nargs="?", help="queries() key; omit to list")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    q.add_argument("--out", help="write the result as parquet here")
+    q.add_argument("--head", type=int, default=5, help="rows to print")
+    q.add_argument(
+        "--oracle", action="store_true",
+        help="cross-check against the DuckDB twin (exits 1 on mismatch)",
+    )
 
     args = p.parse_args(argv)
 
@@ -242,8 +253,84 @@ def main(argv=None) -> int:
                     }
                 )
             )
+        elif args.cmd == "query":
+            return _run_query(args)
     finally:
         ray.shutdown()
+    return 0
+
+
+def _run_query(args) -> int:
+    """Run one registered operator by name over an sf-dir — the CLI
+    face of the __ray_entry__ driver contract, so every pipeline in
+    queries() is directly runnable (and, with --oracle, directly
+    cross-checkable) without writing a script."""
+    import importlib.util
+    import os
+
+    import pandas as pd
+
+    # __ray_entry__ lives at the repo root, not inside the package
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "__ray_entry__", os.path.join(root, "__ray_entry__.py")
+    )
+    entrymod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entrymod)
+
+    qs, orc = entrymod.queries(), entrymod.oracle_sql()
+    if not args.name:
+        for name in sorted(qs):
+            print(f"{name}\t{'oracled' if name in orc else 'rows-only'}")
+        return 0
+    if args.name not in qs:
+        print(json.dumps({"err": f"unknown query {args.name!r}"}))
+        return 1
+
+    res = qs[args.name](args.sf_dir)
+    df = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+    if args.out:
+        df.to_parquet(args.out, index=False)
+    report = {"query": args.name, "rows": int(len(df)),
+              "columns": sorted(df.columns.tolist())}
+
+    if args.oracle:
+        if args.name not in orc:
+            report["oracle"] = "none (rows-only operator)"
+        else:
+            import duckdb
+
+            con = duckdb.connect()
+            for t in ("region nation customer supplier part orders "
+                      "lineitem events documents embeddings").split():
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"'{os.path.join(args.sf_dir, t + '.parquet')}'"
+                )
+
+            def canon(x: pd.DataFrame) -> pd.DataFrame:
+                x = x[sorted(x.columns)].copy()
+                for c in x.columns:
+                    if x[c].dtype == object:
+                        x[c] = x[c].astype(str)
+                return x.sort_values(
+                    list(x.columns), kind="mergesort"
+                ).reset_index(drop=True)
+
+            theirs = con.sql(orc[args.name]).df()
+            try:
+                pd.testing.assert_frame_equal(
+                    canon(df), canon(theirs),
+                    check_dtype=False, check_exact=True,
+                )
+                report["oracle"] = "match"
+            except AssertionError as e:
+                report["oracle"] = f"MISMATCH: {str(e)[:200]}"
+                print(json.dumps(report))
+                return 1
+    print(json.dumps(report))
+    if args.head and len(df):
+        print(df.head(args.head).to_string())
     return 0
 
 

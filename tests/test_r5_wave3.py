@@ -170,3 +170,32 @@ def test_tokenizer_fertility_matches_encode_recompute(ray_session):
         "n_subwords"
     ].astype(np.float64)
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
+def test_cli_query_subcommand(ray_session, monkeypatch):
+    """The `query` CLI face of the driver contract: running a registered
+    operator and the --oracle cross-check work in-process. The CLI owns
+    a Ray session (shutdown in its finally), so shutdown is no-op'd here
+    to keep the suite's shared session alive."""
+    import ray as ray_mod
+
+    from heroshi_ray.__main__ import main
+
+    monkeypatch.setattr(ray_mod, "shutdown", lambda *a, **k: None)
+    assert main(["query", "q_groupby_host", "--sf-dir", SF_DIR,
+                 "--oracle", "--head", "0"]) == 0
+    assert main(["query", "q_no_such_query"]) == 1
+
+
+def test_cli_query_lists_all_registered(capsys, ray_session, monkeypatch):
+    import ray as ray_mod
+
+    from heroshi_ray.__main__ import main
+
+    import __ray_entry__ as entrymod
+
+    monkeypatch.setattr(ray_mod, "shutdown", lambda *a, **k: None)
+    assert main(["query"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == len(entrymod.queries())
+    assert all("\t" in line for line in out)
