@@ -342,6 +342,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_common_neighbors": d.q_common_neighbors,
         "q_distinct_growth": r.q_distinct_growth,
         "q_burst_detect": r.q_burst_detect,
+        "q_degree_assortativity": d.q_degree_assortativity,
         # rows-only (rolling-hash chunking / iterative Lloyd / BPE are
         # not SQL-expressible) — pinned by replica tests
         "q_cdc_chunks": d.q_cdc_chunks,
@@ -3656,5 +3657,36 @@ def oracle_sql() -> dict[str, str]:
               PARTITION BY event_type
               ORDER BY CAST(n AS DOUBLE) / prev3 DESC, day
             ) <= 3
+        """,
+        # degree assortativity: exact int64 moments, one final float
+        # Pearson with the identical operation order (each moment
+        # < 2^53, so product/sqrt round identically), e6 half-away
+        "q_degree_assortativity": r"""
+            WITH e AS (
+              SELECT DISTINCT o_custkey AS src,
+                     o_orderkey % (SELECT count(*) FROM customer) AS dst
+              FROM orders
+            ), od AS (
+              SELECT src, CAST(count(*) AS BIGINT) AS x FROM e GROUP BY 1
+            ), idg AS (
+              SELECT dst, CAST(count(*) AS BIGINT) AS y FROM e GROUP BY 1
+            ), j AS (
+              SELECT od.x, idg.y
+              FROM e JOIN od USING (src) JOIN idg USING (dst)
+            ), s AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(x) AS BIGINT) AS sx,
+                     CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(x * y) AS BIGINT) AS sxy,
+                     CAST(sum(x * x) AS BIGINT) AS sxx,
+                     CAST(sum(y * y) AS BIGINT) AS syy
+              FROM j
+            )
+            SELECT n AS n_edges,
+                   CAST(FLOOR(
+                     (n * sxy - sx * sy)
+                     / sqrt((n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy))
+                     * 1000000 + 0.5) AS BIGINT) AS assortativity_e6
+            FROM s
         """,
     }

@@ -9879,3 +9879,99 @@ def q_tokenizer_fertility(sf_dir: str, k: int = 10):
         )
 
     return agg.map_batches(ratio, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------------ degree assortativity ----
+def q_degree_assortativity(sf_dir: str):
+    """Degree assortativity of the deterministic customer graph (Newman
+    2002): the Pearson correlation between out-degree(src) and
+    in-degree(dst) across distinct edges — positive means hubs link to
+    hubs (social-network shape), negative means hubs link to leaves
+    (the web/crawl-graph shape that makes per-host budgets matter).
+
+    Determinism contract: every moment (n, Σx, Σy, Σxy, Σx², Σy²) is an
+    EXACT int64 — batching/order-free — and the final Pearson formula
+    runs ONCE on the driver with the same operation order as the DuckDB
+    twin (each int moment < 2^53, so the float product/sqrt round
+    identically), rounded half-away to e6.
+
+    Scale shape: two bucketed shuffles, both node-co-locating — edges
+    dedup + out-degree resolve in src buckets (every (src, *) row lands
+    in src's bucket, so the local count IS the global out-degree), then
+    in-degree + moment partials resolve in dst buckets; only
+    6-number moment rows ever reach the driver."""
+    import polars as pl
+
+    import pyarrow.parquet as pq_mod
+
+    n_nodes = pq_mod.read_metadata(
+        os.path.join(sf_dir, "customer.parquet")
+    ).num_rows
+    orders = _pq(sf_dir, "orders", columns=["o_custkey", "o_orderkey"], split=True)
+    n_buckets = default_buckets()
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        src = batch.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = (
+            batch.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+            % n_nodes
+        )
+        df = pl.DataFrame({"src": src, "dst": dst}).unique()
+        return pa.table(
+            {
+                "bs": pa.array(
+                    (df["src"].to_numpy() % n_buckets).astype(np.int32), pa.int32()
+                ),
+                "src": df["src"].to_arrow(),
+                "dst": df["dst"].to_arrow(),
+            }
+        )
+
+    def src_resolve(g: pd.DataFrame) -> pd.DataFrame:
+        df = pl.from_pandas(g[["src", "dst"]]).unique()
+        df = df.with_columns(
+            x=pl.len().over("src").cast(pl.Int64)  # global out-degree
+        )
+        bd = (df["dst"].to_numpy().astype(np.int64) % n_buckets).astype(np.int32)
+        out = df.select(["dst", "x"]).to_pandas()
+        out["bd"] = bd
+        return out
+
+    def dst_moments(g: pd.DataFrame) -> pd.DataFrame:
+        df = pl.from_pandas(g[["dst", "x"]]).with_columns(
+            y=pl.len().over("dst").cast(pl.Int64)  # global in-degree
+        )
+        x = df["x"].to_numpy().astype(np.int64)
+        y = df["y"].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                "n": [np.int64(len(x))],
+                "sx": [x.sum()],
+                "sy": [y.sum()],
+                "sxy": [(x * y).sum()],
+                "sxx": [(x * x).sum()],
+                "syy": [(y * y).sum()],
+            }
+        )
+
+    parts = (
+        orders.map_batches(to_edges, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bs")
+        .map_groups(src_resolve, batch_format="pandas")
+        .groupby("bd")
+        .map_groups(dst_moments, batch_format="pandas")
+    ).to_pandas()  # <= n_buckets moment rows
+
+    n = int(parts["n"].sum())
+    sx, sy = int(parts["sx"].sum()), int(parts["sy"].sum())
+    sxy = int(parts["sxy"].sum())
+    sxx, syy = int(parts["sxx"].sum()), int(parts["syy"].sum())
+    num = float(n * sxy - sx * sy)
+    den = float(np.sqrt(float(n * sxx - sx * sx) * float(n * syy - sy * sy)))
+    r = num / den
+    return pd.DataFrame(
+        {
+            "n_edges": [np.int64(n)],
+            "assortativity_e6": [np.int64(np.floor(r * 1_000_000 + 0.5))],
+        }
+    )
