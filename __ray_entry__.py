@@ -343,6 +343,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_distinct_growth": r.q_distinct_growth,
         "q_burst_detect": r.q_burst_detect,
         "q_degree_assortativity": d.q_degree_assortativity,
+        "q_ppr": d.q_ppr,
         # rows-only (rolling-hash chunking / iterative Lloyd / BPE are
         # not SQL-expressible) — pinned by replica tests
         "q_cdc_chunks": d.q_cdc_chunks,
@@ -3688,5 +3689,68 @@ def oracle_sql() -> dict[str, str]:
                      / sqrt((n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy))
                      * 1000000 + 0.5) AS BIGINT) AS assortativity_e6
             FROM s
+        """,
+        # personalized PageRank: q_pagerank's integer fixed-point CTE
+        # with teleport + init concentrated on seeds (node % 41 = 0),
+        # unrolled to the q_ppr default of 4 iterations
+        "q_ppr": """
+            WITH nodes AS (SELECT c_custkey AS node FROM customer),
+                 ns AS (SELECT count(*) AS n FROM customer
+                        WHERE c_custkey % 41 = 0),
+                 edges AS (SELECT o_custkey AS src,
+                                  o_orderkey % (SELECT count(*) FROM customer)
+                                    AS dst,
+                                  CAST(count(*) AS BIGINT) AS cnt
+                           FROM orders GROUP BY 1, 2),
+                 outdeg AS (SELECT src, SUM(cnt) AS deg FROM edges GROUP BY src),
+                 r0 AS (SELECT CAST(1000000000000 // (SELECT n FROM ns)
+                                    AS BIGINT) AS v),
+                 bs AS (SELECT CAST(15 * (SELECT v FROM r0) // 100
+                                    AS BIGINT) AS v),
+                 it0 AS (SELECT node,
+                                CASE WHEN node % 41 = 0
+                                     THEN (SELECT v FROM r0) ELSE 0 END AS r
+                         FROM nodes),
+                 it1 AS (SELECT n.node AS node,
+                                CASE WHEN n.node % 41 = 0
+                                     THEN (SELECT v FROM bs) ELSE 0 END
+                              + 85 * COALESCE(SUM(e.cnt * (r.r // d.deg)), 0)
+                                // 100 AS r
+                         FROM nodes n
+                         LEFT JOIN edges e ON e.dst = n.node
+                         LEFT JOIN it0 r ON r.node = e.src
+                         LEFT JOIN outdeg d ON d.src = e.src
+                         GROUP BY n.node),
+                 it2 AS (SELECT n.node AS node,
+                                CASE WHEN n.node % 41 = 0
+                                     THEN (SELECT v FROM bs) ELSE 0 END
+                              + 85 * COALESCE(SUM(e.cnt * (r.r // d.deg)), 0)
+                                // 100 AS r
+                         FROM nodes n
+                         LEFT JOIN edges e ON e.dst = n.node
+                         LEFT JOIN it1 r ON r.node = e.src
+                         LEFT JOIN outdeg d ON d.src = e.src
+                         GROUP BY n.node),
+                 it3 AS (SELECT n.node AS node,
+                                CASE WHEN n.node % 41 = 0
+                                     THEN (SELECT v FROM bs) ELSE 0 END
+                              + 85 * COALESCE(SUM(e.cnt * (r.r // d.deg)), 0)
+                                // 100 AS r
+                         FROM nodes n
+                         LEFT JOIN edges e ON e.dst = n.node
+                         LEFT JOIN it2 r ON r.node = e.src
+                         LEFT JOIN outdeg d ON d.src = e.src
+                         GROUP BY n.node),
+                 it4 AS (SELECT n.node AS node,
+                                CASE WHEN n.node % 41 = 0
+                                     THEN (SELECT v FROM bs) ELSE 0 END
+                              + 85 * COALESCE(SUM(e.cnt * (r.r // d.deg)), 0)
+                                // 100 AS r
+                         FROM nodes n
+                         LEFT JOIN edges e ON e.dst = n.node
+                         LEFT JOIN it3 r ON r.node = e.src
+                         LEFT JOIN outdeg d ON d.src = e.src
+                         GROUP BY n.node)
+            SELECT node AS custkey, CAST(r AS BIGINT) AS ppr_e12 FROM it4
         """,
     }

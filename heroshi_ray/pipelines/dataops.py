@@ -1462,6 +1462,8 @@ def q_pagerank(
     n_iters: int = 6,
     broadcast_limit: int = 2_000_000,
     force_distributed: bool = False,
+    seed_mod: int | None = None,
+    driver_edges_max: int = 4_000_000,
 ):
     """Integer PageRank over a deterministic customer link graph —
     the link-analysis / crawl-prioritization shape (heroshi-class
@@ -1480,7 +1482,22 @@ def q_pagerank(
     on src and one groupby-sum on dst. Below ``broadcast_limit`` nodes
     the rank vector rides ``ray.put`` and the join is a map-side numpy
     lookup; above it ranks stay a Dataset and the join is a distributed
-    hash join (both paths equivalence-tested)."""
+    hash join (both paths equivalence-tested).
+
+    Size-adaptive driver fork (the q_opic/q_degree_stats pattern):
+    below ``driver_edges_max`` orders rows (exact parquet metadata, no
+    scan) the whole power iteration runs in one driver numpy pass —
+    the per-iteration Ray plan launches were the entire cost at small
+    scale, and the int64 fixed-point arithmetic makes the fork
+    BIT-IDENTICAL to both distributed plans (three-way
+    equivalence-tested).
+
+    ``seed_mod`` switches to PERSONALIZED PageRank (q_ppr): teleport
+    mass and the initial distribution concentrate on the seed set
+    {node % seed_mod == 0} instead of spreading uniformly. Seed
+    membership is pure node arithmetic, so the distributed path needs
+    no seed-vector broadcast — each map computes it from the dst
+    column inline."""
     import pyarrow.parquet as pq_mod
 
     from ray.data.aggregate import Sum
@@ -1490,8 +1507,48 @@ def q_pagerank(
     )
     n_nodes = cust.num_rows
     nodes = cust.column("c_custkey").to_numpy()  # 0..n-1 contiguous by fixture
-    r0 = np.int64(10**12 // n_nodes)
+    is_seed = (
+        (np.arange(n_nodes, dtype=np.int64) % seed_mod == 0)
+        if seed_mod
+        else np.ones(n_nodes, bool)
+    )
+    n_active = int(is_seed.sum())
+    r0 = np.int64(10**12 // n_active)
     base = np.int64(15 * int(r0) // 100)
+    r0v = np.where(is_seed, r0, np.int64(0)).astype(np.int64)
+    basev = np.where(is_seed, base, np.int64(0)).astype(np.int64)
+
+    orders_path = os.path.join(sf_dir, "orders.parquet")
+    if (
+        pq_mod.read_metadata(orders_path).num_rows <= driver_edges_max
+        and not force_distributed
+    ):
+        tbl = pq_mod.read_table(
+            orders_path, columns=["o_custkey", "o_orderkey"]
+        )
+        src = tbl.column("o_custkey").to_numpy().astype(np.int64)
+        dst = tbl.column("o_orderkey").to_numpy().astype(np.int64) % n_nodes
+        key = src * n_nodes + dst
+        u, cnt = np.unique(key, return_counts=True)
+        esrc, edst = (u // n_nodes), (u % n_nodes)
+        cnt = cnt.astype(np.int64)
+        deg = np.zeros(n_nodes, np.int64)
+        np.add.at(deg, esrc, cnt)
+        safe_deg = np.maximum(deg, 1)
+        ranks = r0v.copy()
+        for _ in range(n_iters):
+            share = ranks // safe_deg
+            w = cnt * share[esrc]
+            ranks = basev.copy()
+            inflow = np.zeros(n_nodes, np.int64)
+            np.add.at(inflow, edst, w)
+            ranks += 85 * inflow // 100
+        return pa.table(
+            {
+                "custkey": pa.array(nodes.astype(np.int64), pa.int64()),
+                "pagerank_e12": pa.array(ranks, pa.int64()),
+            }
+        )
 
     orders = _pq(sf_dir, "orders", columns=["o_custkey", "o_orderkey"], split=True)
 
@@ -1521,7 +1578,7 @@ def q_pagerank(
         deg = np.zeros(n_nodes, dtype=np.int64)
         for r in deg_rows:
             deg[r["src"]] = r["deg"]
-        ranks = np.full(n_nodes, r0, dtype=np.int64)
+        ranks = r0v.copy()
         safe_deg = np.maximum(deg, 1)
         for _ in range(n_iters):
             share_ref = ray.put(ranks // safe_deg)
@@ -1548,7 +1605,7 @@ def q_pagerank(
                 .aggregate(Sum("c", alias_name="c"))
                 .take_all()
             )  # O(n_nodes) rows — bounded by the broadcast_limit regime
-            ranks = np.full(n_nodes, base, dtype=np.int64)
+            ranks = basev.copy()
             for r in s_rows:
                 ranks[r["dst"]] += 85 * r["c"] // 100
         return pa.table(
@@ -1571,11 +1628,22 @@ def q_pagerank(
     nodes_ds = ray.data.from_arrow(
         pa.table({"dst": pa.array(nodes.astype(np.int64), pa.int64())})
     ).repartition(nparts)
+    def _node_vec(d: np.ndarray, val: np.int64) -> np.ndarray:
+        # seed membership is node arithmetic — no vector ships anywhere
+        if seed_mod:
+            return np.where(d % seed_mod == 0, val, np.int64(0))
+        return np.full(len(d), val, np.int64)
+
     ranks_ds = nodes_ds.map_batches(
         lambda b: pa.table(
             {
                 "src": b.column("dst"),
-                "r": pa.array(np.full(b.num_rows, r0, np.int64), pa.int64()),
+                "r": pa.array(
+                    _node_vec(
+                        b.column("dst").to_numpy(zero_copy_only=False), r0
+                    ),
+                    pa.int64(),
+                ),
             }
         ),
         batch_format="pyarrow",
@@ -1608,25 +1676,22 @@ def q_pagerank(
             ),
             batch_format="pyarrow",
         )
+        def _apply_base(b: pa.Table) -> pa.Table:
+            d = b.column("dst").to_numpy(zero_copy_only=False)
+            c = b.column("c").to_numpy(zero_copy_only=False)
+            r = _node_vec(d, base) + 85 * c // 100
+            return pa.table(
+                {
+                    "src": b.column("dst"),
+                    "r": pa.array(r.astype(np.int64), pa.int64()),
+                }
+            )
+
         ranks_ds = (
             contrib.union(zeros)
             .groupby("dst")
             .aggregate(Sum("c", alias_name="c"))
-            .map_batches(
-                lambda b: pa.table(
-                    {
-                        "src": b.column("dst"),
-                        "r": pc.add(
-                            pa.scalar(int(base), pa.int64()),
-                            pc.divide(
-                                pc.multiply(b.column("c"), pa.scalar(85, pa.int64())),
-                                pa.scalar(100, pa.int64()),
-                            ),
-                        ),
-                    }
-                ),
-                batch_format="pyarrow",
-            )
+            .map_batches(_apply_base, batch_format="pyarrow")
             .materialize()
         )
     out = ranks_ds.map_batches(
@@ -9974,4 +10039,35 @@ def q_degree_assortativity(sf_dir: str):
             "n_edges": [np.int64(n)],
             "assortativity_e6": [np.int64(np.floor(r * 1_000_000 + 0.5))],
         }
+    )
+
+
+# -------------------------------------------- personalized PageRank (PPR) --
+def q_ppr(
+    sf_dir: str,
+    n_iters: int = 4,
+    seed_mod: int = 41,
+    force_distributed: bool = False,
+):
+    """Personalized PageRank from a seed set (the FOCUSED-crawl
+    prioritizer — Haveliwala 2002 topic-sensitive PageRank; a crawler
+    chasing a topic ranks frontier hosts by random-walk-with-restart
+    proximity to its seeds rather than global authority): teleport mass
+    and the initial distribution concentrate on {node % seed_mod == 0}.
+
+    Same integer fixed-point determinism contract, size-adaptive
+    broadcast/distributed forks, and combiner layout as q_pagerank —
+    this IS q_pagerank with a seed teleport vector, and seed membership
+    is node arithmetic, so even the distributed fork ships no vector.
+    Output (custkey, ppr_e12) over all nodes (non-seeds score only via
+    in-links from the walk)."""
+    out = q_pagerank(
+        sf_dir, n_iters=n_iters, seed_mod=seed_mod,
+        force_distributed=force_distributed,
+    )
+    if isinstance(out, pa.Table):
+        return out.rename_columns(["custkey", "ppr_e12"])
+    return out.map_batches(
+        lambda b: b.rename_columns(["custkey", "ppr_e12"]),
+        batch_format="pyarrow",
     )

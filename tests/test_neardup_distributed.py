@@ -366,9 +366,11 @@ def test_pagerank_distributed_path_equals_broadcast(ray_session):
         df = res.to_pandas() if hasattr(res, "to_pandas") else res
         return df.sort_values("custkey").reset_index(drop=True).astype("int64")
 
-    a = norm(q_pagerank(SF_DIR))
+    a = norm(q_pagerank(SF_DIR))  # driver fork (under driver_edges_max)
     b = norm(q_pagerank(SF_DIR, force_distributed=True))
+    c = norm(q_pagerank(SF_DIR, driver_edges_max=0))  # broadcast regime
     pd.testing.assert_frame_equal(a, b, check_exact=True)
+    pd.testing.assert_frame_equal(a, c, check_exact=True)
     assert len(a) > 0
     # rank mass is conserved up to per-node floor loss: sum <= 10^12,
     # within n_nodes + n_edges units of it

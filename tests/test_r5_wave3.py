@@ -199,3 +199,23 @@ def test_cli_query_lists_all_registered(capsys, ray_session, monkeypatch):
     out = capsys.readouterr().out.strip().splitlines()
     assert len(out) == len(entrymod.queries())
     assert all("\t" in line for line in out)
+
+
+def test_ppr_distributed_path_equals_broadcast(ray_session):
+    """Personalized PageRank's seed teleport must be identical through
+    the broadcast-vector and distributed-join forks (seed membership is
+    node arithmetic, so neither fork ships a seed vector)."""
+    from heroshi_ray.pipelines.dataops import q_ppr
+
+    def norm(r):
+        df = r.to_pandas()
+        return df.sort_values("custkey").reset_index(drop=True)
+
+    a = norm(q_ppr(SF_DIR))
+    b = norm(q_ppr(SF_DIR, force_distributed=True))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+    # seeds hold teleport mass; at least one non-seed scores via in-links
+    seeds = a[a["custkey"] % 41 == 0]
+    nonseeds = a[a["custkey"] % 41 != 0]
+    assert (seeds["ppr_e12"] > 0).all()
+    assert (nonseeds["ppr_e12"] > 0).any()
