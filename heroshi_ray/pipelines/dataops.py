@@ -3713,7 +3713,13 @@ def q_ann_ivfpq(
     return _merge_topk(parts, k)
 
 
-def q_bfs_distance(sf_dir: str, source: int = 0, max_depth: int = 6):
+def q_bfs_distance(
+    sf_dir: str,
+    source: int = 0,
+    max_depth: int = 6,
+    driver_edges_max: int = 4_000_000,
+    force_distributed: bool = False,
+):
     """BFS shortest-path distances from a seed node over the
     q_pagerank/q_triangle_count link graph — crawl-depth / link-distance
     analysis (heroshi tracks depth-from-seed for scheduling), and the
@@ -3729,12 +3735,52 @@ def q_bfs_distance(sf_dir: str, source: int = 0, max_depth: int = 6):
     unbounded-diameter full-graph labeling the Dataset-resident
     propagation machinery in q_dedup_clusters is the scale path, as its
     docstring documents. The DuckDB twin unrolls the same rounds as
-    nested CTEs (the q_pagerank oracle pattern)."""
+    nested CTEs (the q_pagerank oracle pattern).
+
+    Size-adaptive driver fork (q_triangle_count's gate): below
+    ``driver_edges_max`` orders rows the per-depth frontier expansion
+    was max_depth full Ray plan launches over a bench-scale edge list —
+    the fork runs ONE distributed edge-dedup pass
+    (_link_edges_driver) and the identical searchsorted kernel per
+    depth on the driver arrays; set semantics make the forks exactly
+    equal (equivalence-tested)."""
     import pyarrow.parquet as pq_mod
 
     n_nodes = pq_mod.read_metadata(
         os.path.join(sf_dir, "customer.parquet")
     ).num_rows
+
+    if (
+        pq_mod.read_metadata(os.path.join(sf_dir, "orders.parquet")).num_rows
+        <= driver_edges_max
+        and not force_distributed
+    ):
+        k = _link_edges_driver(sf_dir, n_nodes)
+        eu = (k // n_nodes).astype(np.int64)
+        ev = (k % n_nodes).astype(np.int64)
+        visited = {int(source): 0}
+        frontier = np.array([source], np.int64)
+        for depth in range(1, max_depth + 1):
+            f = np.sort(frontier)
+            pu = np.clip(np.searchsorted(f, eu), 0, max(0, len(f) - 1))
+            pv = np.clip(np.searchsorted(f, ev), 0, max(0, len(f) - 1))
+            mu = f[pu] == eu
+            mv = f[pv] == ev
+            reached = np.unique(np.concatenate([ev[mu], eu[mv]]))
+            frontier = np.array(
+                [n for n in reached if int(n) not in visited], np.int64
+            )
+            if len(frontier) == 0:
+                break
+            for n in frontier:
+                visited[int(n)] = depth
+        nodes = sorted(visited)
+        return pa.table(
+            {
+                "node": pa.array(nodes, pa.int64()),
+                "dist": pa.array([visited[n] for n in nodes], pa.int64()),
+            }
+        )
 
     edges = _link_edges(sf_dir, n_nodes)
 
