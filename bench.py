@@ -332,6 +332,19 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         "q_ndcg",
         "q_dedup_keep_best",
         "q_host_gini",
+        "q_soft_dedup",
+        "q_theta_intersect",
+        "q_weighted_sample",
+        "q_cdc_chunks",
+        "q_davies_bouldin",
+        "q_common_neighbors",
+        "q_tokenizer_fertility",
+        "q_distinct_growth",
+        "q_burst_detect",
+        "q_degree_assortativity",
+        "q_ppr",
+        "q_pagerank",
+        "q_bfs_distance",
     ]
     # per-query best-of-2 with the same rationale as the headline reps.
     # The two sub-2 s fixed-overhead-dominated queries get extra reps:
