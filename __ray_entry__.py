@@ -344,6 +344,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_burst_detect": r.q_burst_detect,
         "q_degree_assortativity": d.q_degree_assortativity,
         "q_ppr": d.q_ppr,
+        "q_drain_epochs": w.q_drain_epochs,
+        "q_pca_variance": d.q_pca_variance,
         # rows-only (rolling-hash chunking / iterative Lloyd / BPE are
         # not SQL-expressible) — pinned by replica tests
         "q_cdc_chunks": d.q_cdc_chunks,
@@ -3752,5 +3754,18 @@ def oracle_sql() -> dict[str, str]:
                          LEFT JOIN outdeg d ON d.src = e.src
                          GROUP BY n.node)
             SELECT node AS custkey, CAST(r AS BIGINT) AS ppr_e12 FROM it4
+        """,
+        # drain-time plan: ceil(n/budget) per flagship-fold host,
+        # histogram over epochs
+        "q_drain_epochs": r"""
+            WITH h AS (
+              SELECT CASE WHEN l_suppkey % 7 = 0 THEN 0
+                          ELSE l_suppkey % 97 END AS hostid,
+                     count(*) AS n
+              FROM lineitem GROUP BY 1
+            )
+            SELECT CAST((n + 15) // 16 AS BIGINT) AS epochs,
+                   CAST(count(*) AS BIGINT) AS n_hosts
+            FROM h GROUP BY 1
         """,
     }

@@ -345,6 +345,8 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         "q_ppr",
         "q_pagerank",
         "q_bfs_distance",
+        "q_drain_epochs",
+        "q_pca_variance",
     ]
     # per-query best-of-2 with the same rationale as the headline reps.
     # The two sub-2 s fixed-overhead-dominated queries get extra reps:

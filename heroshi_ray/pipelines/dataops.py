@@ -10117,3 +10117,62 @@ def q_ppr(
         lambda b: b.rename_columns(["custkey", "ppr_e12"]),
         batch_format="pyarrow",
     )
+
+
+# ------------------------------------------- distributed PCA (variance) ----
+def q_pca_variance(sf_dir: str, dims: int = 64, top_k: int = 8):
+    """Distributed PCA explained-variance profile of the embedding
+    column (the dimensionality audit run before PQ/OPQ quantization or
+    whitening: if 8 of 64 components carry most of the variance, PQ
+    subspaces should be rotated/balanced first — Jégou et al. PAMI'11
+    §V discusses exactly this failure). Top-k eigenvalues of the
+    covariance matrix as e6 variance ratios.
+
+    Determinism contract: each batch emits EXACT int64 moment partials
+    (n, Σv, Σ v vᵀ upper triangle) in e6 fixed point — v_i·v_j ≤ 1e12
+    per element and the fixture row count keeps the sums far under
+    2^63 (at 10^9 rows the same layout needs per-block rescaling or
+    i128 accumulation — documented knob, same class as the ANN
+    codebook sample). The d² moment rows are dims-bounded, never
+    corpus-bounded; the driver reconstructs the covariance from the
+    exact ints and runs ONE eigh — bit-identical inputs, so the
+    replica test pins equality exactly.
+
+    Output (component, var_ratio_e6) for the top_k components."""
+    ds = _pq(sf_dir, "embeddings", columns=["embedding"], split=True)
+
+    def moments(batch: pa.Table) -> pa.Table:
+        flat = batch.column("embedding").combine_chunks().flatten().to_numpy(
+            zero_copy_only=False
+        )
+        x = flat.reshape(-1, dims).astype(np.float64)
+        v = np.round(x * 1e6).astype(np.int64)
+        s2 = v.T @ v  # int64 exact at fixture scale (see docstring)
+        return pa.table(
+            {
+                "n": pa.array([len(v)], pa.int64()),
+                "sv": pa.array([v.sum(axis=0).tolist()], pa.list_(pa.int64())),
+                "s2": pa.array([s2.reshape(-1).tolist()], pa.list_(pa.int64())),
+            }
+        )
+
+    parts = ds.map_batches(
+        moments, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()  # <= n_blocks rows of (1 + d + d^2) ints — dims-bounded
+
+    n = int(parts["n"].sum())
+    sv = np.sum(np.stack(parts["sv"].to_numpy()), axis=0).astype(np.int64)
+    s2 = np.sum(np.stack(parts["s2"].to_numpy()), axis=0).astype(np.int64)
+    mean = sv.astype(np.float64) / 1e6 / n
+    cov = s2.reshape(dims, dims).astype(np.float64) / 1e12 / n - np.outer(
+        mean, mean
+    )
+    evals = np.linalg.eigvalsh(cov)[::-1]  # descending
+    total = float(evals.sum())
+    ratio = evals[:top_k] / total
+    return pd.DataFrame(
+        {
+            "component": np.arange(top_k, dtype=np.int64),
+            "var_ratio_e6": np.floor(ratio * 1_000_000 + 0.5).astype(np.int64),
+        }
+    )

@@ -1119,3 +1119,57 @@ def q_host_gini(sf_dir: str):
             "gini_e6": pa.array([gini_e6], pa.int64()),
         }
     )
+
+
+# ------------------------------------------------- drain-time planning ----
+def q_drain_epochs(sf_dir: str, per_host_budget: int = 16):
+    """Frontier drain-time plan (the capacity question a politeness-
+    bounded crawler answers before committing budgets: with at most
+    ``per_host_budget`` fetches per host per epoch, how many epochs
+    does each host need, and what does the distribution look like —
+    the makespan is the MAX, set by the hottest host, which is why
+    per-host budget tuning matters more than fleet size). Over the
+    flagship's hostid fold (l_suppkey%7==0 -> host 0, else %97):
+    epochs(host) = ceil(n_urls / budget). Output (epochs, n_hosts).
+
+    Scale shape: pure combiner — per-batch host counts, one
+    host-keyed groupby sum (hosts-scale), then an output-grain
+    epochs-histogram groupby. The corpus never shuffles."""
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_suppkey"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        hostid = np.where(sk % 7 == 0, 0, sk % 97)
+        u, c = np.unique(hostid, return_counts=True)
+        return pa.table(
+            {
+                "hostid": pa.array(u, pa.int64()),
+                "n": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    hosts = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("hostid")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def to_epochs(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = np.int64(per_host_budget)
+        return pa.table(
+            {
+                "epochs": pa.array((n + b - 1) // b, pa.int64()),
+                "one": pa.array(np.ones(len(n), np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        hosts.map_batches(to_epochs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("epochs")
+        .aggregate(Sum("one", alias_name="n_hosts"))
+    )

@@ -230,3 +230,29 @@ def test_bfs_driver_fork_equals_distributed(ray_session):
     a = norm(q_bfs_distance(SF_DIR))
     b = norm(q_bfs_distance(SF_DIR, force_distributed=True))
     pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+
+
+def test_pca_variance_matches_numpy_replica(ray_session):
+    """The distributed moment partials must reconstruct the covariance
+    bit-identically to a single-pass numpy computation with the same
+    e6 fixed-point rounding, so the eigh outputs are equal exactly."""
+    from heroshi_ray.pipelines import dataops as d
+
+    got = d.q_pca_variance(SF_DIR)
+
+    tbl = pq.read_table(f"{SF_DIR}/embeddings.parquet", columns=["embedding"])
+    X = np.array(tbl.column("embedding").to_pylist(), np.float64)
+    v = np.round(X * 1e6).astype(np.int64)
+    n = len(v)
+    mean = v.sum(axis=0).astype(np.float64) / 1e6 / n
+    cov = (v.T @ v).astype(np.float64) / 1e12 / n - np.outer(mean, mean)
+    evals = np.linalg.eigvalsh(cov)[::-1]
+    ratio = evals[:8] / float(evals.sum())
+    want = pd.DataFrame(
+        {
+            "component": np.arange(8, dtype=np.int64),
+            "var_ratio_e6": np.floor(ratio * 1_000_000 + 0.5).astype(np.int64),
+        }
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+    assert got["var_ratio_e6"].is_monotonic_decreasing
