@@ -267,16 +267,24 @@ def _run_query(args) -> int:
     cross-checkable) without writing a script."""
     import importlib.util
     import os
+    import sys
 
     import pandas as pd
 
-    # __ray_entry__ lives at the repo root, not inside the package
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    spec = importlib.util.spec_from_file_location(
-        "__ray_entry__", os.path.join(root, "__ray_entry__.py")
-    )
-    entrymod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(entrymod)
+    # __ray_entry__ lives at the repo root, not inside the package.
+    # Reuse an already-imported instance (e.g. under pytest, or when the
+    # driver imported it first): re-exec'ing the file from disk while
+    # heroshi_ray.* stays at its in-memory version can skew the registry
+    # against the loaded pipeline modules.
+    entrymod = sys.modules.get("__ray_entry__")
+    if entrymod is None or not hasattr(entrymod, "queries"):
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        spec = importlib.util.spec_from_file_location(
+            "__ray_entry__", os.path.join(root, "__ray_entry__.py")
+        )
+        entrymod = importlib.util.module_from_spec(spec)
+        sys.modules["__ray_entry__"] = entrymod
+        spec.loader.exec_module(entrymod)
 
     qs, orc = entrymod.queries(), entrymod.oracle_sql()
     if not args.name:
