@@ -346,6 +346,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ppr": d.q_ppr,
         "q_drain_epochs": w.q_drain_epochs,
         "q_pca_variance": d.q_pca_variance,
+        # round-5 wave 4 (same post-window status): two image-curation
+        # gates on the part-keyed corpora (real decoders behind
+        # SQL-predictable metadata), two scheduler-brain allocation/
+        # ordering ops, one LAG-window trend report
+        "q_thumbnail": d.q_thumbnail,
+        "q_letterbox": d.q_letterbox,
+        "q_budget_alloc": w.q_budget_alloc,
+        "q_handout_interleave": w.q_handout_interleave,
+        "q_month_over_month": r.q_month_over_month,
         # rows-only (rolling-hash chunking / iterative Lloyd / BPE are
         # not SQL-expressible) — pinned by replica tests
         "q_cdc_chunks": d.q_cdc_chunks,
@@ -3767,5 +3776,98 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST((n + 15) // 16 AS BIGINT) AS epochs,
                    CAST(count(*) AS BIGINT) AS n_hosts
             FROM h GROUP BY 1
+        """,
+        # thumbnail gate twin: dims are codec-corpus key arithmetic / 8;
+        # ok=TRUE asserts the real decode + exact box kernel + fidelity
+        "q_thumbnail": """
+            SELECT 'img' || CAST(p_partkey AS VARCHAR) AS image_id,
+                   CAST((32 + 16 * (p_partkey % 3)) // 8 AS INTEGER) AS thumb_w,
+                   CAST((32 + 16 * ((p_partkey // 3) % 3)) // 8 AS INTEGER)
+                       AS thumb_h,
+                   CASE p_partkey % 4
+                     WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                     WHEN 2 THEN 'gif' ELSE 'qpng' END AS fmt,
+                   TRUE AS ok
+            FROM part WHERE p_partkey < 96
+        """,
+        # letterbox twin: planted pads are pure key arithmetic on the
+        # 48-row canvas; a hash match certifies decode + detection
+        "q_letterbox": """
+            SELECT 'img' || CAST(p_partkey AS VARCHAR) AS image_id,
+                   CAST(2 * (p_partkey % 5) AS INTEGER) AS pad_top,
+                   CAST(3 * (p_partkey % 4) AS INTEGER) AS pad_bottom,
+                   CAST(48 - 2 * (p_partkey % 5) - 3 * (p_partkey % 4)
+                        AS INTEGER) AS content_h
+            FROM part WHERE p_partkey < 96
+        """,
+        # Hamilton apportionment twin: identical floor/remainder/rank
+        # algebra; sum(alloc) == budget by construction on both sides
+        "q_budget_alloc": """
+            WITH demand AS (
+              SELECT CASE WHEN l_suppkey % 7 = 0 THEN 0
+                          ELSE l_suppkey % 97 END AS hostid,
+                     CAST(count(*) AS BIGINT) AS demand
+              FROM lineitem GROUP BY 1
+            ), tot AS (
+              SELECT SUM(demand) AS total, SUM(demand) // 4 AS budget
+              FROM demand
+            ), base AS (
+              SELECT d.hostid, d.demand,
+                     (t.budget * d.demand) // t.total AS base,
+                     (t.budget * d.demand) % t.total AS rem
+              FROM demand d, tot t
+            ), lo AS (
+              SELECT t.budget - SUM(b.base) AS leftover FROM base b, tot t
+              GROUP BY t.budget
+            ), ranked AS (
+              SELECT hostid, demand, base, rem,
+                     ROW_NUMBER() OVER (ORDER BY rem DESC, hostid ASC) AS rk
+              FROM base
+            )
+            SELECT r.hostid, r.demand,
+                   CAST(r.base + CASE WHEN r.rk <= l.leftover THEN 1 ELSE 0 END
+                        AS BIGINT) AS alloc
+            FROM ranked r, lo l
+        """,
+        # politeness-interleave twin: within-host ROW_NUMBER cap, then a
+        # total-order position over (rank, hostid, order key)
+        "q_handout_interleave": """
+            WITH rows_in AS (
+              SELECT o_orderkey AS order_key,
+                     o_custkey % 53 AS hostid,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS priority_e2
+              FROM orders
+            ), ranked AS (
+              SELECT *,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY hostid
+                       ORDER BY priority_e2 DESC, order_key ASC
+                     ) AS rank_in_host
+              FROM rows_in
+            )
+            SELECT CAST(ROW_NUMBER() OVER (
+                     ORDER BY rank_in_host, hostid, order_key
+                   ) AS BIGINT) AS pos,
+                   CAST(hostid AS BIGINT) AS hostid,
+                   order_key,
+                   CAST(rank_in_host AS BIGINT) AS rank_in_host,
+                   priority_e2
+            FROM ranked WHERE rank_in_host <= 4
+        """,
+        # month-over-month twin: LAG over exact int64 cents
+        "q_month_over_month": """
+            WITH m AS (
+              SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                     CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS revenue_e2
+              FROM orders GROUP BY 1
+            )
+            SELECT month, revenue_e2,
+                   CAST(COALESCE(LAG(revenue_e2) OVER (ORDER BY month), 0)
+                        AS BIGINT) AS prev_revenue_e2,
+                   CAST(revenue_e2
+                        - COALESCE(LAG(revenue_e2) OVER (ORDER BY month), 0)
+                        AS BIGINT) AS delta_e2
+            FROM m
         """,
     }

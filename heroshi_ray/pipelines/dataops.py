@@ -10176,3 +10176,164 @@ def q_pca_variance(sf_dir: str, dims: int = 64, top_k: int = 8):
             "var_ratio_e6": np.floor(ratio * 1_000_000 + 0.5).astype(np.int64),
         }
     )
+
+
+# ------------------------------------------------------ thumbnail stage ----
+def _box_thumb(arr: np.ndarray, factor: int) -> np.ndarray:
+    """Exact integer box-filter downsample: each output pixel is the
+    floor-mean of a factor x factor tile (uint32 tile sums // factor^2),
+    so the kernel is bit-deterministic across platforms — the property
+    every fidelity pin below relies on. Dims must divide by factor
+    (the part-keyed corpus guarantees it)."""
+    h, w, c = arr.shape
+    th, tw = h // factor, w // factor
+    tiles = arr.astype(np.uint32).reshape(th, factor, tw, factor, c)
+    return (tiles.sum(axis=(1, 3)) // (factor * factor)).astype(np.uint8)
+
+
+def q_thumbnail(sf_dir: str, factor: int = 8):
+    """Driver-trust thumbnail gate (the image-pipeline stage every
+    multimodal corpus build runs between fetch and train): decode each
+    row of the part-keyed codec corpus with the REAL decoders
+    (png/qpng + T.81 jpeg + LZW gif), box-downsample by ``factor``
+    with the exact integer kernel, and compare against the thumbnail
+    of the REGENERATED source pixels — ok = bytes-equal for png,
+    PSNR >= 40 dB for the lossy fmts (box means average codec noise
+    DOWN, so the thumbnail bound is strictly easier than the full-res
+    invariant it inherits from BASELINE.json:15). The DuckDB twin
+    predicts (thumb_w, thumb_h, fmt, ok=TRUE) from ``part`` key
+    arithmetic, so a wrong dimension, failed decode, broken kernel or
+    fidelity miss is a driver hash mismatch.
+
+    Scale shape: pure map — no shuffle, state-free tasks, batch_size
+    sized small because rows carry image payloads (the 100 TB layout:
+    blob columns want few rows per batch, ray.data streams blocks)."""
+    path = _ensure_codec_oracle(sf_dir)
+    ds = ray.data.read_parquet(path)
+
+    def thumb(batch: pa.Table) -> pa.Table:
+        from ..fixtures import _pixels
+        from ..functions.image import decode_image, psnr
+
+        ids = batch.column("image_id").to_pylist()
+        blobs = batch.column("bytes").to_pylist()
+        fmts = batch.column("fmt").to_pylist()
+        tws, ths, oks = [], [], []
+        for i, f, b in zip(ids, fmts, blobs):
+            k = int(i[3:])
+            arr = decode_image(b, f)  # strict: raises on bad bytes
+            got = _box_thumb(arr, factor)
+            src = _pixels(
+                np.random.default_rng(k), 32 + 16 * ((k // 3) % 3), 32 + 16 * (k % 3)
+            )
+            want = _box_thumb(src, factor)
+            ths.append(int(got.shape[0]))
+            tws.append(int(got.shape[1]))
+            if got.shape != want.shape:
+                oks.append(False)
+            elif f == "png":
+                oks.append(bool(np.array_equal(got, want)))
+            else:
+                oks.append(bool(psnr(got, want) >= 40.0))
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "thumb_w": pa.array(tws, pa.int32()),
+                "thumb_h": pa.array(ths, pa.int32()),
+                "fmt": pa.array(fmts, pa.string()),
+                "ok": pa.array(oks, pa.bool_()),
+            }
+        )
+
+    return ds.map_batches(thumb, batch_format="pyarrow", batch_size=16)
+
+
+# ----------------------------------------------------- letterbox detect ----
+def _ensure_letterbox_oracle(sf_dir: str) -> str:
+    """SQL-predictable letterbox corpus keyed off ``part`` (the codec-
+    oracle trick, dataops._ensure_codec_oracle): for every p_partkey <
+    96 the image is a 48x64 PNG whose top 2*(k % 5) and bottom
+    3*(k % 4) rows are pure black bars around fixture content. The
+    first and last CONTENT rows get one pixel forced to white, so the
+    black runs are provably exact (no probabilistic 'content row
+    happens to be black' edge) and the detector's answer is pure key
+    arithmetic for the DuckDB twin."""
+    import pyarrow.parquet as pq_mod
+
+    from ..fixtures import _pixels
+    from ..functions.image import encode_image
+
+    cache = "/tmp/heroshi_ray_cache"
+    os.makedirs(cache, exist_ok=True)
+    path = os.path.join(cache, "letterbox_oracle96.parquet")
+    if not os.path.exists(path):
+        keys = pq_mod.read_table(
+            os.path.join(sf_dir, "part.parquet"), columns=["p_partkey"]
+        ).column("p_partkey").to_numpy()
+        keys = np.sort(keys[keys < 96])
+        ids, blobs = [], []
+        h, w = 48, 64
+        for k in keys.tolist():
+            pt, pb = 2 * (k % 5), 3 * (k % 4)
+            px = _pixels(np.random.default_rng(1000 + k), h, w)
+            px[:pt] = 0
+            if pb:
+                px[h - pb:] = 0
+            px[pt, 0] = 255  # first content row provably non-black
+            px[h - 1 - pb, 0] = 255  # last content row provably non-black
+            ids.append(f"img{k}")
+            blobs.append(encode_image(px, "png"))
+        tbl = pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "bytes": pa.array(blobs, pa.binary()),
+            }
+        )
+        tmp = path + ".tmp"
+        pq_mod.write_table(tbl, tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def q_letterbox(sf_dir: str):
+    """Letterbox/pillarbox bar detection (the border-crop pass of an
+    image-curation pipeline — black padding bars carry no training
+    signal and skew aspect/phash statistics): decode each PNG of the
+    part-keyed letterbox corpus and count the leading and trailing
+    ALL-BLACK pixel rows, fully vectorized ((arr == 0).all over the
+    row axis + argmin for the run length — no Python over pixels).
+    Output (image_id, pad_top, pad_bottom, content_h); the DuckDB twin
+    predicts every value from ``part`` key arithmetic (pads are planted
+    as 2*(k%5) / 3*(k%4) on a 48-row canvas), so a driver hash match
+    certifies the real decode + detection to the row.
+
+    Scale shape: pure map over blob batches, no shuffle — same contract
+    as q_thumbnail."""
+    path = _ensure_letterbox_oracle(sf_dir)
+    ds = ray.data.read_parquet(path)
+
+    def detect(batch: pa.Table) -> pa.Table:
+        from ..functions.image import decode_image
+
+        ids = batch.column("image_id").to_pylist()
+        blobs = batch.column("bytes").to_pylist()
+        pts, pbs, chs = [], [], []
+        for b in blobs:
+            arr = decode_image(b, "png")
+            black = (arr == 0).all(axis=(1, 2))
+            # the corpus guarantees a non-black row exists
+            pt = int(np.argmin(black))
+            pb = int(np.argmin(black[::-1]))
+            pts.append(pt)
+            pbs.append(pb)
+            chs.append(int(arr.shape[0]) - pt - pb)
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "pad_top": pa.array(pts, pa.int32()),
+                "pad_bottom": pa.array(pbs, pa.int32()),
+                "content_h": pa.array(chs, pa.int32()),
+            }
+        )
+
+    return ds.map_batches(detect, batch_format="pyarrow", batch_size=16)

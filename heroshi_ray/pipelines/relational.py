@@ -6983,3 +6983,58 @@ def q_burst_detect(sf_dir: str, day_us: int = 86_400_000_000):
         return out.drop(columns="__r")
 
     return counts.groupby("event_type").map_groups(bursts, batch_format="pandas")
+
+
+def q_month_over_month(sf_dir: str):
+    """Month-over-month revenue deltas — the LAG-window trend report
+    (growth dashboards, crawl-volume drift alarms): monthly revenue in
+    exact cents, the previous month's value (0 for the first month),
+    and the signed delta. The month string is the calendar-correct
+    pandas strftime twin of DuckDB strftime (q_monthly_priority's
+    convention) and every value is int64 cents, so LAG and subtraction
+    are exact on both sides.
+
+    Scale shape: per-batch partial (month, cents) groupby -> ONE
+    combiner groupby over month-bounded partials -> the LAG itself runs
+    on the months table, which IS this operator's output (dozens of
+    rows at any corpus size), so driver contact is output-scale."""
+    from ray.data.aggregate import Sum
+
+    ds = _pq(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        month = df["o_orderdate"].dt.strftime("%Y-%m")
+        cents = (df["o_totalprice"] * 100).round().astype("int64")
+        g = (
+            pd.DataFrame({"month": month, "cents": cents})
+            .groupby("month", sort=False)["cents"]
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "month": pa.array(g["month"], pa.string()),
+                "revenue_e2": pa.array(g["cents"].astype("int64"), pa.int64()),
+            }
+        )
+
+    months = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("month")
+        .aggregate(Sum("revenue_e2", alias_name="revenue_e2"))
+        .to_pandas()  # months-bounded: the operator's OUTPUT scale
+        .sort_values("month", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    prev = months["revenue_e2"].shift(1, fill_value=0).astype("int64")
+    return pa.table(
+        {
+            "month": pa.array(months["month"], pa.string()),
+            "revenue_e2": pa.array(months["revenue_e2"].astype("int64"), pa.int64()),
+            "prev_revenue_e2": pa.array(prev, pa.int64()),
+            "delta_e2": pa.array(
+                (months["revenue_e2"] - prev).astype("int64"), pa.int64()
+            ),
+        }
+    )

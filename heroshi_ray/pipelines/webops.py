@@ -1173,3 +1173,160 @@ def q_drain_epochs(sf_dir: str, per_host_budget: int = 16):
         .groupby("epochs")
         .aggregate(Sum("one", alias_name="n_hosts"))
     )
+
+
+# --------------------------------------------- proportional apportionment ----
+def q_budget_alloc(sf_dir: str, budget_frac_den: int = 4):
+    """Proportional crawl-budget apportionment with largest-remainder
+    (Hamilton) rounding — the OTHER allocation discipline next to
+    q_host_quota's max-min water-filling: each host receives a share of
+    the global fetch budget B proportional to its pending demand, and
+    the integer remainders are settled so that sum(alloc) == B EXACTLY
+    (floor shares first, then +1 to the hosts with the largest
+    remainders, ties broken by hostid ascending). Hamilton's method is
+    the standard exact-total apportionment (US House 1852-1911); a
+    crawler uses it when the fetch fleet has a hard global request
+    budget per epoch and per-host fairness should track queue depth.
+
+    Hosts derive from the flagship's synthetic fold (hot host 0 when
+    l_suppkey % 7 = 0, else l_suppkey % 97 — same skew the politeness
+    tests exercise), so the hot host's demand dominates and the
+    allocator's proportionality is visibly stress-tested.
+
+    Exactness: base_i = B*d_i // D and rem_i = B*d_i % D are pure
+    int64 arithmetic (B*d_i <= B*D < 2^62 at fixture scale; at 10^10
+    URLs promote to int128/HUGEINT or apportion hierarchically
+    per-shard). The DuckDB twin states the identical floor/remainder/
+    rank algebra, so a driver hash match certifies the allocation to
+    the row.
+
+    Scale shape: ONE combiner groupby to per-host demand counts
+    (host-bounded output, <=97 rows here; real frontiers: hosts <<
+    URLs), then driver integer arithmetic on that output-sized table —
+    the same discipline as q_host_quota/q_host_gini."""
+    from ray.data.aggregate import Sum
+
+    ds = _pq(sf_dir, "lineitem", columns=["l_suppkey"], split=True)
+
+    def fold(batch: pa.Table) -> pa.Table:
+        sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        hostid = np.where(sk % 7 == 0, 0, sk % 97)
+        ids, cnt = np.unique(hostid, return_counts=True)
+        return pa.table(
+            {
+                "hostid": pa.array(ids, pa.int64()),
+                "demand": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(fold, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("hostid")
+        .aggregate(Sum("demand", alias_name="demand"))
+        .to_pandas()  # host-bounded: the operator's OUTPUT scale
+        .sort_values("hostid")
+        .reset_index(drop=True)
+    )
+    d = counts["demand"].to_numpy(dtype=np.int64)
+    host = counts["hostid"].to_numpy(dtype=np.int64)
+    total = int(d.sum())
+    budget = total // budget_frac_den
+    base = budget * d // total
+    rem = budget * d % total
+    leftover = int(budget - base.sum())
+    # +1 to the `leftover` largest remainders; ties by hostid ascending
+    order = np.lexsort((host, -rem))
+    alloc = base.copy()
+    alloc[order[:leftover]] += 1
+    assert int(alloc.sum()) == budget
+    return pa.table(
+        {
+            "hostid": pa.array(host, pa.int64()),
+            "demand": pa.array(d, pa.int64()),
+            "alloc": pa.array(alloc, pa.int64()),
+        }
+    )
+
+
+# ----------------------------------------------- politeness interleaving ----
+def q_handout_interleave(sf_dir: str, per_host_budget: int = 4, n_hosts: int = 53):
+    """Politeness-spaced handout ordering: arrange the scheduled rows so
+    that each host's k-th URL lands in the k-th WAVE of the handout —
+    global position orders by (within-host rank, hostid) — which
+    maximizes the spacing between same-host fetches for a fleet that
+    works the handout front-to-back (the crawl-side dual of the
+    frontier's per-host budget cap: the cap bounds HOW MANY per host,
+    this bounds HOW CLOSE TOGETHER they run). Classic frontier design:
+    Heydon & Najork's Mercator politeness queues realize the same
+    wave discipline with per-host FIFO lanes.
+
+    Rows come from orders (hostid = o_custkey % 53, priority = total
+    price cents); within-host rank is ROW_NUMBER by (priority DESC,
+    order key ASC), rows ranked past the per-host budget drop, and the
+    handout position is ROW_NUMBER over (rank, hostid, order key) — a
+    total order, so the twin is exact to the row.
+
+    Scale shape: ONE bucketed shuffle on hash(hostid) co-locates each
+    host's rows; per-bucket ranking is a numpy lexsort + segment
+    cumcount (no Python per row); survivors are handout-sized
+    (hosts x budget — the operator's OUTPUT), so the final global
+    ordering touches only output-scale rows on the driver, exactly
+    like the flagship's bounded merge."""
+    n_bkt = 16
+
+    ds = _pq(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def rank_bucket(g: pa.Table) -> pa.Table:
+        key = g.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        host = g.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64) % n_hosts
+        prio = np.round(
+            g.column("o_totalprice").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        o = np.lexsort((key, -prio, host))
+        hs = host[o]
+        start = np.empty(len(o), dtype=bool)
+        if len(o):
+            start[0] = True
+            np.not_equal(hs[1:], hs[:-1], out=start[1:])
+        idx = np.arange(len(o))
+        rank = idx - np.maximum.accumulate(np.where(start, idx, 0)) + 1
+        keep = rank <= per_host_budget
+        sel = o[keep]
+        return pa.table(
+            {
+                "hostid": pa.array(host[sel], pa.int64()),
+                "order_key": pa.array(key[sel], pa.int64()),
+                "priority_e2": pa.array(prio[sel], pa.int64()),
+                "rank_in_host": pa.array(rank[keep].astype(np.int64), pa.int64()),
+            }
+        )
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        host = batch.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64) % n_hosts
+        return batch.append_column(
+            "__b", pa.array((host % n_bkt).astype(np.int32), pa.int32())
+        )
+
+    capped = (
+        ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(
+            lambda g: rank_bucket(g.drop_columns(["__b"])), batch_format="pyarrow"
+        )
+        .to_pandas()  # handout-sized: hosts x budget rows
+    )
+    capped = capped.sort_values(
+        ["rank_in_host", "hostid", "order_key"], kind="mergesort"
+    ).reset_index(drop=True)
+    capped["pos"] = np.arange(1, len(capped) + 1, dtype=np.int64)
+    return pa.table(
+        {
+            "pos": pa.array(capped["pos"], pa.int64()),
+            "hostid": pa.array(capped["hostid"].astype(np.int64), pa.int64()),
+            "order_key": pa.array(capped["order_key"].astype(np.int64), pa.int64()),
+            "rank_in_host": pa.array(
+                capped["rank_in_host"].astype(np.int64), pa.int64()
+            ),
+            "priority_e2": pa.array(capped["priority_e2"].astype(np.int64), pa.int64()),
+        }
+    )

@@ -1,0 +1,100 @@
+"""Round-5 wave-4 operators: thumbnail gate, letterbox detection,
+Hamilton budget apportionment, politeness handout interleaving, and
+month-over-month deltas. (The DuckDB hash checks for all five run
+automatically via test_queries_oracle's parametrization; the tests here
+pin the invariants the SQL twin can only assert as TRUE columns — the
+box kernel's exactness, the fidelity floor, the apportionment algebra
+and the wave ordering.)"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_box_thumb_kernel_exact():
+    """The box kernel must be the floor-mean of each tile — checked
+    against a brute-force tile loop on adversarial values (255s and
+    mixed remainders where a float-mean kernel would round away)."""
+    from heroshi_ray.pipelines.dataops import _box_thumb
+
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, size=(16, 24, 3), dtype=np.uint8)
+    got = _box_thumb(arr, 8)
+    assert got.shape == (2, 3, 3)
+    for i in range(2):
+        for j in range(3):
+            tile = arr[i * 8:(i + 1) * 8, j * 8:(j + 1) * 8].astype(np.uint64)
+            want = tile.reshape(64, 3).sum(axis=0) // 64
+            assert (got[i, j] == want).all()
+
+
+def test_thumbnail_every_row_ok(ray_session):
+    """Every corpus row must pass the fidelity gate — the driver twin
+    asserts ok=TRUE; this pins the same thing without SQL plus the
+    dims-divide-exactly property the kernel relies on."""
+    from heroshi_ray.pipelines.dataops import q_thumbnail
+
+    df = q_thumbnail(SF_DIR).to_pandas()
+    assert len(df) == 96
+    assert df["ok"].all()
+    assert set(df["thumb_w"]) <= {4, 6, 8}
+    assert set(df["thumb_h"]) <= {4, 6, 8}
+
+
+def test_letterbox_detects_planted_pads(ray_session):
+    """pad_top / pad_bottom must equal the planted key arithmetic for
+    every row, and content_h must account for every remaining row."""
+    from heroshi_ray.pipelines.dataops import q_letterbox
+
+    df = q_letterbox(SF_DIR).to_pandas()
+    assert len(df) == 96
+    k = df["image_id"].str.slice(3).astype(int)
+    assert (df["pad_top"] == 2 * (k % 5)).all()
+    assert (df["pad_bottom"] == 3 * (k % 4)).all()
+    assert (df["content_h"] == 48 - df["pad_top"] - df["pad_bottom"]).all()
+
+
+def test_budget_alloc_hamilton_properties(ray_session):
+    """sum(alloc) == budget EXACTLY, and every host's allocation is
+    within one unit of its exact proportional share (the quota rule —
+    Hamilton's method never violates it)."""
+    from heroshi_ray.pipelines.webops import q_budget_alloc
+
+    df = q_budget_alloc(SF_DIR).to_pandas()
+    total = int(df["demand"].sum())
+    budget = total // 4
+    assert int(df["alloc"].sum()) == budget
+    exact = budget * df["demand"].to_numpy(np.int64) / total
+    alloc = df["alloc"].to_numpy(np.int64)
+    assert (alloc >= np.floor(exact) - 0).all()
+    assert (alloc <= np.floor(exact) + 1).all()
+
+
+def test_handout_interleave_wave_order(ray_session):
+    """Positions are a 1..n permutation, every host keeps at most the
+    budget, and the handout is wave-ordered: ALL rank-k rows precede
+    ALL rank-(k+1) rows, so same-host fetches are maximally spaced."""
+    from heroshi_ray.pipelines.webops import q_handout_interleave
+
+    df = q_handout_interleave(SF_DIR).to_pandas().sort_values("pos")
+    assert (df["pos"].to_numpy() == np.arange(1, len(df) + 1)).all()
+    assert df.groupby("hostid").size().max() <= 4
+    assert df["rank_in_host"].is_monotonic_increasing
+    # within a host, priority never increases with rank
+    for _, g in df.groupby("hostid"):
+        g = g.sort_values("rank_in_host")
+        assert g["priority_e2"].is_monotonic_decreasing or len(g) == 1
+
+
+def test_month_over_month_telescopes(ray_session):
+    """prev is last month's revenue (0 for the first), and the deltas
+    telescope to the final month's revenue."""
+    from heroshi_ray.pipelines.relational import q_month_over_month
+
+    df = q_month_over_month(SF_DIR).to_pandas().sort_values("month")
+    prev = df["revenue_e2"].shift(1, fill_value=0).astype("int64")
+    assert (df["prev_revenue_e2"].to_numpy() == prev.to_numpy()).all()
+    assert int(df["delta_e2"].sum()) == int(df["revenue_e2"].iloc[-1])
