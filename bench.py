@@ -347,6 +347,11 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         "q_bfs_distance",
         "q_drain_epochs",
         "q_pca_variance",
+        "q_thumbnail",
+        "q_letterbox",
+        "q_budget_alloc",
+        "q_handout_interleave",
+        "q_month_over_month",
     ]
     # per-query best-of-2 with the same rationale as the headline reps.
     # The two sub-2 s fixed-overhead-dominated queries get extra reps:
