@@ -355,6 +355,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_budget_alloc": w.q_budget_alloc,
         "q_handout_interleave": w.q_handout_interleave,
         "q_month_over_month": r.q_month_over_month,
+        # round-5 wave 5: crop gate, robots Crawl-delay drain plan,
+        # duplication-profile histogram (all oracled) + the MinHash
+        # estimator-error harness (rows-only: LSH banding isn't SQL)
+        "q_center_crop": d.q_center_crop,
+        "q_crawl_delay_plan": w.q_crawl_delay_plan,
+        "q_dedup_cluster_hist": r.q_dedup_cluster_hist,
+        "q_minhash_est_error": d.q_minhash_est_error,
         # rows-only (rolling-hash chunking / iterative Lloyd / BPE are
         # not SQL-expressible) — pinned by replica tests
         "q_cdc_chunks": d.q_cdc_chunks,
@@ -3869,5 +3876,48 @@ def oracle_sql() -> dict[str, str]:
                         - COALESCE(LAG(revenue_e2) OVER (ORDER BY month), 0)
                         AS BIGINT) AS delta_e2
             FROM m
+        """,
+        # center-crop twin: geometry is codec-corpus key arithmetic;
+        # ok=TRUE asserts decode + crop fidelity
+        "q_center_crop": """
+            WITH dims AS (
+              SELECT p_partkey AS k,
+                     32 + 16 * (p_partkey % 3) AS w,
+                     32 + 16 * ((p_partkey // 3) % 3) AS h
+              FROM part WHERE p_partkey < 96
+            )
+            SELECT 'img' || CAST(k AS VARCHAR) AS image_id,
+                   CAST((w - LEAST(w, h)) // 2 AS INTEGER) AS crop_x,
+                   CAST((h - LEAST(w, h)) // 2 AS INTEGER) AS crop_y,
+                   CAST(LEAST(w, h) AS INTEGER) AS crop_size,
+                   TRUE AS ok
+            FROM dims
+        """,
+        # Crawl-delay drain twin: template arithmetic (hosts % 3 = 0
+        # publish no delay -> 1 s default; else 1 + hostid % 7)
+        "q_crawl_delay_plan": """
+            WITH h AS (
+              SELECT CASE WHEN l_suppkey % 7 = 0 THEN 0
+                          ELSE l_suppkey % 97 END AS hostid,
+                     CAST(count(*) AS BIGINT) AS demand
+              FROM lineitem GROUP BY 1
+            )
+            SELECT hostid, demand,
+                   CAST(CASE WHEN hostid % 3 = 0 THEN 1
+                             ELSE 1 + hostid % 7 END AS BIGINT) AS delay_s,
+                   CAST(demand * (CASE WHEN hostid % 3 = 0 THEN 1
+                                       ELSE 1 + hostid % 7 END)
+                        AS BIGINT) AS drain_s
+            FROM h
+        """,
+        # duplication-profile twin: cluster sizes from GROUP BY text,
+        # histogram over the sizes
+        "q_dedup_cluster_hist": """
+            WITH c AS (
+              SELECT CAST(count(*) AS BIGINT) AS cluster_size
+              FROM documents GROUP BY text
+            )
+            SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+            FROM c GROUP BY 1
         """,
     }

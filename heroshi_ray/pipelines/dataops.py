@@ -10337,3 +10337,148 @@ def q_letterbox(sf_dir: str):
         )
 
     return ds.map_batches(detect, batch_format="pyarrow", batch_size=16)
+
+
+# ---------------------------------------------------------- center crop ----
+def q_center_crop(sf_dir: str):
+    """Driver-trust center-crop gate (the square-crop preprocessing
+    stage in front of patch/CLIP-style image models): decode each
+    part-keyed corpus row with the REAL decoders, take the centered
+    s x s crop with s = min(w, h), x0 = (w - s) // 2, y0 = (h - s) // 2,
+    and fidelity-check the cropped pixels against the same crop of the
+    regenerated source (bytes-equal for png, PSNR >= 40 dB for lossy
+    fmts). The DuckDB twin predicts (crop_x, crop_y, crop_size, ok=TRUE)
+    from ``part`` key arithmetic, so wrong geometry, failed decode or
+    fidelity miss is a driver hash mismatch.
+
+    Scale shape: pure map over blob batches, no shuffle (q_thumbnail's
+    contract)."""
+    path = _ensure_codec_oracle(sf_dir)
+    ds = ray.data.read_parquet(path)
+
+    def crop(batch: pa.Table) -> pa.Table:
+        from ..fixtures import _pixels
+        from ..functions.image import decode_image, psnr
+
+        ids = batch.column("image_id").to_pylist()
+        blobs = batch.column("bytes").to_pylist()
+        fmts = batch.column("fmt").to_pylist()
+        xs, ys, ss, oks = [], [], [], []
+        for i, f, b in zip(ids, fmts, blobs):
+            k = int(i[3:])
+            arr = decode_image(b, f)  # strict: raises on bad bytes
+            h, w = arr.shape[:2]
+            s = min(h, w)
+            x0, y0 = (w - s) // 2, (h - s) // 2
+            got = arr[y0:y0 + s, x0:x0 + s]
+            src = _pixels(
+                np.random.default_rng(k), 32 + 16 * ((k // 3) % 3), 32 + 16 * (k % 3)
+            )[y0:y0 + s, x0:x0 + s]
+            xs.append(x0)
+            ys.append(y0)
+            ss.append(s)
+            if got.shape != src.shape:
+                oks.append(False)
+            elif f == "png":
+                oks.append(bool(np.array_equal(got, src)))
+            else:
+                oks.append(bool(psnr(got, src) >= 40.0))
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "crop_x": pa.array(xs, pa.int32()),
+                "crop_y": pa.array(ys, pa.int32()),
+                "crop_size": pa.array(ss, pa.int32()),
+                "ok": pa.array(oks, pa.bool_()),
+            }
+        )
+
+    return ds.map_batches(crop, batch_format="pyarrow", batch_size=16)
+
+
+# --------------------------------------------- minhash estimator error ----
+def q_minhash_est_error(sf_dir: str, threshold: float = 0.6, n_perms: int = 128):
+    """MinHash estimator-quality harness (the dedup twin of
+    q_ann_recall_eval): for every LSH-surfaced near-dup pair, compute
+    the MinHash ESTIMATE of Jaccard — the agreement fraction of
+    n_perms independent permutation minima over the pair's shingle
+    sets (Broder 1997: each component agrees with probability exactly
+    J) — next to the EXACT shingle Jaccard, and report both plus the
+    absolute error in e4 fixed point. The expected error envelope is
+    binomial, std = sqrt(J(1-J)/k); the replica test pins every value
+    bit-exactly and the envelope at 6 sigma. A growing error here is
+    the early warning that a hash/permutation regression is silently
+    degrading LSH recall at scale.
+
+    Scale shape: the pair list is the operator's OUTPUT scale; member
+    texts are pulled through the broadcast-id filter (O(pairs), never
+    the corpus); shingle sets and signatures compute once per distinct
+    doc. Permutations are splitmix64 finalizer mixes of
+    (shingle XOR per-perm seed) — affine maps mod P were measurably
+    NOT min-wise independent on the fixture's smallest shingle sets
+    (a 13-element set produced a 0.24 estimate deviation at k=128,
+    12 sigma outside the binomial envelope; the 64-bit avalanche mix
+    brought the whole corpus inside 4 sigma), vectorized as one
+    (perms x shingles) uint64 broadcast per doc."""
+    import pyarrow.compute as pc
+
+    from ..functions.text import jaccard, shingles
+
+    def _splitmix64(z: np.ndarray) -> np.ndarray:
+        z = (z + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+        z ^= z >> np.uint64(30)
+        z = (z * np.uint64(0xBF58476D1CE4E5B9)).astype(np.uint64)
+        z ^= z >> np.uint64(27)
+        z = (z * np.uint64(0x94D049BB133111EB)).astype(np.uint64)
+        return z ^ (z >> np.uint64(31))
+
+    seeds = _splitmix64(np.arange(1, n_perms + 1, dtype=np.uint64))
+
+    pairs = q_minhash_neardup(sf_dir, threshold=threshold).to_pandas()
+    if not len(pairs):
+        return pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "jaccard_e4": pa.array([], pa.int64()),
+                "est_e4": pa.array([], pa.int64()),
+                "abs_err_e4": pa.array([], pa.int64()),
+            }
+        )
+    ids = np.unique(np.concatenate([pairs["doc_a"], pairs["doc_b"]])).astype(np.int64)
+    ids_ref = ray.put(pa.array(ids, pa.int64()))
+    texts_df = (
+        _pq(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(
+            lambda b: b.filter(pc.is_in(b.column("doc_id"), value_set=ray.get(ids_ref))),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .to_pandas()  # O(pairs) rows, not the corpus
+    )
+    lookup = dict(zip(texts_df["doc_id"], texts_df["text"]))
+
+    def doc_sig(sh: set) -> np.ndarray:
+        h = np.fromiter(sh, np.int64, len(sh)).astype(np.uint64)
+        return _splitmix64(h[None, :] ^ seeds[:, None]).min(axis=1)
+
+    sh_cache = {int(i): shingles(lookup.get(int(i)) or "") for i in ids}
+    sig_cache = {i: doc_sig(sh) for i, sh in sh_cache.items() if sh}
+    out_j, out_e, out_d = [], [], []
+    for a, b in zip(pairs["doc_a"].astype(int), pairs["doc_b"].astype(int)):
+        exact = jaccard(sh_cache[a], sh_cache[b])
+        est = float(np.mean(sig_cache[a] == sig_cache[b]))
+        je4 = int(np.floor(exact * 10_000 + 0.5))
+        ee4 = int(np.floor(est * 10_000 + 0.5))
+        out_j.append(je4)
+        out_e.append(ee4)
+        out_d.append(abs(je4 - ee4))
+    return pa.table(
+        {
+            "doc_a": pa.array(pairs["doc_a"].astype("int64"), pa.int64()),
+            "doc_b": pa.array(pairs["doc_b"].astype("int64"), pa.int64()),
+            "jaccard_e4": pa.array(out_j, pa.int64()),
+            "est_e4": pa.array(out_e, pa.int64()),
+            "abs_err_e4": pa.array(out_d, pa.int64()),
+        }
+    )

@@ -7038,3 +7038,51 @@ def q_month_over_month(sf_dir: str):
             ),
         }
     )
+
+
+def q_dedup_cluster_hist(sf_dir: str):
+    """Duplicate-cluster size profile — the corpus-card histogram
+    (cluster_size, n_clusters) over exact text duplicates: size 1 =
+    unique docs, the tail shows how pathological the duplication is
+    (Lee et al. 2022 report exactly this curve before/after dedup).
+
+    Layout: per-batch partial (text, n) counts collapse each block's
+    repeats before the shuffle (combiner), ONE groupby on text merges
+    partials (grouping by the text itself keeps exactness — no hash
+    collision caveat), and the histogram reduce runs over cluster
+    SIZES (tiny int domain). Only distinct texts cross the wire."""
+    from ray.data.aggregate import Sum
+
+    ds = _pq(sf_dir, "documents", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("text", sort=False).size().reset_index(name="n")
+        return pa.table(
+            {
+                "text": pa.array(g["text"], pa.string()),
+                "n": pa.array(g["n"].astype("int64"), pa.int64()),
+            }
+        )
+
+    sizes = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("text")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def to_hist(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        ids, cnt = np.unique(n, return_counts=True)
+        return pa.table(
+            {
+                "cluster_size": pa.array(ids, pa.int64()),
+                "n_clusters": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        sizes.map_batches(to_hist, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cluster_size")
+        .aggregate(Sum("n_clusters", alias_name="n_clusters"))
+    )

@@ -1330,3 +1330,71 @@ def q_handout_interleave(sf_dir: str, per_host_budget: int = 4, n_hosts: int = 5
             "priority_e2": pa.array(capped["priority_e2"].astype(np.int64), pa.int64()),
         }
     )
+
+
+# ------------------------------------------------- crawl-delay planning ----
+def q_crawl_delay_plan(sf_dir: str):
+    """Per-host drain-time planning through the REAL robots.txt parser
+    (functions/robots.py — RFC 9309 + the de-facto Crawl-delay
+    extension): synthesize each host's robots.txt body from a fixed
+    template (hosts divisible by 3 publish no Crawl-delay and fall to
+    the 1 s default; the rest declare 1 + hostid % 7 seconds), parse it
+    with parse_robots, and multiply the parsed delay into the host's
+    pending demand — the serial drain time a politeness-bound fetcher
+    needs for that host. The DuckDB twin restates the template
+    arithmetic, so a driver hash match certifies the parser extracted
+    every delay (a parser regression that dropped or misread
+    Crawl-delay would shift drain_s on 2/3 of the hosts).
+
+    Scale shape: ONE combiner groupby to host demand counts; robots
+    synthesis + parse run on the host-bounded output table (per-host,
+    exactly like the A-R robots cache holds one parse per host — the
+    crawl engine reuses that cache; this is the planning view)."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.robots import parse_robots
+
+    ds = _pq(sf_dir, "lineitem", columns=["l_suppkey"], split=True)
+
+    def fold(batch: pa.Table) -> pa.Table:
+        sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        hostid = np.where(sk % 7 == 0, 0, sk % 97)
+        ids, cnt = np.unique(hostid, return_counts=True)
+        return pa.table(
+            {
+                "hostid": pa.array(ids, pa.int64()),
+                "demand": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(fold, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("hostid")
+        .aggregate(Sum("demand", alias_name="demand"))
+    )
+
+    def plan(batch: pa.Table) -> pa.Table:
+        hostid = batch.column("hostid").to_numpy(zero_copy_only=False).astype(np.int64)
+        demand = batch.column("demand").to_numpy(zero_copy_only=False).astype(np.int64)
+        delays = np.empty(len(hostid), np.int64)
+        for i, h in enumerate(hostid.tolist()):
+            if h % 3 == 0:
+                body = "User-agent: *\nDisallow: /private\n"
+            else:
+                body = (
+                    "User-agent: *\n"
+                    f"Crawl-delay: {1 + h % 7}\n"
+                    "Disallow: /private\n"
+                )
+            rules = parse_robots(body)
+            delays[i] = int(rules[1])  # template delays are whole seconds
+        return pa.table(
+            {
+                "hostid": pa.array(hostid, pa.int64()),
+                "demand": pa.array(demand, pa.int64()),
+                "delay_s": pa.array(delays, pa.int64()),
+                "drain_s": pa.array(demand * delays, pa.int64()),
+            }
+        )
+
+    return counts.map_batches(plan, batch_format="pyarrow", zero_copy_batch=True)

@@ -98,3 +98,56 @@ def test_month_over_month_telescopes(ray_session):
     prev = df["revenue_e2"].shift(1, fill_value=0).astype("int64")
     assert (df["prev_revenue_e2"].to_numpy() == prev.to_numpy()).all()
     assert int(df["delta_e2"].sum()) == int(df["revenue_e2"].iloc[-1])
+
+
+def test_center_crop_every_row_ok(ray_session):
+    from heroshi_ray.pipelines.dataops import q_center_crop
+
+    df = q_center_crop(SF_DIR).to_pandas()
+    assert len(df) == 96
+    assert df["ok"].all()
+    k = df["image_id"].str.slice(3).astype(int)
+    w, h = 32 + 16 * (k % 3), 32 + 16 * ((k // 3) % 3)
+    s = np.minimum(w, h)
+    assert (df["crop_size"] == s).all()
+    assert (df["crop_x"] == (w - s) // 2).all()
+    assert (df["crop_y"] == (h - s) // 2).all()
+
+
+def test_crawl_delay_plan_parses_template(ray_session):
+    """Delays must come out of the REAL parser equal to the template
+    arithmetic, and drain must be their exact product with demand."""
+    from heroshi_ray.pipelines.webops import q_crawl_delay_plan
+
+    df = q_crawl_delay_plan(SF_DIR).to_pandas()
+    want = np.where(df["hostid"] % 3 == 0, 1, 1 + df["hostid"] % 7)
+    assert (df["delay_s"].to_numpy() == want).all()
+    assert (df["drain_s"] == df["demand"] * df["delay_s"]).all()
+
+
+def test_dedup_cluster_hist_accounts_every_doc(ray_session):
+    import pyarrow.parquet as pq
+
+    from heroshi_ray.pipelines.relational import q_dedup_cluster_hist
+
+    df = q_dedup_cluster_hist(SF_DIR).to_pandas()
+    n_docs = pq.read_metadata(f"{SF_DIR}/documents.parquet").num_rows
+    assert int((df["cluster_size"] * df["n_clusters"]).sum()) == n_docs
+    assert (df["cluster_size"] >= 1).all()
+
+
+def test_minhash_est_error_envelope(ray_session):
+    """Every estimate must sit inside the 6-sigma binomial envelope of
+    its exact Jaccard at k=128 (the min-wise-independence regression
+    canary: affine-mod-P perms violated this by 12 sigma on a
+    13-shingle doc; the splitmix64 mix holds it), and the op is
+    deterministic."""
+    from heroshi_ray.pipelines.dataops import q_minhash_est_error
+
+    df = q_minhash_est_error(SF_DIR).to_pandas()
+    assert len(df) > 0
+    j = df["jaccard_e4"].to_numpy(np.float64) / 1e4
+    sigma_e4 = np.sqrt(j * (1 - j) / 128) * 1e4
+    assert (df["abs_err_e4"].to_numpy() <= 6 * np.maximum(sigma_e4, 1)).all()
+    again = q_minhash_est_error(SF_DIR).to_pandas()
+    pd.testing.assert_frame_equal(df, again)
