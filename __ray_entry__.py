@@ -362,6 +362,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_crawl_delay_plan": w.q_crawl_delay_plan,
         "q_dedup_cluster_hist": r.q_dedup_cluster_hist,
         "q_minhash_est_error": d.q_minhash_est_error,
+        # round-5 wave 6: graph reciprocity (oracled) + the cuckoo
+        # seen-set FPR-vs-Fan-bound harness (rows-only: filter
+        # internals aren't SQL)
+        "q_reciprocity": d.q_reciprocity,
+        "q_seen_fpr_eval": w.q_seen_fpr_eval,
         # rows-only (rolling-hash chunking / iterative Lloyd / BPE are
         # not SQL-expressible) — pinned by replica tests
         "q_cdc_chunks": d.q_cdc_chunks,
@@ -3919,5 +3924,26 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
             FROM c GROUP BY 1
+        """,
+        # reciprocity twin: distinct directed edges of the pagerank
+        # graph, self-join on the reversed pair, half-away e6 ratio
+        "q_reciprocity": """
+            WITH n AS (SELECT count(*) AS n_nodes FROM customer),
+            e AS (
+              SELECT DISTINCT o_custkey AS src,
+                     o_orderkey % (SELECT n_nodes FROM n) AS dst
+              FROM orders
+              WHERE o_custkey <> o_orderkey % (SELECT n_nodes FROM n)
+            ), stats AS (
+              SELECT (SELECT count(*) FROM e) AS n_edges,
+                     (SELECT count(*) FROM e a
+                      JOIN e b ON a.src = b.dst AND a.dst = b.src)
+                         AS n_reciprocal
+            )
+            SELECT CAST(n_edges AS BIGINT) AS n_edges,
+                   CAST(n_reciprocal AS BIGINT) AS n_reciprocal,
+                   CAST((2 * n_reciprocal * 1000000 + n_edges)
+                        // (2 * n_edges) AS BIGINT) AS reciprocity_e6
+            FROM stats
         """,
     }

@@ -352,6 +352,10 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         "q_budget_alloc",
         "q_handout_interleave",
         "q_month_over_month",
+        "q_center_crop",
+        "q_crawl_delay_plan",
+        "q_dedup_cluster_hist",
+        "q_minhash_est_error",
     ]
     # per-query best-of-2 with the same rationale as the headline reps.
     # The two sub-2 s fixed-overhead-dominated queries get extra reps:

@@ -10482,3 +10482,97 @@ def q_minhash_est_error(sf_dir: str, threshold: float = 0.6, n_perms: int = 128)
             "abs_err_e4": pa.array(out_d, pa.int64()),
         }
     )
+
+
+# ----------------------------------------------------- graph reciprocity ----
+def q_reciprocity(sf_dir: str, n_buckets: int | None = None):
+    """Link reciprocity — the fraction of distinct directed edges whose
+    reverse edge also exists (Newman's r; on the web graph it separates
+    mutual-link communities from pure hub->leaf broadcast structure,
+    and a crawl planner reads it as "how much of the frontier points
+    back at what we already hold"). Over q_pagerank's deterministic
+    customer graph (src = o_custkey, dst = o_orderkey mod |customers|),
+    self-loops excluded, multiplicities collapsed.
+
+    Scale shape: per-batch partials emit the batch-distinct
+    (lo, hi, dir) triples (unordered endpoints + direction bit), ONE
+    shuffle on hash(lo, hi) % B co-locates both directions of every
+    pair, per-bucket np.unique collapses global duplicates and counts
+    pairs with both dirs present, and the driver sums B partial
+    counters. Output: one row (n_edges, n_reciprocal, reciprocity_e6)
+    with the integer half-away e6 rounding (q_host_gini's rule — no
+    float divergence vs the twin)."""
+    import pyarrow.parquet as pq_mod
+
+    from ray.data.aggregate import Sum
+
+    n_nodes = pq_mod.read_metadata(
+        os.path.join(sf_dir, "customer.parquet")
+    ).num_rows
+    nb = n_buckets or default_buckets()
+
+    ds = _pq(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        src = batch.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = (
+            batch.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+            % n_nodes
+        )
+        m = src != dst  # self-loops excluded
+        src, dst = src[m], dst[m]
+        lo, hi = np.minimum(src, dst), np.maximum(src, dst)
+        d = (src > dst).astype(np.int64)
+        trip = np.unique(np.stack([lo, hi, d], axis=1), axis=0)
+        return pa.table(
+            {
+                "lo": pa.array(trip[:, 0], pa.int64()),
+                "hi": pa.array(trip[:, 1], pa.int64()),
+                "dir": pa.array(trip[:, 2], pa.int64()),
+                "__b": pa.array(
+                    ((trip[:, 0] * 1_000_003 + trip[:, 1]) % nb).astype(np.int32),
+                    pa.int32(),
+                ),
+            }
+        )
+
+    def count_bucket(g: pa.Table) -> pa.Table:
+        lo = g.column("lo").to_numpy(zero_copy_only=False)
+        hi = g.column("hi").to_numpy(zero_copy_only=False)
+        d = g.column("dir").to_numpy(zero_copy_only=False)
+        trip = np.unique(np.stack([lo, hi, d], axis=1), axis=0)
+        # rows per unordered pair: 1 = one direction, 2 = reciprocal
+        pair = trip[:, :2]
+        new = np.ones(len(pair), dtype=bool)
+        if len(pair) > 1:
+            new[1:] = (pair[1:] != pair[:-1]).any(axis=1)
+        sizes = np.diff(np.append(np.flatnonzero(new), len(pair)))
+        n_edges = int(len(trip))
+        n_recip = int((sizes == 2).sum()) * 2
+        return pa.table(
+            {
+                "n_edges": pa.array([n_edges], pa.int64()),
+                "n_reciprocal": pa.array([n_recip], pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(count_bucket, batch_format="pyarrow")
+        .groupby(None)
+        .aggregate(Sum("n_edges", alias_name="n_edges"),
+                   Sum("n_reciprocal", alias_name="n_reciprocal"))
+        .to_pandas()  # one row
+    )
+    n_edges = int(agg["n_edges"].iloc[0])
+    n_recip = int(agg["n_reciprocal"].iloc[0])
+    p = n_recip * 1_000_000
+    rec_e6 = (2 * p + n_edges) // (2 * n_edges) if n_edges else 0
+    return pa.table(
+        {
+            "n_edges": pa.array([n_edges], pa.int64()),
+            "n_reciprocal": pa.array([n_recip], pa.int64()),
+            "reciprocity_e6": pa.array([rec_e6], pa.int64()),
+        }
+    )

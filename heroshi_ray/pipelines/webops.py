@@ -1398,3 +1398,97 @@ def q_crawl_delay_plan(sf_dir: str):
         )
 
     return counts.map_batches(plan, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------------ seen-set FPR evaluation ----
+def q_seen_fpr_eval(sf_dir: str, capacity_per_shard: int = 1 << 16, n_shards: int = 8):
+    """A-SEEN sizing harness: measure the sharded cuckoo filter's
+    EMPIRICAL false-positive rate against the Fan et al. (CoNEXT'14)
+    analytical bound at four load factors — the number a crawl planner
+    needs before promising "FPR <= 1e-3 means at most 10^-3 of the
+    frontier is wrongly skipped" at 10^10 URLs (state/cuckoo.py's
+    design point). Each Ray task owns one shard: it builds a REAL
+    CuckooFilter at the shard capacity (the production seen-set shard
+    class, not a model), inserts a deterministic splitmix64 key stream,
+    probes a DISJOINT key stream, and emits per-load false-positive
+    partials; a tiny groupby sums shards. Output per load_pct:
+    (load_pct, n_inserted, n_probes, n_fp, fpr_e6, bound_e6) where
+    bound = 2b*alpha/2^16 at the filter's ACTUAL slot occupancy alpha
+    (b = 4 slots; power-of-two bucket sizing makes alpha < load). The
+    wave-4 test pins fpr <= 2x bound per load (finite-sample margin)
+    and exact determinism.
+
+    Scale shape: embarrassingly parallel over shards (matches the
+    production seen pool's partitioning); nothing corpus-sized, the
+    sf_dir argument only carries the driver-contract signature."""
+    from ray.data.aggregate import Sum
+
+    from ..state.cuckoo import CuckooFilter
+
+    loads = (25, 50, 75, 95)
+
+    def _mix(z: np.ndarray) -> np.ndarray:
+        z = (z + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+        z ^= z >> np.uint64(30)
+        z = (z * np.uint64(0xBF58476D1CE4E5B9)).astype(np.uint64)
+        z ^= z >> np.uint64(27)
+        z = (z * np.uint64(0x94D049BB133111EB)).astype(np.uint64)
+        return z ^ (z >> np.uint64(31))
+
+    def eval_shard(batch: pa.Table) -> pa.Table:
+        out_load, out_ins, out_pr, out_fp, out_alpha_e6 = [], [], [], [], []
+        for shard in batch.column("id").to_pylist():
+            n_probe = capacity_per_shard * 2
+            # disjoint integer domains, globally unique per shard
+            base = np.uint64(shard) * np.uint64(1 << 40)
+            probe = _mix(base + np.uint64(1 << 39) + np.arange(n_probe, dtype=np.uint64))
+            for load in loads:
+                f = CuckooFilter(capacity_per_shard, seed=0x9E3779B9 + shard)
+                n_ins = capacity_per_shard * load // 100
+                keys = _mix(base + np.arange(n_ins, dtype=np.uint64))
+                f.add_many(keys)
+                fp = int(f.contains_many(probe).sum())
+                out_load.append(load)
+                out_ins.append(int(f.count))
+                out_pr.append(n_probe)
+                out_fp.append(fp)
+                out_alpha_e6.append(f.count * 1_000_000 // (f.m * 4))
+        return pa.table(
+            {
+                "load_pct": pa.array(out_load, pa.int64()),
+                "n_inserted": pa.array(out_ins, pa.int64()),
+                "n_probes": pa.array(out_pr, pa.int64()),
+                "n_fp": pa.array(out_fp, pa.int64()),
+                "alpha_e6": pa.array(out_alpha_e6, pa.int64()),
+            }
+        )
+
+    agg = (
+        ray.data.range(n_shards, override_num_blocks=n_shards)
+        .map_batches(eval_shard, batch_format="pyarrow", batch_size=1)
+        .groupby("load_pct")
+        .aggregate(
+            Sum("n_inserted", alias_name="n_inserted"),
+            Sum("n_probes", alias_name="n_probes"),
+            Sum("n_fp", alias_name="n_fp"),
+            Sum("alpha_e6", alias_name="alpha_e6_sum"),
+        )
+        .to_pandas()  # |loads| rows
+        .sort_values("load_pct")
+        .reset_index(drop=True)
+    )
+    alpha_e6 = agg["alpha_e6_sum"].astype("int64") // n_shards  # mean occupancy
+    fpr_e6 = (
+        2 * agg["n_fp"].astype("int64") * 1_000_000 + agg["n_probes"]
+    ) // (2 * agg["n_probes"])
+    bound_e6 = 2 * 4 * alpha_e6 // (1 << 16)
+    return pa.table(
+        {
+            "load_pct": pa.array(agg["load_pct"].astype("int64"), pa.int64()),
+            "n_inserted": pa.array(agg["n_inserted"].astype("int64"), pa.int64()),
+            "n_probes": pa.array(agg["n_probes"].astype("int64"), pa.int64()),
+            "n_fp": pa.array(agg["n_fp"].astype("int64"), pa.int64()),
+            "fpr_e6": pa.array(fpr_e6.astype("int64"), pa.int64()),
+            "bound_e6": pa.array(bound_e6.astype("int64"), pa.int64()),
+        }
+    )

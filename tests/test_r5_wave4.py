@@ -151,3 +151,39 @@ def test_minhash_est_error_envelope(ray_session):
     assert (df["abs_err_e4"].to_numpy() <= 6 * np.maximum(sigma_e4, 1)).all()
     again = q_minhash_est_error(SF_DIR).to_pandas()
     pd.testing.assert_frame_equal(df, again)
+
+
+def test_reciprocity_matches_bruteforce(ray_session):
+    """Distributed bucketed count == a set-based brute force on the
+    same deterministic graph."""
+    import pyarrow.parquet as pq
+
+    from heroshi_ray.pipelines.dataops import q_reciprocity
+
+    got = q_reciprocity(SF_DIR).to_pandas().iloc[0]
+    o = pq.read_table(
+        f"{SF_DIR}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).to_pandas()
+    n_nodes = pq.read_metadata(f"{SF_DIR}/customer.parquet").num_rows
+    src = o["o_custkey"].to_numpy(np.int64)
+    dst = o["o_orderkey"].to_numpy(np.int64) % n_nodes
+    edges = {(a, b) for a, b in zip(src, dst) if a != b}
+    recip = sum((b, a) in edges for a, b in edges)
+    assert int(got["n_edges"]) == len(edges)
+    assert int(got["n_reciprocal"]) == recip
+    p = recip * 1_000_000
+    assert int(got["reciprocity_e6"]) == (2 * p + len(edges)) // (2 * len(edges))
+
+
+def test_seen_fpr_under_fan_bound(ray_session):
+    """Empirical cuckoo FPR must sit under 2x the Fan et al. analytical
+    bound at every load factor (finite-sample margin), rise with load,
+    and stay fully deterministic across runs."""
+    from heroshi_ray.pipelines.webops import q_seen_fpr_eval
+
+    df = q_seen_fpr_eval(SF_DIR).to_pandas()
+    assert list(df["load_pct"]) == [25, 50, 75, 95]
+    assert (df["fpr_e6"] <= 2 * df["bound_e6"]).all()
+    assert df["n_fp"].is_monotonic_increasing
+    again = q_seen_fpr_eval(SF_DIR).to_pandas()
+    pd.testing.assert_frame_equal(df, again)
