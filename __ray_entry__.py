@@ -367,6 +367,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # internals aren't SQL)
         "q_reciprocity": d.q_reciprocity,
         "q_seen_fpr_eval": w.q_seen_fpr_eval,
+        "q_cc_sizes": d.q_cc_sizes,
         # rows-only (rolling-hash chunking / iterative Lloyd / BPE are
         # not SQL-expressible) — pinned by replica tests
         "q_cdc_chunks": d.q_cdc_chunks,
@@ -3945,5 +3946,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST((2 * n_reciprocal * 1000000 + n_edges)
                         // (2 * n_edges) AS BIGINT) AS reciprocity_e6
             FROM stats
+        """,
+        # component-size twin: recursive-CTE transitive closure over
+        # the sparsified symmetric edge set (tractable at oracle scale;
+        # the engine uses log-diameter label propagation instead),
+        # min-label per node, histogram + isolated singletons
+        "q_cc_sizes": """
+            WITH RECURSIVE
+            n AS (SELECT count(*) AS n_nodes FROM customer),
+            e0 AS (
+              SELECT DISTINCT o_custkey AS a,
+                     o_orderkey % (SELECT n_nodes FROM n) AS b
+              FROM orders WHERE o_orderkey % 17 = 0
+            ),
+            edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+            reach(node, lbl) AS (
+              SELECT DISTINCT a, a FROM edges
+              UNION
+              SELECT e.b, r.lbl FROM edges e JOIN reach r ON r.node = e.a
+            ),
+            comp AS (SELECT node, min(lbl) AS c FROM reach GROUP BY node),
+            sizes AS (SELECT c, count(*) AS sz FROM comp GROUP BY c),
+            hist AS (SELECT sz AS component_size,
+                            count(*) AS n_components
+                     FROM sizes GROUP BY sz),
+            iso AS (SELECT count(*) AS n FROM customer
+                    WHERE c_custkey NOT IN (SELECT node FROM comp))
+            SELECT CAST(component_size AS BIGINT) AS component_size,
+                   CAST(SUM(n_components) AS BIGINT) AS n_components
+            FROM (SELECT component_size, n_components FROM hist
+                  UNION ALL SELECT 1, n FROM iso WHERE n > 0)
+            GROUP BY 1
         """,
     }

@@ -1354,18 +1354,27 @@ def _cc_labels_distributed(edges_tbl: pa.Table, max_iters: int, stats: dict | No
     converged label is the lexicographically-smallest member."""
     from ray.data.aggregate import Min
 
-    is_str = pa.types.is_string(edges_tbl.column("src").type) or (
-        pa.types.is_large_string(edges_tbl.column("src").type)
-    )
+    if isinstance(edges_tbl, ray.data.Dataset):
+        # dataset-resident edge sets (q_cc_sizes' 100-TB fork): never
+        # collected; type and row count come from schema/count()
+        sch = edges_tbl.schema()
+        src_type = dict(zip(sch.names, sch.types))["src"]
+        n_edge_rows = edges_tbl.count()
+        edges_in = edges_tbl
+    else:
+        src_type = edges_tbl.column("src").type
+        n_edge_rows = edges_tbl.num_rows
+        edges_in = ray.data.from_arrow(edges_tbl)
+    is_str = pa.types.is_string(src_type) or pa.types.is_large_string(src_type)
     tune_join_resources()
     nparts = join_partitions(8)
     edges_ds = (
-        ray.data.from_arrow(edges_tbl)
+        edges_in
         .map_batches(
             lambda b: pa.table({"node": b.column("src"), "dst": b.column("dst")}),
             batch_format="pyarrow",
         )
-        .repartition(max(2, min(nparts, edges_tbl.num_rows // 4096 + 1)))
+        .repartition(max(2, min(nparts, n_edge_rows // 4096 + 1)))
         .materialize()
     )
     # distinct nodes, label = own id (symmetrized edges: src covers all)
@@ -10574,5 +10583,143 @@ def q_reciprocity(sf_dir: str, n_buckets: int | None = None):
             "n_edges": pa.array([n_edges], pa.int64()),
             "n_reciprocal": pa.array([n_recip], pa.int64()),
             "reciprocity_e6": pa.array([rec_e6], pa.int64()),
+        }
+    )
+
+
+# ------------------------------------------------- component size profile ----
+def q_cc_sizes(
+    sf_dir: str,
+    max_iters: int = 64,
+    driver_edges_max: int = 4_000_000,
+    force_distributed: bool = False,
+    edge_mod: int = 17,
+):
+    """Connected-component SIZE histogram over a sparsified view of the
+    deterministic customer graph (undirected; only orders with
+    o_orderkey % edge_mod == 0 contribute edges, which puts the mean
+    degree below the giant-component threshold so the profile has a
+    real island tail — the full graph is supercritical and collapses
+    to one component, an uninformative histogram) — the web-graph
+    fragmentation report (Broder et al. 2000's 'bow tie' paper
+    measures exactly this profile; a crawl planner reads it as "how
+    much of the frontier is reachable from the seeds"). Output
+    (component_size, n_components), customers with no qualifying
+    orders counted as singleton components.
+
+    Layout: per-batch distinct symmetrized (src, dst) partials, then
+    the SHARED hash-min pointer-doubling CC core (q_dedup_clusters'):
+    - orders rows <= driver_edges_max (exact parquet metadata, no
+      scan): partial-distinct edge pairs collapse in one driver
+      np.unique, labels resident on the driver, edge passes
+      distributed (_cc_labels_driver);
+    - above the gate (or force_distributed): distinct edges stay a
+      DATASET (groupby distinct), labels stay dataset-resident through
+      _cc_labels_distributed, and the histogram is two groupby-counts
+      (per-label size, then per-size count) — nothing corpus-sized
+      ever lands on the driver. Forks equivalence-tested.
+
+    The DuckDB twin computes the same components via a recursive-CTE
+    transitive closure (tractable at oracle scales; the giant
+    component makes closure pairs O(n^2), which is exactly why the
+    ENGINE uses log-diameter label propagation instead)."""
+    import pyarrow.parquet as pq_mod
+
+    from ray.data.aggregate import Count, Sum
+
+    n_nodes = pq_mod.read_metadata(
+        os.path.join(sf_dir, "customer.parquet")
+    ).num_rows
+    orders_rows = pq_mod.read_metadata(
+        os.path.join(sf_dir, "orders.parquet")
+    ).num_rows
+
+    ds = _pq(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ok = batch.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ok % edge_mod == 0
+        a = (
+            batch.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        )[keep]
+        b = ok[keep] % n_nodes
+        sym = np.unique(
+            np.concatenate(
+                [np.stack([a, b], axis=1), np.stack([b, a], axis=1)], axis=0
+            ),
+            axis=0,
+        )
+        return pa.table(
+            {
+                "src": pa.array(sym[:, 0], pa.int64()),
+                "dst": pa.array(sym[:, 1], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    if orders_rows <= driver_edges_max and not force_distributed:
+        pairs = parts.to_pandas()  # ≤ 2·orders partial-distinct rows
+        edges = np.unique(
+            np.stack([pairs["src"].to_numpy(np.int64), pairs["dst"].to_numpy(np.int64)], axis=1),
+            axis=0,
+        )
+        tbl = pa.table(
+            {
+                "src": pa.array(edges[:, 0], pa.int64()),
+                "dst": pa.array(edges[:, 1], pa.int64()),
+            }
+        )
+        _, labels = _cc_labels_driver(tbl, max_iters, None)
+        sizes = np.unique(labels, return_counts=True)[1]
+        hist_sz, hist_n = np.unique(sizes, return_counts=True)
+        hist = dict(zip(hist_sz.tolist(), hist_n.tolist()))
+        n_iso = n_nodes - int(len(labels))
+        if n_iso:
+            hist[1] = hist.get(1, 0) + n_iso
+        out_sz = sorted(hist)
+        return pa.table(
+            {
+                "component_size": pa.array(out_sz, pa.int64()),
+                "n_components": pa.array([hist[s] for s in out_sz], pa.int64()),
+            }
+        )
+
+    # 100-TB fork: distinct edges and labels stay dataset-resident
+    edges_ds = parts.groupby(["src", "dst"]).aggregate(Count(alias_name="_c")).map_batches(
+        lambda b: b.select(["src", "dst"]), batch_format="pyarrow"
+    )
+    labels_ds = _cc_labels_distributed(edges_ds, max_iters, None)
+    n_labeled = labels_ds.count()
+    hist = (
+        labels_ds.groupby("lbl")
+        .aggregate(Count(alias_name="component_size"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "component_size": pc.cast(b.column("component_size"), pa.int64()),
+                    "one": pa.array(np.ones(b.num_rows, np.int64), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("component_size")
+        .aggregate(Sum("one", alias_name="n_components"))
+        .to_pandas()  # |distinct sizes| rows — output-scale
+    )
+    n_iso = n_nodes - int(n_labeled)
+    if n_iso:
+        if (hist["component_size"] == 1).any():
+            hist.loc[hist["component_size"] == 1, "n_components"] += n_iso
+        else:
+            hist = pd.concat(
+                [hist, pd.DataFrame({"component_size": [1], "n_components": [n_iso]})],
+                ignore_index=True,
+            )
+    hist = hist.sort_values("component_size").reset_index(drop=True)
+    return pa.table(
+        {
+            "component_size": pa.array(hist["component_size"].astype("int64"), pa.int64()),
+            "n_components": pa.array(hist["n_components"].astype("int64"), pa.int64()),
         }
     )
