@@ -356,6 +356,9 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         "q_crawl_delay_plan",
         "q_dedup_cluster_hist",
         "q_minhash_est_error",
+        "q_reciprocity",
+        "q_seen_fpr_eval",
+        "q_cc_sizes",
     ]
     # per-query best-of-2 with the same rationale as the headline reps.
     # The two sub-2 s fixed-overhead-dominated queries get extra reps:
