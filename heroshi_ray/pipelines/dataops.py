@@ -10664,13 +10664,27 @@ def q_cc_sizes(
             np.stack([pairs["src"].to_numpy(np.int64), pairs["dst"].to_numpy(np.int64)], axis=1),
             axis=0,
         )
-        tbl = pa.table(
-            {
-                "src": pa.array(edges[:, 0], pa.int64()),
-                "dst": pa.array(edges[:, 1], pa.int64()),
-            }
-        )
-        _, labels = _cc_labels_driver(tbl, max_iters, None)
+        # below the gate the whole edge set is already driver-resident,
+        # so per-round DISTRIBUTED edge passes (_cc_labels_driver) are
+        # pure scheduling overhead — the same hash-min + pointer-double
+        # kernel in numpy converges in microseconds (profiled 12 s ->
+        # <1 s at sf0.1: ~10 groupby rounds of Ray overhead removed)
+        nodes = np.unique(edges)
+        src_i = np.searchsorted(nodes, edges[:, 0])
+        dst_i = np.searchsorted(nodes, edges[:, 1])
+        labels = np.arange(len(nodes), dtype=np.int64)
+        for _ in range(max_iters):
+            new = labels.copy()
+            np.minimum.at(new, dst_i, labels[src_i])
+            new = new[new]  # pointer doubling
+            new = new[new]
+            if np.array_equal(new, labels):
+                break
+            labels = new
+        else:
+            raise RuntimeError(
+                "q_cc_sizes: numpy label propagation did not converge"
+            )
         sizes = np.unique(labels, return_counts=True)[1]
         hist_sz, hist_n = np.unique(sizes, return_counts=True)
         hist = dict(zip(hist_sz.tolist(), hist_n.tolist()))
