@@ -1176,6 +1176,26 @@ def q_drain_epochs(sf_dir: str, per_host_budget: int = 16):
 
 
 # --------------------------------------------- proportional apportionment ----
+def hamilton_alloc(d: np.ndarray, tiekey: np.ndarray, budget: int) -> np.ndarray:
+    """Largest-remainder (Hamilton) apportionment kernel: integer
+    allocations proportional to demands ``d`` summing to ``budget``
+    EXACTLY — floor shares first, then +1 to the largest remainders,
+    ties broken by ``tiekey`` ascending. Pure int64 arithmetic
+    (promote to int128 past ~2^31-scale budget·demand products).
+    Property-tested (quota rule + exact total) in test_r5_wave4."""
+    total = int(d.sum())
+    if total == 0 or budget <= 0:
+        return np.zeros(len(d), np.int64)
+    base = budget * d // total
+    rem = budget * d % total
+    leftover = int(budget - base.sum())
+    order = np.lexsort((tiekey, -rem))
+    alloc = base.copy()
+    alloc[order[:leftover]] += 1
+    assert int(alloc.sum()) == budget
+    return alloc
+
+
 def q_budget_alloc(sf_dir: str, budget_frac_den: int = 4):
     """Proportional crawl-budget apportionment with largest-remainder
     (Hamilton) rounding — the OTHER allocation discipline next to
@@ -1229,16 +1249,8 @@ def q_budget_alloc(sf_dir: str, budget_frac_den: int = 4):
     )
     d = counts["demand"].to_numpy(dtype=np.int64)
     host = counts["hostid"].to_numpy(dtype=np.int64)
-    total = int(d.sum())
-    budget = total // budget_frac_den
-    base = budget * d // total
-    rem = budget * d % total
-    leftover = int(budget - base.sum())
-    # +1 to the `leftover` largest remainders; ties by hostid ascending
-    order = np.lexsort((host, -rem))
-    alloc = base.copy()
-    alloc[order[:leftover]] += 1
-    assert int(alloc.sum()) == budget
+    budget = int(d.sum()) // budget_frac_den
+    alloc = hamilton_alloc(d, host, budget)
     return pa.table(
         {
             "hostid": pa.array(host, pa.int64()),

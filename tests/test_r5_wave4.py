@@ -206,3 +206,36 @@ def test_cc_sizes_forks_equivalent_and_account_all_nodes(ray_session):
     pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
     n_cust = pq.read_metadata(f"{SF_DIR}/customer.parquet").num_rows
     assert int((a["component_size"] * a["n_components"]).sum()) == n_cust
+
+
+def test_hamilton_kernel_properties_hypothesis():
+    """Property test for the apportionment kernel: for ANY demand
+    vector and budget, sum(alloc) == budget exactly and every
+    allocation satisfies the quota rule (floor(q_i) <= alloc_i <=
+    ceil(q_i) for exact quota q_i = budget*d_i/D) — Hamilton's method
+    never violates quota (Balinski & Young)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from heroshi_ray.pipelines.webops import hamilton_alloc
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        d=st.lists(st.integers(min_value=0, max_value=10_000),
+                   min_size=1, max_size=50),
+        frac=st.integers(min_value=1, max_value=10),
+    )
+    def run(d, frac):
+        d = np.asarray(d, np.int64)
+        total = int(d.sum())
+        budget = total // frac
+        alloc = hamilton_alloc(d, np.arange(len(d), dtype=np.int64), budget)
+        if total == 0:
+            assert (alloc == 0).all()
+            return
+        assert int(alloc.sum()) == budget
+        q = budget * d / total
+        assert (alloc >= np.floor(q)).all()
+        assert (alloc <= np.ceil(q)).all()
+
+    run()
