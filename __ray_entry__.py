@@ -368,6 +368,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_reciprocity": d.q_reciprocity,
         "q_seen_fpr_eval": w.q_seen_fpr_eval,
         "q_cc_sizes": d.q_cc_sizes,
+        # sketch-audit family (rows-only: sketch internals aren't SQL;
+        # error envelopes pinned vs theory in tests)
+        "q_hll_error_eval": d.q_hll_error_eval,
+        "q_tdigest_error_eval": d.q_tdigest_error_eval,
         # rows-only (rolling-hash chunking / iterative Lloyd / BPE are
         # not SQL-expressible) — pinned by replica tests
         "q_cdc_chunks": d.q_cdc_chunks,

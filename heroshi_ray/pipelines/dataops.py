@@ -10737,3 +10737,168 @@ def q_cc_sizes(
             "n_components": pa.array(hist["n_components"].astype("int64"), pa.int64()),
         }
     )
+
+
+# ------------------------------------------------------- sketch audits ----
+def q_hll_error_eval(sf_dir: str, p_list: tuple = (8, 10, 12, 14)):
+    """HyperLogLog accuracy audit (the sketch-quality harness family:
+    q_minhash_est_error for LSH, this for cardinality, the t-digest
+    twin below for quantiles): the distributed HLL merge over the
+    events id stream (event_id: the large-cardinality key, so every
+    precision sits in HLL's asymptotic regime rather than linear
+    counting) at four precisions, each next to the EXACT
+    distinct count, with the relative error and the analytical
+    1.04/sqrt(2^p) standard error in e6 fixed point. This is the
+    number that licenses "p=12 costs 4 KB and is within ~1.6%" before
+    a 10^10-key production run. Deterministic end to end (SipHash-
+    style hash64 keys, register maxima are order-free), so the test
+    pins error <= 3 sigma once and it holds forever.
+
+    Scale shape: the estimate side is the production layout — each
+    block emits ONE register blob per precision, the groupby merges
+    register maxima, nothing key-cardinality-sized shuffles. The exact
+    side collapses per-block distinct partials on the driver, which is
+    bounded by the user-id DOMAIN (the audit's reference must be exact
+    by definition; at 10^10 keys you audit on a keyspace sample, or
+    lift the exact side to the salted two-level distinct layout of
+    q_grouped_count_distinct)."""
+    from ..functions.hashing import hash64
+    from ..functions.sketch import HyperLogLog
+
+    ds = _pq(sf_dir, "events", columns=["event_id"])
+
+    def block_sketch(batch: pa.Table) -> pa.Table:
+        uid = np.unique(batch.column("event_id").to_numpy(zero_copy_only=False))
+        uh = hash64([str(u) for u in uid])
+        ps, blobs, uids = [], [], []
+        for p in p_list:
+            h = HyperLogLog(p)
+            h.add_hashes(uh)
+            ps.append(int(p))
+            blobs.append(h.to_bytes())
+        return pa.table(
+            {
+                "p": pa.array(ps, pa.int64()),
+                "sketch": pa.array(blobs, pa.binary()),
+                # block-distinct ids ride along once (p-independent)
+                "uids": pa.array([uid.tolist()] + [[]] * (len(ps) - 1)),
+            }
+        )
+
+    rows = ds.map_batches(
+        block_sketch, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()  # |blocks| x |p_list| rows of 2^p-byte blobs
+    exact = len(
+        np.unique(np.concatenate([np.asarray(u, np.int64) for u in rows["uids"]]))
+    )
+    out_p, out_est, out_err, out_sigma = [], [], [], []
+    for p in p_list:
+        h = HyperLogLog(p)
+        for b in rows.loc[rows["p"] == p, "sketch"]:
+            h.merge(HyperLogLog.from_bytes(b))
+        est = int(np.floor(h.estimate() + 0.5))
+        rel_e6 = abs(est - exact) * 1_000_000 // max(exact, 1)
+        sigma_e6 = int(np.floor(1.04 / np.sqrt(1 << p) * 1_000_000 + 0.5))
+        out_p.append(int(p))
+        out_est.append(est)
+        out_err.append(int(rel_e6))
+        out_sigma.append(sigma_e6)
+    return pa.table(
+        {
+            "p": pa.array(out_p, pa.int64()),
+            "exact": pa.array([exact] * len(out_p), pa.int64()),
+            "estimate": pa.array(out_est, pa.int64()),
+            "rel_err_e6": pa.array(out_err, pa.int64()),
+            "sigma_e6": pa.array(out_sigma, pa.int64()),
+        }
+    )
+
+
+def q_tdigest_error_eval(
+    sf_dir: str, qs: tuple = (50, 90, 99), deltas: tuple = (50, 100, 200)
+):
+    """t-digest accuracy audit: the distributed merge-tree estimate at
+    three compression levels vs the EXACT quantiles, per (delta, q).
+    Values are integer cents so the exact side is the distributed
+    VALUE-HISTOGRAM layout (q_p99_outliers') — a bounded-domain
+    groupby-count + one driver cumsum, exact at any corpus size — and
+    the digest side is the production per-block from_values + merge
+    tree. The output is the sizing table a pipeline owner reads before
+    replacing exact percentiles with sketches at 10^10 rows ("delta=100
+    holds p99 to <N cents on this distribution"). Deterministic within
+    a session; block boundaries DO shift the estimates across cpu
+    configs (t-digest merge is multiset-but-not-partition invariant),
+    which is exactly why the audit carries the exact column.
+
+    Output: (delta, q, exact_cents, est_cents, abs_err_cents)."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.sketch import TDigest
+
+    ds = _pq(sf_dir, "events", columns=["value"])
+
+    def cents_hist(batch: pa.Table) -> pa.Table:
+        c = np.round(
+            batch.column("value").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        ids, cnt = np.unique(c, return_counts=True)
+        return pa.table(
+            {
+                "cents": pa.array(ids, pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    hist = (
+        ds.map_batches(cents_hist, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cents")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # bounded by the distinct-cents DOMAIN
+        .sort_values("cents")
+        .reset_index(drop=True)
+    )
+    cum = hist["n"].cumsum().to_numpy(np.int64)
+    total = int(cum[-1])
+    cents_v = hist["cents"].to_numpy(np.int64)
+
+    def exact_q(q: int) -> int:
+        # quantile_disc: smallest value with cum >= ceil(q/100 * total)
+        target = -(-q * total // 100)
+        return int(cents_v[int(np.searchsorted(cum, target))])
+
+    def block_digests(batch: pa.Table) -> pa.Table:
+        c = np.round(
+            batch.column("value").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.float64)
+        ds_, blobs = [], []
+        for delta in deltas:
+            d = TDigest.from_values(c, delta)
+            m, w = d.to_arrays()
+            ds_.append(int(delta))
+            blobs.append(np.concatenate([m, w]).astype(np.float64).tobytes())
+        return pa.table(
+            {
+                "delta": pa.array(ds_, pa.int64()),
+                "blob": pa.array(blobs, pa.binary()),
+            }
+        )
+
+    rows = ds.map_batches(
+        block_digests, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()  # |blocks| x |deltas| centroid lists (KBs each)
+    out = {"delta": [], "q": [], "exact_cents": [], "est_cents": [], "abs_err_cents": []}
+    for delta in deltas:
+        agg = TDigest(delta)
+        for b in rows.loc[rows["delta"] == delta, "blob"]:
+            a = np.frombuffer(b, np.float64)
+            m, w = a[: len(a) // 2], a[len(a) // 2:]
+            agg.merge(TDigest(delta, m.copy(), w.copy()))
+        for q in qs:
+            est = int(np.floor(agg.quantile(q / 100.0) + 0.5))
+            ex = exact_q(q)
+            out["delta"].append(int(delta))
+            out["q"].append(int(q))
+            out["exact_cents"].append(ex)
+            out["est_cents"].append(est)
+            out["abs_err_cents"].append(abs(est - ex))
+    return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})

@@ -239,3 +239,43 @@ def test_hamilton_kernel_properties_hypothesis():
         assert (alloc <= np.ceil(q)).all()
 
     run()
+
+
+def test_hll_audit_within_3_sigma(ray_session):
+    """Every precision's relative error must sit inside 3x the
+    1.04/sqrt(m) analytical standard error, estimates deterministic."""
+    from heroshi_ray.pipelines.dataops import q_hll_error_eval
+
+    df = q_hll_error_eval(SF_DIR).to_pandas()
+    assert list(df["p"]) == [8, 10, 12, 14]
+    assert (df["rel_err_e6"] <= 3 * df["sigma_e6"]).all()
+    again = q_hll_error_eval(SF_DIR).to_pandas()
+    pd.testing.assert_frame_equal(df, again)
+
+
+def test_tdigest_audit_tail_accuracy(ray_session):
+    """At delta >= 100 every audited quantile must land within 3% of
+    the exact cents value (t-digest guarantees RANK error, so the
+    value-level bound depends on tail density — 3% holds across block
+    splits on this distribution), the exact side must equal a
+    brute-force quantile_disc, and the op is deterministic within a
+    session (block boundaries shift estimates across cpu configs,
+    which is WHY the exact side exists)."""
+    import pyarrow.parquet as pq
+
+    from heroshi_ray.pipelines.dataops import q_tdigest_error_eval
+
+    df = q_tdigest_error_eval(SF_DIR).to_pandas()
+    dhi = df[df["delta"] >= 100]
+    assert (dhi["abs_err_cents"] * 100 <= 3 * dhi["exact_cents"]).all()
+    again = q_tdigest_error_eval(SF_DIR).to_pandas()
+    pd.testing.assert_frame_equal(df, again)
+    v = np.sort(
+        np.round(
+            pq.read_table(f"{SF_DIR}/events.parquet", columns=["value"])
+            .column("value").to_numpy() * 100
+        ).astype(np.int64)
+    )
+    for _, row in df.iterrows():
+        target = -(-int(row["q"]) * len(v) // 100)
+        assert int(row["exact_cents"]) == int(v[target - 1])
