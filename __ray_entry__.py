@@ -372,6 +372,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # error envelopes pinned vs theory in tests)
         "q_hll_error_eval": d.q_hll_error_eval,
         "q_tdigest_error_eval": d.q_tdigest_error_eval,
+        "q_blur_detect": d.q_blur_detect,
         # rows-only (rolling-hash chunking / iterative Lloyd / BPE are
         # not SQL-expressible) — pinned by replica tests
         "q_cdc_chunks": d.q_cdc_chunks,
@@ -3981,5 +3982,12 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT component_size, n_components FROM hist
                   UNION ALL SELECT 1, n FROM iso WHERE n > 0)
             GROUP BY 1
+        """,
+        # blur-gate twin: planted truth is key parity; a decode /
+        # Laplacian / threshold regression flips rows
+        "q_blur_detect": """
+            SELECT 'img' || CAST(p_partkey AS VARCHAR) AS image_id,
+                   (p_partkey % 2 = 1) AS blurred
+            FROM part WHERE p_partkey < 96
         """,
     }

@@ -10902,3 +10902,105 @@ def q_tdigest_error_eval(
             out["est_cents"].append(est)
             out["abs_err_cents"].append(abs(est - ex))
     return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
+
+
+# ----------------------------------------------------------- blur detect ----
+def _box5_blur(a: np.ndarray) -> np.ndarray:
+    """5x5 box blur via an integral image (edge-replicate padding) —
+    exact integer floor-means, bit-deterministic."""
+    p = np.pad(a.astype(np.uint32), ((2, 2), (2, 2), (0, 0)), mode="edge")
+    ii = np.zeros((p.shape[0] + 1, p.shape[1] + 1, a.shape[2]), np.uint64)
+    ii[1:, 1:] = p.cumsum(0).cumsum(1)
+    h, w = a.shape[:2]
+    s = ii[5:h + 5, 5:w + 5] - ii[0:h, 5:w + 5] - ii[5:h + 5, 0:w] + ii[0:h, 0:w]
+    return (s // 25).astype(np.uint8)
+
+
+def _laplacian_var(px: np.ndarray) -> float:
+    """Variance of the 4-neighbor Laplacian over the integer gray
+    channel — the standard sharpness score (variance-of-Laplacian,
+    Pech-Pacheco et al. 2000; LAION-style curation gates use it to
+    drop blurred images)."""
+    g = px.astype(np.int64).sum(2) // 3
+    L = (
+        4 * g[1:-1, 1:-1]
+        - g[:-2, 1:-1]
+        - g[2:, 1:-1]
+        - g[1:-1, :-2]
+        - g[1:-1, 2:]
+    )
+    return float(L.var())
+
+
+def _ensure_blur_oracle(sf_dir: str) -> str:
+    """SQL-predictable blur corpus keyed off ``part``: 96 48x64 PNGs
+    with planted high-frequency detail (the fixture sinusoids alone
+    are too smooth for a sharpness gate to mean anything); ODD keys
+    are 5x5 box-blurred. Measured separation on this synthesis:
+    sharp Laplacian variance >= 3110, blurred <= 17 (185x margin), so
+    the 500 threshold is deep inside the gap and the oracle's
+    blurred = (k % 2 = 1) is certain."""
+    import pyarrow.parquet as pq_mod
+
+    from ..fixtures import _pixels
+    from ..functions.image import encode_image
+
+    cache = "/tmp/heroshi_ray_cache"
+    os.makedirs(cache, exist_ok=True)
+    path = os.path.join(cache, "blur_oracle96.parquet")
+    if not os.path.exists(path):
+        keys = pq_mod.read_table(
+            os.path.join(sf_dir, "part.parquet"), columns=["p_partkey"]
+        ).column("p_partkey").to_numpy()
+        keys = np.sort(keys[keys < 96])
+        ids, blobs = [], []
+        for k in keys.tolist():
+            rng = np.random.default_rng(2000 + k)
+            px = _pixels(rng, 48, 64)
+            detail = rng.integers(-40, 41, size=px.shape)
+            px = np.clip(px.astype(np.int64) + detail, 0, 255).astype(np.uint8)
+            if k % 2 == 1:
+                px = _box5_blur(px)
+            ids.append(f"img{k}")
+            blobs.append(encode_image(px, "png"))
+        tbl = pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "bytes": pa.array(blobs, pa.binary()),
+            }
+        )
+        tmp = path + ".tmp"
+        pq_mod.write_table(tbl, tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def q_blur_detect(sf_dir: str, threshold: float = 500.0):
+    """Driver-trust blur gate (variance-of-Laplacian, the standard
+    image-curation sharpness filter): decode each PNG of the
+    part-keyed blur corpus and classify blurred = lap_var < threshold.
+    The DuckDB twin states blurred = (p_partkey % 2 = 1) — the planted
+    truth — so a decode, grayscale, Laplacian or thresholding
+    regression flips rows and fails the driver hash. The 185x measured
+    separation (>=3110 sharp vs <=17 blurred) makes the gate certain,
+    not statistical.
+
+    Scale shape: pure map over blob batches, no shuffle (q_thumbnail's
+    contract)."""
+    path = _ensure_blur_oracle(sf_dir)
+    ds = ray.data.read_parquet(path)
+
+    def detect(batch: pa.Table) -> pa.Table:
+        from ..functions.image import decode_image
+
+        ids = batch.column("image_id").to_pylist()
+        blobs = batch.column("bytes").to_pylist()
+        out = [bool(_laplacian_var(decode_image(b, "png")) < threshold) for b in blobs]
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "blurred": pa.array(out, pa.bool_()),
+            }
+        )
+
+    return ds.map_batches(detect, batch_format="pyarrow", batch_size=16)

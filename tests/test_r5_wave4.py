@@ -279,3 +279,29 @@ def test_tdigest_audit_tail_accuracy(ray_session):
     for _, row in df.iterrows():
         target = -(-int(row["q"]) * len(v) // 100)
         assert int(row["exact_cents"]) == int(v[target - 1])
+
+
+def test_blur_detect_separation_margin(ray_session):
+    """Every row classifies by planted parity, and the measured
+    variance gap is wide: sharp >= 4x threshold, blurred <= 1/4 of
+    it — the gate is deterministic, not borderline."""
+    import pyarrow.parquet as pq
+
+    from heroshi_ray.pipelines.dataops import (
+        _ensure_blur_oracle,
+        _laplacian_var,
+        q_blur_detect,
+    )
+    from heroshi_ray.functions.image import decode_image
+
+    df = q_blur_detect(SF_DIR).to_pandas()
+    assert len(df) == 96
+    k = df["image_id"].str.slice(3).astype(int)
+    assert (df["blurred"] == (k % 2 == 1)).all()
+    tbl = pq.read_table(_ensure_blur_oracle(SF_DIR)).to_pandas()
+    for _, row in tbl.iterrows():
+        v = _laplacian_var(decode_image(row["bytes"], "png"))
+        if int(row["image_id"][3:]) % 2 == 1:
+            assert v <= 500 / 4
+        else:
+            assert v >= 500 * 4
