@@ -373,6 +373,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_hll_error_eval": d.q_hll_error_eval,
         "q_tdigest_error_eval": d.q_tdigest_error_eval,
         "q_blur_detect": d.q_blur_detect,
+        "q_redirect_resolve": w.q_redirect_resolve,
+        "q_robots_sitemaps": w.q_robots_sitemaps,
         # rows-only (rolling-hash chunking / iterative Lloyd / BPE are
         # not SQL-expressible) — pinned by replica tests
         "q_cdc_chunks": d.q_cdc_chunks,
@@ -3989,5 +3991,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'img' || CAST(p_partkey AS VARCHAR) AS image_id,
                    (p_partkey % 2 = 1) AS blurred
             FROM part WHERE p_partkey < 96
+        """,
+        # redirect-map twin: the planted chain structure is closed-form
+        # (u redirects to u-1 unless u % 8 = 0), so final/hops are pure
+        # arithmetic while the engine genuinely chases pointers
+        "q_redirect_resolve": """
+            SELECT DISTINCT o_orderkey AS url_id,
+                   CAST(o_orderkey - (o_orderkey % 8) AS BIGINT) AS final_id,
+                   CAST(o_orderkey % 8 AS BIGINT) AS hops
+            FROM orders
+        """,
+        # sitemap-autodiscovery twin: template string arithmetic over
+        # the flagship host fold
+        "q_robots_sitemaps": """
+            WITH h AS (
+              SELECT DISTINCT CASE WHEN l_suppkey % 7 = 0 THEN 0
+                                   ELSE l_suppkey % 97 END AS hostid
+              FROM lineitem
+            )
+            SELECT hostid,
+                   'http://host' || CAST(hostid AS VARCHAR)
+                       || '.example/sitemap.xml' AS sitemap_url
+            FROM h WHERE hostid % 4 <> 3
+            UNION ALL
+            SELECT hostid,
+                   'http://host' || CAST(hostid AS VARCHAR)
+                       || '.example/sitemap-news.xml'
+            FROM h WHERE hostid % 4 <> 3 AND hostid % 2 = 0
         """,
     }

@@ -131,3 +131,24 @@ def allowed(rules: Rules, path: str) -> bool:
 
 def crawl_delay(rules: Rules) -> float:
     return rules[1]
+
+
+def sitemaps(body: str | None) -> list[str]:
+    """Extract ``Sitemap:`` directive URLs from a robots.txt body — the
+    sitemaps.org autodiscovery channel (the directive is group-
+    independent per the protocol: it applies regardless of User-agent
+    sections, so this scans every line). Order preserved, '#' comments
+    stripped, blank values skipped."""
+    if not body:
+        return []
+    out: list[str] = []
+    for raw in body.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, value = line.split(":", 1)
+        if field.strip().lower() == "sitemap":
+            v = value.strip()
+            if v:
+                out.append(v)
+    return out

@@ -38,7 +38,7 @@ import ray.data
 
 from ..functions.hashing import hash64
 from ..functions.sitemap import parse_urlset
-from ..runtime import default_buckets
+from ..runtime import default_buckets, join_partitions, tune_join_resources
 from .dataops import _pq
 
 _XML_HEAD = (
@@ -1504,3 +1504,205 @@ def q_seen_fpr_eval(sf_dir: str, capacity_per_shard: int = 1 << 16, n_shards: in
             "bound_e6": pa.array(bound_e6.astype("int64"), pa.int64()),
         }
     )
+
+
+# ---------------------------------------------- redirect canonicalization ----
+def q_redirect_resolve(
+    sf_dir: str,
+    driver_ids_max: int = 8_000_000,
+    force_distributed: bool = False,
+):
+    """Batch canonical-redirect-map resolution — the crawl-log dual of
+    the fetcher's live 3xx chase: given a (url -> redirects-to) table,
+    resolve every URL to its FINAL target and hop count so dedup/seen
+    lookups key on canonical targets (at 10^10 URLs this map is how a
+    recrawl avoids re-walking redirect chains). The synthetic chain
+    structure is closed-form — url u redirects to u-1 unless u % 8 == 0
+    (terminal) — so the DuckDB twin states final = u - (u % 8) and
+    hops = u % 8 from arithmetic alone, while the ENGINE genuinely
+    chases pointers: any break in the chase (a lost hop, a wrong
+    composition) lands on a different final id and fails the driver
+    hash.
+
+    Layout: functional-graph pointer DOUBLING — repeat f <- f(f(u))
+    (terminals are self-maps, so composition is total), reaching any
+    chain of length <= 2^k in k rounds (3 rounds for the planted
+    max-7 chains; O(log L) generally — never O(L) sequential hops):
+    - orders rows <= driver_ids_max (exact parquet metadata): the id
+      vector lives on the driver, each doubling is one numpy gather;
+    - above the gate (or force_distributed): the map stays a DATASET
+      and each doubling is ONE hash join of the map with itself on
+      (next == url), exactly the shuffle a 10^10-row resolve needs.
+    Forks equivalence-tested. Output (url_id, final_id, hops)."""
+    import pyarrow.parquet as pq_mod
+
+    orders_rows = pq_mod.read_metadata(
+        os.path.join(sf_dir, "orders.parquet")
+    ).num_rows
+
+    ds = _pq(sf_dir, "orders", columns=["o_orderkey"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        u = np.unique(
+            batch.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        nxt = np.where(u % 8 == 0, u, u - 1)
+        return pa.table(
+            {
+                "url_id": pa.array(u, pa.int64()),
+                "next_id": pa.array(nxt, pa.int64()),
+            }
+        )
+
+    rounds = 4  # covers chains up to 2^4 = 16 > the planted max 7
+
+    if orders_rows <= driver_ids_max and not force_distributed:
+        t = ds.map_batches(edges, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+        u = np.unique(t["url_id"].to_numpy(np.int64))
+        # self-maps for redirect targets that are not crawl-log rows
+        # (u-1 may be absent from orders): they terminate the chase
+        allid = np.unique(np.concatenate([u, np.where(u % 8 == 0, u, u - 1)]))
+        nxt_map = allid.copy()
+        pos = np.searchsorted(allid, u)
+        nxt_map[pos] = np.where(u % 8 == 0, u, u - 1)
+        f = nxt_map.copy()
+        for _ in range(rounds):
+            f = f[np.searchsorted(allid, f)]  # f <- f∘f (doubling)
+        final = f[pos]
+        # planted hops are closed-form; emitting the CHASED distance
+        # instead would need per-round change tracking — the twin pins
+        # final_id, and hops = url - final for a descending unit chain
+        hops = (u - final).astype(np.int64)
+        return pa.table(
+            {
+                "url_id": pa.array(u, pa.int64()),
+                "final_id": pa.array(final, pa.int64()),
+                "hops": pa.array(hops, pa.int64()),
+            }
+        )
+
+    # 100-TB fork: the map is a Dataset; each doubling is one self-join
+    tune_join_resources()
+    nparts = join_partitions(8)
+    base = (
+        ds.map_batches(edges, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("url_id")
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+    )
+    # extend the domain with terminal self-maps for absent targets
+    def with_terminals(batch: pa.Table) -> pa.Table:
+        u = batch.column("url_id").to_numpy(zero_copy_only=False)
+        n = batch.column("next_id").to_numpy(zero_copy_only=False)
+        extra = np.setdiff1d(n, u)
+        return pa.table(
+            {
+                "url_id": pa.array(np.concatenate([u, extra]), pa.int64()),
+                "next_id": pa.array(np.concatenate([n, extra]), pa.int64()),
+            }
+        )
+
+    fmap = (
+        base.map_batches(with_terminals, batch_format="pyarrow")
+        .groupby("url_id")
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+        .repartition(nparts)
+        .materialize()
+    )
+    for _ in range(rounds):
+        rhs = fmap.map_batches(
+            lambda b: pa.table(
+                {"next_id": b.column("url_id"), "final2": b.column("next_id")}
+            ),
+            batch_format="pyarrow",
+        ).repartition(nparts)
+        fmap = (
+            fmap.join(rhs, join_type="inner", num_partitions=nparts, on=("next_id",))
+            .map_batches(
+                lambda b: pa.table(
+                    {"url_id": b.column("url_id"), "next_id": b.column("final2")}
+                ),
+                batch_format="pyarrow",
+            )
+            .repartition(nparts)
+            .materialize()
+        )
+    out = fmap.to_pandas()  # output-scale: one row per url id
+    u = out["url_id"].to_numpy(np.int64)
+    final = out["next_id"].to_numpy(np.int64)
+    # drop the synthetic terminal-only rows (absent from the crawl log)
+    orig = ds.map_batches(edges, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    dom = np.unique(orig["url_id"].to_numpy(np.int64))
+    m = np.isin(u, dom)
+    u, final = u[m], final[m]
+    order = np.argsort(u)
+    u, final = u[order], final[order]
+    return pa.table(
+        {
+            "url_id": pa.array(u, pa.int64()),
+            "final_id": pa.array(final, pa.int64()),
+            "hops": pa.array((u - final).astype(np.int64), pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------- robots sitemap discovery ----
+def q_robots_sitemaps(sf_dir: str):
+    """Sitemap autodiscovery through the robots channel (sitemaps.org:
+    the ``Sitemap:`` directive in robots.txt is how crawlers find a
+    host's sitemap set without guessing paths — the step BEFORE
+    q_sitemap_extract's urlset parsing): synthesize each host's
+    robots.txt from a fixed template — hosts with hostid % 4 == 3
+    publish none; the rest publish ``/sitemap.xml`` and, when
+    hostid % 2 == 0, a second ``/sitemap-news.xml`` — and extract with
+    the REAL group-independent directive scanner
+    (functions.robots.sitemaps, comments and casing exercised). The
+    DuckDB twin restates the template with string arithmetic, so a
+    scanner regression (dropped directive, kept comment, broken
+    casing) changes rows and fails the driver hash.
+
+    Scale shape: ONE combiner groupby to the distinct host set; robots
+    synthesis + scan run on the host-bounded output (one parse per
+    host, exactly the A-R robots-cache shape). Output
+    (hostid, sitemap_url)."""
+    from ray.data.aggregate import Count
+
+    from ..functions.robots import sitemaps
+
+    ds = _pq(sf_dir, "lineitem", columns=["l_suppkey"], split=True)
+
+    def fold(batch: pa.Table) -> pa.Table:
+        sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        hostid = np.unique(np.where(sk % 7 == 0, 0, sk % 97))
+        return pa.table({"hostid": pa.array(hostid, pa.int64())})
+
+    hosts = (
+        ds.map_batches(fold, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("hostid")
+        .aggregate(Count(alias_name="_c"))
+    )
+
+    def discover(batch: pa.Table) -> pa.Table:
+        out_h, out_u = [], []
+        for h in batch.column("hostid").to_pylist():
+            if h % 4 == 3:
+                body = "User-agent: *\nDisallow: /private\n"
+            else:
+                lines = [
+                    "User-agent: *",
+                    f"sItEmAp: http://host{h}.example/sitemap.xml  # autodisc",
+                    "Disallow: /private",
+                ]
+                if h % 2 == 0:
+                    lines.append(f"Sitemap: http://host{h}.example/sitemap-news.xml")
+                body = "\n".join(lines) + "\n"
+            for url in sitemaps(body):
+                out_h.append(h)
+                out_u.append(url)
+        return pa.table(
+            {
+                "hostid": pa.array(out_h, pa.int64()),
+                "sitemap_url": pa.array(out_u, pa.string()),
+            }
+        )
+
+    return hosts.map_batches(discover, batch_format="pyarrow")

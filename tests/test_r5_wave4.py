@@ -305,3 +305,35 @@ def test_blur_detect_separation_margin(ray_session):
             assert v <= 500 / 4
         else:
             assert v >= 500 * 4
+
+
+def test_redirect_resolve_forks_equivalent(ray_session):
+    """Driver pointer-gather and distributed self-join doubling must
+    agree bit-for-bit, and the chase must reproduce the closed form."""
+    from heroshi_ray.pipelines.webops import q_redirect_resolve
+
+    def norm(r):
+        return r.to_pandas().sort_values("url_id").reset_index(drop=True)
+
+    a = norm(q_redirect_resolve(SF_DIR))
+    b = norm(q_redirect_resolve(SF_DIR, force_distributed=True))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+    u = a["url_id"].to_numpy(np.int64)
+    assert (a["final_id"].to_numpy() == u - (u % 8)).all()
+    assert (a["hops"].to_numpy() == u % 8).all()
+    assert (a["final_id"] % 8 == 0).all()
+
+
+def test_robots_sitemaps_scanner_semantics():
+    """The directive scanner must be group-independent, case-
+    insensitive, comment-stripping and blank-skipping."""
+    from heroshi_ray.functions.robots import sitemaps
+
+    body = (
+        "User-agent: a\nSitemap: http://h/s1.xml\n"
+        "User-agent: b\nSITEMAP:http://h/s2.xml # trailing comment\n"
+        "sitemap:\n# Sitemap: http://h/commented.xml\nDisallow: /\n"
+    )
+    assert sitemaps(body) == ["http://h/s1.xml", "http://h/s2.xml"]
+    assert sitemaps("") == []
+    assert sitemaps(None) == []
