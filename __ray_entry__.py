@@ -375,6 +375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_blur_detect": d.q_blur_detect,
         "q_redirect_resolve": w.q_redirect_resolve,
         "q_robots_sitemaps": w.q_robots_sitemaps,
+        "q_redirect_cycles": w.q_redirect_cycles,
         # rows-only (rolling-hash chunking / iterative Lloyd / BPE are
         # not SQL-expressible) — pinned by replica tests
         "q_cdc_chunks": d.q_cdc_chunks,
@@ -4018,5 +4019,19 @@ def oracle_sql() -> dict[str, str]:
                    'http://host' || CAST(hostid AS VARCHAR)
                        || '.example/sitemap-news.xml'
             FROM h WHERE hostid % 4 <> 3 AND hostid % 2 = 0
+        """,
+        # redirect-cycle twin: 16-blocks alternate terminal chains and
+        # 8-cycles (top blocks truncated to chains); the canonical id
+        # is uniform closed-form while the engine detects periodicity
+        "q_redirect_cycles": """
+            WITH n AS (SELECT count(*) AS nd FROM orders)
+            SELECT DISTINCT o_orderkey AS url_id,
+                   CAST(o_orderkey - (o_orderkey % 16)
+                        + CASE WHEN o_orderkey % 16 >= 8 THEN 8 ELSE 0 END
+                        AS BIGINT) AS final_id,
+                   (o_orderkey % 16 >= 8
+                    AND o_orderkey - (o_orderkey % 16) + 15
+                        < (SELECT nd FROM n)) AS is_cycle
+            FROM orders
         """,
     }

@@ -32,6 +32,7 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -1706,3 +1707,164 @@ def q_robots_sitemaps(sf_dir: str):
         )
 
     return hosts.map_batches(discover, batch_format="pyarrow")
+
+
+# ------------------------------------------------ redirect cycle detection ----
+def q_redirect_cycles(
+    sf_dir: str,
+    driver_ids_max: int = 8_000_000,
+    force_distributed: bool = False,
+):
+    """Redirect-LOOP detection + canonical loop ids — the batch dual of
+    the fetcher's live loop guard (q_redirect_resolve assumes acyclic
+    chains; real crawl logs contain A->B->A loops that must be flagged
+    and keyed by ONE canonical member so dedup treats the loop as a
+    single resource). The planted graph mixes both regimes: every
+    16-block is either a descending chain into a terminal (base
+    % 16 == 0) or an 8-cycle (base % 16 == 8; truncated top blocks
+    degrade to chains), so the DuckDB twin states is_cycle and the
+    canonical final id in closed form while the engine must actually
+    detect periodicity.
+
+    Kernel: functional-graph pointer doubling with MIN-TRACKING
+    (parallel prefix over next^(2^k): m <- min(m, m[f]), f <- f[f]) —
+    canonical = orbit minimum for loops in O(log n) rounds; loop
+    membership = (next^16(u) == u) AND (next(u) != u) via four raw
+    doublings. Driver fork: numpy gathers below the gate; distributed
+    fork: each doubling is ONE self-join of the dataset-resident map
+    (q_redirect_resolve's shape), with the output-scale combine on the
+    driver. Forks equivalence-tested.
+
+    Output (url_id, final_id, is_cycle)."""
+    import pyarrow.parquet as pq_mod
+
+    orders_rows = pq_mod.read_metadata(
+        os.path.join(sf_dir, "orders.parquet")
+    ).num_rows
+
+    ds = _pq(sf_dir, "orders", columns=["o_orderkey"])
+    n_dom = orders_rows  # o_orderkey is dense 0..N-1 (fixture contract)
+
+    def edges(batch: pa.Table) -> pa.Table:
+        u = np.unique(
+            batch.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        cyc_top = (u % 16 == 8) & (u + 7 < n_dom)
+        nxt = np.where(
+            u % 16 == 0, u, np.where(cyc_top, u + 7, np.where(u % 16 == 8, u, u - 1))
+        )
+        return pa.table(
+            {
+                "url_id": pa.array(u, pa.int64()),
+                "next_id": pa.array(nxt, pa.int64()),
+            }
+        )
+
+    rounds = 5  # 2^5 = 32 > both the chain bound and the loop period
+
+    if orders_rows <= driver_ids_max and not force_distributed:
+        t = ds.map_batches(edges, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+        t = t.drop_duplicates("url_id").sort_values("url_id")
+        u = t["url_id"].to_numpy(np.int64)
+        nxt = t["next_id"].to_numpy(np.int64)
+        pos = np.searchsorted(u, nxt)  # dense domain: every target present
+        f = pos.copy()
+        m = np.minimum(u, nxt)
+        for _ in range(rounds):
+            m = np.minimum(m, m[f])
+            f = f[f]
+        # next^16 by doubling the raw step map four times
+        step = np.searchsorted(u, nxt)
+        for _ in range(4):
+            step = step[step]
+        p = step
+        is_cycle = (u[p] == u) & (nxt != u)
+        final = np.where(is_cycle, m, u[f])
+        return pa.table(
+            {
+                "url_id": pa.array(u, pa.int64()),
+                "final_id": pa.array(final.astype(np.int64), pa.int64()),
+                "is_cycle": pa.array(is_cycle, pa.bool_()),
+            }
+        )
+
+    # 100-TB fork: each doubling is one self-join of the (u, f, m) map;
+    # the p-map (next^16) doubles 4 times from the raw next map
+    tune_join_resources()
+    nparts = join_partitions(8)
+    base = (
+        ds.map_batches(edges, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("url_id")
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+        .repartition(nparts)
+        .materialize()
+    )
+
+    def double(mp, extra_min=False):
+        # one self-join: row (u, fv[, m]) picks up (fv', m') at key fv
+        rhs = mp.map_batches(
+            lambda b: pa.table(
+                dict(
+                    join_id=b.column("url_id"),
+                    f2=b.column("fv"),
+                    **({"m2": b.column("m")} if extra_min else {}),
+                )
+            ),
+            batch_format="pyarrow",
+        ).repartition(nparts)
+        lhs = mp.map_batches(
+            lambda b: pa.table(
+                dict(
+                    url_id=b.column("url_id"),
+                    join_id=b.column("fv"),
+                    **({"m": b.column("m")} if extra_min else {}),
+                )
+            ),
+            batch_format="pyarrow",
+        ).repartition(nparts)
+        out = lhs.join(rhs, join_type="inner", num_partitions=nparts, on=("join_id",))
+
+        def fold(b: pa.Table) -> pa.Table:
+            cols = {"url_id": b.column("url_id"), "fv": b.column("f2")}
+            if extra_min:
+                cols["m"] = pc.min_element_wise(b.column("m"), b.column("m2"))
+            return pa.table(cols)
+
+        return out.map_batches(fold, batch_format="pyarrow").repartition(nparts).materialize()
+
+    fm = base.map_batches(
+        lambda b: pa.table(
+            {
+                "url_id": b.column("url_id"),
+                "fv": b.column("next_id"),
+                "m": pc.min_element_wise(b.column("url_id"), b.column("next_id")),
+            }
+        ),
+        batch_format="pyarrow",
+    ).repartition(nparts).materialize()
+    for _ in range(rounds):
+        fm = double(fm, extra_min=True)
+
+    pmap = base.map_batches(
+        lambda b: pa.table({"url_id": b.column("url_id"), "fv": b.column("next_id")}),
+        batch_format="pyarrow",
+    ).repartition(nparts).materialize()
+    for _ in range(4):  # next^(2^4) = next^16
+        pmap = double(pmap)
+
+    # output-scale combine (one row per url)
+    fm_df = fm.to_pandas().sort_values("url_id").reset_index(drop=True)
+    p_df = pmap.to_pandas().sort_values("url_id").reset_index(drop=True)
+    b_df = base.to_pandas().sort_values("url_id").reset_index(drop=True)
+    u = fm_df["url_id"].to_numpy(np.int64)
+    is_cycle = (p_df["fv"].to_numpy(np.int64) == u) & (
+        b_df["next_id"].to_numpy(np.int64) != u
+    )
+    final = np.where(is_cycle, fm_df["m"].to_numpy(np.int64), fm_df["fv"].to_numpy(np.int64))
+    return pa.table(
+        {
+            "url_id": pa.array(u, pa.int64()),
+            "final_id": pa.array(final.astype(np.int64), pa.int64()),
+            "is_cycle": pa.array(is_cycle, pa.bool_()),
+        }
+    )

@@ -337,3 +337,27 @@ def test_robots_sitemaps_scanner_semantics():
     assert sitemaps(body) == ["http://h/s1.xml", "http://h/s2.xml"]
     assert sitemaps("") == []
     assert sitemaps(None) == []
+
+
+def test_redirect_cycles_forks_equivalent(ray_session):
+    """Driver and distributed pointer-doubling (with min tracking) must
+    agree bit-for-bit; loops key on their orbit minimum, chains on
+    their terminal, matching the planted closed form."""
+    from heroshi_ray.pipelines.webops import q_redirect_cycles
+
+    def norm(r):
+        return r.to_pandas().sort_values("url_id").reset_index(drop=True)
+
+    a = norm(q_redirect_cycles(SF_DIR))
+    b = norm(q_redirect_cycles(SF_DIR, force_distributed=True))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+    u = a["url_id"].to_numpy(np.int64)
+    n = len(u)
+    exp_cycle = (u % 16 >= 8) & (u - (u % 16) + 15 < n)
+    assert (a["is_cycle"].to_numpy() == exp_cycle).all()
+    assert (
+        a["final_id"].to_numpy()
+        == u - (u % 16) + np.where(u % 16 >= 8, 8, 0)
+    ).all()
+    # every loop's canonical id is itself a loop member
+    assert a.loc[a["is_cycle"], "final_id"].isin(u[exp_cycle]).all()
