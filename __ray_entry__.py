@@ -376,6 +376,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_redirect_resolve": w.q_redirect_resolve,
         "q_robots_sitemaps": w.q_robots_sitemaps,
         "q_redirect_cycles": w.q_redirect_cycles,
+        "q_format_sniff": d.q_format_sniff,
+        "q_decode_errors": d.q_decode_errors,
         # rows-only (rolling-hash chunking / iterative Lloyd / BPE are
         # not SQL-expressible) — pinned by replica tests
         "q_cdc_chunks": d.q_cdc_chunks,
@@ -4033,5 +4035,25 @@ def oracle_sql() -> dict[str, str]:
                     AND o_orderkey - (o_orderkey % 16) + 15
                         < (SELECT nd FROM n)) AS is_cycle
             FROM orders
+        """,
+        # sniff twin: every declared fmt maps to a known container
+        # (qpng's container IS png — the expected mismatch)
+        "q_format_sniff": """
+            SELECT 'img' || CAST(p_partkey AS VARCHAR) AS image_id,
+                   CASE p_partkey % 4
+                     WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                     WHEN 2 THEN 'gif' ELSE 'qpng' END AS declared_fmt,
+                   CASE p_partkey % 4
+                     WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                     WHEN 2 THEN 'gif' ELSE 'png' END AS sniffed_fmt,
+                   (p_partkey % 4 <> 3) AS container_match
+            FROM part WHERE p_partkey < 96
+        """,
+        # decode-error twin: planted truth — truncated (k%5=2) and
+        # bit-rotted (k%5=4) rows must fail, intact rows must pass
+        "q_decode_errors": """
+            SELECT 'img' || CAST(p_partkey AS VARCHAR) AS image_id,
+                   (p_partkey % 5 NOT IN (2, 4)) AS decode_ok
+            FROM part WHERE p_partkey < 96
         """,
     }

@@ -11013,3 +11013,135 @@ def q_blur_detect(sf_dir: str, threshold: float = 500.0):
         )
 
     return ds.map_batches(detect, batch_format="pyarrow", batch_size=16)
+
+
+# ------------------------------------------------------- format sniffing ----
+def _sniff_format(b: bytes) -> str:
+    """Magic-byte container detection (the crawl data-quality primitive:
+    servers lie about Content-Type, so pipelines trust the bytes)."""
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if b[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    return "unknown"
+
+
+def q_format_sniff(sf_dir: str):
+    """Declared-vs-actual format reconciliation over the part-keyed
+    codec corpus: sniff every blob's container from magic bytes and
+    compare with the declared fmt column — the gate that catches
+    mislabeled payloads before a decoder trusts the label (qpng rows
+    are EXPECTED mismatches: the quantized-png fmt label names the
+    pipeline codec, but the container is PNG — exactly the
+    content-type-vs-container distinction the op exists to surface).
+    The DuckDB twin states the sniff result from key arithmetic (every
+    fmt maps to a known container), so a sniffing regression or a
+    corpus encoding drift fails the driver hash.
+
+    Scale shape: pure map, reads 8 bytes per blob worth of decision —
+    no decode, no shuffle."""
+    path = _ensure_codec_oracle(sf_dir)
+    ds = ray.data.read_parquet(path)
+
+    def sniff(batch: pa.Table) -> pa.Table:
+        ids = batch.column("image_id").to_pylist()
+        blobs = batch.column("bytes").to_pylist()
+        fmts = batch.column("fmt").to_pylist()
+        sniffed = [_sniff_format(b) for b in blobs]
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "declared_fmt": pa.array(fmts, pa.string()),
+                "sniffed_fmt": pa.array(sniffed, pa.string()),
+                "container_match": pa.array(
+                    [d == s for d, s in zip(fmts, sniffed)], pa.bool_()
+                ),
+            }
+        )
+
+    return ds.map_batches(sniff, batch_format="pyarrow", batch_size=32)
+
+
+# ----------------------------------------------------- decode error gate ----
+def _ensure_corrupt_oracle(sf_dir: str) -> str:
+    """Codec corpus with PLANTED corruption keyed off ``part``: keys
+    with k % 5 == 2 are truncated to 60% of their bytes, k % 5 == 4
+    get a flipped byte inside the compressed stream — the two failure
+    modes a crawler actually sees (cut-off transfers, bit rot). The
+    other keys are intact. PNG only (zlib's integrity checking makes
+    the failure deterministic)."""
+    import pyarrow.parquet as pq_mod
+
+    from ..fixtures import _pixels
+    from ..functions.image import encode_image
+
+    cache = "/tmp/heroshi_ray_cache"
+    os.makedirs(cache, exist_ok=True)
+    path = os.path.join(cache, "corrupt_oracle96.parquet")
+    if not os.path.exists(path):
+        keys = pq_mod.read_table(
+            os.path.join(sf_dir, "part.parquet"), columns=["p_partkey"]
+        ).column("p_partkey").to_numpy()
+        keys = np.sort(keys[keys < 96])
+        ids, blobs = [], []
+        for k in keys.tolist():
+            px = _pixels(np.random.default_rng(3000 + k), 32, 48)
+            b = encode_image(px, "png")
+            if k % 5 == 2:
+                b = b[: int(len(b) * 0.6)]  # truncated transfer
+            elif k % 5 == 4:
+                a = bytearray(b)
+                a[len(a) // 2] ^= 0xFF  # bit rot inside the stream
+                b = bytes(a)
+            ids.append(f"img{k}")
+            blobs.append(b)
+        tbl = pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "bytes": pa.array(blobs, pa.binary()),
+            }
+        )
+        tmp = path + ".tmp"
+        pq_mod.write_table(tbl, tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def q_decode_errors(sf_dir: str):
+    """Decode-robustness gate: run the strict PNG decoder over a corpus
+    with PLANTED corruption (truncation + bit rot at known keys) and
+    report per-row decode_ok — the operator shape of 'a fetch pipeline
+    must quarantine undecodable payloads, never crash the job and
+    never silently pass garbage'. The stage catches per-row exceptions
+    (the actor pool keeps streaming); the DuckDB twin states
+    decode_ok = (k % 5 NOT IN (2, 4)) from the planted truth, so BOTH
+    failure directions trip the driver hash: a decoder that crashes on
+    (or silently accepts) corrupt bytes, and one that rejects intact
+    ones.
+
+    Scale shape: pure map over blob batches, no shuffle."""
+    path = _ensure_corrupt_oracle(sf_dir)
+    ds = ray.data.read_parquet(path)
+
+    def gate(batch: pa.Table) -> pa.Table:
+        from ..functions.image import decode_image
+
+        ids = batch.column("image_id").to_pylist()
+        blobs = batch.column("bytes").to_pylist()
+        oks = []
+        for b in blobs:
+            try:
+                arr = decode_image(b, "png")
+                oks.append(arr.shape == (32, 48, 3))
+            except Exception:
+                oks.append(False)
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "decode_ok": pa.array(oks, pa.bool_()),
+            }
+        )
+
+    return ds.map_batches(gate, batch_format="pyarrow", batch_size=16)

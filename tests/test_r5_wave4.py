@@ -361,3 +361,22 @@ def test_redirect_cycles_forks_equivalent(ray_session):
     ).all()
     # every loop's canonical id is itself a loop member
     assert a.loc[a["is_cycle"], "final_id"].isin(u[exp_cycle]).all()
+
+
+def test_format_sniff_and_decode_errors(ray_session):
+    """Sniffing reconciles every container (qpng's expected png
+    mismatch included) and the strict decoder rejects exactly the
+    planted truncation/bit-rot rows while passing intact ones."""
+    from heroshi_ray.pipelines.dataops import q_decode_errors, q_format_sniff
+
+    s = q_format_sniff(SF_DIR).to_pandas()
+    assert len(s) == 96
+    assert (s["container_match"] == (s["declared_fmt"] != "qpng")).all()
+    assert (s.loc[s["declared_fmt"] == "qpng", "sniffed_fmt"] == "png").all()
+
+    d = q_decode_errors(SF_DIR).to_pandas()
+    k = d["image_id"].str.slice(3).astype(int)
+    assert (d["decode_ok"] == ~(k % 5).isin([2, 4])).all()
+    # both planted failure modes actually fail
+    assert not d.loc[(k % 5) == 2, "decode_ok"].any()   # truncation
+    assert not d.loc[(k % 5) == 4, "decode_ok"].any()   # bit rot
