@@ -378,6 +378,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_redirect_cycles": w.q_redirect_cycles,
         "q_format_sniff": d.q_format_sniff,
         "q_decode_errors": d.q_decode_errors,
+        # rows-only: sequential greedy scheduling isn't SQL; bounds
+        # pinned in tests
+        "q_fetch_makespan": w.q_fetch_makespan,
         # rows-only (rolling-hash chunking / iterative Lloyd / BPE are
         # not SQL-expressible) — pinned by replica tests
         "q_cdc_chunks": d.q_cdc_chunks,

@@ -367,6 +367,7 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         "q_redirect_cycles",
         "q_format_sniff",
         "q_decode_errors",
+        "q_fetch_makespan",
     ]
     # per-query best-of-2 with the same rationale as the headline reps.
     # The two sub-2 s fixed-overhead-dominated queries get extra reps:

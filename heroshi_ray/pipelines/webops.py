@@ -1868,3 +1868,53 @@ def q_redirect_cycles(
             "is_cycle": pa.array(is_cycle, pa.bool_()),
         }
     )
+
+
+# ---------------------------------------------------- fleet makespan plan ----
+def q_fetch_makespan(
+    sf_dir: str, workers: tuple = (1, 4, 16), fetch_s: int = 1
+):
+    """Fleet capacity planning: simulate a W-worker fetch fleet working
+    the politeness-interleaved handout front to back (greedy list
+    scheduling — each worker takes the next row, start = max(worker
+    free, host next-allowed), the host then locks for its Crawl-delay)
+    and report the makespan per fleet size — the number that answers
+    "how many io-workers does this handout need to finish inside the
+    epoch deadline". Deterministic integer simulation; per-host delays
+    follow q_crawl_delay_plan's template (1 s default, 1 + h % 7 for
+    hosts declaring Crawl-delay).
+
+    Scale shape: the handout itself is output-scale by construction
+    (hosts x budget — the flagship's bounded-merge contract), so the
+    driver simulation touches only handout rows; the handout build is
+    q_handout_interleave's one bucketed shuffle. The test pins the two
+    classical bounds: makespan >= max(ceil(total work / W), the
+    hottest host's serial drain) and monotone non-increase in W.
+
+    Output (n_workers, makespan_s, busy_s, n_rows)."""
+    hand = q_handout_interleave(sf_dir).to_pandas().sort_values("pos")
+    host = hand["hostid"].to_numpy(np.int64)
+    delay = np.where(host % 3 == 0, 1, 1 + host % 7).astype(np.int64)
+
+    out_w, out_mk, out_busy = [], [], []
+    for w in workers:
+        worker_free = np.zeros(int(w), np.int64)
+        host_ready: dict[int, int] = {}
+        busy = 0
+        for h, d in zip(host.tolist(), delay.tolist()):
+            i = int(np.argmin(worker_free))
+            start = max(int(worker_free[i]), host_ready.get(h, 0))
+            worker_free[i] = start + fetch_s
+            host_ready[h] = start + int(d)
+            busy += fetch_s
+        out_w.append(int(w))
+        out_mk.append(int(worker_free.max()))
+        out_busy.append(busy)
+    return pa.table(
+        {
+            "n_workers": pa.array(out_w, pa.int64()),
+            "makespan_s": pa.array(out_mk, pa.int64()),
+            "busy_s": pa.array(out_busy, pa.int64()),
+            "n_rows": pa.array([len(hand)] * len(out_w), pa.int64()),
+        }
+    )

@@ -380,3 +380,31 @@ def test_format_sniff_and_decode_errors(ray_session):
     # both planted failure modes actually fail
     assert not d.loc[(k % 5) == 2, "decode_ok"].any()   # truncation
     assert not d.loc[(k % 5) == 4, "decode_ok"].any()   # bit rot
+
+
+def test_fetch_makespan_bounds(ray_session):
+    """Makespan respects both classical lower bounds (total-work/W and
+    the hottest host's politeness drain), never increases with more
+    workers, and the one-worker fleet is fully serial."""
+    from heroshi_ray.pipelines.webops import (
+        q_fetch_makespan,
+        q_handout_interleave,
+    )
+
+    df = q_fetch_makespan(SF_DIR).to_pandas().sort_values("n_workers")
+    hand = q_handout_interleave(SF_DIR).to_pandas()
+    host = hand["hostid"].to_numpy(np.int64)
+    delay = np.where(host % 3 == 0, 1, 1 + host % 7)
+    per_host_drain = (
+        pd.DataFrame({"h": host, "d": delay}).groupby("h")["d"].sum().max()
+    )
+    n = len(hand)
+    for _, row in df.iterrows():
+        lb = max(-(-n // int(row["n_workers"])), 0)
+        assert row["makespan_s"] >= lb
+        assert row["busy_s"] == n
+    assert df["makespan_s"].is_monotonic_decreasing or len(df) == 1
+    assert int(df.iloc[0]["n_workers"]) == 1
+    assert int(df.iloc[0]["makespan_s"]) >= n  # serial fleet
+    # politeness bound: no fleet beats the hottest host's drain
+    assert (df["makespan_s"] >= per_host_drain - delay.max()).all()
