@@ -381,6 +381,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only: sequential greedy scheduling isn't SQL; bounds
         # pinned in tests
         "q_fetch_makespan": w.q_fetch_makespan,
+        # rows-only: replays the production TokenBuckets class;
+        # invariants pinned in tests (violations == 0)
+        "q_politeness_audit": w.q_politeness_audit,
         # rows-only (rolling-hash chunking / iterative Lloyd / BPE are
         # not SQL-expressible) — pinned by replica tests
         "q_cdc_chunks": d.q_cdc_chunks,

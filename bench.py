@@ -368,6 +368,7 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         "q_format_sniff",
         "q_decode_errors",
         "q_fetch_makespan",
+        "q_politeness_audit",
     ]
     # per-query best-of-2 with the same rationale as the headline reps.
     # The two sub-2 s fixed-overhead-dominated queries get extra reps:

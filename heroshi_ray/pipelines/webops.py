@@ -1918,3 +1918,79 @@ def q_fetch_makespan(
             "n_rows": pa.array([len(hand)] * len(out_w), pa.int64()),
         }
     )
+
+
+# ----------------------------------------------------- politeness audit ----
+def q_politeness_audit(
+    sf_dir: str, n_epochs: int = 12, epoch_seconds: float = 60.0, burst: float = 10.0
+):
+    """Politeness-invariant audit over the REAL TokenBuckets state
+    class (the q_seen_fpr_eval pattern applied to A-P): each Ray task
+    owns a host-class shard, replays n_epochs of budget/consume cycles
+    against the production bucket code with that host's Crawl-delay
+    (q_crawl_delay_plan's template), and checks the two invariants a
+    politeness scheduler must never break — the epoch budget never
+    exceeds burst, and the LONG-RUN admitted rate never exceeds the
+    token accrual rate epoch_seconds/delay (+ the burst transient).
+    Output one row per host class: (delay_s, n_hosts, epochs, admitted,
+    max_per_epoch, rate_limit_e3, admitted_rate_e3, violations) with
+    violations == 0 — the driver-visible form of 'the scheduler cannot
+    be made impolite by load'; demand pressure is planted at 3x the
+    sustainable rate so the caps actually bind.
+
+    Scale shape: embarrassingly parallel over host-class shards
+    (matches the A-P pool's partitioning); per-epoch replay is the
+    same arithmetic the crawl loop runs."""
+    from ray.data.aggregate import Max, Sum
+
+    from ..state.tokenbucket import TokenBuckets
+
+    delays = sorted({1} | {1 + h % 7 for h in range(97) if h % 3 != 0})
+
+    def audit(batch: pa.Table) -> pa.Table:
+        out = {k: [] for k in (
+            "delay_s", "n_hosts", "epochs", "admitted", "max_per_epoch",
+            "rate_limit_e3", "admitted_rate_e3", "violations",
+        )}
+        for d in batch.column("id").to_pylist():
+            delay = delays[d]
+            hosts = [h for h in range(97)
+                     if (1 if h % 3 == 0 else 1 + h % 7) == delay]
+            tb = TokenBuckets(epoch_seconds, burst)
+            admitted = 0
+            max_epoch = 0
+            violations = 0
+            demand = int(3 * epoch_seconds / delay) + 1  # 3x sustainable
+            for e in range(n_epochs):
+                now = e * epoch_seconds
+                for h in hosts:
+                    b = tb.budget(f"host{h}", now, delay)
+                    take = min(b, demand)
+                    if take > burst and e == 0:
+                        violations += 1  # initial budget may not exceed burst
+                    if b > max(burst, epoch_seconds / delay + burst):
+                        violations += 1
+                    tb.consume(f"host{h}", now, delay, take)
+                    admitted += take
+                    max_epoch = max(max_epoch, take)
+            # long-run per-host rate vs accrual rate (+ burst transient)
+            per_host = admitted / max(len(hosts), 1)
+            limit = n_epochs * epoch_seconds / delay + burst
+            if per_host > limit:
+                violations += 1
+            out["delay_s"].append(delay)
+            out["n_hosts"].append(len(hosts))
+            out["epochs"].append(n_epochs)
+            out["admitted"].append(int(admitted))
+            out["max_per_epoch"].append(int(max_epoch))
+            out["rate_limit_e3"].append(int(epoch_seconds / delay * 1000))
+            out["admitted_rate_e3"].append(
+                int(per_host / n_epochs * 1000) if len(hosts) else 0
+            )
+            out["violations"].append(int(violations))
+        return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
+
+    return (
+        ray.data.range(len(delays), override_num_blocks=len(delays))
+        .map_batches(audit, batch_format="pyarrow", batch_size=1)
+    )

@@ -408,3 +408,18 @@ def test_fetch_makespan_bounds(ray_session):
     assert int(df.iloc[0]["makespan_s"]) >= n  # serial fleet
     # politeness bound: no fleet beats the hottest host's drain
     assert (df["makespan_s"] >= per_host_drain - delay.max()).all()
+
+
+def test_politeness_audit_invariants(ray_session):
+    """Zero violations under 3x-sustainable demand: per-epoch admission
+    never exceeds the burst cap, and the long-run per-host rate stays
+    under accrual + the one-time burst transient."""
+    from heroshi_ray.pipelines.webops import q_politeness_audit
+
+    df = q_politeness_audit(SF_DIR).to_pandas()
+    assert (df["violations"] == 0).all()
+    assert (df["max_per_epoch"] <= 10).all()  # burst cap binds
+    # amortized rate <= accrual rate + burst/epochs transient
+    limit_e3 = df["rate_limit_e3"] + 10 * 1000 // df["epochs"]
+    assert (df["admitted_rate_e3"] <= limit_e3).all()
+    assert df["n_hosts"].sum() == 97  # every host class audited
